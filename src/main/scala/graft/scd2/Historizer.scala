@@ -1,0 +1,207 @@
+package graft.scd2
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{Scd2Config, Schemas}
+
+/** SCD Type-2 delta detection + apply, re-expressing the reference's
+  * generated-Oracle-SQL engine (`Delta_detection_query_gen.py`) as lazy
+  * Catalyst plans.
+  *
+  * The reference composes one big SQL string (delta-detection query,
+  * :87-102), materializes it as a temp table (:140-155), MERGEs the
+  * close-out (:187-213) and INSERTs new versions (:215-330). Here each
+  * step is a DataFrame transform; the "temp table" is a cached DataFrame
+  * and the MERGE+INSERT become a partition-friendly rewrite
+  * (close-out ∪ inserts ∪ untouched), since Parquet has no in-place
+  * update (SURVEY §7.2).
+  *
+  * Faithful quirks preserved (SURVEY §7.2):
+  *  - delta hash = sha256 over a SEPARATOR-LESS concat of
+  *    COALESCE(CAST(col AS STRING),'') (Delta_detection_query_gen.py:42-44)
+  *    — plain `concat`, not `concat_ws`, so ("ab","c") and ("a","bc")
+  *    collide identically to the reference.
+  *  - hash column list = source columns minus
+  *    (naturalKeys ∪ excludeFromDelta ∪ excludeFromLoad), in source
+  *    schema order (:161-174); the target side recomputes the hash over
+  *    the SAME column names (:66).
+  *  - rows present only in the target classify 'NC' (stg.hash is null ⇒
+  *    `!=` is null ⇒ CASE falls through, :55-56).
+  *  - 'PD' (physical delete) is handled by the close-out (:199,202) but
+  *    never produced by the classifier (:53-57) — dead path kept.
+  *  - the `SUBSTR(ak,1,4) <> 999999` sentinel branch (:250-285) compares
+  *    4 chars to a 6-char number — always true, so only the simple
+  *    `max + row_number` path is live; we implement that path.
+  *  - insert keeps the durable AK for 'U' rows
+  *    (`coalesce(ext.ak, max_ak + row_number)`, :253-270) — AK is the
+  *    entity key, KEY is the version key (always newly minted).
+  *  - insert carries ALL source columns except load-excluded ones —
+  *    the reference's NOT IN tuple concatenates cols_to_exclude_from_load
+  *    with itself (:236), so delta-excluded columns ARE inserted.
+  */
+object Historizer {
+
+  /** Surrogate AK/KEY column discovery by naming convention
+    * (Delta_detection_query_gen.py:21-35): columns ending _AK or _KEY,
+    * sorted; first is the AK, second the KEY. */
+  def discoverAkKeyCols(targetCols: Seq[String]): (String, String) = {
+    val found = targetCols
+      .filter(c => c.toLowerCase.endsWith("_ak") || c.toLowerCase.endsWith("_key"))
+      .sorted
+    require(found.size >= 2,
+      "Error in getting Key and AK column. Please recheck target table definition and try again.")
+    (found(0), found(1))
+  }
+
+  /** Separator-less null-safe concat hash
+    * (Delta_detection_query_gen.py:42-44 + SHA256_HASH at :66,77). */
+  def deltaHash(cols: Seq[String]): Column =
+    sha2(concat(cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256)
+
+  /** Columns feeding the delta hash (Delta_detection_query_gen.py:161-174):
+    * source schema order, minus naturalKeys/exclDelta/exclLoad. */
+  def deltaColumns(sourceCols: Seq[String], conf: Scd2Config): Seq[String] = {
+    val excluded = (conf.naturalKeys ++ conf.colsToExcludeFromDelta ++
+      conf.colsToExcludeFromLoad).map(_.toLowerCase).toSet
+    sourceCols.filterNot(c => excluded.contains(c.toLowerCase))
+  }
+
+  /** The delta-detection query (reference :87-102): hashed staging slice
+    * FULL OUTER JOIN hashed current target slice on natural keys,
+    * classified I/U/NC, cross-joined with the surrogate high-water marks.
+    *
+    * Scale notes: the 1-row max aggregate broadcasts
+    * (BroadcastNestedLoopJoin); the full-outer join shuffles both sides
+    * by the natural keys — at 100 TB the target side is pre-filtered to
+    * `da_current_flag='Y'` before the shuffle, and AQE handles skew.
+    */
+  def deltaDetect(src: DataFrame, tgt: DataFrame, conf: Scd2Config): DataFrame = {
+    val (akCol, keyCol) = discoverAkKeyCols(tgt.columns.toSeq)
+    val dCols = deltaColumns(src.columns.toSeq, conf)
+    val nk = conf.naturalKeys
+
+    // staging clause (:72-81): natural keys + recomputed hash, batch slice
+    val stg = src.filter(col("load_key") === lit(conf.loadKey))
+      .select(nk.map(col) :+ deltaHash(dCols).as("delta_hash"): _*)
+    // target clause (:61-70): current slice, hash recomputed from payload
+    val tgtH = tgt.filter(col("da_current_flag") === "Y")
+      .select(Seq(col(keyCol), col(akCol)) ++ nk.map(col)
+        :+ deltaHash(dCols).as("delta_hash"): _*)
+
+    val joinCond = nk.map(k => stg(k) === tgtH(k)).reduce(_ && _)
+    val insertCond = nk.map(k => tgtH(k).isNull).reduce(_ || _)
+    val updateCond = nk.map(k => tgtH(k) === stg(k)).reduce(_ && _) &&
+      stg("delta_hash") =!= tgtH("delta_hash")
+
+    val classified = stg.join(tgtH, joinCond, "full_outer")
+      .select(
+        Seq(tgtH(akCol).as(akCol), tgtH(keyCol).as(keyCol)) ++
+        nk.map(k => coalesce(stg(k), tgtH(k)).as(k)) :+
+        when(insertCond, "I").when(updateCond, "U").otherwise("NC").as("upsert_cd"): _*)
+
+    // cross-join high-water marks (:37-40, :89-90): 1-row side → broadcast
+    val maxVals = tgt.agg(
+      coalesce(max(col(keyCol)), lit(0L)).cast("long").as("max_key"),
+      coalesce(max(col(akCol)), lit(0L)).cast("long").as("max_ak"))
+    classified.crossJoin(broadcast(maxVals))
+  }
+
+  /** Close-out (reference MERGE :187-213): target rows whose surrogate KEY
+    * matches a 'U'/'PD' delta row get flags flipped and validity closed.
+    * Surrogate-key join ⇒ exactly the matched current versions.
+    */
+  def closeOut(tgt: DataFrame, delta: DataFrame, now: Timestamp): DataFrame = {
+    val (akCol, keyCol) = discoverAkKeyCols(tgt.columns.toSeq)
+    // Per-batch delta is small next to a 100 TB target; AQE picks a
+    // broadcast join at runtime — no forced hint, so a huge backfill
+    // batch still degrades gracefully to shuffle join.
+    val hits = delta.filter(col("upsert_cd").isin("U", "PD"))
+      .select(col(keyCol).as("__k"), col("upsert_cd"))
+    val joined = tgt.join(hits, tgt(keyCol) === hits("__k"), "left")
+    val matched = hits("__k").isNotNull
+    joined.select(
+      tgt.columns.map {
+        case c if c == "da_current_flag" =>
+          when(matched, "N").otherwise(tgt(c)).as(c)
+        case c if c == "da_valid_to_date" =>
+          when(matched, lit(now)).otherwise(tgt(c)).as(c)
+        case c if c == "da_updated_datetime" =>
+          when(matched, lit(now)).otherwise(tgt(c)).as(c)
+        case c if c == "da_deleted_flag" =>
+          when(matched && col("upsert_cd") === "PD", "Y")
+            .when(matched, "N").otherwise(tgt(c)).as(c)
+        case c => tgt(c).as(c)
+      }.toSeq: _*)
+  }
+
+  /** New-version insert rows (reference :215-330): source batch joined to
+    * 'I'/'U' delta rows on natural keys, with minted surrogate keys and
+    * da_* system columns.
+    *
+    * Surrogate minting: the reference's `ROW_NUMBER() OVER (ORDER BY 'JP')`
+    * (:266-270) funnels to one task; its constant sort key makes the
+    * assignment ARBITRARY-but-gapless, so any total order is equally
+    * faithful. We order by the natural keys: deterministic for tests and
+    * oracle checks, and at scale it can swap to a zipWithIndex-style
+    * per-partition offset without changing semantics (SURVEY §7.5 #3).
+    */
+  def insertRows(src: DataFrame, delta: DataFrame, tgtCols: Seq[String],
+      conf: Scd2Config, now: Timestamp): DataFrame = {
+    val (akCol, keyCol) = discoverAkKeyCols(tgtCols)
+    val nk = conf.naturalKeys
+    // :232-243 — NOT IN (exclLoad + exclLoad): only load-excluded dropped
+    val srcCols = src.columns.toSeq
+      .filterNot(c => conf.colsToExcludeFromLoad.map(_.toLowerCase).contains(c.toLowerCase))
+      .sorted
+    val ext = delta.filter(col("upsert_cd").isin("I", "U"))
+      .select(nk.map(c => col(c).as(s"__nk_$c")) ++
+        Seq(col(akCol).as("__ext_ak"), col("max_ak"), col("max_key")): _*)
+    val batch = src.filter(col("load_key") === lit(conf.loadKey))
+    val joined = batch.join(ext,
+      nk.map(k => batch(k) === ext(s"__nk_$k")).reduce(_ && _), "inner")
+
+    val rn = row_number().over(Window.orderBy(nk.map(col): _*))
+    val dCols = deltaColumns(src.columns.toSeq, conf)
+    // delta_hash is stored only when the target schema carries it (the
+    // DHT target does, FIXTURES.md A4); always recomputed on read anyway.
+    val hashCols =
+      if (tgtCols.map(_.toLowerCase).contains("delta_hash"))
+        Seq(deltaHash(dCols).as("delta_hash"))
+      else Seq.empty
+    joined
+      .withColumn("__rn", rn.cast("long"))
+      .select(
+        Seq(
+          // AK: keep durable key for U rows, mint for I (:250-270)
+          coalesce(col("__ext_ak"), col("max_ak") + col("__rn")).as(akCol),
+          // KEY: always a fresh version key (:271-283)
+          (col("max_key") + col("__rn")).as(keyCol)) ++
+        srcCols.map(col) ++ hashCols ++
+        Seq(
+          lit(now).as("da_updated_datetime"),
+          lit(now).as("da_inserted_datetime"),
+          lit(Schemas.openEndedValidTo).as("da_valid_to_date"),
+          lit(now).as("da_valid_from_date"),
+          lit("N").as("da_deleted_flag"),
+          lit("Y").as("da_current_flag")): _*)
+  }
+
+  /** Full SCD2 apply: detect → close-out ∪ inserts, with the reference's
+    * column-set contract check before writing
+    * (Delta_detection_query_gen.py:308-330, SURVEY D8). Returns the new
+    * target content (caller persists it, e.g. TableStore.overwrite). */
+  def applyScd2(src: DataFrame, tgt: DataFrame, conf: Scd2Config,
+      now: Timestamp): DataFrame = {
+    val delta = deltaDetect(src, tgt, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val closed = closeOut(tgt, delta, now)
+    val ins = insertRows(src, delta, tgt.columns.toSeq, conf, now)
+    require(ins.columns.sorted.sameElements(tgt.columns.sorted),
+      s"Columns returned by select query and columns in target table are not same: " +
+        s"${ins.columns.sorted.mkString(",")} vs ${tgt.columns.sorted.mkString(",")}")
+    closed.unionByName(ins.select(tgt.columns.map(col).toSeq: _*))
+  }
+}

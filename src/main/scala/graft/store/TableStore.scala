@@ -1,0 +1,56 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-directory table store with atomic overwrite via
+  * write-to-temp-then-swap (SURVEY §7.5 #1: no table format ships in
+  * /opt/spark/jars, so SCD2 rewrites need their own atomicity).
+  *
+  * The swap is a local-filesystem rename; on a real cluster the same
+  * pattern runs against a transactional table format or a
+  * rename-is-atomic store — the engine code above this layer only sees
+  * read/overwrite/append.
+  */
+class TableStore(spark: SparkSession, baseDir: String) {
+  Files.createDirectories(Paths.get(baseDir))
+
+  def path(name: String): String = s"$baseDir/$name"
+  def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
+
+  def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  def readOrEmpty(name: String, schema: StructType): DataFrame =
+    if (exists(name)) spark.read.schema(schema).parquet(path(name))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Atomic overwrite: materialize to `<name>.tmp`, then swap dirs.
+    * Readers either see the old or the new table, never a partial one. */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val tmp = Paths.get(path(s"$name.tmp"))
+    deleteRecursively(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val live = Paths.get(path(name))
+    val old = Paths.get(path(s"$name.old"))
+    deleteRecursively(old)
+    if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  def append(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(name))
+
+  /** Device-scoped delete-then-reload (reference S7,
+    * STG_Firebase2Oracle.py:99-119): parquet is immutable, so rewrite
+    * without the device's rows. At scale: partition by deviceid and use
+    * dynamic partition overwrite instead of a full rewrite. */
+  def deleteWhere(name: String, schema: StructType, cond: org.apache.spark.sql.Column): Unit =
+    if (exists(name)) overwrite(name, read(name).filter(!cond || cond.isNull))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

@@ -35,7 +35,8 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     try:
-        got = pd.read_parquet(spark_path)
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchdf()
         exp = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: {e}"); n_fail += 1; continue
