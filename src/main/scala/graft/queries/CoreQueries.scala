@@ -1,15 +1,23 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic relational query surface over the star-schema testdata,
-  * mirroring the operator inventory of SURVEY.md §2.
+  * one verified query per operator class of SURVEY.md §2.
   *
   * Determinism rules (driver hash-compares against DuckDB):
-  *  - every float aggregate is `round(_, 2)` on both sides;
+  *  - float aggregates are `round(_, 2)` on both sides;
   *  - window functions order by a unique key;
-  *  - no wall-clock functions in verified queries.
+  *  - LIMIT always under a total order with a unique tiebreak;
+  *  - no wall-clock functions;
+  *  - integer-ish results cast to BIGINT on both sides.
+  *
+  * Scale notes are inline per query; the shared themes: filters/projections
+  * push into the parquet scan, dimension joins broadcast, aggregations get
+  * map-side partials for free, AQE (enabled in Verify/Bench sessions)
+  * handles skew and post-shuffle coalescing.
   */
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -17,9 +25,140 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
-  /** TPC-H Q1-style pricing summary: groupBy + multi-agg (SURVEY §2.4,
-    * exposed beyond reference parity which only needs scalar MAX). */
-  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------------------------- S4 scan
+  /** Projection-only scan: ReadSchema must prune to 2 of 6 part columns. */
+  def qS4Scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+
+  // ---------------------------------------------------------- S6 stage copy
+  /** Landing→INT shape (STG_to_INT.py:16-20): constant batch-id column. */
+  def qS6StageCopy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .withColumn("load_key", lit(42L))
+      .select(col("event_id"), col("user_id"), col("load_key"))
+
+  // --------------------------------------------------------------- filters
+  /** P1: event-time threshold filter (>= boundary, STG_Firebase2Oracle.py:58).
+    * The predicate reaches the parquet scan as PushedFilters. ts emitted at
+    * second precision — the source is nanosecond-typed (see Tables.load). */
+  def qP1Threshold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") >= to_timestamp(lit("2024-01-04 00:00:00")))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"),
+        col("event_type"))
+
+  /** P2: conjunctive equality predicates (CheckInterface_Metadata.py:24-26). */
+  def qP2Equality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** P3: LIKE / NOT LIKE patterns (Delta_detection_query_gen.py:26). */
+  def qP3Like(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").like("M%") && !col("p_name").like("small%"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+
+  /** P4: NOT IN set predicate (exclusion algebra,
+    * Delta_detection_query_gen.py:161-167). */
+  def qP4NotIn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(!col("l_returnflag").isin("A", "R") && col("l_linenumber") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+
+  /** P5/J5: IN-(SELECT MAX …) latest-row lookup
+    * (CheckInterface_Metadata.py:21-25). Spark shape: 1-row aggregate
+    * broadcast-joined back — the plan Catalyst also derives from the
+    * IN-subquery form. */
+  def qP5InMax(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val latest = ev.agg(max(col("event_id")).as("event_id"))
+    ev.join(broadcast(latest), Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  /** P7+F5: null-check predicates driving CASE classification
+    * (Delta_detection_query_gen.py:48,53-57). */
+  def qP7NullCase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(nullif(col("o_orderstatus"), lit("O")).isNull, "open")
+          .when(col("o_totalprice") > 200000.0, "big")
+          .otherwise("other").as("class"))
+
+  // ----------------------------------------------------------------- joins
+  /** J2: metadata-style inner equi-join chain; both dims broadcast. */
+  def qJ2Inner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+
+  /** J3: cross join with a 1-row aggregate (surrogate high-water pattern,
+    * Delta_detection_query_gen.py:37-41) → BroadcastNestedLoopJoin. */
+  def qJ3CrossAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val maxv = o.agg(round(max(col("o_totalprice")), 2).as("max_price"))
+    o.crossJoin(broadcast(maxv))
+      .select(col("o_orderkey"),
+        round(col("max_price") - col("o_totalprice"), 2).as("below_max"))
+  }
+
+  /** J4: src ⋈ temp re-attach with IN filters on both sides
+    * (Delta_detection_query_gen.py:297-304). */
+  def qJ4SrcTemp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("o_orderpriority"))
+  }
+
+  /** J5a: left-semi join — EXISTS form of the reference's IN-subquery. */
+  def qJ5Semi(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** J5b: left-anti join — NOT EXISTS; same shuffle shape as semi. */
+  def qJ5Anti(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    t(s, dir, "orders")
+      .join(li, col("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** J1 standalone: FULL OUTER JOIN side-classification (the SCD2 core,
+    * Delta_detection_query_gen.py:94-96) on plain tables. */
+  def qJ1FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(c("bal").isNull, "right_only")
+          .when(col("n_orders").isNull, "left_only")
+          .otherwise("both").as("side"))
+  }
+
+  // ------------------------------------------------------------ aggregates
+  /** A1/A2: scalar un-grouped MAX high-water marks. */
+  def qA2MaxScalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      max(col("l_orderkey")).as("max_key"),
+      max(col("l_partkey")).as("max_part"),
+      count(lit(1)).as("cnt"))
+
+  /** TPC-H Q1-style pricing summary: groupBy + multi-agg. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -28,13 +167,199 @@ object CoreQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
+
+  /** Join + group aggregate: revenue per nation (broadcast dim chain,
+    * partial aggregation before the shuffle). */
+  def qAggJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Distinct aggregation (beyond reference parity; expand-based plan). */
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+
+  // --------------------------------------------------------------- windows
+  /** W1: ROW_NUMBER — partitioned by customer (scale-correct analog of the
+    * reference's single-partition constant-order window, see Historizer's
+    * surrogate minting for the faithful variant). */
+  def qW1RowNumber(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
   }
 
+  /** Analytic windows beyond parity: lag + running sum per partition. */
+  def qW2Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("running_value",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select(col("user_id"), col("event_id"), col("prev_type"), col("running_value"))
+  }
+
+  // ------------------------------------------------------- sort/limit/topk
+  /** O3: top-k under a total order (unique tiebreak ⇒ deterministic set).
+    * TakeOrderedAndProject: no global sort materialization. */
+  def qO3TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  // ----------------------------------------------------------------- setop
+  /** Set operations (engine surface; SURVEY §2.7 notes the SCD2 rewrite
+    * introduces union — exposed generically here). */
+  def qSetUnion(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "customer").filter(col("c_acctbal") < 0.0)
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct()
+  }
+
+  def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    a.intersect(b)
+  }
+
+  def qSetExcept(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.except(b)
+  }
+
+  // -------------------------------------------------------- scalar functions
+  /** F1/F2/F3/F5/F8/F10/F13 in one projection (string-typed hash input so
+    * both engines render identically). */
+  def qFScalars(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      // F1+F2+F3: null-safe separator-less concat → sha256
+      sha2(concat(
+        coalesce(col("o_orderstatus"), lit("")),
+        coalesce(col("o_orderpriority"), lit(""))), 256).as("row_hash"),
+      // F5: CASE WHEN classification
+      when(col("o_orderstatus") === "O", "I")
+        .when(col("o_orderstatus") === "F", "U")
+        .otherwise("NC").as("upsert_cd"),
+      // F8: SUBSTR
+      substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+      // F10: date formatting/parsing round-trip
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+      // F13: dict.get-style default
+      coalesce(nullif(col("o_orderstatus"), lit("P")), lit("N/A")).as("status_or_na"),
+      year(col("o_orderdate")).cast("long").as("order_year"))
+
+  // ---------------------------------------------------- streaming-as-batch
+  /** ST analog: tumbling 1-day event-time window aggregate — the batch
+    * plan of the Structured Streaming query in graft.streaming. */
+  def qStWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ------------------------------------------------------------------ maps
   def queries: Map[String, Q] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
+    "q_s4_scan" -> (qS4Scan _),
+    "q_s6_stage_copy" -> (qS6StageCopy _),
+    "q_p1_threshold" -> (qP1Threshold _),
+    "q_p2_equality" -> (qP2Equality _),
+    "q_p3_like" -> (qP3Like _),
+    "q_p4_not_in" -> (qP4NotIn _),
+    "q_p5_in_max" -> (qP5InMax _),
+    "q_p7_null_case" -> (qP7NullCase _),
+    "q_j1_full_outer" -> (qJ1FullOuter _),
+    "q_j2_inner" -> (qJ2Inner _),
+    "q_j3_cross_agg" -> (qJ3CrossAgg _),
+    "q_j4_src_temp" -> (qJ4SrcTemp _),
+    "q_j5_semi" -> (qJ5Semi _),
+    "q_j5_anti" -> (qJ5Anti _),
+    "q_a2_max_scalar" -> (qA2MaxScalar _),
+    "q1_agg" -> (q1Agg _),
+    "q_agg_join" -> (qAggJoin _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_w1_row_number" -> (qW1RowNumber _),
+    "q_w2_running" -> (qW2Running _),
+    "q_o3_topk" -> (qO3TopK _),
+    "q_set_union" -> (qSetUnion _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_set_except" -> (qSetExcept _),
+    "q_f_scalars" -> (qFScalars _),
+    "q_st_window_agg" -> (qStWindowAgg _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
+    "q_s6_stage_copy" ->
+      """SELECT event_id, user_id, CAST(42 AS BIGINT) AS load_key
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "q_p1_threshold" ->
+      """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_sec, event_type
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'""".stripMargin,
+    "q_p2_equality" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_p3_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE 'M%' AND p_name NOT LIKE 'small%'""".stripMargin,
+    "q_p4_not_in" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag NOT IN ('A','R') AND l_linenumber <= 2""".stripMargin,
+    "q_p5_in_max" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id IN (SELECT MAX(event_id) FROM events)""".stripMargin,
+    "q_p7_null_case" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 'open'
+        |       WHEN o_totalprice > 200000.0 THEN 'big'
+        |       ELSE 'other' END AS class
+        |FROM orders""".stripMargin,
+    "q_j1_full_outer" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey % 3 = 0),
+        |o AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
+        |SELECT coalesce(c.k, o.k) AS k,
+        |  CASE WHEN c.bal IS NULL THEN 'right_only'
+        |       WHEN o.n_orders IS NULL THEN 'left_only'
+        |       ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN o ON c.k = o.k""".stripMargin,
+    "q_j2_inner" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_j3_cross_agg" ->
+      """SELECT o_orderkey, round(max_price - o_totalprice, 2) AS below_max
+        |FROM orders CROSS JOIN
+        |  (SELECT round(MAX(o_totalprice), 2) AS max_price FROM orders) mv""".stripMargin,
+    "q_j4_src_temp" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A','R') AND o_orderstatus = 'F'""".stripMargin,
+    "q_j5_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)""".stripMargin,
+    "q_j5_anti" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+    "q_a2_max_scalar" ->
+      """SELECT MAX(l_orderkey) AS max_key, MAX(l_partkey) AS max_part,
+        |  count(*) AS cnt FROM lineitem""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -43,6 +368,58 @@ object CoreQueries {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_w1_row_number" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_w2_running" ->
+      """SELECT user_id, event_id,
+        |  LAG(event_type, 1) OVER w AS prev_type,
+        |  round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "q_o3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q_set_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0.0""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_f_scalars" ->
+      """SELECT o_orderkey,
+        |  sha256(coalesce(o_orderstatus,'') || coalesce(o_orderpriority,'')) AS row_hash,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'I'
+        |       WHEN o_orderstatus = 'F' THEN 'U' ELSE 'NC' END AS upsert_cd,
+        |  substr(o_orderpriority, 1, 1) AS prio_digit,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  coalesce(nullif(o_orderstatus,'P'), 'N/A') AS status_or_na,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year
+        |FROM orders""".stripMargin,
+    "q_st_window_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }
