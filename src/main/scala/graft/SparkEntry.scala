@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-    graft.queries.Scd2Queries.queries
+    graft.queries.Scd2Queries.queries ++
+    graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-    graft.queries.Scd2Queries.oracleSql
+    graft.queries.Scd2Queries.oracleSql ++
+    graft.queries.ExtQueries.oracleSql
 }

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Deduplication operators for large text corpora — the training-data
+  * pipeline surface (north star; not in the reference, which has no text
+  * processing). Four families: exact, MinHash+LSH, SimHash, exact n-gram
+  * Jaccard. Embedding-space near-dup lives in [[Similarity]].
+  *
+  * Scale design (100 TB corpus):
+  *  - exact: one hash-shuffle on a 32-byte digest, not the document text;
+  *  - MinHash: signatures are computed in a single explode→groupBy pass
+  *    (map-side partial min), candidates come from equi-joins on short
+  *    band keys — never an all-pairs product;
+  *  - SimHash: fingerprint is a pure per-row higher-order expression —
+  *    NO shuffle at all until the (tiny) near-dup pair join;
+  *  - Jaccard verify runs only over LSH candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest id as the
+    * canonical representative. Shuffles 40ish bytes/doc regardless of
+    * document size (sha2 computed before the exchange). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles: (id, shingle) pairs. */
+  def shingles(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(ngrams(words(col(textCol)), n))).as("shingle"))
+
+  /** MinHash signatures: k per-document minima over universal hashes of
+    * the shingle hash. One groupBy(id) with k partial-min aggregates. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val h = hexInt(col("shingle")).as("h")
+    val aggs = (0 until numHashes).map(i => min(minhashExpr(col("h"), i)).as(s"mh$i"))
+    sh.select(col("id"), h).groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: b rows per doc keyed by (band index, digest of the
+    * band's signature slice). Equal band key ⇒ candidate pair. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (a < b, distinct). The join
+    * key (band, 32-hex digest) is short and uniformly distributed — skew
+    * only appears for degenerate corpora (e.g. empty docs), which an
+    * upstream length filter removes. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.as("l")
+    val r = bandsDf.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given (id_a, id_b) pairs, via two hash joins
+    * against the shingle index — never materializes shingle sets. */
+  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sa = sh.select(col("id").as("id_a"), col("shingle"))
+    val sb = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = pairs
+      .join(sa, "id_a").join(sb, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
+    * exact-Jaccard verify ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh)))
+    jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs exact n-gram Jaccard ≥ threshold via the inverted shingle
+    * index (no LSH): candidate pairs are docs sharing ≥1 shingle. The
+    * per-shingle fan-out is the scale hazard — at 100 TB the LSH variant
+    * above is the production path; this one is the accuracy oracle. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val l = sh.select(col("id").as("id_a"), col("shingle"))
+    val r = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = l.join(r, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash bits (32): per-token ±1 votes per bit position, summed with
+    * a higher-order aggregate — a pure projection, no explode/shuffle. */
+  val simhashBits = 32
+
+  def simhash(text: Column): Column = {
+    val hashes = transform(words(text), w => hexInt(w))
+    val bitCols = (0 until simhashBits).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
+    * 8-bit band equality (any of 4 bands equal ⇒ candidate — guarantees
+    * recall for distance ≤ 3 by pigeonhole). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 8).bitwiseAND(lit(0xFFL)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band"), col("bb.bh"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val cands = l.join(r, col("l.band") === col("r.band") &&
+        col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.fp").as("fp_a"),
+        col("r.id").as("id_b"), col("r.fp").as("fp_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north star): image/audio/video as opaque
+  * BINARY columns with typed metadata, decoded/feature-extracted through
+  * a partition-wise batch path.
+  *
+  * The decode step is a STUB — no codec libraries ship in this
+  * environment — but it is a DETERMINISTIC stub (pure function of the
+  * payload bytes), so the whole Spark-side contract is real and testable:
+  * schema, binary transport, mapPartitions batching, partition sizing.
+  * Swap `decodeStub` for a real JNI/codec call and nothing else changes.
+  * (A PySpark front-end would reach the same operator via mapInPandas;
+  * the Scala-native batch path here is the engine-level equivalent.)
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Derive a deterministic media table from `documents` (payload =
+    * UTF-8 bytes of the text; kind cycles image/audio/video). Stands in
+    * for `spark.read.format("binaryFile")` over an object store. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** ===== STUB ===== deterministic fake decode: metadata as pure
+    * functions of payload length. A real implementation parses headers /
+    * calls a codec here; everything around it is production plumbing. */
+  def decodeStub(kind: String, payload: Array[Byte]): (Option[Long], Option[Long], Option[Long], Option[Long]) = {
+    val n = payload.length.toLong
+    kind match {
+      case "image" => (Some(64L + n % 512), Some(64L + (n * 7) % 512), None, None)
+      case "audio" => (None, None, Some(8000L + (n % 3) * 4000), Some(n * 13 % 10000))
+      case "video" => (Some(320L), Some(240L), None, Some(n * 13 % 10000))
+      case _ => (None, None, None, None)
+    }
+  }
+
+  /** Partition-wise decode: iterator-in/iterator-out, constant memory per
+    * partition — the Scala analog of a Pandas-UDF batch loop. At 100 TB:
+    * size partitions by `spark.sql.files.maxPartitionBytes` so a
+    * partition's payloads fit an executor's decode buffer. */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(metaSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          val (w, h, sr, dur) = decodeStub(kind, payload)
+          Row(id, kind, payload.length.toLong,
+            w.orNull, h.orNull, sr.orNull, dur.orNull)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video media: one row per sampled frame offset
+    * (every `stepMs`), id = digest of (media_id, offset). Declarative
+    * explode — the generator runs inside codegen, no shuffle. */
+  def sampleFrames(meta: DataFrame, stepMs: Long = 1000L): DataFrame =
+    meta.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(stepMs))).as("frame_ms"))
+      .withColumn("frame_id",
+        md5(concat(col("media_id").cast("string"), lit(":"), col("frame_ms").cast("string"))))
+
+  /** "Feature extraction" over decoded media — stub embedding = 8 hash
+    * floats of the payload digest; the batching/shape contract is what a
+    * real model-inference UDF must satisfy. */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      transform(sequence(lit(0), lit(7)),
+        i => (Hashing.hexInt(concat(md5(col("payload")), i.cast("string"))) % 1000)
+          .cast("double") / 1000.0).as("features"))
+}

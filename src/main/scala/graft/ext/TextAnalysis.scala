@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Text analysis for corpus curation (north star): token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * per-row projections — they run inside whole-stage codegen with zero
+  * shuffle, which is exactly what a 100 TB curation scan needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(words(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, and isolated
+    * punctuation — a cheap proxy for subword tokenizers. */
+  val bpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenRegex)).cast("long")
+
+  /** Stopword lists per language (tiny n-gram-free heuristic — enough to
+    * expose the mechanism; swap lists for production). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "ist", "von"))
+
+  def stopwordHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isin(stopwords(lang).map(lit): _*))).cast("long")
+
+  /** Language ID: most stopword hits wins, fixed priority on ties,
+    * 'und' (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val ws = words(lower(text))
+    val hits = Seq("en", "es", "fr", "de").map(l => l -> stopwordHits(ws, l))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h > 0 && h === best, l).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation, punctuation penalty,
+    * stopword reward — the standard cheap pre-filter shape. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nTok = wsTokenCount(text).cast("double")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val stops = stopwordHits(words(lower(text)), "en").cast("double")
+    val lengthScore = least(len / 500.0, lit(1.0))
+    val punctRatio = punct / greatest(len, lit(1.0))
+    val stopRatio = stops / greatest(nTok, lit(1.0))
+    round(lit(0.4) * lengthScore + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * 3.0, lit(1.0)), 4)
+  }
+
+  /** Rolling-hash document fingerprint: minimum 32-bit hash over char
+    * 5-grams (winnowing with window = whole doc), plus the distinct
+    * 5-gram count. Content-defined ⇒ robust to whitespace-preserving
+    * reorderings of unrelated docs; cheap equality prefilter. */
+  val fpGram = 5
+  def fingerprint(text: Column): Column = {
+    // sequence(1, n) needs n >= 1 (Spark auto-reverses otherwise) — short
+    // texts hash whole.
+    val grams = transform(
+      sequence(lit(1), length(text) - (fpGram - 1)),
+      i => hexInt(text.substr(i.cast("int"), lit(fpGram))))
+    when(length(text) >= fpGram, array_min(grams)).otherwise(hexInt(text))
+  }
+
+  /** Distinct char 5-gram count — pairs with [[fingerprint]] as a cheap
+    * containment prefilter. */
+  def distinctGramCount(text: Column): Column = {
+    val grams = transform(
+      sequence(lit(1), length(text) - (fpGram - 1)),
+      i => text.substr(i.cast("int"), lit(fpGram)))
+    when(length(text) >= fpGram, size(array_distinct(grams)).cast("long"))
+      .otherwise(lit(1L))
+  }
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+
+/** Query + oracle registry for the training-data-pipeline surface
+  * (graft.ext): dedup, similarity search, text analysis, multimodal
+  * plumbing. Not in the reference (which has no text processing) — this is
+  * the north-star extension layer, verified the same way as the relational
+  * surface: every query has a DuckDB oracle that replicates the full
+  * operator chain (including LSH candidate generation), so the driver's
+  * hash-compare checks the algorithms end-to-end, not just row counts.
+  *
+  * Cross-engine determinism: all hashing goes through Hashing.hexInt
+  * (md5-based, identical in DuckDB); float results are rounded BEFORE any
+  * threshold filter or ranking on both sides, so boundary rows and ties
+  * resolve identically.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------- dedup
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir))
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
+
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), maxDist = 3)
+
+  // ----------------------------------------------------------- text
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+      TextAnalysis.langId(col("text")).as("lang_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.distinctGramCount(col("text")).as("n_grams"))
+
+  // ----------------------------------------------------- similarity
+  /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
+  def qSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+  }
+
+  def qSimAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.annTopK(e, e.filter(col("vec_id") < 8), k = 5)
+  }
+
+  def qSimNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
+
+  // ----------------------------------------------------- multimodal
+  def qMmMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
+
+  def qMmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir))))
+
+  def qMmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
+      .select(Seq(col("media_id"), col("kind")) ++
+        (0 until 8).map(i => col("features")(i).as(s"f$i")): _*)
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_text_stats" -> (qTextStats _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_sim_topk" -> (qSimTopK _),
+    "q_sim_ann" -> (qSimAnn _),
+    "q_sim_neardup" -> (qSimNearDup _),
+    "q_mm_meta" -> (qMmMeta _),
+    "q_mm_frames" -> (qMmFrames _),
+    "q_mm_features" -> (qMmFeatures _))
+
+  // =================================================== DuckDB oracles
+
+  import Hashing.{bands => nBands, hexIntSql, minhashSql, numHashes, rowsPerBand}
+
+  /** words CTE fragment over column `c`. */
+  private def wordsSqlOf(c: String): String =
+    s"""list_filter(string_split_regex($c, '\\s+'), w -> len(w) > 0)"""
+
+  /** 3-gram shingles of a word-list column `ws` (DuckDB 1-based slices). */
+  private val shinglesSql =
+    """CASE WHEN len(w) >= 3
+      | THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+      | ELSE [] END""".stripMargin
+
+  /** Shared CTE prefix: words → distinct shingles → 32-bit shingle hash. */
+  private val shingleCtes =
+    s"""ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w FROM documents),
+       |sh AS (SELECT id, unnest(list_distinct($shinglesSql)) AS shingle FROM ws),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  private val dedupMinhashSql: String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      s"SELECT id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleCtes,
+       |h AS (SELECT id, ${hexIntSql("shingle")} AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cands c JOIN sh a ON a.id = c.id_a
+       |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
+  }
+
+  private val dedupNgramJaccardSql =
+    s"""WITH $shingleCtes,
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
+
+  private val dedupSimhashSql: String = {
+    val fp = (0 until Dedup.simhashBits).map { i =>
+      s"""(CASE WHEN coalesce(list_sum(list_transform(w,
+         |   x -> CASE WHEN (${hexIntSql("x")} >> $i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         | THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w FROM documents),
+       |fp AS (SELECT id, $fp AS fp FROM ws),
+       |banded AS (SELECT id, fp, b AS band, (fp >> (b * 8)) & 255 AS bh
+       |  FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+       |cands AS (SELECT DISTINCT l.id AS id_a, l.fp AS fp_a, r.id AS id_b, r.fp AS fp_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin
+  }
+
+  private val stopLists: Map[String, String] = TextAnalysis.stopwords.map {
+    case (l, ws) => l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  }
+
+  private val textStatsSql: String = {
+    val hits = Seq("en", "es", "fr", "de").map(l =>
+      s"len(list_filter(wl, x -> list_contains(${stopLists(l)}, x))) AS h_$l").mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id, text,
+       |  ${wordsSqlOf("text")} AS ws,
+       |  ${wordsSqlOf("lower(text)")} AS wl FROM documents),
+       |h AS (SELECT doc_id, text, ws,
+       |  $hits
+       |FROM d)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+       |       WHEN h_es > 0 AND h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+       |       WHEN h_fr > 0 AND h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+       |       WHEN h_de > 0 AND h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+       |       ELSE 'und' END AS lang_id,
+       |  round(0.4 * least(length(text) / 500.0, 1.0)
+       |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       |                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       |      + 0.3 * least((h_en / greatest(CAST(len(ws) AS DOUBLE), 1.0)) * 3.0, 1.0),
+       |    4) AS quality
+       |FROM h""".stripMargin
+  }
+
+  private val textFingerprintSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) >= 5
+       |    THEN list_min(list_transform(range(1, length(text) - 3),
+       |           i -> ${hexIntSql("substr(text, CAST(i AS INT), 5)")}))
+       |    ELSE ${hexIntSql("text")} END AS fp,
+       |  CASE WHEN length(text) >= 5
+       |    THEN CAST(len(list_distinct(list_transform(range(1, length(text) - 3),
+       |           i -> substr(text, CAST(i AS INT), 5)))) AS BIGINT)
+       |    ELSE CAST(1 AS BIGINT) END AS n_grams
+       |FROM documents""".stripMargin
+
+  /** dot(ce, qe) over 64-dim double lists, sequential order like Spark's
+    * aggregate(zip_with(..)). */
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * qe[i]))"
+
+  private val simCtes =
+    """c AS (SELECT vec_id AS neighbor_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM embeddings),
+      |cn AS (SELECT neighbor_id, ce,
+      |  sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnorm FROM c),
+      |q AS (SELECT vec_id AS query_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |  FROM embeddings WHERE vec_id < 8),
+      |qn AS (SELECT query_id, qe,
+      |  sqrt(list_sum(list_transform(qe, x -> x * x))) AS qnorm FROM q)""".stripMargin
+
+  private val simTopKSql =
+    s"""WITH $simCtes,
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM cn CROSS JOIN qn WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  /** Sign-bucket of an embedding list column `e` — replicates
+    * Similarity.signBucket: bit p set iff sum_j e[j]*sign(p,j) > 0, where
+    * sign(p,j) = ±1 from the md5 parity of "p,j". */
+  private def bucketSql(e: String): String =
+    (0 until Similarity.numPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(0, len($e)),
+         |  j -> $e[CAST(j AS INT) + 1] *
+         |    (CASE WHEN ${hexIntSql(s"('$p' || ',' || CAST(j AS VARCHAR))")} % 2 = 0
+         |     THEN 1.0 ELSE -1.0 END))) > 0
+         | THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private val simAnnSql =
+    s"""WITH $simCtes,
+       |cb AS (SELECT neighbor_id, ce, cnorm, ${bucketSql("ce")} AS bucket FROM cn),
+       |qb AS (SELECT query_id, qe, qnorm, ${bucketSql("qe")} AS bucket FROM qn),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM cb JOIN qb USING (bucket) WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  private val simNearDupSql =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |        / (a.nv * b.nv), 6) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |      / (a.nv * b.nv), 6) >= 0.4""".stripMargin
+
+  /** media CTE = Multimodal.mediaFromDocuments in SQL (payload = UTF-8
+    * bytes of text; kind cycles by doc_id % 3). */
+  private val mediaCte =
+    """media AS (SELECT doc_id AS media_id,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  encode(text) AS payload FROM documents),
+      |m AS (SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n,
+      |  payload FROM media)""".stripMargin
+
+  private val mmMetaSql =
+    s"""WITH $mediaCte
+       |SELECT media_id, kind, n AS n_bytes,
+       |  CASE kind WHEN 'image' THEN 64 + n % 512 WHEN 'video' THEN CAST(320 AS BIGINT) END AS width,
+       |  CASE kind WHEN 'image' THEN 64 + (n * 7) % 512 WHEN 'video' THEN CAST(240 AS BIGINT) END AS height,
+       |  CASE kind WHEN 'audio' THEN 8000 + (n % 3) * 4000 END AS sample_rate,
+       |  CASE WHEN kind IN ('audio', 'video') THEN n * 13 % 10000 END AS duration_ms
+       |FROM m""".stripMargin
+
+  private val mmFramesSql =
+    s"""WITH $mediaCte,
+       |v AS (SELECT media_id, n * 13 % 10000 AS dur FROM m WHERE kind = 'video')
+       |SELECT media_id, frame_ms,
+       |  md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_ms AS VARCHAR)) AS frame_id
+       |FROM (SELECT media_id, unnest(generate_series(0, dur, 1000)) AS frame_ms FROM v)""".stripMargin
+
+  private val mmFeaturesSql: String = {
+    val fs = (0 until 8).map(i =>
+      // DuckDB md5 only takes VARCHAR; payload is UTF-8 text bytes, so the
+      // round-trip cast digests the same bytes Spark's md5(binary) sees.
+      s"CAST(${hexIntSql(s"(md5(CAST(payload AS VARCHAR)) || '$i')")} % 1000 AS DOUBLE) / 1000.0 AS f$i")
+      .mkString(",\n  ")
+    s"""WITH $mediaCte
+       |SELECT media_id, kind,
+       |  $fs
+       |FROM m""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_text_stats" -> textStatsSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_sim_topk" -> simTopKSql,
+    "q_sim_ann" -> simAnnSql,
+    "q_sim_neardup" -> simNearDupSql,
+    "q_mm_meta" -> mmMetaSql,
+    "q_mm_frames" -> mmFramesSql,
+    "q_mm_features" -> mmFeaturesSql)
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id as canonical") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(d).collect().map(r =>
+      (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash near-dups finds the high-jaccard pair only") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> distinct)
+    val pairs = Dedup.minhashNearDups(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val t = "one two three four five six"
+    val d = docs(1L -> t, 2L -> t, 3L -> "seven eight nine ten eleven")
+    val rows = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5).collect()
+    assert(rows.length === 1)
+    assert((rows(0).getLong(0), rows(0).getLong(1)) === (1L, 2L))
+    assert(rows(0).getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; fingerprint is stable") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val d = docs(1L -> t, 2L -> t)
+    val rows = Dedup.simhashNearDups(d, maxDist = 3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((1L, 2L, 0L)))
+    val fps = d.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) >= 0L && fps(0) < (1L << 32))
+  }
+
+  test("lsh candidates never pair a doc with itself and are a<b ordered") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c d f")
+    val cands = Dedup.lshCandidates(Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.shingles(d)))).collect()
+    cands.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+}

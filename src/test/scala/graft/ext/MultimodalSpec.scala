@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "tiny"),               // doc_id%3=0 → image
+    (1L, "hello world audio"),  // → audio
+    (2L, "some video payload")) // → video
+    .toDF("doc_id", "text")
+
+  test("media derivation: kind cycle and byte payload") {
+    val m = Multimodal.mediaFromDocuments(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).length)).toSet
+    assert(m === Set((0L, "image", 4), (1L, "audio", 17), (2L, "video", 18)))
+  }
+
+  test("decodeMeta applies the deterministic stub per kind") {
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // image n=4: width 64+4%512=68, height 64+28%512=92
+    assert(meta(0L).getString(1) === "image")
+    assert(meta(0L).getLong(2) === 4L)
+    assert(meta(0L).getLong(3) === 68L && meta(0L).getLong(4) === 92L)
+    assert(meta(0L).isNullAt(5) && meta(0L).isNullAt(6))
+    // audio n=17: rate 8000+(17%3)*4000=16000, dur 17*13%10000=221
+    assert(meta(1L).getLong(5) === 16000L && meta(1L).getLong(6) === 221L)
+    // video n=18: 320x240, dur 18*13%10000=234
+    assert(meta(2L).getLong(3) === 320L && meta(2L).getLong(4) === 240L)
+  }
+
+  test("sampleFrames emits inclusive 1s steps for video only") {
+    val longDoc = Seq((2L, "x" * 200)).toDF("doc_id", "text") // dur = 2600
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(longDoc))).collect()
+    assert(frames.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1000L, 2000L))
+    assert(frames.map(_.getString(2)).distinct.length === 3)
+  }
+
+  test("extractFeatures: 8 deterministic floats in [0,1)") {
+    val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(f.values.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
+    // determinism across invocations
+    val f2 = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(f === f2)
+  }
+}

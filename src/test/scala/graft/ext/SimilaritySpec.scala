@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embTable(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private val e1 = Seq(1f, 0f, 0f, 0f)
+  private val e1b = Seq(0.9f, 0.1f, 0f, 0f) // close to e1
+  private val e2 = Seq(0f, 1f, 0f, 0f)      // orthogonal
+
+  test("brute-force top-k ranks the near vector first, excludes self") {
+    val corpus = embTable(1L -> e1, 2L -> e1b, 3L -> e2)
+    val queries = embTable(1L -> e1)
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(t => (t._2, t._4)).toSeq === Seq((2L, 1L), (3L, 2L)))
+    assert(out(0)._3 > 0.99 && out(1)._3 === 0.0)
+    assert(!out.exists(_._2 == 1L)) // self excluded
+  }
+
+  test("cosine near-dup pairs: identical vectors at cos 1.0") {
+    val t = embTable(1L -> e1, 2L -> e1.map(_ * 2f), 3L -> e2)
+    val rows = Similarity.cosineNearDupPairs(t, threshold = 0.9).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      === Set((1L, 2L, 1.0)))
+  }
+
+  test("ann top-k results are a subset of brute-force candidates with exact cosines") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").limit(200).cache()
+    val q = e.filter(col("vec_id") < 4)
+    val ann = Similarity.annTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = Similarity.bruteForceTopK(e, q, k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every ANN pair exists in the exhaustive ranking with the same cosine
+    ann.foreach { case (k, cos) => assert(bf(k) === cos) }
+    e.unpersist()
+  }
+
+  test("sign bucket is deterministic and within 8 bits") {
+    val t = embTable(1L -> e1, 2L -> e1, 3L -> e2)
+    val b = t.select(Similarity.signBucket(
+      Similarity.toDouble(col("embedding")))).collect().map(_.getLong(0))
+    assert(b(0) === b(1))
+    b.foreach(v => assert(v >= 0L && v < 256L))
+  }
+}

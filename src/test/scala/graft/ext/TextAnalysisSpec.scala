@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect()(0).get(0)
+
+  test("whitespace and bpe token counts") {
+    assert(one("the quick  brown fox", TextAnalysis.wsTokenCount(col("text"))) === 4L)
+    assert(one("  ", TextAnalysis.wsTokenCount(col("text"))) === 0L)
+    // "don't stop 42!" → [don]['][t][stop][4][2][!] = 7
+    assert(one("don't stop 42!", TextAnalysis.bpeTokenCount(col("text"))) === 7L)
+  }
+
+  test("language id picks the dominant stopword language") {
+    assert(one("the cat is in the house and it is big",
+      TextAnalysis.langId(col("text"))) === "en")
+    assert(one("el gato es de la casa y es un gato",
+      TextAnalysis.langId(col("text"))) === "es")
+    assert(one("xyzzy plugh qwerty",
+      TextAnalysis.langId(col("text"))) === "und")
+  }
+
+  test("quality score stays in [0,1] and rewards clean prose") {
+    val clean = "the quick brown fox jumps over the lazy dog and it is a fine day to run in the sun"
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    val qc = one(clean, TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    val qj = one(junk, TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(qc > qj)
+    Seq(qc, qj).foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint: equal texts agree, short texts hash whole") {
+    val a = one("abcdefghij", TextAnalysis.fingerprint(col("text")))
+    val b = one("abcdefghij", TextAnalysis.fingerprint(col("text")))
+    assert(a === b)
+    assert(one("abc", TextAnalysis.fingerprint(col("text"))) ===
+      one("abc", Hashing.hexInt(col("text"))))
+    assert(one("abcdefgh", TextAnalysis.distinctGramCount(col("text"))) === 4L)
+    assert(one("ab", TextAnalysis.distinctGramCount(col("text"))) === 1L)
+  }
+}
