@@ -1,23 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query wall seconds.
+  *
+  * Queries are forced through the `noop` sink so every column of every
+  * operator is fully evaluated (a bare `count()` lets Catalyst prune the
+  * projections that the engine is supposed to be computing).
+  *
+  * Args (optional): query names to run — default all of
+  * SparkEntry.queries. Env: SPARK_GRAFT_SF_DIR (data dir),
+  * SPARK_GRAFT_CPUS (local[N] + shuffle partitions, default 32),
+  * SPARK_GRAFT_EXPLAIN=1 (print the formatted plan per query to stderr).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
+      else SparkEntry.queries.toSeq
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        if (explain) {
+          System.err.println(s"===== $name =====")
+          System.err.println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -113,19 +113,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash bits (32): per-token ±1 votes per bit position, summed with
-    * a higher-order aggregate — a pure projection, no explode/shuffle. */
+  /** SimHash bits (32): per-token ±1 votes per bit position — a pure
+    * projection, no explode/shuffle. The word-hash array is materialized
+    * once and folded by the codegen'd [[graft.functions.SimHash32]] (one
+    * traversal; the 32-aggregate higher-order form recomputed the md5 of
+    * every word 32×). */
   val simhashBits = 32
 
-  def simhash(text: Column): Column = {
-    val hashes = transform(words(text), w => hexInt(w))
-    val bitCols = (0 until simhashBits).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.ArrayOps.simhash32(transform(words(text), w => hexInt(w)))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
     * 8-bit band equality (any of 4 bands equal ⇒ candidate — guarantees

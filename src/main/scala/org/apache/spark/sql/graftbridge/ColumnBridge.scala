@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); a
+  * sub-package of org.apache.spark.sql is the sanctioned-by-convention way
+  * for extension libraries to reach them without reflection. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
