@@ -275,6 +275,15 @@ object CoreQueries {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Gap-based sessionization (gaps-and-islands; batch twin of the
+    * flatMapGroupsWithState streaming operator in graft.streaming). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionizeBatch(t(s, dir, "events"))
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, Q] = Map(
     "q_s4_scan" -> (qS4Scan _),
@@ -302,7 +311,8 @@ object CoreQueries {
     "q_set_intersect" -> (qSetIntersect _),
     "q_set_except" -> (qSetExcept _),
     "q_f_scalars" -> (qFScalars _),
-    "q_st_window_agg" -> (qStWindowAgg _))
+    "q_st_window_agg" -> (qStWindowAgg _),
+    "q_sessionize" -> (qSessionize _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -421,5 +431,17 @@ object CoreQueries {
     "q_st_window_agg" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin)
 }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators: watermarked windowed aggregation and gap-based
+  * sessionization — the stateful-streaming surface (SURVEY §2.9 notes the
+  * reference has none; this is engine capability beyond parity).
+  *
+  * Both operators exist in two semantically-aligned forms:
+  *  - a streaming form (watermark + windowed agg; flatMapGroupsWithState
+  *    custom state) for unbounded input;
+  *  - a batch form (same plan / gaps-and-islands window functions) that
+  *    the DuckDB oracle can verify, and that StreamingSpec cross-checks
+  *    against the streaming form on finite input.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  val defaultGapMs: Long = 30 * 60 * 1000L
+
+  /** Tumbling event-time window aggregate with a watermark — the
+    * streaming twin of CoreQueries.qStWindowAgg (identical plan shape;
+    * late data beyond `delay` is dropped instead of buffered forever). */
+  def windowedAgg(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Streaming sessionization: per-user sessions closed after `gapMs` of
+    * event-time silence, via flatMapGroupsWithState with event-time
+    * timeout. State per user is O(1) — counts and bounds, never the
+    * events themselves — so state size is #active-users, not #events. */
+  def sessionizeStream(events: Dataset[Event],
+      gapMs: Long = defaultGapMs): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs), s.n, s.sum))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.startMs),
+                    new Timestamp(s.lastMs), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch sessionization — gaps-and-islands with window functions, the
+    * declarative equivalent of [[sessionizeStream]] over finite input
+    * (every session closed). One shuffle on user_id; the running session
+    * id is a per-partition prefix sum. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = defaultGapMs): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap compare in integer microseconds: exact, and engine-portable
+      // (sub-second timestamps make seconds-truncated diffs ambiguous)
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .drop("sess_id")
+  }
+}

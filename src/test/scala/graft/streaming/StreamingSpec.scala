@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.model.Schemas
+import graft.store.TableStore
+import graft.streaming.EventStreams.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming sessionization closes sessions on event-time gap; matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeStream(input.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts 2h apart → first session closes when the
+      // watermark passes its gap; user 2: one burst
+      input.addData(
+        Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Event(2L, 1L, ts("2024-01-01 10:10:00"), "view", 2.0),
+        Event(3L, 2L, ts("2024-01-01 10:05:00"), "click", 5.0))
+      q.processAllAvailable()
+      input.addData( // advances watermark to 12:00-1h = 11:00 > 10:10+30m
+        Event(4L, 1L, ts("2024-01-01 12:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      input.addData( // push watermark far out so the 12:00 session times out too
+        Event(5L, 9L, ts("2024-01-01 23:00:00"), "click", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out").as[Session].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.n_events, s.sum_value))
+        .toSet
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L, 3.0)))
+      assert(got.contains((2L, "2024-01-01 10:05:00.0", 1L, 5.0)))
+      assert(got.contains((1L, "2024-01-01 12:00:00.0", 1L, 3.0)))
+
+      // batch twin over the same finite input agrees on every closed session
+      val batch = EventStreams.sessionizeBatch(Seq(
+        (1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (2L, 1L, ts("2024-01-01 10:10:00"), "view", 2.0),
+        (3L, 2L, ts("2024-01-01 10:05:00"), "click", 5.0),
+        (4L, 1L, ts("2024-01-01 12:00:00"), "click", 3.0),
+        (5L, 9L, ts("2024-01-01 23:00:00"), "click", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got.subsetOf(batch))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregate emits finalized daily windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.windowedAgg(input.toDF(), delay = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.5),
+        Event(2L, 2L, ts("2024-01-01 11:00:00"), "click", 2.5),
+        Event(3L, 3L, ts("2024-01-01 09:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      // next day's event pushes the watermark past day-1's close
+      input.addData(Event(4L, 1L, ts("2024-01-02 02:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("d"),
+          col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set(
+        ("2024-01-01", "click", 2L, 4.0),
+        ("2024-01-01", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
+    val dir = Files.createTempDirectory("graft-stream")
+    val in = dir.resolve("in"); Files.createDirectories(in)
+    val ckpt = dir.resolve("ckpt").toString
+    val store = new TableStore(spark, dir.resolve("store").toString)
+
+    def runOnce(): Unit = {
+      val landing = StreamingIngest.landingStream(
+        StreamingIngest.readTreeStream(spark, in.toString), "DEV01")
+      val q = StreamingIngest.scd2Sink(landing, store, "hist", ckpt,
+        clock = () => ts("2024-06-01 00:00:00"), trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    Files.writeString(in.resolve("t1.json"),
+      """{"2024-03-01": {"09:00:00": {"TimeZone": "IST", "Humidity": "62.0",
+        |"Temperature": "29.4", "Timestamp": "2024-03-01 09:00:00"},
+        |"09:05:00": {"TimeZone": "IST", "Humidity": "63.1",
+        |"Temperature": "29.6", "Timestamp": "2024-03-01 09:05:00"}}}""".stripMargin)
+    runOnce()
+    val after1 = store.read("hist")
+    assert(after1.count() === 2)
+    assert(after1.filter(col("da_current_flag") === "Y").count() === 2)
+
+    // second file: one repeat (NC) + one changed reading (new version)
+    Files.writeString(in.resolve("t2.json"),
+      """{"2024-03-01": {"09:00:00": {"TimeZone": "IST", "Humidity": "62.0",
+        |"Temperature": "29.4", "Timestamp": "2024-03-01 09:00:00"},
+        |"09:05:00": {"TimeZone": "IST", "Humidity": "70.0",
+        |"Temperature": "29.6", "Timestamp": "2024-03-01 09:05:00"}}}""".stripMargin)
+    runOnce()
+    val after2 = store.read("hist")
+    assert(after2.count() === 3) // unchanged + closed old version + new version
+    val current = after2.filter(col("da_current_flag") === "Y")
+    assert(current.count() === 2) // one current row per natural key
+    assert(current.filter(col("humidity") === "70.0").count() === 1)
+  }
+}
