@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions: the scale properties SURVEY §4 promises are
+  * checked here as plan shapes, so a regression (lost pushdown, a
+  * broadcast degrading to sort-merge, top-k materializing a global sort)
+  * fails the suite rather than only showing up in bench numbers.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("projection-only scan prunes columns at the parquet reader (S4)") {
+    val p = plan("q_s4_scan")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("p_partkey") && read.contains("p_name"))
+    assert(!read.contains("p_type"), s"unpruned scan: $read")
+  }
+
+  test("equality predicates push into the scan (P2)") {
+    val p = plan("q_p2_equality")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(o_orderstatus,F)"), pushed)
+    assert(pushed.contains("EqualTo(o_orderpriority,1-URGENT)"), pushed)
+  }
+
+  test("q1 aggregation: filter pushed, partial+final HashAggregate") {
+    val p = plan("q1_agg")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("LessThanOrEqual(l_shipdate")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final aggregation")
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side (J2)") {
+    val p = plan("q_j2_inner")
+    // formatted mode repeats each node in the detail section → count ≥ 2
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
+  }
+
+  test("1-row aggregate cross join broadcasts (J3)") {
+    val p = plan("q_j3_cross_agg")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("top-k runs as TakeOrderedAndProject, not a global sort (O3)") {
+    val p = plan("q_o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("similarity hot path stays inside whole-stage codegen") {
+    // AQE leaves the plan unfinalized (no codegen annotations) until the
+    // first job — disable it here to inspect the static physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan("q_sim_neardup")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the scoring projection (DotProduct) must sit under a codegen span
+    // ("codegen id" annotations in formatted mode), not fall back to
+    // interpreted projection
+    assert(p.contains("codegen id"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
+  }
+
+  test("SimHash dedup plan has no shuffle before the candidate join") {
+    val p = plan("q_dedup_simhash")
+    // fingerprints are pure projections; the only exchanges allowed are
+    // for the band self-join + distinct
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 6, s"unexpected exchange count $exchanges\n$p")
+  }
+
+  test("semi/anti joins stay joins (no aggregate rewrite) (J5)") {
+    assert(plan("q_j5_semi").contains("LeftSemi"))
+    assert(plan("q_j5_anti").contains("LeftAnti"))
+  }
+}
