@@ -275,6 +275,14 @@ object CoreQueries {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Rollup aggregate (beyond reference parity: multi-level aggregation
+    * in one pass via the Expand operator — the GROUPING SETS surface). */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
   /** Gap-based sessionization (gaps-and-islands; batch twin of the
     * flatMapGroupsWithState streaming operator in graft.streaming). */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -312,7 +320,8 @@ object CoreQueries {
     "q_set_except" -> (qSetExcept _),
     "q_f_scalars" -> (qFScalars _),
     "q_st_window_agg" -> (qStWindowAgg _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_agg_rollup" -> (qAggRollup _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -443,5 +452,9 @@ object CoreQueries {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
-        |FROM s GROUP BY user_id, sess_id""".stripMargin)
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
 }
