@@ -102,4 +102,9 @@ case class Scd2Config(
     naturalKeys: Seq[String] = Seq("deviceid", "timestamp"),
     colsToExcludeFromLoad: Seq[String] = Seq("load_key"),
     colsToExcludeFromDelta: Seq[String] = Seq("timezone"),
-    loadKey: Long = 0L)
+    loadKey: Long = 0L,
+    /** Surrogate minting path: false = faithful single-task row_number
+      * (deterministic order, fine for per-batch deltas); true = gapless
+      * distributed zipWithIndex (arbitrary-but-gapless order, the scale
+      * path for huge backfill batches — SURVEY §7.5 #3). */
+    scalableSurrogates: Boolean = false)

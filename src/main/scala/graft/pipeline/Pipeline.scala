@@ -54,9 +54,11 @@ class Pipeline(spark: SparkSession, store: TableStore,
       return RunResult(loadKey, ingested = 0, inserted = 0, skipped = true)
     }
 
-    // TRUNCATE_EXISTING_LANDING_DATA + LANDING load (S7 + S5 → overwrite)
-    store.deleteWhere(landingName, Schemas.landing, col("deviceid") === deviceId)
-    store.append(landingName, delta)
+    // TRUNCATE_EXISTING_LANDING_DATA + LANDING load (S7 + S5): landing is
+    // partitioned by deviceid, so the device re-land is a partition-level
+    // delete + append — no rewrite of other devices' data
+    store.deletePartition(landingName, "deviceid", deviceId)
+    store.appendPartitioned(landingName, delta, Seq("deviceid"))
     val ingested = store.read(landingName).filter(col("deviceid") === deviceId).count()
     ctl.updateStatus(interfaceCd, loadKey, "APP SPECIFIC LOADING COMPLETED", now)
 

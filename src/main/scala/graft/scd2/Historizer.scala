@@ -144,9 +144,9 @@ object Historizer {
     * Surrogate minting: the reference's `ROW_NUMBER() OVER (ORDER BY 'JP')`
     * (:266-270) funnels to one task; its constant sort key makes the
     * assignment ARBITRARY-but-gapless, so any total order is equally
-    * faithful. We order by the natural keys: deterministic for tests and
-    * oracle checks, and at scale it can swap to a zipWithIndex-style
-    * per-partition offset without changing semantics (SURVEY §7.5 #3).
+    * faithful. Default path orders by the natural keys (deterministic for
+    * tests and oracle checks); `conf.scalableSurrogates` switches to the
+    * distributed gapless index (SURVEY §7.5 #3) for huge backfill batches.
     */
   def insertRows(src: DataFrame, delta: DataFrame, tgtCols: Seq[String],
       conf: Scd2Config, now: Timestamp): DataFrame = {
@@ -163,7 +163,6 @@ object Historizer {
     val joined = batch.join(ext,
       nk.map(k => batch(k) === ext(s"__nk_$k")).reduce(_ && _), "inner")
 
-    val rn = row_number().over(Window.orderBy(nk.map(col): _*))
     val dCols = deltaColumns(src.columns.toSeq, conf)
     // delta_hash is stored only when the target schema carries it (the
     // DHT target does, FIXTURES.md A4); always recomputed on read anyway.
@@ -171,8 +170,11 @@ object Historizer {
       if (tgtCols.map(_.toLowerCase).contains("delta_hash"))
         Seq(deltaHash(dCols).as("delta_hash"))
       else Seq.empty
-    joined
-      .withColumn("__rn", rn.cast("long"))
+    val indexed =
+      if (conf.scalableSurrogates) withGaplessIndex(joined, "__rn")
+      else joined.withColumn("__rn",
+        row_number().over(Window.orderBy(nk.map(col): _*)).cast("long"))
+    indexed
       .select(
         Seq(
           // AK: keep durable key for U rows, mint for I (:250-270)
@@ -187,6 +189,21 @@ object Historizer {
           lit(now).as("da_valid_from_date"),
           lit("N").as("da_deleted_flag"),
           lit("Y").as("da_current_flag")): _*)
+  }
+
+  /** Gapless 1..N row index without a single-task window: RDD
+    * `zipWithIndex` computes per-partition counts, then offsets each
+    * partition — two narrow passes, fully parallel. This is the one
+    * sanctioned RDD drop-down in the engine (genuine per-partition
+    * imperative logic; `monotonically_increasing_id` is NOT gapless and
+    * the reference's minted keys must be). */
+  def withGaplessIndex(df: DataFrame, name: String): DataFrame = {
+    val schema = df.schema.add(name,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Full SCD2 apply: detect → close-out ∪ inserts, with the reference's

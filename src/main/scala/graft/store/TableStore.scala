@@ -43,10 +43,24 @@ class TableStore(spark: SparkSession, baseDir: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
 
-  /** Device-scoped delete-then-reload (reference S7,
-    * STG_Firebase2Oracle.py:99-119): parquet is immutable, so rewrite
-    * without the device's rows. At scale: partition by deviceid and use
-    * dynamic partition overwrite instead of a full rewrite. */
+  /** Append into a hive-partitioned layout (`col=value` subdirs). Reads
+    * through [[read]] recover the partition column; scans filtered on it
+    * prune whole directories. */
+  def appendPartitioned(name: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path(name))
+
+  /** Partition-level delete on a hive-partitioned table: removes the
+    * `col=value` subtree — O(partition), no rewrite of other partitions.
+    * This is the scale path for the reference's device-scoped DELETE (S7,
+    * STG_Firebase2Oracle.py:99-119); with no such partition the delete is
+    * a no-op, like the SQL original. */
+  def deletePartition(name: String, partitionCol: String, value: String): Unit =
+    deleteRecursively(Paths.get(path(name), s"$partitionCol=$value"))
+
+  /** Predicate delete fallback for non-partition predicates: rewrite
+    * without the matching rows (parquet is immutable). Prefer
+    * [[deletePartition]] when the predicate is a partition-column
+    * equality. */
   def deleteWhere(name: String, schema: StructType, cond: org.apache.spark.sql.Column): Unit =
     if (exists(name)) overwrite(name, read(name).filter(!cond || cond.isNull))
 
