@@ -33,9 +33,28 @@ object Multimodal {
     StructField("sample_rate", LongType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
+  /** Real binary-file source: one row per file with the payload as a
+    * BINARY column, kind inferred from the extension. This is the actual
+    * 100 TB ingestion path (an object-store listing behind the same
+    * format); `mediaFromDocuments` below is its deterministic test twin.
+    * `pathGlobFilter`/`recursiveFileLookup` options apply as usual. */
+  def readBinaryDir(spark: SparkSession, path: String): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    spark.read.format("binaryFile").load(path)
+      .select(
+        // stable id: 63-bit hash of the file path
+        pmod(xxhash64(col("path")), lit(Long.MaxValue)).as("media_id"),
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+          .when(ext.isin("mp3", "wav", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("other").as("kind"),
+        col("content").as("payload"),
+        col("path"))
+  }
+
   /** Derive a deterministic media table from `documents` (payload =
     * UTF-8 bytes of the text; kind cycles image/audio/video). Stands in
-    * for `spark.read.format("binaryFile")` over an object store. */
+    * for [[readBinaryDir]] over an object store. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),

@@ -111,6 +111,59 @@ object Similarity {
         col("rn").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: the coarse-quantizer scale path.
+    *
+    * Centroids are a deterministic subsample (`vec_id % centroidEvery == 0`
+    * — k-means would sharpen the cells, but a fixed subsample keeps the
+    * operator reproducible across engines with no trained state). Every
+    * corpus vector is assigned to its nearest centroid (one broadcast
+    * cross-score + per-vector argmin); each query probes its `nProbe`
+    * nearest centroids and searches only those inverted lists.
+    *
+    * At 100 TB: assignment is a single pass (|corpus| × |centroids|
+    * codegen'd dot products, centroids broadcast); the per-query search
+    * touches |corpus| · nProbe / |centroids| rows instead of |corpus|.
+    * Ranking uses the ROUNDED cosine with id tiebreaks throughout, so
+    * results are deterministic and oracle-checkable. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 50, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("ct"))
+      .withColumn("ct_norm", norm(col("ct")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+
+    def nearestCents(side: DataFrame, idCol: String, emb: String,
+        nrm: String, keep: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .select(col(idCol), col(emb), col(nrm), col("cent_id"),
+          round(dot(col(emb), col("ct")) / (col(nrm) * col("ct_norm")), 6).as("ccos"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("ccos", "crn")
+    }
+
+    val assigned = nearestCents(c, "neighbor_id", "c_emb", "c_norm", 1)
+    val probes = nearestCents(q, "query_id", "q_emb", "q_norm", nProbe)
+    // each neighbor lives in exactly one cell (keep=1) and probe cells are
+    // distinct per query, so (query, neighbor) pairs are already unique
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("c_emb"), col("q_emb")) / (col("c_norm") * col("q_norm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+
   /** Embedding-space near-duplicate pairs: all (a<b) with cosine ≥ thr.
     * Quadratic — production path buckets first (see annTopK); kept exact
     * here as the dedup-quality oracle. */

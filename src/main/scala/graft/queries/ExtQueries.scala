@@ -69,6 +69,11 @@ object ExtQueries {
   def qSimNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
 
+  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+  }
+
   // ----------------------------------------------------- multimodal
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -92,6 +97,7 @@ object ExtQueries {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_features" -> (qMmFeatures _))
@@ -259,6 +265,32 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** IVF oracle: same deterministic centroid subsample + argmin-by-rounded
+    * -cosine assignment, probe, and in-cell ranking as Similarity.ivfTopK. */
+  private val simIvfSql =
+    s"""WITH $simCtes,
+       |cents AS (SELECT neighbor_id AS cent_id, ce AS ct, cnorm AS ct_norm
+       |  FROM cn WHERE neighbor_id % 50 = 0),
+       |assigned AS (SELECT neighbor_id, ce, cnorm, cent_id FROM (
+       |  SELECT cn.neighbor_id, cn.ce, cn.cnorm, cents.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cn.neighbor_id ORDER BY
+       |      round(list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * ct[i]))
+       |            / (cnorm * ct_norm), 6) DESC, cent_id) AS crn
+       |  FROM cn CROSS JOIN cents) WHERE crn = 1),
+       |probes AS (SELECT query_id, qe, qnorm, cent_id FROM (
+       |  SELECT qn.query_id, qn.qe, qn.qnorm, cents.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qn.query_id ORDER BY
+       |      round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ct[i]))
+       |            / (qnorm * ct_norm), 6) DESC, cent_id) AS crn
+       |  FROM qn CROSS JOIN cents) WHERE crn <= 4),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM assigned JOIN probes USING (cent_id) WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
   private val simNearDupSql =
     """WITH e AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -317,6 +349,7 @@ object ExtQueries {
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,
+    "q_sim_ivf" -> simIvfSql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_features" -> mmFeaturesSql)

@@ -41,6 +41,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getString(2)).distinct.length === 3)
   }
 
+  test("binaryFile source: kind from extension, payload bytes intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.mp3"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("c.mp4"), Array[Byte](6))
+    java.nio.file.Files.write(dir.resolve("d.txt"), Array[Byte](7))
+    val m = Multimodal.readBinaryDir(spark, dir.toString)
+    val byKind = m.collect().map(r =>
+      r.getString(1) -> r.getAs[Array[Byte]](2).length).toMap
+    assert(byKind === Map("image" -> 3, "audio" -> 2, "video" -> 1, "other" -> 1))
+    // ids are stable across reads
+    val ids1 = m.select("media_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Multimodal.readBinaryDir(spark, dir.toString)
+      .select("media_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    // decode plumbing runs over the real source
+    val meta = Multimodal.decodeMeta(m.drop("path"))
+    assert(meta.count() === 4)
+  }
+
   test("extractFeatures: 8 deterministic floats in [0,1)") {
     val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap

@@ -44,6 +44,23 @@ class SimilaritySpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("ivf top-k: exact cosines, recall vs brute force measured") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val q = e.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = Similarity.bruteForceTopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bfAll = Similarity.bruteForceTopK(e, q, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every IVF result is a genuine neighbor with its exact cosine
+    ivf.foreach { case (k0, cos) => assert(bfAll(k0) === cos) }
+    // recall@5 against brute force is usable (probing 4 of 10 cells)
+    val recall = bf.keySet.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.4, s"recall $recall")
+    e.unpersist()
+  }
+
   test("sign bucket is deterministic and within 8 bits") {
     val t = embTable(1L -> e1, 2L -> e1, 3L -> e2)
     val b = t.select(Similarity.signBucket(

@@ -1,0 +1,89 @@
+package graft.scd2
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.SparkSpec
+import graft.model.{Scd2Config, Schemas}
+
+/** ScalaCheck properties for the SCD2 invariants (SURVEY §5.3): for ANY
+  * sequence of batches —
+  *   1. exactly one DA_CURRENT_FLAG='Y' row per natural key ever present;
+  *   2. valid_from ≤ valid_to on every row;
+  *   3. minted KEYs are unique and gapless 1..N;
+  *   4. re-applying the final batch is a no-op (all 'NC');
+  *   5. the current row's payload equals the latest batch's payload.
+  */
+class Scd2PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val conf = Scd2Config(loadKey = 1L)
+  private val t0 = Timestamp.valueOf("2024-03-01 09:00:00")
+
+  // a batch = map of natural-key-index → (humidity, temperature)
+  private val genBatch: Gen[Map[Int, (Int, Int)]] = for {
+    keys <- Gen.someOf(0 until 6)
+    vals <- Gen.listOfN(keys.size, Gen.zip(Gen.choose(50, 99), Gen.choose(20, 35)))
+  } yield keys.zip(vals).toMap
+
+  private def toDf(batch: Map[Int, (Int, Int)], loadKey: Long): DataFrame =
+    batch.toSeq.map { case (k, (h, t)) =>
+      ("IST", s"$h.0", s"$t.0",
+        new Timestamp(t0.getTime + k * 300000L), "DEV01", loadKey)
+    }.toDF("timezone", "humidity", "temperature", "timestamp", "deviceid", "load_key")
+
+  private def emptyTarget: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.scd2Target)
+
+  test("SCD2 invariants hold for arbitrary batch sequences") {
+    val prop = Prop.forAll(Gen.listOfN(3, genBatch)) { batches =>
+      val nonEmpty = batches.filter(_.nonEmpty)
+      (nonEmpty.nonEmpty: Prop) ==> {
+        var tgt = emptyTarget
+        var now = Timestamp.valueOf("2024-06-01 00:00:00")
+        nonEmpty.zipWithIndex.foreach { case (b, i) =>
+          tgt = Historizer.applyScd2(toDf(b, i + 1L), tgt,
+            conf.copy(loadKey = i + 1L), now).cache()
+          tgt.count() // settle the plan before the next round builds on it
+          now = new Timestamp(now.getTime + 86400000L)
+        }
+        val rows = tgt.collect()
+        val byKey = rows.groupBy(_.getAs[Timestamp]("timestamp"))
+
+        // 1: exactly one current row per key ever inserted
+        val oneCurrent = byKey.values.forall(
+          _.count(_.getAs[String]("da_current_flag") == "Y") == 1)
+        // 2: validity windows are ordered
+        val ordered = rows.forall(r =>
+          !r.getAs[Timestamp]("da_valid_from_date")
+            .after(r.getAs[Timestamp]("da_valid_to_date")))
+        // 3: version keys unique and gapless
+        val keys = rows.map(_.getAs[Long]("dht11_key")).sorted
+        val gapless = keys.sameElements(1L to keys.length)
+        // 4: re-applying the final batch changes nothing
+        val replayed = Historizer.applyScd2(
+          toDf(nonEmpty.last, nonEmpty.length.toLong), tgt,
+          conf.copy(loadKey = nonEmpty.length.toLong), now)
+        val stable = replayed.count() == rows.length &&
+          replayed.filter($"da_current_flag" === "Y").count() == byKey.size
+        // 5: current payload equals the last write for that key
+        val lastWrite = nonEmpty.zipWithIndex
+          .flatMap { case (b, i) => b.map { case (k, v) => k -> (i, v) } }
+          .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
+        val payloadRight = lastWrite.forall { case (k, (h, _)) =>
+          val ts = new Timestamp(t0.getTime + k * 300000L)
+          byKey(ts).find(_.getAs[String]("da_current_flag") == "Y")
+            .exists(_.getAs[String]("humidity") == s"$h.0")
+        }
+        val ok = oneCurrent && ordered && gapless && stable && payloadRight
+        tgt.unpersist()
+        ok: Prop
+      }
+    }
+    val result = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
