@@ -45,15 +45,18 @@ class ControlTable(spark: SparkSession, store: TableStore) {
   }
 
   /** Previous run details: the row with MAX(load_key) for the interface
-    * (CheckInterface_Metadata.py:43-65). Returns (status, start, key). */
+    * (CheckInterface_Metadata.py:43-65). Returns (status, start, key).
+    * One job: MAX-as-top-1 (`ORDER BY load_key DESC LIMIT 1` — the plan
+    * Catalyst also derives from the reference's IN-(SELECT MAX) form). */
   def prevRunDetails(interfaceCd: String): Option[(String, Timestamp, Long)] = {
     if (!store.exists(controlName)) return None
-    val rows = control.filter($"interface_cd" === interfaceCd)
-    val m = rows.agg(max($"load_key")).first()
-    if (m.isNullAt(0)) return None
-    val r = rows.filter($"load_key" === m.getLong(0)).first()
-    Some((r.getAs[String]("load_status"), r.getAs[Timestamp]("load_start_dt_tm"),
-      r.getAs[Long]("load_key")))
+    control.filter($"interface_cd" === interfaceCd)
+      .orderBy($"load_key".desc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(r => (r.getAs[String]("load_status"),
+        r.getAs[Timestamp]("load_start_dt_tm"), r.getAs[Long]("load_key")))
   }
 
   /** Gate: previous run must have finished Successfully (main.py:15-20). */

@@ -34,22 +34,29 @@ class Pipeline(spark: SparkSession, store: TableStore,
     * (D2) and the prev-run Success gate. `now` is injected for
     * deterministic tests (reference uses statement-time SYSDATE, F11). */
   def run(treePath: String, deviceId: String, now: Timestamp): RunResult = {
-    // CHECK_FOR_INTERFACE_EXISTENCE + GET_ETL_PREV_RUN_DATE_TIME
-    require(ctl.gatePrevRunSuccess(interfaceCd),
-      s"previous run for $interfaceCd did not finish with status Success")
+    // CHECK_FOR_INTERFACE_EXISTENCE + GET_ETL_PREV_RUN_DATE_TIME — one
+    // metadata lookup serves both the Success gate and the watermark
     val prev = ctl.prevRunDetails(interfaceCd)
+    require(prev.forall(_._1 == "Success"),
+      s"previous run for $interfaceCd did not finish with status Success")
     val prevStart = prev.map(_._2).getOrElse(Schemas.epoch)
     val loadKey = prev.map(_._3).getOrElse(0L) + 1L  // F14
 
     // PRINT_VARIABLES_AND_GENERATE_NEW_LOAD_KEY
     ctl.addCurrentRunEntry(interfaceName, interfaceCd, loadKey, now)
 
-    // GET_FIREBASE_DELTA_DHT_DATA: distributed read + flatten + threshold
+    // GET_FIREBASE_DELTA_DHT_DATA: distributed read + flatten + threshold.
+    // Cached: the delta feeds the empty-branch check, the landing write
+    // and the ingested count (reference parity: len(data_list),
+    // STG_Firebase2Oracle.py:73) without re-reading the tree.
     val delta = TreeIngest.toLanding(
       TreeIngest.flatten(TreeIngest.readTree(spark, treePath)), deviceId, prevStart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ingested = delta.count()
 
     // check_data_list_task branch (D2 / ST6)
-    if (delta.isEmpty) {
+    if (ingested == 0) {
+      delta.unpersist()
       ctl.updateStatus(interfaceCd, loadKey, "Success", now)
       return RunResult(loadKey, ingested = 0, inserted = 0, skipped = true)
     }
@@ -59,7 +66,6 @@ class Pipeline(spark: SparkSession, store: TableStore,
     // delete + append — no rewrite of other devices' data
     store.deletePartition(landingName, "deviceid", deviceId)
     store.appendPartitioned(landingName, delta, Seq("deviceid"))
-    val ingested = store.read(landingName).filter(col("deviceid") === deviceId).count()
     ctl.updateStatus(interfaceCd, loadKey, "APP SPECIFIC LOADING COMPLETED", now)
 
     // LANDING_TO_INTERMEDIATE_TABLE (S6) + HIST_LOAD_CONTROL entry
@@ -79,6 +85,7 @@ class Pipeline(spark: SparkSession, store: TableStore,
     // UPDATE_STATUS_AND_FINISH_WORKFLOW
     ctl.markHistLoadProcessed(loadKey, interfaceName)
     ctl.updateStatus(interfaceCd, loadKey, "Success", now)
+    delta.unpersist()
     RunResult(loadKey, ingested, inserted, skipped = false)
   }
 }
