@@ -86,9 +86,12 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
-    * exact-Jaccard verify ≥ threshold. */
+    * exact-Jaccard verify ≥ threshold. The shingle index feeds four plan
+    * branches (signatures, sizes, both sides of the intersection join) —
+    * persisted so the explode+hash pass runs once, not four times. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(lshBands(minhashSignatures(sh)))
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -99,6 +102,7 @@ object Dedup {
     * above is the production path; this one is the accuracy oracle. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val l = sh.select(col("id").as("id_a"), col("shingle"))
     val r = sh.select(col("id").as("id_b"), col("shingle"))
