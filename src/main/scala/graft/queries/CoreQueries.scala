@@ -275,6 +275,35 @@ object CoreQueries {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** As-of join: each click event looks up the user's latest purchase at
+    * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.ops.AsofJoin.asofLeft(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_id"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"),
+        col("purchase_id"))
+  }
+
+  /** Interval-containment join: each event located in its user's session
+    * (graft.ops.RangeJoin — binned equi-join, no nested-loop product). */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sessions = graft.streaming.EventStreams.sessionizeBatch(ev)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    graft.ops.RangeJoin.pointInInterval(
+      ev.select(col("user_id"), col("event_id"), col("ts")), sessions,
+      Seq("user_id"), "ts", "session_start", "session_end", binMs = 30 * 60 * 1000L)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+
   /** Rollup aggregate (beyond reference parity: multi-level aggregation
     * in one pass via the Expand operator — the GROUPING SETS surface). */
   def qAggRollup(s: SparkSession, dir: String): DataFrame =
@@ -321,7 +350,9 @@ object CoreQueries {
     "q_f_scalars" -> (qFScalars _),
     "q_st_window_agg" -> (qStWindowAgg _),
     "q_sessionize" -> (qSessionize _),
-    "q_agg_rollup" -> (qAggRollup _))
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -456,5 +487,27 @@ object CoreQueries {
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_sec, p.purchase_id
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g),
+        |sess AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT e.user_id, e.event_id,
+        |  strftime(sess.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(sess.session_end, '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM e JOIN sess ON e.user_id = sess.user_id
+        |  AND e.ts >= sess.session_start AND e.ts <= sess.session_end""".stripMargin)
 }
