@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, NullType}
 
 /** Native Catalyst expressions for the embedding/dedup hot paths.
   *
@@ -35,8 +35,11 @@ object ArrayOps {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // NullType admitted: a literal NULL argument yields NULL via the
+  // standard null-intolerant BinaryExpression path
   private def isDoubleArray(t: DataType): Boolean = t match {
     case ArrayType(DoubleType, _) => true
+    case NullType => true
     case _ => false
   }
 
@@ -90,7 +93,7 @@ case class SimHash32(child: Expression)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) | NullType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"simhash32 expects ARRAY<BIGINT>, got ${t.sql}")
   }

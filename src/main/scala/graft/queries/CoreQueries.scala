@@ -275,6 +275,48 @@ object CoreQueries {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  // -------------------------------------------------- raw SQL surface
+  /** These run through `spark.sql` over registered views — the engine's
+    * textual entry point (same Catalyst plans as the DataFrame forms).
+    * Shapes follow TPC-H Q3/Q4/Q6 adapted to the testdata's columns. */
+  private def sql(s: SparkSession, dir: String, text: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  /** Q3-style shipping priority: join chain + agg + deterministic top-k. */
+  def qSqlQ3(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+
+  /** Q4-style: correlated EXISTS + count by priority (Catalyst rewrites
+    * the subquery to a left-semi join). */
+  def qSqlQ4(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+
+  /** Q6-style: pure scan-side filter + scalar agg (everything pushes to
+    * the parquet reader). */
+  def qSqlQ6(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -352,7 +394,10 @@ object CoreQueries {
     "q_sessionize" -> (qSessionize _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_sql_q3" -> (qSqlQ3 _),
+    "q_sql_q4" -> (qSqlQ4 _),
+    "q_sql_q6" -> (qSqlQ6 _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -509,5 +554,27 @@ object CoreQueries {
         |  strftime(sess.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(sess.session_end, '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM e JOIN sess ON e.user_id = sess.user_id
-        |  AND e.ts >= sess.session_start AND e.ts <= sess.session_end""".stripMargin)
+        |  AND e.ts >= sess.session_start AND e.ts <= sess.session_end""".stripMargin,
+    "q_sql_q3" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_sql_q4" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_sql_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
 }
