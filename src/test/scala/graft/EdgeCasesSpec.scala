@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.model.{Scd2Config, Schemas}
+import graft.ops.AsofJoin
+import graft.scd2.Historizer
+
+/** Degenerate-input behavior: empty batches, empty/short documents,
+  * empty join sides. These are the inputs a 100 TB pipeline hits daily
+  * (empty partitions, blank documents) — they must produce empty/neutral
+  * results, never exceptions. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = Timestamp.valueOf("2024-06-01 00:00:00")
+
+  test("SCD2 apply with an empty batch leaves the target unchanged") {
+    val conf = Scd2Config(loadKey = 1L)
+    val batch = Seq(("IST", "62.0", "29.4",
+      Timestamp.valueOf("2024-03-01 09:00:00"), "DEV01", 1L))
+      .toDF("timezone", "humidity", "temperature", "timestamp", "deviceid", "load_key")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.scd2Target)
+    val tgt = Historizer.applyScd2(batch, empty, conf, now)
+    // next batch id carries no rows at all
+    val emptyBatch = batch.filter(lit(false)).withColumn("load_key", lit(2L))
+    val tgt2 = Historizer.applyScd2(emptyBatch, tgt, conf.copy(loadKey = 2L), now)
+    assert(tgt2.collect().toSet === tgt.collect().toSet)
+  }
+
+  test("dedup operators are no-ops on blank and sub-shingle documents") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one two"), (4L, "one two"))
+      .toDF("doc_id", "text")
+    // too short for 3-gram shingles → no near-dup signal, no crash
+    assert(Dedup.minhashNearDups(docs).count() === 0)
+    assert(Dedup.ngramJaccardPairs(docs).count() === 0)
+    // simhash of an empty token list is the all-zero fingerprint (votes
+    // all non-positive), pairing blanks together at hamming 0
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === 0L && fps(2L) === 0L)
+    assert(fps(3L) === fps(4L))
+    // exact dedup still groups blanks by their (distinct) raw text
+    assert(Dedup.exact(docs).count() === 3)
+  }
+
+  test("text analysis handles empty strings") {
+    val one = Seq("").toDF("text")
+    val r = one.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+    assert(r.getString(2) === "und")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(!r.isNullAt(4)) // whole-text hash fallback
+  }
+
+  test("as-of join with an empty right side keeps all left rows with nulls") {
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "r1"))
+      .toDF("k", "ts", "reading")
+    val right = left.filter(lit(false))
+      .select(col("k"), col("ts"), col("reading").as("cfg"))
+    val out = AsofJoin.asofLeft(left, right, Seq("k"), "ts", Seq("cfg")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("cfg") === null)
+  }
+}
