@@ -354,6 +354,21 @@ object CoreQueries {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Cube aggregate: all four grouping combinations in one Expand pass. */
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** Pivot: per-user event counts spread across event-type columns (the
+    * Expand+Aggregate plan; values enumerated so the plan is static). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Gap-based sessionization (gaps-and-islands; batch twin of the
     * flatMapGroupsWithState streaming operator in graft.streaming). */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -397,7 +412,9 @@ object CoreQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_sql_q4" -> (qSqlQ4 _),
-    "q_sql_q6" -> (qSqlQ6 _))
+    "q_sql_q6" -> (qSqlQ6 _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_pivot" -> (qPivot _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -576,5 +593,17 @@ object CoreQueries {
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin)
 }

@@ -82,6 +82,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same key within
+    * the watermark horizon — state is bounded by (arrival rate × delay),
+    * the streaming face of the corpus dedup family. At-least-once
+    * upstreams (retried producers, replayed partitions) become
+    * effectively-once downstream. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Batch sessionization — gaps-and-islands with window functions, the
     * declarative equivalent of [[sessionizeStream]] over finite input
     * (every session closed). One shuffle on user_id; the running session

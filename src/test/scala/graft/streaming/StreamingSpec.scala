@@ -85,6 +85,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-within-watermark drops re-delivered keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupStream(input.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0), // duplicate
+        Event(2L, 2L, ts("2024-01-01 10:05:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData( // re-delivery in a later batch, still within watermark
+        Event(2L, 2L, ts("2024-01-01 10:05:00"), "view", 2.0),
+        Event(3L, 1L, ts("2024-01-01 10:10:00"), "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
     val dir = Files.createTempDirectory("graft-stream")
     val in = dir.resolve("in"); Files.createDirectories(in)
