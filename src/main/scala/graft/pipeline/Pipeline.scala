@@ -68,13 +68,16 @@ class Pipeline(spark: SparkSession, store: TableStore,
     store.appendPartitioned(landingName, delta, Seq("deviceid"))
     ctl.updateStatus(interfaceCd, loadKey, "APP SPECIFIC LOADING COMPLETED", now)
 
-    // LANDING_TO_INTERMEDIATE_TABLE (S6) + HIST_LOAD_CONTROL entry
-    store.append(intName, StageToInt(store.read(landingName), loadKey, deviceId))
+    // LANDING_TO_INTERMEDIATE_TABLE (S6) + HIST_LOAD_CONTROL entry.
+    // Schema-pinned read: keeps deviceid a string even if a future device
+    // id looks numeric to partition-column type inference.
+    store.append(intName, StageToInt(
+      store.readOrEmpty(landingName, Schemas.landing), loadKey, deviceId))
     ctl.addHistLoadEntry(loadKey, interfaceName, "in progress", now, now, now)
     ctl.updateStatus(interfaceCd, loadKey, "INTEGRATION LOAD COMPLETED", now)
 
     // trigger_DAG_WF_EXT_SCD2_HISTORIZATION_LOAD (D3 → direct call)
-    val src = store.read(intName)
+    val src = store.readOrEmpty(intName, Schemas.intermediate)
     val tgt = store.readOrEmpty(targetName, Schemas.scd2Target)
     val newTgt = Historizer.applyScd2(src, tgt, conf.copy(loadKey = loadKey), now)
     store.overwrite(targetName, newTgt)

@@ -354,6 +354,15 @@ object CoreQueries {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Native session_window sessions (built-in gap sessionization; the
+    * custom-state and gaps-and-islands forms live in graft.streaming). */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindowAgg(t(s, dir, "events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Cube aggregate: all four grouping combinations in one Expand pass. */
   def qAggCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -414,7 +423,8 @@ object CoreQueries {
     "q_sql_q4" -> (qSqlQ4 _),
     "q_sql_q6" -> (qSqlQ6 _),
     "q_agg_cube" -> (qAggCube _),
-    "q_pivot" -> (qPivot _))
+    "q_pivot" -> (qPivot _),
+    "q_session_window" -> (qSessionWindow _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -605,5 +615,17 @@ object CoreQueries {
         |  count(*) FILTER (event_type = 'purchase') AS purchase,
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'error') AS error
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin)
 }

@@ -82,6 +82,17 @@ object EventStreams {
       }
   }
 
+  /** Native session windows: Spark's built-in gap-based session operator
+    * (`session_window`) — the compose-built-ins-first answer next to the
+    * custom-state [[sessionizeStream]] (which exists for the semantics
+    * session_window can't express: custom merge logic, per-session state
+    * beyond aggregates). Works identically over batch and streams; in
+    * streaming pair with a watermark so closed sessions finalize. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
   /** Streaming exact dedup: drops re-deliveries of the same key within
     * the watermark horizon — state is bounded by (arrival rate × delay),
     * the streaming face of the corpus dedup family. At-least-once
