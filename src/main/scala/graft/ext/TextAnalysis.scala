@@ -63,22 +63,15 @@ object TextAnalysis {
     * 5-gram count. Content-defined ⇒ robust to whitespace-preserving
     * reorderings of unrelated docs; cheap equality prefilter. */
   val fpGram = 5
-  def fingerprint(text: Column): Column = {
-    // sequence(1, n) needs n >= 1 (Spark auto-reverses otherwise) — short
-    // texts hash whole.
-    val grams = transform(
-      sequence(lit(1), length(text) - (fpGram - 1)),
-      i => hexInt(text.substr(i.cast("int"), lit(fpGram))))
-    when(length(text) >= fpGram, array_min(grams)).otherwise(hexInt(text))
-  }
+  /** One-pass [[graft.functions.MinGramHash32]]; equals
+    * `array_min(transform(sequence(1, len-4), i -> hexInt(substr(text,i,5))))`
+    * with a whole-text hash fallback for short texts, minus the per-gram
+    * interpreted lambda dispatch. */
+  def fingerprint(text: Column): Column =
+    graft.functions.GramOps.minGramHash(text, fpGram)
 
   /** Distinct char 5-gram count — pairs with [[fingerprint]] as a cheap
     * containment prefilter. */
-  def distinctGramCount(text: Column): Column = {
-    val grams = transform(
-      sequence(lit(1), length(text) - (fpGram - 1)),
-      i => text.substr(i.cast("int"), lit(fpGram)))
-    when(length(text) >= fpGram, size(array_distinct(grams)).cast("long"))
-      .otherwise(lit(1L))
-  }
+  def distinctGramCount(text: Column): Column =
+    graft.functions.GramOps.distinctGramCount(text, fpGram)
 }

@@ -21,10 +21,18 @@ import graft.ext.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** documents/embeddings arrive as single-row-group parquet → one input
+    * split, so every hash/dot-product below would run single-threaded.
+    * These operators are compute-bound per row (md5 per shingle/gram, 64-d
+    * dot products), so spreading the narrow stage across cores is worth
+    * one small shuffle — the same call a cluster job makes when input
+    * splits are fewer than cores. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
 
   // ------------------------------------------------------------- dedup
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
