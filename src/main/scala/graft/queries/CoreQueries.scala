@@ -354,6 +354,34 @@ object CoreQueries {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Array aggregation + higher-order surface: per-order sorted quantity
+    * list (collect_list under a deterministic order), its size, and a
+    * higher-order transform — serialized to a string so both engines
+    * render identically. */
+  def qArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("l_orderkey"),
+        array_join(col("qs"), ",").as("quantities"),
+        size(col("qs")).cast("long").as("n_items"),
+        array_join(transform(col("qs"), q => q * 2), ",").as("doubled"))
+
+  /** String-function surface in one projection (upper/lower, trim, pad,
+    * replace, regexp_replace, split-part, length, reverse). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_type")).as("type_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      trim(col("p_name")).as("name_trim"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+      element_at(split(col("p_type"), " "), 1).as("type_first"),
+      length(col("p_name")).cast("long").as("name_len"),
+      reverse(col("p_brand")).as("brand_rev"))
+
   /** Native session_window sessions (built-in gap sessionization; the
     * custom-state and gaps-and-islands forms live in graft.streaming). */
   def qSessionWindow(s: SparkSession, dir: String): DataFrame =
@@ -424,7 +452,9 @@ object CoreQueries {
     "q_sql_q6" -> (qSqlQ6 _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
-    "q_session_window" -> (qSessionWindow _))
+    "q_session_window" -> (qSessionWindow _),
+    "q_array_agg" -> (qArrayAgg _),
+    "q_string_funcs" -> (qStringFuncs _))
 
   def oracleSql: Map[String, String] = Map(
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
@@ -627,5 +657,22 @@ object CoreQueries {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
-        |FROM s GROUP BY user_id, sess_id""".stripMargin)
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_array_agg" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)), ',') AS quantities,
+        |  count(*) AS n_items,
+        |  array_to_string(list(CAST(l_quantity AS BIGINT) * 2 ORDER BY CAST(l_quantity AS BIGINT)), ',') AS doubled
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_type) AS type_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  trim(p_name) AS name_trim,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+        |  string_split(p_type, ' ')[1] AS type_first,
+        |  length(p_name) AS name_len,
+        |  reverse(p_brand) AS brand_rev
+        |FROM part""".stripMargin)
 }
