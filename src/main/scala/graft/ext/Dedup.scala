@@ -37,11 +37,16 @@ object Dedup {
         explode(array_distinct(ngrams(words(col(textCol)), n))).as("shingle"))
 
   /** MinHash signatures: k per-document minima over universal hashes of
-    * the shingle hash. One groupBy(id) with k partial-min aggregates. */
+    * the shingle hash. One groupBy(id) with ONE mergeable sketch
+    * aggregate ([[graft.functions.MinHashSketch]]) computing all k lanes
+    * per buffer update; the array unpacks to mh0..mh{k-1} columns so the
+    * banding stage and the DuckDB oracle are unchanged. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val h = hexInt(col("shingle")).as("h")
-    val aggs = (0 until numHashes).map(i => min(minhashExpr(col("h"), i)).as(s"mh$i"))
-    sh.select(col("id"), h).groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    import graft.functions.MinHashSketch.minhashSketch
+    sh.select(col("id"), hexInt(col("shingle")).as("h"))
+      .groupBy(col("id"))
+      .agg(minhashSketch(col("h"), numHashes).as("sig"))
+      .select(col("id") +: (0 until numHashes).map(i => col("sig")(i).as(s"mh$i")): _*)
   }
 
   /** LSH banding: b rows per doc keyed by (band index, digest of the
