@@ -77,6 +77,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 8, s"unexpected exchange count $exchanges\n$p")
   }
 
+  test("MinHash sketch aggregate runs hash-based, not sort-based") {
+    val p = plan("q_dedup_minhash")
+    // TypedImperativeAggregate should plan as ObjectHashAggregate; a
+    // SortAggregate fallback would add a sort per group exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), "sketch aggregate fell back to sort")
+  }
+
   test("semi/anti joins stay joins (no aggregate rewrite) (J5)") {
     assert(plan("q_j5_semi").contains("LeftSemi"))
     assert(plan("q_j5_anti").contains("LeftAnti"))
