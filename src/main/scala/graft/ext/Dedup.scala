@@ -132,6 +132,38 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.ArrayOps.simhash32(transform(words(text), w => hexInt(w)))
 
+  /** Fingerprint-bucket near-dups (winnowing family): candidate pairs
+    * share BOTH extreme char-gram hashes — (min, max) of the 32-bit
+    * 5-gram hashes, two 8-byte keys per doc, the cheapest possible bucket
+    * join — then verify by exact shingle Jaccard. Content-defined, so
+    * recall covers documents whose extreme grams survive the edit — a
+    * complement, not a substitute, for MinHash (which bounds recall by
+    * similarity); the min alone under-buckets on low-entropy corpora
+    * (measured: 87 buckets over 5k synthetic docs → quadratic verify). */
+  def fingerprintNearDups(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.GramOps
+    val fp = docs
+      .select(col(idCol).as("id"),
+        GramOps.gramExtremes(col(textCol), TextAnalysis.fpGram).as("e"))
+      .select(col("id"), col("e.mn").as("mn"), col("e.mn2").as("mn2"),
+        col("e.mx").as("mx"))
+    val cands = fp.as("l").join(fp.as("r"),
+        col("l.mn") === col("r.mn") && col("l.mn2") === col("r.mn2") &&
+        col("l.mx") === col("r.mx") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle ONLY the candidate documents — the verify set is tiny next
+    // to the corpus, so the explode+hash pass shrinks proportionally
+    val candIds = cands.select(col("id_a").as("cid"))
+      .union(cands.select(col("id_b").as("cid"))).distinct()
+    val candDocs = docs.join(broadcast(candIds),
+      col(idCol) === col("cid"), "left_semi")
+    val sh = shingles(candDocs, 3, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
     * 8-bit band equality (any of 4 bands equal ⇒ candidate — guarantees
     * recall for distance ≤ 3 by pigeonhole). */

@@ -3,11 +3,12 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass character-n-gram expressions for document fingerprinting.
@@ -25,6 +26,14 @@ object GramOps {
   def minGramHash(text: Column, gram: Int): Column =
     ColumnBridge.column(MinGramHash32(ColumnBridge.expression(text), gram))
 
+  def maxGramHash(text: Column, gram: Int): Column =
+    ColumnBridge.column(MinGramHash32(ColumnBridge.expression(text), gram, isMax = true))
+
+  /** (min, second-distinct-min, max) gram hashes in ONE pass — the
+    * fingerprint bucket key for near-dup candidates. */
+  def gramExtremes(text: Column, gram: Int): Column =
+    ColumnBridge.column(GramExtremes(ColumnBridge.expression(text), gram))
+
   def distinctGramCount(text: Column, gram: Int): Column =
     ColumnBridge.column(DistinctGramCount(ColumnBridge.expression(text), gram))
 
@@ -38,9 +47,11 @@ object GramOps {
   }
 }
 
-/** min over hexInt(char n-grams); texts shorter than one gram hash whole
-  * (the fingerprint fallback in graft.ext.TextAnalysis). */
-case class MinGramHash32(child: Expression, gram: Int)
+/** min (or max, with isMax) over hexInt(char n-grams); texts shorter
+  * than one gram hash whole (the fingerprint fallback in
+  * graft.ext.TextAnalysis). The min/max pair forms the bucket key for
+  * fingerprint near-dup candidates. */
+case class MinGramHash32(child: Expression, gram: Int, isMax: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -56,18 +67,61 @@ case class MinGramHash32(child: Expression, gram: Int)
     val md = MessageDigest.getInstance("MD5")
     if (n < gram) GramOps.hash32(md, s)
     else {
-      var min = Long.MaxValue
+      var best = if (isMax) Long.MinValue else Long.MaxValue
       var i = 0
       while (i <= n - gram) {
         val v = GramOps.hash32(md, s.substringSQL(i + 1, gram))
-        if (v < min) min = v
+        if (if (isMax) v > best else v < best) best = v
         i += 1
       }
-      min
+      best
     }
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinGramHash32 =
+    copy(child = newChild)
+}
+
+/** STRUCT(mn, mn2, mx): minimum, second-distinct-minimum (null when all
+  * grams hash equal) and maximum of the 32-bit char-n-gram hashes, one
+  * digest pass per document. Short texts hash whole into all three. */
+case class GramExtremes(child: Expression, gram: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_extremes expects STRING, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("mn", LongType, nullable = false),
+    StructField("mn2", LongType, nullable = true),
+    StructField("mx", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val md = MessageDigest.getInstance("MD5")
+    if (n < gram) {
+      val h = GramOps.hash32(md, s)
+      InternalRow(h, h, h)
+    } else {
+      var m1 = Long.MaxValue
+      var m2 = Long.MaxValue
+      var mx = Long.MinValue
+      var i = 0
+      while (i <= n - gram) {
+        val v = GramOps.hash32(md, s.substringSQL(i + 1, gram))
+        if (v < m1) { m2 = m1; m1 = v }
+        else if (v > m1 && v < m2) m2 = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      InternalRow(m1, if (m2 == Long.MaxValue) null else m2, mx)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramExtremes =
     copy(child = newChild)
 }
 

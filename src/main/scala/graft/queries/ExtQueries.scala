@@ -47,6 +47,9 @@ object ExtQueries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(docs(s, dir), maxDist = 3)
 
+  def qDedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintNearDups(docs(s, dir), threshold = 0.5)
+
   // ----------------------------------------------------------- text
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -100,6 +103,7 @@ object ExtQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_fingerprint" -> (qDedupFingerprint _),
     "q_text_stats" -> (qTextStats _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_sim_topk" -> (qSimTopK _),
@@ -180,6 +184,33 @@ object ExtQueries {
        |  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id)
        |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
        |FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin
+  }
+
+  /** Winnowing-fingerprint bucket near-dups: self-join on BOTH extreme
+    * gram hashes (min, max), exact-Jaccard verify (same chain as Dedup
+    * .fingerprintNearDups). */
+  private val dedupFingerprintSql: String = {
+    val grams =
+      s"""list_transform(range(1, length(text) - 3),
+         |  i -> ${hexIntSql("substr(text, CAST(i AS INT), 5)")})""".stripMargin
+    s"""WITH $shingleCtes,
+       |g AS (SELECT doc_id AS id, $grams AS hs, ${hexIntSql("text")} AS whole,
+       |  length(text) >= 5 AS long_enough FROM documents),
+       |fp AS (SELECT id,
+       |  CASE WHEN long_enough THEN list_min(hs) ELSE whole END AS mn,
+       |  CASE WHEN long_enough THEN list_sort(list_distinct(hs))[2] ELSE whole END AS mn2,
+       |  CASE WHEN long_enough THEN list_max(hs) ELSE whole END AS mx
+       |FROM g),
+       |cands AS (SELECT l.id AS id_a, r.id AS id_b
+       |  FROM fp l JOIN fp r ON l.mn = r.mn AND l.mn2 = r.mn2
+       |    AND l.mx = r.mx AND l.id < r.id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cands c JOIN sh a ON a.id = c.id_a
+       |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+       |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
   }
 
   private val stopLists: Map[String, String] = TextAnalysis.stopwords.map {
@@ -352,6 +383,7 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_fingerprint" -> dedupFingerprintSql,
     "q_text_stats" -> textStatsSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_sim_topk" -> simTopKSql,

@@ -48,6 +48,14 @@ class DedupSpec extends SparkSpec {
     assert(fps(0) >= 0L && fps(0) < (1L << 32))
   }
 
+  test("fingerprint near-dups: extreme-gram buckets find the dup, skip the distinct") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(1L -> base, 2L -> base, 3L -> "completely different content here with nothing shared at all")
+    val pairs = Dedup.fingerprintNearDups(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((1L, 2L, 1.0)))
+  }
+
   test("lsh candidates never pair a doc with itself and are a<b ordered") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c d f")
     val cands = Dedup.lshCandidates(Dedup.lshBands(
