@@ -308,6 +308,30 @@ object CoreQueries {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin)
 
+  /** Q5-style: 4-way join chain + group aggregate — the deepest join
+    * pipeline in the registry (two broadcast dims, one fact-fact SMJ). */
+  def qSqlQ5(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin)
+
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance (Catalyst decorrelates to an aggregate + join). */
+  def qSqlScalarSub(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+
   /** Q6-style: pure scan-side filter + scalar agg (everything pushes to
     * the parquet reader). */
   def qSqlQ6(s: SparkSession, dir: String): DataFrame =
@@ -449,7 +473,9 @@ object CoreQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_sql_q4" -> (qSqlQ4 _),
+    "q_sql_q5" -> (qSqlQ5 _),
     "q_sql_q6" -> (qSqlQ6 _),
+    "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
     "q_session_window" -> (qSessionWindow _),
@@ -634,6 +660,22 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_sql_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_sql_scalar_sub" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price
