@@ -113,23 +113,31 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: the coarse-quantizer scale path.
     *
-    * Centroids are a deterministic subsample (`vec_id % centroidEvery == 0`
-    * — k-means would sharpen the cells, but a fixed subsample keeps the
-    * operator reproducible across engines with no trained state). Every
-    * corpus vector is assigned to its nearest centroid (one broadcast
-    * cross-score + per-vector argmin); each query probes its `nProbe`
-    * nearest centroids and searches only those inverted lists.
+    * Centroids are a FIXED-SIZE deterministic sample: the `numCentroids`
+    * corpus vectors with the smallest md5-hash of their id (hash-order
+    * top-K — a TakeOrdered, not a sort). K is independent of corpus size,
+    * so the centroid broadcast is O(K·dim) whether the corpus is 500
+    * vectors or 100 TB (k-means would sharpen the cells, but a hash
+    * sample keeps the operator reproducible across engines with no
+    * trained state). Every corpus vector is assigned to its nearest
+    * centroid (one broadcast cross-score + per-vector argmin); each query
+    * probes its `nProbe` nearest centroids and searches only those
+    * inverted lists.
     *
-    * At 100 TB: assignment is a single pass (|corpus| × |centroids|
-    * codegen'd dot products, centroids broadcast); the per-query search
-    * touches |corpus| · nProbe / |centroids| rows instead of |corpus|.
-    * Ranking uses the ROUNDED cosine with id tiebreaks throughout, so
-    * results are deterministic and oracle-checkable. */
+    * At 100 TB: assignment is a single pass (|corpus| × K codegen'd dot
+    * products, centroids broadcast); the per-query search touches
+    * |corpus| · nProbe / K rows instead of |corpus|. The defaults fit the
+    * small test corpus; a production corpus raises K (e.g. 4096) and
+    * keeps nProbe/K small. Ranking uses the ROUNDED cosine with id
+    * tiebreaks throughout, so results are deterministic and
+    * oracle-checkable. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidEvery: Int = 50, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      numCentroids: Int = 32, nProbe: Int = 8): DataFrame = {
+    val cents = corpus
       .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("ct"))
       .withColumn("ct_norm", norm(col("ct")))
+      .orderBy(Hashing.hexInt(col("cent_id").cast("string")), col("cent_id"))
+      .limit(numCentroids)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
@@ -165,8 +173,9 @@ object Similarity {
   }
 
   /** Embedding-space near-duplicate pairs: all (a<b) with cosine ≥ thr.
-    * Quadratic — production path buckets first (see annTopK); kept exact
-    * here as the dedup-quality oracle. */
+    * Quadratic by construction — NOT registered as a query; kept only as
+    * the recall oracle for [[cosineNearDupPairsBucketed]] (same role
+    * ngram-Jaccard plays for MinHash). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), toDouble(col("embedding")).as("ea"))
       .withColumn("na", norm(col("ea")))
@@ -175,6 +184,51 @@ object Similarity {
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Near-dup banding: 8 bands × 8 planes (hyperplanes 0..63, band b owns
+    * planes b·8..b·8+7). Unrelated vectors collide in a band w.p. ~2⁻⁸, so
+    * candidate volume is ~bands/256 ≈ 3% of all pairs — near-linear at
+    * corpus scale — while recall rises with similarity (≈0.93 at cos 0.9;
+    * identical vectors always collide). More bands buy recall linearly in
+    * candidate volume. */
+  val neardupBands = 8
+  val neardupPlanesPerBand = 8
+
+  /** Band bucket: `planesPerBand` sign bits of band `band`'s hyperplanes,
+    * packed little-endian. Same constant-folded plane literals as
+    * [[signBucket]]. */
+  def bandBucket(emb: Column, band: Int, planesPerBand: Int): Column =
+    (0 until planesPerBand).map { j =>
+      when(dot(emb, planeLit(band * planesPerBand + j)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Scale path for embedding near-dup pairs: sign-LSH band buckets
+    * generate candidates (equi-join on (band, bucket), never all-pairs),
+    * then the exact rounded cosine verifies ≥ threshold. Output ⊆ the
+    * exact [[cosineNearDupPairs]] with identical cosines; recall is the
+    * banding collision probability (see NeardupRecallSpec). */
+  def cosineNearDupPairsBucketed(emb: DataFrame, threshold: Double,
+      bands: Int = neardupBands,
+      planesPerBand: Int = neardupPlanesPerBand): DataFrame = {
+    val v = emb.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val banded = v.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), bandBucket(col("v"), b, planesPerBand).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

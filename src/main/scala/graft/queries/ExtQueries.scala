@@ -78,7 +78,7 @@ object ExtQueries {
   }
 
   def qSimNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
+    Similarity.cosineNearDupPairsBucketed(emb(s, dir), threshold = 0.4)
 
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -304,12 +304,14 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
-  /** IVF oracle: same deterministic centroid subsample + argmin-by-rounded
-    * -cosine assignment, probe, and in-cell ranking as Similarity.ivfTopK. */
+  /** IVF oracle: same fixed-K hash-ordered centroid sample + argmin-by-
+    * rounded-cosine assignment, probe, and in-cell ranking as
+    * Similarity.ivfTopK (K=32, nProbe=8). */
   private val simIvfSql =
     s"""WITH $simCtes,
        |cents AS (SELECT neighbor_id AS cent_id, ce AS ct, cnorm AS ct_norm
-       |  FROM cn WHERE neighbor_id % 50 = 0),
+       |  FROM cn ORDER BY ${hexIntSql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id
+       |  LIMIT 32),
        |assigned AS (SELECT neighbor_id, ce, cnorm, cent_id FROM (
        |  SELECT cn.neighbor_id, cn.ce, cn.cnorm, cents.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY cn.neighbor_id ORDER BY
@@ -321,7 +323,7 @@ object ExtQueries {
        |    ROW_NUMBER() OVER (PARTITION BY qn.query_id ORDER BY
        |      round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ct[i]))
        |            / (qnorm * ct_norm), 6) DESC, cent_id) AS crn
-       |  FROM qn CROSS JOIN cents) WHERE crn <= 4),
+       |  FROM qn CROSS JOIN cents) WHERE crn <= 8),
        |scored AS (SELECT query_id, neighbor_id,
        |  round($dotSql / (cnorm * qnorm), 6) AS cos
        |  FROM assigned JOIN probes USING (cent_id) WHERE neighbor_id <> query_id),
@@ -330,16 +332,50 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
-  private val simNearDupSql =
-    """WITH e AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM e)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-      |        / (a.nv * b.nv), 6) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-      |      / (a.nv * b.nv), 6) >= 0.4""".stripMargin
+  /** Test-corpus embedding dimensionality. The Spark operator handles any
+    * dim ≤ Similarity.maxDim (dot truncates); the oracle unrolls the plane
+    * dot products to flat ±v[j] sums, so it pins the dim of the shared
+    * parquet tables. */
+  private val oracleDim = 64
+
+  /** Plane dot as a flat signed sum: 0.0 ± v[1] ± v[2] … — multiplication
+    * by ±1.0 is exact and addition is left-assoc in both engines, so this
+    * is bit-identical to Spark's sequential-fold DotProduct against the
+    * ±1 plane literal. */
+  private def planeDotSql(e: String, p: Int): String =
+    "0.0 " + (0 until oracleDim).map { j =>
+      val sign = if (Similarity.planeSignValue(p, j) > 0) "+" else "-"
+      s"$sign $e[${j + 1}]"
+    }.mkString(" ")
+
+  /** Band bucket of embedding list `e` — replicates Similarity.bandBucket:
+    * bit j of band b set iff dot(e, plane_{b·r+j}) > 0. */
+  private def bandBucketSql(e: String, band: Int, planesPerBand: Int): String =
+    (0 until planesPerBand).map { j =>
+      s"(CASE WHEN (${planeDotSql(e, band * planesPerBand + j)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Bucketed near-dup oracle: same banded sign-LSH candidate chain +
+    * exact rounded-cosine verify as Similarity.cosineNearDupPairsBucketed. */
+  private val simNearDupSql: String = {
+    val bandSelects = (0 until Similarity.neardupBands).map { b =>
+      s"SELECT vec_id AS id, $b AS band, " +
+        s"${bandBucketSql("v", b, Similarity.neardupPlanesPerBand)} AS bh FROM n"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM e),
+       |banded AS ($bandSelects),
+       |cands AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id)
+       |SELECT id_a, id_b,
+       |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |        / (a.nv * b.nv), 6) AS cos
+       |FROM cands JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b
+       |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |      / (a.nv * b.nv), 6) >= 0.4""".stripMargin
+  }
 
   /** media CTE = Multimodal.mediaFromDocuments in SQL (payload = UTF-8
     * bytes of text; kind cycles by doc_id % 3). */

@@ -61,6 +61,22 @@ class SimilaritySpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("bucketed near-dup pairs ⊆ exact pairs with identical cosines; identical vectors always found") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val bucketed = Similarity.cosineNearDupPairsBucketed(e, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosineNearDupPairs(e, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (k, cos) => assert(exact(k) === cos) }
+    e.unpersist()
+    // an identical pair shares every band bucket — recall 1 at cos 1.0
+    val t = embTable(1L -> e1, 2L -> e1.map(_ * 2f), 3L -> e2)
+    val ident = Similarity.cosineNearDupPairsBucketed(t, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ident === Set((1L, 2L, 1.0)))
+  }
+
   test("sign bucket is deterministic and within 8 bits") {
     val t = embTable(1L -> e1, 2L -> e1, 3L -> e2)
     val b = t.select(Similarity.signBucket(
