@@ -49,8 +49,7 @@ class Pipeline(spark: SparkSession, store: TableStore,
     // Cached: the delta feeds the empty-branch check, the landing write
     // and the ingested count (reference parity: len(data_list),
     // STG_Firebase2Oracle.py:73) without re-reading the tree.
-    val delta = TreeIngest.toLanding(
-      TreeIngest.flatten(TreeIngest.readTree(spark, treePath)), deviceId, prevStart)
+    val delta = ingestDelta(treePath, deviceId, prevStart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ingested = delta.count()
 
@@ -90,6 +89,62 @@ class Pipeline(spark: SparkSession, store: TableStore,
     ctl.updateStatus(interfaceCd, loadKey, "Success", now)
     delta.unpersist()
     RunResult(loadKey, ingested, inserted, skipped = false)
+  }
+
+  /** GET_FIREBASE_DELTA task boundary — overridable test seam for fault
+    * injection (the reference injects failures the same way: a task that
+    * raises, Airflow-DAG.py:467-474). */
+  protected def ingestDelta(treePath: String, deviceId: String,
+      prevStart: Timestamp): DataFrame =
+    TreeIngest.toLanding(
+      TreeIngest.flatten(TreeIngest.readTree(spark, treePath)), deviceId, prevStart)
+
+  /** D7 retry policy: the reference retries every Airflow task once after
+    * a 30 s delay (`Airflow-DAG.py:467-474`, `historization_module.py:
+    * 26-33`). The engine's unit of recovery is the whole run (its "task
+    * boundaries" are the control-table status transitions, ST5), so a
+    * failed attempt is ROLLED BACK — control rows, hist-load entry and
+    * the INT append for the attempt's load key are removed; the landing
+    * re-land is idempotent (partition delete + append) and the SCD2
+    * target swap is atomic, replaying the same batch as 'NC' — and the
+    * run replays after `retryDelayMs`. On exhaustion the attempt's
+    * control entry is marked Failed, which blocks the next run at the
+    * Success gate exactly as in the reference (main.py:15-20). `sleep`
+    * is injectable for tests. */
+  def runWithRetry(treePath: String, deviceId: String, now: Timestamp,
+      retries: Int = 1, retryDelayMs: Long = 30000L,
+      sleep: Long => Unit = Thread.sleep): RunResult = {
+    var attempt = 0
+    while (true) {
+      try return run(treePath, deviceId, now)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val failed = ctl.prevRunDetails(interfaceCd).filter(_._1 != "Success")
+          if (attempt >= retries) {
+            failed.foreach { case (_, _, key) =>
+              ctl.updateStatus(interfaceCd, key, "Failed", now)
+            }
+            throw e
+          }
+          attempt += 1
+          failed.foreach { case (_, _, key) => rollbackAttempt(key) }
+          sleep(retryDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Remove a failed attempt's side effects so the retry replays from a
+    * clean slate. Metadata-scale rewrites (control tables hold a handful
+    * of rows); the INT delete uses the load_key the attempt minted. */
+  private def rollbackAttempt(loadKey: Long): Unit = {
+    import org.apache.spark.sql.Encoders
+    store.deleteWhere(ctl.controlName, Encoders.product[graft.model.ControlEntry].schema,
+      col("interface_cd") === interfaceCd && col("load_key") === loadKey)
+    store.deleteWhere(ctl.histLoadName,
+      Encoders.product[graft.model.HistLoadControlEntry].schema,
+      col("load_key") === loadKey && col("subject_area") === interfaceName)
+    store.deleteWhere(intName, Schemas.intermediate, col("load_key") === loadKey)
   }
 }
 

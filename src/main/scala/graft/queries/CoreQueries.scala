@@ -38,6 +38,30 @@ object CoreQueries {
       .withColumn("load_key", lit(42L))
       .select(col("event_id"), col("user_id"), col("load_key"))
 
+  // ------------------------------------------------------------- S3 users
+  /** Users collection scan (get_user_data.py:10-30): a JSON users fixture
+    * is DERIVED deterministically from the shared customer table (so the
+    * DuckDB oracle can replicate it from the same parquet), written to a
+    * local spool dir, and read back through TreeIngest.readUsers — the
+    * permissive 12-field schema defaults every absent field to null, the
+    * reference's `.get(field, None)` contract. Every 7th user omits the
+    * email field and 6 of the 12 fields are never present, so the
+    * null-defaulting path is genuinely exercised. */
+  def qS3Users(s: SparkSession, dir: String): DataFrame = {
+    val spool = s"${System.getProperty("java.io.tmpdir")}/graft_users_json"
+    t(s, dir, "customer").select(to_json(struct(
+        col("c_custkey").cast("string").as("uid"),
+        col("c_name").as("full_name"),
+        when(col("c_custkey") % 7 =!= 0,
+          concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+            lit("@example.com"))).as("email"),
+        concat(lit("555-"), col("c_custkey").cast("string")).as("phoneNumber"),
+        col("c_mktsegment").as("account_Type"),
+        col("c_nationkey").cast("string").as("zipcd"))).as("value"))
+      .write.mode("overwrite").text(spool)
+    graft.ingest.TreeIngest.readUsers(s, spool)
+  }
+
   // --------------------------------------------------------------- filters
   /** P1: event-time threshold filter (>= boundary, STG_Firebase2Oracle.py:58).
     * The predicate reaches the parquet scan as PushedFilters. ts emitted at
@@ -441,6 +465,7 @@ object CoreQueries {
 
   // ------------------------------------------------------------------ maps
   def queries: Map[String, Q] = Map(
+    "q_s3_users" -> (qS3Users _),
     "q_s4_scan" -> (qS4Scan _),
     "q_s6_stage_copy" -> (qS6StageCopy _),
     "q_p1_threshold" -> (qP1Threshold _),
@@ -483,6 +508,22 @@ object CoreQueries {
     "q_string_funcs" -> (qStringFuncs _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_s3_users" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS uid,
+        |  c_name AS full_name,
+        |  CASE WHEN c_custkey % 7 <> 0
+        |    THEN lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@example.com'
+        |    ELSE CAST(NULL AS VARCHAR) END AS email,
+        |  '555-' || CAST(c_custkey AS VARCHAR) AS "phoneNumber",
+        |  c_mktsegment AS "account_Type",
+        |  CAST(c_nationkey AS VARCHAR) AS zipcd,
+        |  CAST(NULL AS VARCHAR) AS addr_line,
+        |  CAST(NULL AS VARCHAR) AS "d_Period",
+        |  CAST(NULL AS VARCHAR) AS dob,
+        |  CAST(NULL AS VARCHAR) AS gender,
+        |  CAST(NULL AS VARCHAR) AS password,
+        |  CAST(NULL AS VARCHAR) AS "profile_URL"
+        |FROM customer""".stripMargin,
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
     "q_s6_stage_copy" ->
       """SELECT event_id, user_id, CAST(42 AS BIGINT) AS load_key

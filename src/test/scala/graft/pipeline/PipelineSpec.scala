@@ -68,6 +68,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("D7 retry: transient failure rolls back and replays to Success; exhaustion marks Failed") {
+    val store = freshStore()
+    var failuresLeft = 1
+    val pipe = new Pipeline(spark, store) {
+      override protected def ingestDelta(treePath: String, deviceId: String,
+          prevStart: Timestamp) = {
+        if (failuresLeft > 0) { failuresLeft -= 1; sys.error("transient ingest failure") }
+        super.ingestDelta(treePath, deviceId, prevStart)
+      }
+    }
+    val ctl = new ControlTable(spark, store)
+    var slept = 0L
+    val now1 = Timestamp.valueOf("2024-03-02 11:00:00")
+    // attempt 1 fails after the control entry is created; retry replays
+    val r = pipe.runWithRetry(fixture, dev, now1, retries = 1,
+      retryDelayMs = 30000L, sleep = slept += _)
+    assert(!r.skipped && r.inserted == 5 && slept == 30000L)
+    assert(ctl.prevRunDetails("001").get._1 == "Success")
+    // rollback left exactly one control entry (the successful attempt)
+    assert(ctl.control.filter($"interface_cd" === "001").count() == 1)
+    assert(store.read(pipe.targetName).count() == 5)
+
+    // exhaustion: both attempts fail ⇒ Failed status blocks the next run
+    failuresLeft = 2
+    val ex = intercept[RuntimeException] {
+      pipe.runWithRetry(fixture, dev, Timestamp.valueOf("2024-03-03 11:00:00"),
+        retries = 1, retryDelayMs = 1L, sleep = _ => ())
+    }
+    assert(ex.getMessage.contains("transient"))
+    assert(ctl.prevRunDetails("001").get._1 == "Failed")
+    intercept[IllegalArgumentException] {
+      pipe.run(fixture, dev, Timestamp.valueOf("2024-03-04 11:00:00"))
+    }
+  }
+
   test("re-run with epoch threshold: every row absorbs as NC, target stable") {
     val store = freshStore()
     val pipe = new Pipeline(spark, store)
