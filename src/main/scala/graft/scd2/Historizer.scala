@@ -2,7 +2,6 @@ package graft.scd2
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{Scd2Config, Schemas}
@@ -170,10 +169,16 @@ object Historizer {
       if (tgtCols.map(_.toLowerCase).contains("delta_hash"))
         Seq(deltaHash(dCols).as("delta_hash"))
       else Seq.empty
+    // Surrogate index: BOTH paths are distributed (no single-task window
+    // — the faithful `ROW_NUMBER() OVER (ORDER BY ...)` form funnels the
+    // whole batch through one task at scale). Default: distributed sort
+    // by the natural keys + gapless zipWithIndex — value-identical to
+    // row_number ordered by nk (deterministic for tests and oracles).
+    // `scalableSurrogates` additionally skips the sort: arbitrary-but-
+    // gapless, for backfills where even the batch sort is unwanted.
     val indexed =
       if (conf.scalableSurrogates) withGaplessIndex(joined, "__rn")
-      else joined.withColumn("__rn",
-        row_number().over(Window.orderBy(nk.map(col): _*)).cast("long"))
+      else withGaplessIndex(joined.orderBy(nk.map(col): _*), "__rn")
     indexed
       .select(
         Seq(
