@@ -83,6 +83,14 @@ object Schemas {
     StructField("da_deleted_flag", StringType),
     StructField("da_current_flag", StringType)))
 
+  /** On-disk layout of the SCD2 target: [[scd2Target]] plus the
+    * natural-key hash bucket the table is hive-partitioned by. Writes go
+    * through dynamic partition overwrite, so a batch rewrites ONLY the
+    * buckets its delta touches — the 100 TB answer to MERGE without a
+    * transactional table format. */
+  val scd2TargetStored: StructType =
+    scd2Target.add(StructField("nk_bucket", IntegerType))
+
   /** Firestore users doc (get_user_data.py:20-23). */
   val users: StructType = StructType(Seq(
     "account_Type", "addr_line", "d_Period", "dob", "email", "full_name",
@@ -103,8 +111,13 @@ case class Scd2Config(
     colsToExcludeFromLoad: Seq[String] = Seq("load_key"),
     colsToExcludeFromDelta: Seq[String] = Seq("timezone"),
     loadKey: Long = 0L,
-    /** Surrogate minting path: false = faithful single-task row_number
-      * (deterministic order, fine for per-batch deltas); true = gapless
-      * distributed zipWithIndex (arbitrary-but-gapless order, the scale
-      * path for huge backfill batches — SURVEY §7.5 #3). */
-    scalableSurrogates: Boolean = false)
+    /** Surrogate minting path: false = distributed nk-ordered gapless
+      * index (deterministic, value-identical to the reference's
+      * row_number); true = skip the batch sort too (arbitrary-but-gapless
+      * order, for huge backfill batches — SURVEY §7.5 #3). */
+    scalableSurrogates: Boolean = false,
+    /** Natural-key hash buckets the SCD2 target is partitioned into.
+      * A batch rewrites only the buckets its delta touches. Sized so one
+      * bucket ≈ one executor-friendly rewrite unit; at 100 TB raise it
+      * (buckets scale the rewrite granularity, not correctness). */
+    targetBuckets: Int = 32)

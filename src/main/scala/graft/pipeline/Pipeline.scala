@@ -75,14 +75,20 @@ class Pipeline(spark: SparkSession, store: TableStore,
     ctl.addHistLoadEntry(loadKey, interfaceName, "in progress", now, now, now)
     ctl.updateStatus(interfaceCd, loadKey, "INTEGRATION LOAD COMPLETED", now)
 
-    // trigger_DAG_WF_EXT_SCD2_HISTORIZATION_LOAD (D3 → direct call)
+    // trigger_DAG_WF_EXT_SCD2_HISTORIZATION_LOAD (D3 → direct call).
+    // Partition-scoped MERGE: only the natural-key buckets this batch
+    // touches are rewritten (dynamic partition overwrite); `inserted`
+    // counts the cached touched-bucket content — no full-target re-scan.
     val src = store.readOrEmpty(intName, Schemas.intermediate)
-    val tgt = store.readOrEmpty(targetName, Schemas.scd2Target)
-    val newTgt = Historizer.applyScd2(src, tgt, conf.copy(loadKey = loadKey), now)
-    store.overwrite(targetName, newTgt)
-    val inserted = store.read(targetName)
+    val tgtStored = store.readOrEmpty(targetName, Schemas.scd2TargetStored)
+    val touched = Historizer.applyScd2Partitioned(
+        src, tgtStored, conf.copy(loadKey = loadKey), now)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.overwritePartitionsDynamic(targetName, touched, Seq("nk_bucket"))
+    val inserted = touched
       .filter(col("da_inserted_datetime") === lit(now) && col("da_current_flag") === "Y")
       .count()
+    touched.unpersist()
 
     // UPDATE_STATUS_AND_FINISH_WORKFLOW
     ctl.markHistLoadProcessed(loadKey, interfaceName)

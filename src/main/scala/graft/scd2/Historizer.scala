@@ -226,4 +226,44 @@ object Historizer {
         s"${ins.columns.sorted.mkString(",")} vs ${tgt.columns.sorted.mkString(",")}")
     closed.unionByName(ins.select(tgt.columns.map(col).toSeq: _*))
   }
+
+  /** Natural-key hash bucket — the SCD2 target's partition key. Engine-
+    * internal (never oracle-compared), so the fast builtin xxhash64 is
+    * fine; deterministic across runs and executors. */
+  def nkBucket(naturalKeys: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(naturalKeys.map(col): _*), lit(buckets.toLong)).cast("int")
+
+  /** Partition-scoped SCD2 apply: the MERGE semantics of [[applyScd2]],
+    * but returning ONLY the new content of the natural-key-hash buckets
+    * this batch's delta touches (with the `nk_bucket` partition column
+    * attached). Written via dynamic partition overwrite, untouched
+    * buckets' files are never rewritten — per-batch write cost is
+    * O(touched buckets), not O(target) (VERDICT r1 #6).
+    *
+    * `tgtStored` is the stored layout (Schemas.scd2TargetStored): payload
+    * columns + nk_bucket. High-water marks and delta classification still
+    * see the FULL target (the close-out scan prunes to touched buckets —
+    * a 'U' row's current version lives in the same bucket as its natural
+    * key by construction). */
+  def applyScd2Partitioned(src: DataFrame, tgtStored: DataFrame,
+      conf: Scd2Config, now: Timestamp): DataFrame = {
+    val tgt = tgtStored.drop("nk_bucket")
+    val delta = deltaDetect(src, tgt, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketOf = nkBucket(conf.naturalKeys, conf.targetBuckets)
+    // ≤ targetBuckets distinct values — metadata-scale collect, and the
+    // literal IN list lets the touched-bucket filter prune partitions at
+    // the parquet scan
+    val touched = delta.filter(col("upsert_cd").isin("I", "U"))
+      .select(bucketOf.as("__b")).distinct().collect().map(_.getInt(0)).toSeq
+    val tgtTouched = tgtStored
+      .filter(col("nk_bucket").isin(touched: _*)).drop("nk_bucket")
+    val closed = closeOut(tgtTouched, delta, now)
+    val ins = insertRows(src, delta, tgt.columns.toSeq, conf, now)
+    require(ins.columns.sorted.sameElements(tgt.columns.sorted),
+      s"Columns returned by select query and columns in target table are not same: " +
+        s"${ins.columns.sorted.mkString(",")} vs ${tgt.columns.sorted.mkString(",")}")
+    closed.unionByName(ins.select(tgt.columns.map(col).toSeq: _*))
+      .withColumn("nk_bucket", bucketOf)
+  }
 }

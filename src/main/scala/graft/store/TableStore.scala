@@ -49,6 +49,17 @@ class TableStore(spark: SparkSession, baseDir: String) {
   def appendPartitioned(name: String, df: DataFrame, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path(name))
 
+  /** Dynamic partition overwrite: replaces ONLY the partitions present in
+    * `df`, leaving every other partition's files untouched on disk — the
+    * scale path for partition-scoped rewrites (SCD2 touched-bucket MERGE).
+    * Spark stages each partition's output and commits per partition, so
+    * readers never see a half-written partition. */
+  def overwritePartitionsDynamic(name: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path(name))
+
   /** Partition-level delete on a hive-partitioned table: removes the
     * `col=value` subtree — O(partition), no rewrite of other partitions.
     * This is the scale path for the reference's device-scoped DELETE (S7,

@@ -66,10 +66,13 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val src = batch.withColumn("load_key", lit(batchId + 1L))
-        val tgt = store.readOrEmpty(targetName, Schemas.scd2Target)
-        val newTgt = Historizer.applyScd2(
-          src, tgt, conf.copy(loadKey = batchId + 1L), clock())
-        store.overwrite(targetName, newTgt)
+        val tgtStored = store.readOrEmpty(targetName, Schemas.scd2TargetStored)
+        // partition-scoped MERGE: per-trigger write cost is O(buckets the
+        // micro-batch touches), not O(target) — the streaming twin of the
+        // batch pipeline's dynamic partition overwrite
+        val touched = Historizer.applyScd2Partitioned(
+          src, tgtStored, conf.copy(loadKey = batchId + 1L), clock())
+        store.overwritePartitionsDynamic(targetName, touched, Seq("nk_bucket"))
         ()
       }
       .start()
