@@ -101,12 +101,24 @@ object Dedup {
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** All-pairs exact n-gram Jaccard ≥ threshold via the inverted shingle
-    * index (no LSH): candidate pairs are docs sharing ≥1 shingle. The
-    * per-shingle fan-out is the scale hazard — at 100 TB the LSH variant
-    * above is the production path; this one is the accuracy oracle. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
+  /** Exact n-gram Jaccard ≥ threshold via the inverted shingle index (no
+    * LSH): candidate pairs are docs sharing ≥1 kept shingle. A shingle
+    * shared by m docs fans out m² pairs, so shingles with document
+    * frequency > `maxDocFreq` are dropped from the index BEFORE the
+    * self-join (the standard df-cap): boilerplate shingles ("terms of
+    * service") stop generating quadratic candidates, and a pair of docs
+    * related only through such stop-shingles has Jaccard ≪ threshold
+    * anyway. Jaccard is computed over the capped shingle space on both
+    * sides (sizes included), keeping the metric internally consistent.
+    * At 100 TB the MinHash+LSH variant above is still the production
+    * path; this one is the accuracy oracle with its hazard bounded. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = 64): DataFrame = {
+    val sh0 = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select(col("shingle"))
+    val sh = sh0.join(kept, Seq("shingle"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val l = sh.select(col("id").as("id_a"), col("shingle"))

@@ -161,8 +161,15 @@ object ExtQueries {
        |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
   }
 
+  /** df-capped chain mirroring Dedup.ngramJaccardPairs (maxDocFreq=64):
+    * shingles with document frequency > 64 leave the index before the
+    * self-join; sizes count the capped space. */
   private val dedupNgramJaccardSql =
-    s"""WITH $shingleCtes,
+    s"""WITH ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w FROM documents),
+       |sh0 AS (SELECT id, unnest(list_distinct($shinglesSql)) AS shingle FROM ws),
+       |kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 64),
+       |sh AS (SELECT id, shingle FROM sh0 WHERE shingle IN (SELECT shingle FROM kept)),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
        |  GROUP BY 1, 2)
