@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Training-mix curation operators (north star; no reference equivalent —
+  * the reference has no text processing): deterministic stratified
+  * sampling, tf-idf salient terms, PII redaction. Like the rest of
+  * graft.ext, every operator is engine-checkable: hashing goes through
+  * the md5-based [[Hashing.hexInt]] and floats are rounded before any
+  * filter or ranking.
+  */
+object Curation {
+
+  /** Deterministic per-stratum sampling: keep a row iff
+    * `hexInt(stratum ':' id) % 100 < rate(stratum)`. Content-hash
+    * sampling (never `rand()`): the decision is a pure projection —
+    * reproducible across runs, engines, retries and partitionings, and
+    * the scan-side filter means a 5 % sample reads like a 5 % table
+    * downstream. This is how a 100 TB corpus takes a language-balanced
+    * training mix without a shuffle. */
+  def stratifiedSample(docs: DataFrame, stratum: Column,
+      rates: Map[String, Int], defaultRate: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val bucket = hexInt(concat(stratum, lit(":"), col(idCol).cast("string"))) % 100
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((s, r), acc) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol), stratum.as("stratum"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Top-k salient terms per document by tf-idf.
+    *
+    * The score is the LOG-FREE variant `tf · N / df` (one integer product
+    * + one IEEE division, rounded before ranking): `ln()` is not
+    * guaranteed identically rounded across engines, a single division
+    * is. Rankings tiebreak on the term itself.
+    *
+    * Shuffle structure at corpus scale: one exchange on (doc, term) for
+    * tf (map-side combined), one much smaller exchange on term for df,
+    * the 1-row corpus count broadcasts, and the final top-k window is
+    * partitioned by document — nothing global. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"),
+        round((col("tf") * col("n")).cast("double") / col("df").cast("double"), 4)
+          .as("score"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** PII patterns kept to the syntax subset Java regex and RE2 (DuckDB)
+    * interpret identically: explicit classes, no lookaround, `[0-9]`
+    * over `\d`. */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRegex = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails then phone numbers — pure projections, zero shuffle:
+    * a 100 TB redaction pass is scan-speed. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailRegex), lit("[EMAIL]")),
+      lit(phoneRegex), lit("[PHONE]"))
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailRegex)).cast("long")
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phoneRegex)).cast("long")
+}

@@ -176,6 +176,46 @@ object Dedup {
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters: connected components over the MinHash near-dup
+    * pair graph, labeled by the smallest doc id in each component (the
+    * canonical representative a dedup pipeline keeps). Min-label
+    * propagation to fixpoint: each round is one equi-join of the
+    * (tiny, persisted) symmetric edge set against the current labels +
+    * a min-aggregate — rounds are bounded by the component diameter,
+    * which for near-dup clusters is small. At extreme graph scale the
+    * same loop upgrades to alternating star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) without
+    * changing the contract. Singletons label themselves. */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashNearDups(docs, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist(lvl)
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("lbl", col("id")).persist(lvl)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"),
+          col("old"))
+        .persist(lvl)
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.drop("old")
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
     * 8-bit band equality (any of 4 bands equal ⇒ candidate — guarantees
     * recall for distance ≤ 3 by pigeonhole). */

@@ -62,6 +62,25 @@ object CoreQueries {
     graft.ingest.TreeIngest.readUsers(s, spool)
   }
 
+  // ---------------------------------------------------------- S4 via JDBC
+  /** JDBC ingestion variant of S4 (reference Oracle-over-JDBC path,
+    * dbconnect.py + STG_Firebase2Oracle.py:65-96): nation is written to an
+    * embedded Derby database over JDBC, then read back with a RANGE-
+    * PARTITIONED parallel read (4 stripes on n_nationkey) and a filter
+    * that pushes into the generated SQL — the DB prunes, not Spark. The
+    * oracle reads the same rows straight from the shared parquet. */
+  def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file",
+      s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_derby_nation;create=true"
+    graft.ingest.JdbcTables.write(t(s, dir, "nation"), url, "nation",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    graft.ingest.JdbcTables.readPartitioned(s, url, "nation",
+        "n_nationkey", 0L, 24L, 4)
+      .filter(col("n_regionkey") < 3)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   // --------------------------------------------------------------- filters
   /** P1: event-time threshold filter (>= boundary, STG_Firebase2Oracle.py:58).
     * The predicate reaches the parquet scan as PushedFilters. ts emitted at
@@ -467,6 +486,7 @@ object CoreQueries {
   def queries: Map[String, Q] = Map(
     "q_s3_users" -> (qS3Users _),
     "q_s4_scan" -> (qS4Scan _),
+    "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_s6_stage_copy" -> (qS6StageCopy _),
     "q_p1_threshold" -> (qP1Threshold _),
     "q_p2_equality" -> (qP2Equality _),
@@ -525,6 +545,8 @@ object CoreQueries {
         |  CAST(NULL AS VARCHAR) AS "profile_URL"
         |FROM customer""".stripMargin,
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
+    "q_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3",
     "q_s6_stage_copy" ->
       """SELECT event_id, user_id, CAST(42 AS BIGINT) AS load_key
         |FROM events WHERE event_type = 'click'""".stripMargin,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
 
 /** Query + oracle registry for the training-data-pipeline surface
   * (graft.ext): dedup, similarity search, text analysis, multimodal
@@ -65,6 +65,34 @@ object ExtQueries {
       TextAnalysis.fingerprint(col("text")).as("fp"),
       TextAnalysis.distinctGramCount(col("text")).as("n_grams"))
 
+  // ----------------------------------------------------- curation
+  /** Language-balanced sample: 50 % of English docs, 20 % of the rest. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(docs(s, dir),
+      TextAnalysis.langId(col("text")), Map("en" -> 50), defaultRate = 20)
+
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    Curation.tfidfTopTerms(docs(s, dir), k = 5)
+
+  /** PII redaction over deterministically enriched text (every 3rd doc
+    * gains an email, every 5th a phone number — so both patterns are
+    * genuinely exercised and absence is tested too). */
+  def qTextRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" Contact: user"), col("doc_id").cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" tel 555-123-4567"))
+            .otherwise(lit(""))).as("t"))
+      .select(col("doc_id"),
+        Curation.emailCount(col("t")).as("n_emails"),
+        Curation.phoneCount(col("t")).as("n_phones"),
+        Curation.redactPii(col("t")).as("clean_text"))
+
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(docs(s, dir), threshold = 0.5)
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -106,6 +134,10 @@ object ExtQueries {
     "q_dedup_fingerprint" -> (qDedupFingerprint _),
     "q_text_stats" -> (qTextStats _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_redact" -> (qTextRedact _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
@@ -260,6 +292,73 @@ object ExtQueries {
        |           i -> substr(text, CAST(i AS INT), 5)))) AS BIGINT)
        |    ELSE CAST(1 AS BIGINT) END AS n_grams
        |FROM documents""".stripMargin
+
+  /** Shared language-id CTE chain → (doc_id, lang_id); mirrors
+    * TextAnalysis.langId. */
+  private val langCtes: String = {
+    val hits = Seq("en", "es", "fr", "de").map(l =>
+      s"len(list_filter(wl, x -> list_contains(${stopLists(l)}, x))) AS h_$l")
+      .mkString(",\n  ")
+    s"""ld AS (SELECT doc_id, ${wordsSqlOf("lower(text)")} AS wl FROM documents),
+       |lh AS (SELECT doc_id, $hits FROM ld),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+       |       WHEN h_es > 0 AND h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+       |       WHEN h_fr > 0 AND h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+       |       WHEN h_de > 0 AND h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+       |       ELSE 'und' END AS lang_id FROM lh)""".stripMargin
+  }
+
+  /** Same md5-bucket decision as Curation.stratifiedSample (en 50 %,
+    * default 20 %). */
+  private val sampleStratifiedSql =
+    s"""WITH $langCtes,
+       |s AS (SELECT doc_id, lang_id AS stratum,
+       |  ${hexIntSql("(lang_id || ':' || CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+       |FROM lang)
+       |SELECT doc_id, stratum, bucket FROM s
+       |WHERE bucket < (CASE stratum WHEN 'en' THEN 50 ELSE 20 END)""".stripMargin
+
+  /** Log-free tf-idf chain mirroring Curation.tfidfTopTerms (k=5). */
+  private val textTfidfSql =
+    s"""WITH w AS (SELECT doc_id, unnest(${wordsSqlOf("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (SELECT doc_id, term, tf,
+       |  round(CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE), 4) AS score
+       |  FROM tf JOIN idf USING (term) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, tf, score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, term, tf, score, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+
+  private val textRedactSql =
+    s"""WITH t AS (SELECT doc_id, text ||
+       |  (CASE WHEN doc_id % 3 = 0
+       |    THEN ' Contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       |    ELSE '' END) ||
+       |  (CASE WHEN doc_id % 5 = 0 THEN ' tel 555-123-4567' ELSE '' END) AS t
+       |FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${Curation.emailRegex}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '${Curation.phoneRegex}')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(t, '${Curation.emailRegex}', '[EMAIL]', 'g'),
+       |    '${Curation.phoneRegex}', '[PHONE]', 'g') AS clean_text
+       |FROM t""".stripMargin
+
+  /** Connected components over the MinHash near-dup pairs: recursive
+    * transitive closure, component label = min reachable doc id — the
+    * declarative twin of Dedup.duplicateClusters' label propagation. */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE p AS ($dedupMinhashSql),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
   /** dot(ce, qe) over 64-dim double lists, sequential order like Spark's
     * aggregate(zip_with(..)). */
@@ -429,6 +528,10 @@ object ExtQueries {
     "q_dedup_fingerprint" -> dedupFingerprintSql,
     "q_text_stats" -> textStatsSql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_text_tfidf" -> textTfidfSql,
+    "q_text_redact" -> textRedactSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,

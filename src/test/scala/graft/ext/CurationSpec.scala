@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample is deterministic, rate-bounded, and stratum-aware") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "the a of" else "zz qq"))
+      .toDF("doc_id", "text")
+    val stratum = TextAnalysis.langId(col("text"))
+    val once = Curation.stratifiedSample(docs, stratum, Map("en" -> 50), 10).collect()
+    val twice = Curation.stratifiedSample(docs, stratum, Map("en" -> 50), 10).collect()
+    assert(once.map(_.getLong(0)).sorted.sameElements(twice.map(_.getLong(0)).sorted))
+    val byStratum = once.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 500 en docs at 50% and 500 und docs at 10% — hash rates land close
+    assert(byStratum("en") > 200 && byStratum("en") < 300, byStratum)
+    assert(byStratum("und") > 20 && byStratum("und") < 90, byStratum)
+    once.foreach(r => assert(r.getLong(2) < (if (r.getString(1) == "en") 50 else 10)))
+  }
+
+  test("tf-idf ranks the rare term above the ubiquitous one") {
+    // 'common' appears in all docs (idf 1); each doc has its own rare term
+    val docs = (0L until 10L).map(i => (i, s"common common rare$i")).toDF("doc_id", "text")
+    val top = Curation.tfidfTopTerms(docs, k = 1).collect()
+    assert(top.length === 10)
+    top.foreach { r =>
+      assert(r.getString(1) === s"rare${r.getLong(0)}") // rare term wins despite tf=1 vs 2
+      assert(r.getDouble(3) === 10.0) // 1 * 10 / 1
+    }
+  }
+
+  test("PII redaction replaces emails and phones and counts them") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@x-mail.example.org today"),
+      (2L, "call 555-123-4567 or 555-999-0000"),
+      (3L, "no pii here; not-a-phone 12-345-6789 and half@domain")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+      Curation.emailCount($"text").as("ne"), Curation.phoneCount($"text").as("np"),
+      Curation.redactPii($"text").as("clean")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1L, 0L, "mail me at [EMAIL] today")))
+    assert(out(2L) === ((0L, 2L, "call [PHONE] or [PHONE]")))
+    assert(out(3L)._1 === 0L && out(3L)._2 === 0L)
+    assert(out(3L)._3 === "no pii here; not-a-phone 12-345-6789 and half@domain")
+  }
+
+  test("duplicate clusters: transitive chain collapses to one min-labeled component") {
+    // three docs share enough shingles pairwise-adjacent to chain a-b-c;
+    // d is unrelated and labels itself. 30-word base → pairwise Jaccard
+    // ≈ 0.97, so the 4x4 LSH banding finds both chain edges w.p. > 99.9%
+    val base = (0 until 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " extra"),
+      (12L, base + " extra more"),
+      (99L, "totally different words with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateClusters(docs, threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 10L && out(11L) === 10L && out(12L) === 10L)
+    assert(out(99L) === 99L)
+  }
+}
