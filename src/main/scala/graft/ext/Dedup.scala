@@ -188,32 +188,56 @@ object Dedup {
     * changing the contract. Singletons label themselves. */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.5,
       idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = minhashNearDups(docs, threshold)
       .select(col("id_a"), col("id_b"))
+    // localCheckpoint (eager) materializes AND truncates lineage. In an
+    // iterative DataFrame algorithm plain persist() is not enough: every
+    // round's logical plan embeds the previous rounds' (the self-join
+    // references double it), so analysis/codegen cost grows exponentially
+    // with iterations even though execution reads the cache. Truncating
+    // per round keeps the driver-side plan O(1) — the same hygiene
+    // GraphFrames applies. On a cluster, swap for reliable checkpoints
+    // at a coarser cadence if executor loss must be survivable mid-loop.
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .persist(lvl)
-    var labels = docs.select(col(idCol).as("id"))
-      .withColumn("lbl", col("id")).persist(lvl)
+      .localCheckpoint(true)
+    // Only nodes that appear in the pair graph iterate — loop state is
+    // O(|edges|), not O(corpus); the (overwhelming) singleton majority
+    // joins the result labeled by itself at the end, outside the loop.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
+      // neighbor-min step: lbl(v) := min(lbl(v), min over lbl(neighbors))
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nbl"))
-      val next = labels.withColumnRenamed("lbl", "old")
+      val stepped = labels.withColumnRenamed("lbl", "old")
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"),
-          col("old"))
-        .persist(lvl)
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"), col("old"))
+      // pointer-jump step: lbl(v) := lbl(lbl(v)) — labels are node ids of
+      // the same graph, so one extra self-join halves the remaining path
+      // each round: convergence in O(log diameter) rounds instead of
+      // O(diameter), which is what makes chain-shaped duplicate families
+      // (common in crawl corpora) cheap
+      val jump = stepped.select(col("lbl").as("jid"), col("id"), col("old"))
+      val lblOfLbl = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = jump.join(lblOfLbl, Seq("jid"), "left")
+        .select(col("id"), coalesce(col("jlbl"), col("jid")).as("lbl"), col("old"))
+        .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next.drop("old")
       iters += 1
+      if (sys.env.contains("GRAFT_DEBUG_CLUSTERS"))
+        System.err.println(s"[clusters] iter $iters changed=$changed t=${System.nanoTime() / 1000000}")
     }
-    edges.unpersist()
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    val connected = labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    val singletons = docs.select(col(idCol))
+      .join(connected.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("cluster_id", col(idCol))
+    connected.unionByName(singletons)
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
