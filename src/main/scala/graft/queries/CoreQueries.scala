@@ -482,6 +482,16 @@ object CoreQueries {
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join, batch twin (clicks ⋈ purchases within
+    * 30 min per user; the streaming form is EventStreams.attributionJoin,
+    * cross-checked in StreamingSpec). */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.streaming.EventStreams.attributionJoinBatch(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, Q] = Map(
     "q_s3_users" -> (qS3Users _),
@@ -513,6 +523,7 @@ object CoreQueries {
     "q_f_scalars" -> (qFScalars _),
     "q_st_window_agg" -> (qStWindowAgg _),
     "q_sessionize" -> (qSessionize _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -675,6 +686,14 @@ object CoreQueries {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us, value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""".stripMargin,
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

@@ -103,6 +103,50 @@ object EventStreams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream event-time interval join — click-to-purchase
+    * attribution: each purchase pairs with the same user's clicks at most
+    * `horizonMin` minutes older. Both inputs are watermarked and the join
+    * condition bounds each side's event time by the other's, so the state
+    * store evicts a buffered row as soon as the watermark passes its
+    * horizon: state is O(arrival rate × (delay + horizon)), never
+    * O(stream). The timestamp comparison stays on the raw event-time
+    * columns (not through unix_micros) so Spark's streaming planner can
+    * derive the state-eviction bound from the condition. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour", horizonMin: Int = 30): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("__p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    c.join(p,
+        col("user_id") === col("__p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"),
+        col("value"))
+  }
+
+  /** Batch twin of [[attributionJoin]]: same pairing, with the horizon
+    * compared in integer microseconds (exact and engine-portable — the
+    * DuckDB oracle uses epoch_us identically). Plan: one equi-join
+    * shuffle on user_id with the range condition as a post-join filter;
+    * AQE handles user skew. */
+  def attributionJoinBatch(clicks: DataFrame, purchases: DataFrame,
+      horizonMin: Int = 30): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("__p_user"), col("ts").as("purchase_ts"), col("value"))
+    val lag = unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))
+    c.join(p, col("user_id") === col("__p_user") &&
+        lag.between(lit(0L), lit(horizonMin * 60L * 1000000L)))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        lag.as("lag_us"), col("value"))
+  }
+
   /** Batch sessionization — gaps-and-islands with window functions, the
     * declarative equivalent of [[sessionizeStream]] over finite input
     * (every session closed). One shuffle on user_id; the running session

@@ -107,6 +107,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch twin and drops out-of-horizon purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.attributionJoin(
+      clicks.toDF(), purchases.toDF(), delay = "10 minutes", horizonMin = 30)
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      val cRows = Seq(
+        Event(1L, 7L, ts("2024-01-01 10:00:00"), "click", 0.0),
+        Event(2L, 7L, ts("2024-01-01 11:00:00"), "click", 0.0),
+        Event(3L, 8L, ts("2024-01-01 10:00:00"), "click", 0.0))
+      val pRows = Seq(
+        Event(10L, 7L, ts("2024-01-01 10:20:00"), "purchase", 5.0), // joins click 1
+        Event(11L, 7L, ts("2024-01-01 11:29:00"), "purchase", 7.0), // joins click 2
+        Event(12L, 8L, ts("2024-01-01 12:00:00"), "purchase", 9.0)) // out of horizon
+      clicks.addData(cRows: _*)
+      purchases.addData(pRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("user_id", "click_id", "purchase_id", "lag_us", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got === Set(
+        (7L, 1L, 10L, 20L * 60 * 1000000, 5.0),
+        (7L, 2L, 11L, 29L * 60 * 1000000, 7.0)))
+
+      // batch twin over the same finite input produces the same pairs
+      val batch = EventStreams.attributionJoinBatch(
+        cRows.toDF(), pRows.toDF(), horizonMin = 30).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
     val dir = Files.createTempDirectory("graft-stream")
     val in = dir.resolve("in"); Files.createDirectories(in)
