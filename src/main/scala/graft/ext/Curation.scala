@@ -60,6 +60,34 @@ object Curation {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Token-budget document chunking: each doc explodes into windows of
+    * `chunkSize` whitespace tokens advancing by `stride` (overlap =
+    * chunkSize - stride), the shape sequence-packing pipelines feed to
+    * tokenizers. One Generate (explode) — no shuffle; 100 TB chunks at
+    * scan speed. Chunk count uses floor((n - C + S - 1)/S) + 1 — double
+    * division of exact small ints, identically rounded in both engines
+    * (ceil-free on purpose). Empty docs yield no chunks. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val n = col("n")
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + (stride - 1)).cast("double") / stride)
+        .cast("long") + 1L)
+    val start = (col("chunk_id") * stride).cast("int") + 1
+    val len = least(lit(chunkSize), n - col("chunk_id") * stride).cast("int")
+    docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"), size(col("ws")).cast("long").as("n"))
+      .filter(n > 0)
+      .select(col(idCol), n, col("ws"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        len.cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), start, len)).as("chunk_text"))
+  }
+
   /** PII patterns kept to the syntax subset Java regex and RE2 (DuckDB)
     * interpret identically: explicit classes, no lookaround, `[0-9]`
     * over `\d`. */

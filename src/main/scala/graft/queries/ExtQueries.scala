@@ -93,6 +93,9 @@ object ExtQueries {
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(docs(s, dir), threshold = 0.5)
 
+  def qTextChunks(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkTokens(docs(s, dir), chunkSize = 64, stride = 48)
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -138,6 +141,7 @@ object ExtQueries {
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_text_chunks" -> (qTextChunks _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
@@ -347,6 +351,23 @@ object ExtQueries {
        |    '${Curation.phoneRegex}', '[PHONE]', 'g') AS clean_text
        |FROM t""".stripMargin
 
+  /** Token-window chunking mirroring Curation.chunkTokens (C=64, S=48);
+    * chunk-count arithmetic is the same ceil-free double division. */
+  private val textChunksSql =
+    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents),
+       |m AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+       |k AS (SELECT doc_id, ws, n,
+       |  CASE WHEN n <= 64 THEN 1
+       |       ELSE CAST(floor(CAST(n - 64 + 47 AS DOUBLE) / 48) AS BIGINT) + 1 END AS n_chunks
+       |  FROM m),
+       |c AS (SELECT doc_id, n, ws, unnest(range(0, n_chunks)) AS chunk_id FROM k)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(
+       |    ws[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(least(chunk_id * 48 + 64, n) AS BIGINT)],
+       |    ' ') AS chunk_text
+       |FROM c""".stripMargin
+
   /** Connected components over the MinHash near-dup pairs: recursive
     * transitive closure, component label = min reachable doc id — the
     * declarative twin of Dedup.duplicateClusters' label propagation. */
@@ -532,6 +553,7 @@ object ExtQueries {
     "q_text_tfidf" -> textTfidfSql,
     "q_text_redact" -> textRedactSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_text_chunks" -> textChunksSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,

@@ -48,6 +48,22 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._3 === "no pii here; not-a-phone 12-345-6789 and half@domain")
   }
 
+  test("token chunking: window/stride math, overlap, and tails") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 2 chunks
+      (2L, "a b c"),                                    // under one window
+      (3L, "")                                          // no chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, chunkSize = 64, stride = 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.size === 3)
+    assert(out((1L, 0L))._1 === 64L)
+    assert(out((1L, 0L))._2.startsWith("t1 ") && out((1L, 0L))._2.endsWith(" t64"))
+    assert(out((1L, 1L))._1 === 52L) // tokens 49..100, overlap of 16
+    assert(out((1L, 1L))._2.startsWith("t49 ") && out((1L, 1L))._2.endsWith(" t100"))
+    assert(out((2L, 0L)) === ((3L, "a b c")))
+  }
+
   test("duplicate clusters: transitive chain collapses to one min-labeled component") {
     // three docs share enough shingles pairwise-adjacent to chain a-b-c;
     // d is unrelated and labels itself. 30-word base → pairwise Jaccard
