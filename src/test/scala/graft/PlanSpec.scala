@@ -91,4 +91,34 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_j5_semi").contains("LeftSemi"))
     assert(plan("q_j5_anti").contains("LeftAnti"))
   }
+
+  test("stratified sample adds no shuffle beyond the input spread") {
+    val p = plan("q_sample_stratified")
+    // docs() repartitions the single-split testdata once; the sampling
+    // decision itself is a pure projection + filter — any further
+    // Exchange means the operator stopped being scan-shaped
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"sampling gained a shuffle ($exchanges)\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("chunking is a pure Generate — no shuffle, no join") {
+    val p = plan("q_text_chunks")
+    assert(p.contains("Generate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"chunking gained a shuffle ($exchanges)\n$p")
+  }
+
+  test("tf-idf: corpus count broadcasts; no global sort for the per-doc top-k") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the rank window partitions by doc — a global Sort would only appear
+    // via Window with no partitioning
+    assert(!p.contains("No Partition Defined"), p)
+  }
+
+  test("stream-join batch twin shuffles both sides on user_id once (no BNLJ)") {
+    val p = plan("q_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
