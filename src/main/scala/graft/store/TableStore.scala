@@ -75,6 +75,37 @@ class TableStore(spark: SparkSession, baseDir: String) {
   def deleteWhere(name: String, schema: StructType, cond: org.apache.spark.sql.Column): Unit =
     if (exists(name)) overwrite(name, read(name).filter(!cond || cond.isNull))
 
+  /** Small-file compaction: rewrite the table into ~`targetBytes` output
+    * files (computed from the current on-disk size — a directory listing,
+    * not a data scan). Streaming sinks and partition-scoped SCD2 rewrites
+    * accrete small files; at 100 TB unmerged small files dominate task
+    * scheduling and NameNode/listing cost, so periodic compaction is part
+    * of the table lifecycle. Atomic via the same temp-then-swap as
+    * [[overwrite]]. Hive-partitioned layouts keep their partition column
+    * (repartitioned WITHIN each partition value so pruning survives). */
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    if (!exists(name)) return
+    val size = Files.walk(Paths.get(path(name))).mapToLong(p =>
+      if (Files.isRegularFile(p)) Files.size(p) else 0L).sum()
+    val nFiles = math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
+    val df = read(name)
+    val tmp = Paths.get(path(s"$name.tmp"))
+    deleteRecursively(tmp)
+    if (partitionCols.isEmpty)
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    else
+      df.repartition(nFiles, partitionCols.map(df.col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+        .parquet(tmp.toString)
+    val live = Paths.get(path(name))
+    val old = Paths.get(path(s"$name.old"))
+    deleteRecursively(old)
+    if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -1,0 +1,49 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Seq[String] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+
+  test("compact merges small files, preserves rows, and stays atomic") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+    // accrete 5 appends x 8 files of tiny data — the streaming-sink shape
+    (0 until 5).foreach { i =>
+      store.append("t", (0L until 200L).map(j => (i * 200L + j, s"v$j"))
+        .toDF("k", "v").repartition(8))
+    }
+    assert(parquetFiles(store.path("t")).size >= 40)
+    store.compact("t", targetBytes = 10L * 1024 * 1024)
+    val after = parquetFiles(store.path("t"))
+    assert(after.size <= 2, s"expected merged files, got ${after.size}")
+    assert(store.read("t").count() === 1000)
+    assert(!Files.exists(Paths.get(store.path("t.tmp"))))
+    assert(!Files.exists(Paths.get(store.path("t.old"))))
+  }
+
+  test("compact keeps hive partitioning (pruning survives)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+    (0 until 3).foreach { _ =>
+      store.appendPartitioned("p",
+        (0L until 90L).map(j => (j, s"d${j % 3}")).toDF("k", "dev").repartition(6),
+        Seq("dev"))
+    }
+    store.compact("p", targetBytes = 10L * 1024 * 1024, partitionCols = Seq("dev"))
+    val dirs = Files.list(Paths.get(store.path("p"))).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(dirs === Set("dev=d0", "dev=d1", "dev=d2"))
+    assert(store.read("p").count() === 270)
+    // each partition dir collapsed to a small number of files
+    dirs.foreach { d =>
+      assert(parquetFiles(s"${store.path("p")}/$d").size <= 3, d)
+    }
+  }
+}
