@@ -60,6 +60,21 @@ object Curation {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic k-per-group sample: md5-hash-order row_number within
+    * each stratum — the reproducible "k examples per language" pull.
+    * One shuffle on the stratum; the window is partitioned, so no global
+    * funnel. Skewed strata (one language dominating a corpus) are the
+    * known hazard — for eyeball-sized k the per-partition top-k stays
+    * tiny, and a rate-based [[stratifiedSample]] is the volume path. */
+  def samplePerGroup(docs: DataFrame, stratum: Column, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(hexInt(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), stratum.as("stratum"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Token-budget document chunking: each doc explodes into windows of
     * `chunkSize` whitespace tokens advancing by `stride` (overlap =
     * chunkSize - stride), the shape sequence-packing pipelines feed to

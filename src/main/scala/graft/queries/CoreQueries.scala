@@ -482,6 +482,20 @@ object CoreQueries {
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** W3: event-time RANGE-frame window — per-user moving 1-hour sum and
+    * count. The frame is value-based over integer microseconds, so tied
+    * timestamps are peers in both engines and the result is independent
+    * of tie order. Partitioned window — no global funnel. */
+  def qW3MovingRange(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(col("user_id"), col("event_id"),
+      round(sum(col("value")).over(w), 2).as("sum_1h"),
+      count(lit(1)).over(w).cast("long").as("n_1h"))
+  }
+
   /** Stream-stream interval join, batch twin (clicks ⋈ purchases within
     * 30 min per user; the streaming form is EventStreams.attributionJoin,
     * cross-checked in StreamingSpec). */
@@ -524,6 +538,7 @@ object CoreQueries {
     "q_st_window_agg" -> (qStWindowAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_w3_moving_range" -> (qW3MovingRange _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -686,6 +701,14 @@ object CoreQueries {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_w3_moving_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events)
+        |SELECT user_id, event_id,
+        |  round(SUM(value) OVER (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS sum_1h,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+        |FROM e""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),

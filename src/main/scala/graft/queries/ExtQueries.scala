@@ -96,6 +96,10 @@ object ExtQueries {
   def qTextChunks(s: SparkSession, dir: String): DataFrame =
     Curation.chunkTokens(docs(s, dir), chunkSize = 64, stride = 48)
 
+  /** Three reproducible example docs per language stratum. */
+  def qSamplePerGroup(s: SparkSession, dir: String): DataFrame =
+    Curation.samplePerGroup(docs(s, dir), TextAnalysis.langId(col("text")), k = 3)
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -142,6 +146,7 @@ object ExtQueries {
     "q_text_redact" -> (qTextRedact _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
+    "q_sample_per_group" -> (qSamplePerGroup _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
@@ -351,6 +356,16 @@ object ExtQueries {
        |    '${Curation.phoneRegex}', '[PHONE]', 'g') AS clean_text
        |FROM t""".stripMargin
 
+  /** k-per-group sample mirroring Curation.samplePerGroup (k=3, md5-hash
+    * order with id tiebreak). */
+  private val samplePerGroupSql =
+    s"""WITH $langCtes,
+       |r AS (SELECT doc_id, lang_id AS stratum,
+       |  ROW_NUMBER() OVER (PARTITION BY lang_id
+       |    ORDER BY ${hexIntSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+       |  FROM lang)
+       |SELECT doc_id, stratum, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   /** Token-window chunking mirroring Curation.chunkTokens (C=64, S=48);
     * chunk-count arithmetic is the same ceil-free double division. */
   private val textChunksSql =
@@ -554,6 +569,7 @@ object ExtQueries {
     "q_text_redact" -> textRedactSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
+    "q_sample_per_group" -> samplePerGroupSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,
