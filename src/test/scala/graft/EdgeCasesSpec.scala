@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Curation, Dedup, TextAnalysis}
 import graft.model.{Scd2Config, Schemas}
 import graft.ops.AsofJoin
 import graft.scd2.Historizer
@@ -59,6 +59,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(r.getString(2) === "und")
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     assert(!r.isNullAt(4)) // whole-text hash fallback
+  }
+
+  test("curation operators on empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.chunkTokens(empty).count() === 0)
+    assert(Curation.tfidfTopTerms(empty).count() === 0)
+    assert(Curation.stratifiedSample(empty,
+      TextAnalysis.langId(col("text")), Map("en" -> 50), 20).count() === 0)
+    assert(Curation.samplePerGroup(empty,
+      TextAnalysis.langId(col("text")), 3).count() === 0)
+    assert(Dedup.duplicateClusters(empty).count() === 0)
+
+    // blank docs: no chunks, no terms; redaction passes blanks through
+    val blanks = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(Curation.chunkTokens(blanks).count() === 0)
+    assert(Curation.tfidfTopTerms(blanks).count() === 0)
+    val red = blanks.select(Curation.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(red.toSet === Set("", "   "))
+    // a corpus with no near-dup pairs: every doc is its own cluster
+    val solo = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.duplicateClusters(solo).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 2L))
   }
 
   test("as-of join with an empty right side keeps all left rows with nulls") {
