@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.SparkSpec
+
+/** ScalaCheck properties for the curation operators: for ANY corpus —
+  *   1. chunking reconstructs every document exactly (stride-advanced
+  *      windows cover all tokens; de-overlapped concat = original);
+  *   2. every chunk except a short tail carries chunkSize tokens;
+  *   3. stratified sampling is a subset, is deterministic, and respects
+  *      the per-stratum bucket bound;
+  *   4. tf-idf emits ≤ k rows per doc with rnk a prefix 1..m and scores
+  *      non-increasing in rank order.
+  */
+class CurationPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.choose(0, 150)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "the", "of"))
+  } yield ws.mkString(" ")
+
+  private val genCorpus: Gen[List[String]] =
+    Gen.choose(1, 12).flatMap(Gen.listOfN(_, genDoc))
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("chunking covers every token exactly; full windows except the tail") {
+    val C = 16
+    val S = 12
+    check(Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = Curation.chunkTokens(docs, C, S).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val cs = chunks.getOrElse(i.toLong, Array.empty)
+        if (toks.isEmpty) cs.isEmpty
+        else {
+          // de-overlap: first chunk whole, then drop the C-S overlap
+          val rebuilt = cs.zipWithIndex.flatMap { case ((_, _, _, txt), j) =>
+            val ws = txt.split(" ")
+            if (j == 0) ws else ws.drop(C - S)
+          }
+          val fullWindows = cs.dropRight(1).forall(_._3 == C)
+          rebuilt.sameElements(toks) && fullWindows &&
+            cs.head._2 == 0L && cs.map(_._2).sameElements(cs.indices.map(_.toLong))
+        }
+      }
+    })
+  }
+
+  test("stratified sample: subset, deterministic, bucket-bounded") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val stratum = TextAnalysis.langId(col("text"))
+      def run() = Curation.stratifiedSample(docs, stratum, Map("en" -> 60), 30)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val a = run()
+      val b = run()
+      a.sortBy(_._1).sameElements(b.sortBy(_._1)) &&
+        a.forall { case (id, s, bucket) =>
+          id >= 0 && id < texts.size &&
+            bucket < (if (s == "en") 60 else 30)
+        }
+    })
+  }
+
+  test("tf-idf: ≤ k rows per doc, rnk prefix, scores non-increasing") {
+    val k = 3
+    check(Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val byDoc = Curation.tfidfTopTerms(docs, k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4)))
+        .groupBy(_._1)
+      byDoc.values.forall { rows =>
+        val sorted = rows.sortBy(_._4)
+        sorted.length <= k &&
+          sorted.map(_._4).sameElements((1 to sorted.length).map(_.toLong)) &&
+          sorted.sliding(2).forall {
+            case Array(hi, lo) => hi._3 >= lo._3 || (hi._3 == lo._3 && hi._2 <= lo._2)
+            case _ => true
+          }
+      }
+    })
+  }
+}
