@@ -147,6 +147,15 @@ object EventStreams {
         lag.as("lag_us"), col("value"))
   }
 
+  /** Stream-static enrichment: a static dimension joins every micro-batch
+    * with NO streaming state — the static side re-resolves per batch (so
+    * a refreshed dim table is picked up) and broadcasts when small. This
+    * is the third streaming join form next to [[attributionJoin]]
+    * (stream-stream) and the foreachBatch SCD2 sink (stream-to-table). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Batch sessionization — gaps-and-islands with window functions, the
     * declarative equivalent of [[sessionizeStream]] over finite input
     * (every session closed). One shuffle on user_id; the running session

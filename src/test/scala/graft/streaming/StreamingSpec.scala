@@ -144,6 +144,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim per micro-batch without state") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[Event]
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrichStream(events.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        Event(1L, 7L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Event(2L, 8L, ts("2024-01-01 10:01:00"), "view", 2.0),
+        Event(3L, 9L, ts("2024-01-01 10:02:00"), "click", 3.0)) // no dim row → dropped
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got === Set(1L -> "gold", 2L -> "basic"))
+    } finally q.stop()
+  }
+
   test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
     val dir = Files.createTempDirectory("graft-stream")
     val in = dir.resolve("in"); Files.createDirectories(in)
