@@ -240,6 +240,26 @@ object Dedup {
     connected.unionByName(singletons)
   }
 
+  /** Cross-modal dedup verification: MinHash text near-dup pairs scored
+    * against the documents' embedding cosine — textual duplicates whose
+    * embeddings disagree (template pages, boilerplate collisions) and
+    * vice versa are exactly the pairs a curation pipeline wants a human
+    * (or a stronger model) to arbitrate. Pairs stream through two hash
+    * joins against the embedding table; nothing quadratic. */
+  def crossModalNearDups(docs: DataFrame, emb: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    minhashNearDups(docs, threshold)
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nv").as("na")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nv").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("cos"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
     * 8-bit band equality (any of 4 bands equal ⇒ candidate — guarantees
     * recall for distance ≤ 3 by pigeonhole). */

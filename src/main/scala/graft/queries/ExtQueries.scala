@@ -96,6 +96,10 @@ object ExtQueries {
   def qTextChunks(s: SparkSession, dir: String): DataFrame =
     Curation.chunkTokens(docs(s, dir), chunkSize = 64, stride = 48)
 
+  /** Text near-dup pairs cross-checked by embedding cosine. */
+  def qDedupCrossmodal(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossModalNearDups(docs(s, dir), emb(s, dir), threshold = 0.5)
+
   /** Three reproducible example docs per language stratum. */
   def qSamplePerGroup(s: SparkSession, dir: String): DataFrame =
     Curation.samplePerGroup(docs(s, dir), TextAnalysis.langId(col("text")), k = 3)
@@ -147,6 +151,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
     "q_sample_per_group" -> (qSamplePerGroup _),
+    "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
@@ -355,6 +360,18 @@ object ExtQueries {
        |  regexp_replace(regexp_replace(t, '${Curation.emailRegex}', '[EMAIL]', 'g'),
        |    '${Curation.phoneRegex}', '[PHONE]', 'g') AS clean_text
        |FROM t""".stripMargin
+
+  /** Cross-modal verification: the MinHash pair chain joined to embedding
+    * cosines (same rounded-cosine arithmetic as the similarity oracles). */
+  private val dedupCrossmodalSql =
+    s"""WITH p AS ($dedupMinhashSql),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM e)
+       |SELECT id_a, id_b, jaccard,
+       |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |        / (a.nv * b.nv), 6) AS cos
+       |FROM p JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b""".stripMargin
 
   /** k-per-group sample mirroring Curation.samplePerGroup (k=3, md5-hash
     * order with id tiebreak). */
@@ -570,6 +587,7 @@ object ExtQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
     "q_sample_per_group" -> samplePerGroupSql,
+    "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,
