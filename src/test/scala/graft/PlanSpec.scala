@@ -121,4 +121,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_stream_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("cross-modal verification streams pairs through hash joins (nothing quadratic)") {
+    val p = plan("q_dedup_crossmodal")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
