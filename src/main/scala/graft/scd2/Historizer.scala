@@ -77,7 +77,12 @@ object Historizer {
     * by the natural keys — at 100 TB the target side is pre-filtered to
     * `da_current_flag='Y'` before the shuffle, and AQE handles skew.
     */
-  def deltaDetect(src: DataFrame, tgt: DataFrame, conf: Scd2Config): DataFrame = {
+  /** `marksFrom`: where the surrogate high-water marks aggregate from.
+    * Defaults to `tgt`; the partitioned apply passes the FULL target here
+    * while pruning `tgt` itself to the buckets the batch can touch —
+    * marks must be global even when the join side is pruned. */
+  def deltaDetect(src: DataFrame, tgt: DataFrame, conf: Scd2Config,
+      marksFrom: Option[DataFrame] = None): DataFrame = {
     val (akCol, keyCol) = discoverAkKeyCols(tgt.columns.toSeq)
     val dCols = deltaColumns(src.columns.toSeq, conf)
     val nk = conf.naturalKeys
@@ -102,7 +107,7 @@ object Historizer {
         when(insertCond, "I").when(updateCond, "U").otherwise("NC").as("upsert_cd"): _*)
 
     // cross-join high-water marks (:37-40, :89-90): 1-row side → broadcast
-    val maxVals = tgt.agg(
+    val maxVals = marksFrom.getOrElse(tgt).agg(
       coalesce(max(col(keyCol)), lit(0L)).cast("long").as("max_key"),
       coalesce(max(col(akCol)), lit(0L)).cast("long").as("max_ak"))
     classified.crossJoin(broadcast(maxVals))
@@ -248,9 +253,20 @@ object Historizer {
   def applyScd2Partitioned(src: DataFrame, tgtStored: DataFrame,
       conf: Scd2Config, now: Timestamp): DataFrame = {
     val tgt = tgtStored.drop("nk_bucket")
-    val delta = deltaDetect(src, tgt, conf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketOf = nkBucket(conf.naturalKeys, conf.targetBuckets)
+    // Prune the delta-detect JOIN side to the buckets the batch's natural
+    // keys hash into (equal keys hash to equal buckets, so no match is
+    // lost; target-only rows classify NC, which nothing downstream
+    // consumes). This turns the per-batch full-outer shuffle from
+    // O(current target slice) into O(batch-touched bucket slice) — at
+    // 100 TB the difference between scanning the table and scanning a
+    // few buckets. Marks still aggregate over the FULL target.
+    val srcBuckets = src.filter(col("load_key") === lit(conf.loadKey))
+      .select(bucketOf.as("__b")).distinct().collect().map(_.getInt(0)).toSeq
+    val tgtPruned = tgtStored.filter(col("nk_bucket").isin(srcBuckets: _*))
+      .drop("nk_bucket")
+    val delta = deltaDetect(src, tgtPruned, conf, marksFrom = Some(tgt))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ≤ targetBuckets distinct values — metadata-scale collect, and the
     // literal IN list lets the touched-bucket filter prune partitions at
     // the parquet scan

@@ -48,7 +48,9 @@ class Scd2PartitionSpec extends SparkSpec {
     }
 
     apply(batch(1L, _ => "60.0"), now1, 1L)
-    val tgt1 = store.read(name)
+    // eager snapshot: the second apply rewrites files underneath a lazy
+    // reader, so pin batch-1's target content now
+    val tgt1 = store.read(name).localCheckpoint(true)
     assert(tgt1.count() === 40)
     val nBuckets1 = tgt1.select("nk_bucket").distinct().count()
     assert(nBuckets1 > 1, "fixture must spread over multiple buckets")
@@ -84,6 +86,18 @@ class Scd2PartitionSpec extends SparkSpec {
     assert(dev7.count() === 2)
     assert(dev7.filter($"da_current_flag" === "Y")
       .select("humidity").first().getString(0) === "99.9")
+    // pruned-join equivalence: the partitioned apply (join side pruned to
+    // the batch's buckets) must produce exactly the full apply's rows for
+    // the touched buckets
+    val full = Historizer.applyScd2(
+        batch(2L, i => if (i == 7) "99.9" else "60.0"),
+        tgt1.drop("nk_bucket"), conf.copy(loadKey = 2L), now2)
+      .withColumn("nk_bucket", Historizer.nkBucket(conf.naturalKeys, conf.targetBuckets))
+      .filter($"nk_bucket" === changedBucket)
+    val partitioned = tgt2.filter($"nk_bucket" === changedBucket)
+    assert(full.collect().map(_.toString).sorted
+      .sameElements(partitioned.collect().map(_.toString).sorted))
+
     // NC-only batch: nothing touched, every file byte-identical
     apply(batch(3L, i => if (i == 7) "99.9" else "60.0"),
       Timestamp.valueOf("2024-03-05 00:00:00"), 3L)
