@@ -109,6 +109,14 @@ object Curation {
   val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRegex = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** Canonical text normalization for dedup/tokenizer front-ends:
+    * lowercase, collapse all whitespace runs to single spaces, trim.
+    * Pure projection — zero shuffle. Kept to transforms both engines
+    * implement identically (no Unicode case folding — ASCII-safe
+    * lower()). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Redact emails then phone numbers — pure projections, zero shuffle:
     * a 100 TB redaction pass is scan-speed. */
   def redactPii(text: Column): Column =

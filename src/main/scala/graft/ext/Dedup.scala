@@ -240,6 +240,18 @@ object Dedup {
     connected.unionByName(singletons)
   }
 
+  /** Incremental dedup: documents NOT already present (by content digest)
+    * in a known corpus — the "what's new since the last training run"
+    * gate. Digest-keyed LEFT ANTI join: both sides shuffle 32-byte
+    * digests, never text; the known side is typically the larger and
+    * stays where it is. */
+  def novelAgainst(docs: DataFrame, known: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), md5(col(textCol)).as("__d"))
+    val k = known.select(md5(col(textCol)).as("__d"))
+    d.join(k, Seq("__d"), "left_anti").select(col(idCol))
+  }
+
   /** Cross-modal dedup verification: MinHash text near-dup pairs scored
     * against the documents' embedding cosine — textual duplicates whose
     * embeddings disagree (template pages, boilerplate collisions) and

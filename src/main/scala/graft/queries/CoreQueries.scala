@@ -496,6 +496,23 @@ object CoreQueries {
       count(lit(1)).over(w).cast("long").as("n_1h"))
   }
 
+  /** A4: exact per-group median by order statistics — the value at
+    * position (n+1)/2 of the (value, id)-ordered group. No interpolation
+    * arithmetic (interpolated quantiles aren't identically rounded across
+    * engines); the id tiebreak pins the position, and equal values around
+    * the median make the answer tie-order independent. One partitioned
+    * window — no global funnel. */
+  def qA4Median(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("value").as("median_value"))
+  }
+
   /** Stream-stream interval join, batch twin (clicks ⋈ purchases within
     * 30 min per user; the streaming form is EventStreams.attributionJoin,
     * cross-checked in StreamingSpec). */
@@ -539,6 +556,7 @@ object CoreQueries {
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_w3_moving_range" -> (qW3MovingRange _),
+    "q_a4_median" -> (qA4Median _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -701,6 +719,11 @@ object CoreQueries {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_a4_median" ->
+      """WITH r AS (SELECT event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM events)
+        |SELECT event_type, value AS median_value FROM r WHERE rn = (n + 1) // 2""".stripMargin,
     "q_w3_moving_range" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events)
         |SELECT user_id, event_id,

@@ -96,6 +96,19 @@ object ExtQueries {
   def qTextChunks(s: SparkSession, dir: String): DataFrame =
     Curation.chunkTokens(docs(s, dir), chunkSize = 64, stride = 48)
 
+  /** Incremental "what's new" gate: docs whose content digest is absent
+    * from the simulated known corpus (doc_id < 100 stands in for the
+    * previously-trained set; exact copies of known docs drop out). */
+  def qDedupNovel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.novelAgainst(d, d.filter(col("doc_id") < 100))
+  }
+
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      Curation.normalizeText(col("text")).as("norm_text"),
+      length(Curation.normalizeText(col("text"))).cast("long").as("norm_len"))
+
   /** Text near-dup pairs cross-checked by embedding cosine. */
   def qDedupCrossmodal(s: SparkSession, dir: String): DataFrame =
     Dedup.crossModalNearDups(docs(s, dir), emb(s, dir), threshold = 0.5)
@@ -152,6 +165,8 @@ object ExtQueries {
     "q_text_chunks" -> (qTextChunks _),
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
+    "q_dedup_novel" -> (qDedupNovel _),
+    "q_text_normalize" -> (qTextNormalize _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
@@ -373,6 +388,16 @@ object ExtQueries {
        |        / (a.nv * b.nv), 6) AS cos
        |FROM p JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b""".stripMargin
 
+  private val dedupNovelSql =
+    """SELECT doc_id FROM documents
+      |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)""".stripMargin
+
+  private val textNormalizeSql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+      |FROM documents""".stripMargin
+
   /** k-per-group sample mirroring Curation.samplePerGroup (k=3, md5-hash
     * order with id tiebreak). */
   private val samplePerGroupSql =
@@ -588,6 +613,8 @@ object ExtQueries {
     "q_text_chunks" -> textChunksSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
+    "q_dedup_novel" -> dedupNovelSql,
+    "q_text_normalize" -> textNormalizeSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,
