@@ -109,6 +109,23 @@ object ExtQueries {
       Curation.normalizeText(col("text")).as("norm_text"),
       length(Curation.normalizeText(col("text"))).cast("long").as("norm_len"))
 
+  /** The end-to-end curation funnel — normalize → quality gate →
+    * language gate → exact-dedup canonical → token count — composed from
+    * the standalone operators exactly as a user would chain them. Every
+    * stage is a projection or one digest-keyed shuffle; the funnel's
+    * selectivity compounds, so downstream stages see a shrinking slice. */
+  def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val normalized = docs(s, dir).select(col("doc_id"),
+      Curation.normalizeText(col("text")).as("text"))
+    val gated = normalized.filter(
+      TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+      TextAnalysis.langId(col("text")) === "en")
+    val canon = Dedup.exact(gated, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    gated.join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
+  }
+
   /** Text near-dup pairs cross-checked by embedding cosine. */
   def qDedupCrossmodal(s: SparkSession, dir: String): DataFrame =
     Dedup.crossModalNearDups(docs(s, dir), emb(s, dir), threshold = 0.5)
@@ -167,6 +184,7 @@ object ExtQueries {
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
+    "q_curation_funnel" -> (qCurationFunnel _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
@@ -392,6 +410,31 @@ object ExtQueries {
     """SELECT doc_id FROM documents
       |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)""".stripMargin
 
+  /** Full funnel oracle: same normalize → quality/lang gates (rounded
+    * quality BEFORE the threshold, en-priority tie rule) → min-id per
+    * digest → BPE-ish token count. */
+  private val curationFunnelSql: String = {
+    val hits = Seq("en", "es", "fr", "de").map(l =>
+      s"len(list_filter(wl, x -> list_contains(${stopLists(l)}, x))) AS h_$l")
+      .mkString(",\n  ")
+    s"""WITH norm AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text FROM documents),
+       |d AS (SELECT doc_id, text, ${wordsSqlOf("text")} AS ws,
+       |  ${wordsSqlOf("lower(text)")} AS wl FROM norm),
+       |h AS (SELECT doc_id, text, ws, $hits FROM d),
+       |gated AS (SELECT doc_id, text FROM h
+       |  WHERE round(0.4 * least(length(text) / 500.0, 1.0)
+       |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       |                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       |      + 0.3 * least((h_en / greatest(CAST(len(ws) AS DOUBLE), 1.0)) * 3.0, 1.0),
+       |    4) >= 0.5
+       |    AND h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de)),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+       |SELECT g.doc_id,
+       |  CAST(len(regexp_extract_all(g.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
+       |FROM gated g JOIN canon USING (doc_id)""".stripMargin
+  }
+
   private val textNormalizeSql =
     """SELECT doc_id,
       |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
@@ -615,6 +658,7 @@ object ExtQueries {
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,
+    "q_curation_funnel" -> curationFunnelSql,
     "q_sim_topk" -> simTopKSql,
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,
