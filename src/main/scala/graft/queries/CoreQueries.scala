@@ -513,6 +513,16 @@ object CoreQueries {
       .select(col("event_type"), col("value").as("median_value"))
   }
 
+  /** A5: fixed-width histogram of a numeric column — the data-QA
+    * distribution scan. Bucket = floor(value/width): integer-exact in
+    * both engines (value ≥ 0 in this data; floor keeps negatives sane
+    * too). One partial+final aggregate, no sort. */
+  def qA5Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Stream-stream interval join, batch twin (clicks ⋈ purchases within
     * 30 min per user; the streaming form is EventStreams.attributionJoin,
     * cross-checked in StreamingSpec). */
@@ -557,6 +567,7 @@ object CoreQueries {
     "q_stream_join" -> (qStreamJoin _),
     "q_w3_moving_range" -> (qW3MovingRange _),
     "q_a4_median" -> (qA4Median _),
+    "q_a5_histogram" -> (qA5Histogram _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -719,6 +730,9 @@ object CoreQueries {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(SUM(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q_a5_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_a4_median" ->
       """WITH r AS (SELECT event_type, value,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -64,6 +64,19 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, 0L)) === ((3L, "a b c")))
   }
 
+  test("normalizeText collapses whitespace and lowercases; novelAgainst gates on content") {
+    val n = Seq("  Foo\t\tBar \n baz  ").toDF("text")
+      .select(Curation.normalizeText(col("text"))).first().getString(0)
+    assert(n === "foo bar baz")
+    val docs = Seq((1L, "same text"), (2L, "brand new"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val known = Seq((99L, "same text")).toDF("doc_id", "text")
+    val novel = Dedup.novelAgainst(docs, known).collect().map(_.getLong(0)).toSet
+    assert(novel === Set(2L)) // both copies of the known text drop
+    val emptyKnown = known.filter(lit(false))
+    assert(Dedup.novelAgainst(docs, emptyKnown).count() === 3)
+  }
+
   test("duplicate clusters: transitive chain collapses to one min-labeled component") {
     // three docs share enough shingles pairwise-adjacent to chain a-b-c;
     // d is unrelated and labels itself. 30-word base → pairwise Jaccard
