@@ -122,18 +122,25 @@ class Pipeline(spark: SparkSession, store: TableStore,
       sleep: Long => Unit = Thread.sleep): RunResult = {
     var attempt = 0
     while (true) {
+      // snapshot the latest load key BEFORE the attempt: rollback (and the
+      // Failed stamp) may only touch an entry THIS attempt minted — a
+      // pre-existing Failed entry from an earlier exhausted run must keep
+      // blocking the gate until a human intervenes, and a gate refusal
+      // creates nothing to roll back
+      val before = ctl.prevRunDetails(interfaceCd).map(_._3)
       try return run(treePath, deviceId, now)
       catch {
         case scala.util.control.NonFatal(e) =>
-          val failed = ctl.prevRunDetails(interfaceCd).filter(_._1 != "Success")
+          val minted = ctl.prevRunDetails(interfaceCd)
+            .filter(d => d._1 != "Success" && !before.contains(d._3))
           if (attempt >= retries) {
-            failed.foreach { case (_, _, key) =>
+            minted.foreach { case (_, _, key) =>
               ctl.updateStatus(interfaceCd, key, "Failed", now)
             }
             throw e
           }
           attempt += 1
-          failed.foreach { case (_, _, key) => rollbackAttempt(key) }
+          minted.foreach { case (_, _, key) => rollbackAttempt(key) }
           sleep(retryDelayMs)
       }
     }

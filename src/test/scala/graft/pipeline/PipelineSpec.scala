@@ -101,6 +101,18 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       pipe.run(fixture, dev, Timestamp.valueOf("2024-03-04 11:00:00"))
     }
+
+    // a LATER runWithRetry against the exhausted state must NOT erase the
+    // Failed entry to sneak past the gate — it refuses identically
+    failuresLeft = 0
+    val failedKey = ctl.prevRunDetails("001").get._3
+    intercept[IllegalArgumentException] {
+      pipe.runWithRetry(fixture, dev,
+        Timestamp.valueOf("2024-03-05 11:00:00"), retries = 1,
+        retryDelayMs = 1L, sleep = _ => ())
+    }
+    assert(ctl.prevRunDetails("001").get._1 == "Failed")
+    assert(ctl.prevRunDetails("001").get._3 == failedKey)
   }
 
   test("re-run with epoch threshold: every row absorbs as NC, target stable") {
