@@ -104,6 +104,22 @@ object Multimodal {
       .withColumn("frame_id",
         md5(concat(col("media_id").cast("string"), lit(":"), col("frame_ms").cast("string"))))
 
+  /** Audio analysis windows: one row per overlapping window (`hopMs`
+    * apart, `windowMs` long, truncated at the clip end) with the sample
+    * count a feature extractor would read. Declarative explode like
+    * [[sampleFrames]] — codegen generator, no shuffle. floor() is applied
+    * explicitly before the integer cast (engines disagree on
+    * double→bigint rounding, not on floor). */
+  def sampleAudioWindows(meta: DataFrame, windowMs: Long = 250L,
+      hopMs: Long = 100L): DataFrame =
+    meta.filter(col("kind") === "audio" && col("duration_ms") > 0)
+      .select(col("media_id"), col("sample_rate"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(hopMs))).as("window_ms"))
+      .select(col("media_id"), col("window_ms"),
+        floor(col("sample_rate") *
+            least(lit(windowMs), col("duration_ms") - col("window_ms")) / 1000.0)
+          .cast("long").as("n_samples"))
+
   /** "Feature extraction" over decoded media — stub embedding = 8 hash
     * floats of the payload digest; the batching/shape contract is what a
     * real model-inference UDF must satisfy. */

@@ -162,6 +162,10 @@ object ExtQueries {
     Multimodal.sampleFrames(
       Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir))))
 
+  def qMmAudioWindows(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleAudioWindows(
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir))))
+
   def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       .select(Seq(col("media_id"), col("kind")) ++
@@ -191,6 +195,7 @@ object ExtQueries {
     "q_sim_ivf" -> (qSimIvf _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
+    "q_mm_audio_windows" -> (qMmAudioWindows _),
     "q_mm_features" -> (qMmFeatures _))
 
   // =================================================== DuckDB oracles
@@ -629,6 +634,16 @@ object ExtQueries {
        |  md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_ms AS VARCHAR)) AS frame_id
        |FROM (SELECT media_id, unnest(generate_series(0, dur, 1000)) AS frame_ms FROM v)""".stripMargin
 
+  private val mmAudioWindowsSql =
+    s"""WITH $mediaCte,
+       |a AS (SELECT media_id, 8000 + (n % 3) * 4000 AS sr, n * 13 % 10000 AS dur
+       |  FROM m WHERE kind = 'audio'),
+       |w AS (SELECT media_id, sr, dur, unnest(range(0, dur, 100)) AS window_ms
+       |  FROM a WHERE dur > 0)
+       |SELECT media_id, window_ms,
+       |  CAST(floor(sr * least(250, dur - window_ms) / 1000.0) AS BIGINT) AS n_samples
+       |FROM w""".stripMargin
+
   private val mmFeaturesSql: String = {
     val fs = (0 until 8).map(i =>
       // DuckDB md5 only takes VARCHAR; payload is UTF-8 text bytes, so the
@@ -665,5 +680,6 @@ object ExtQueries {
     "q_sim_ivf" -> simIvfSql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
+    "q_mm_audio_windows" -> mmAudioWindowsSql,
     "q_mm_features" -> mmFeaturesSql)
 }
