@@ -45,17 +45,32 @@ object TextAnalysis {
   }
 
   /** Quality score in [0,1]: length saturation, punctuation penalty,
-    * stopword reward — the standard cheap pre-filter shape. */
+    * stopword reward — the standard cheap pre-filter shape.
+    *
+    * score = (0.4·min(len,500)/500 + 0.3·(1 − punct/L) + 0.3·min(3·stops/T, 1))
+    * with L = max(len,1), T = max(tokens,1), emitted on a FIXED 4-decimal
+    * grid: q = ⌊num·10⁴ / den⌋ / 10⁴ over the exact integer numerator and
+    * common denominator. No float summation (a three-term double sum
+    * differs across engines by an ulp via FMA contraction) and no
+    * `round()` (the rational often lands EXACTLY on decimal midpoints —
+    * observed 0.57305 — where round-half rules are engine-dependent).
+    * Integer floor-division is unambiguous everywhere; all products stay
+    * < 2^53 so the final exact divisions are lossless. */
   def qualityScore(text: Column): Column = {
-    val len = length(text).cast("double")
-    val nTok = wsTokenCount(text).cast("double")
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val stops = stopwordHits(words(lower(text)), "en").cast("double")
-    val lengthScore = least(len / 500.0, lit(1.0))
-    val punctRatio = punct / greatest(len, lit(1.0))
-    val stopRatio = stops / greatest(nTok, lit(1.0))
-    round(lit(0.4) * lengthScore + lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * least(stopRatio * 3.0, lit(1.0)), 4)
+    val len = length(text).cast("long")
+    val l = greatest(len, lit(1L))
+    val t = greatest(size(words(text)).cast("long"), lit(1L))
+    val p = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+    val h = stopwordHits(words(lower(text)), "en")
+    val num = lit(4L) * least(len, lit(500L)) * l * t +
+      lit(3L) * (l - p) * lit(500L) * t +
+      lit(3L) * least(lit(3L) * h, t) * lit(500L) * l
+    val den = lit(5000L) * l * t
+    val scaled = num * lit(10000L)
+    // (scaled - scaled mod den) is an exact multiple of den, so the double
+    // division yields the exact integer quotient (≤ 10⁴)
+    val q4 = (scaled - pmod(scaled, den)).cast("double") / den.cast("double")
+    q4 / lit(10000.0)
   }
 
   /** Rolling-hash document fingerprint: minimum 32-bit hash over char

@@ -308,6 +308,17 @@ object ExtQueries {
     case (l, ws) => l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
   }
 
+  /** Fixed-point quality mirroring TextAnalysis.qualityScore: exact
+    * integer numerator/denominator, 4-decimal floor via integer division
+    * (`//`) — no float summation (FMA-contraction ulps) and no round()
+    * (the rational lands exactly on decimal midpoints, where round-half
+    * rules are engine-dependent). */
+  private def qualitySql(text: String, ws: String, hEn: String): String =
+    s"""(CAST(((4 * least(length($text), 500) * greatest(length($text), 1) * greatest(len($ws), 1)
+       |    + 3 * (greatest(length($text), 1) - len(regexp_extract_all($text, '[^A-Za-z0-9\\s]'))) * 500 * greatest(len($ws), 1)
+       |    + 3 * least(3 * $hEn, greatest(len($ws), 1)) * 500 * greatest(length($text), 1)) * 10000)
+       |  // (5000 * greatest(length($text), 1) * greatest(len($ws), 1)) AS DOUBLE) / 10000.0)""".stripMargin
+
   private val textStatsSql: String = {
     val hits = Seq("en", "es", "fr", "de").map(l =>
       s"len(list_filter(wl, x -> list_contains(${stopLists(l)}, x))) AS h_$l").mkString(",\n  ")
@@ -325,11 +336,7 @@ object ExtQueries {
        |       WHEN h_fr > 0 AND h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
        |       WHEN h_de > 0 AND h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
        |       ELSE 'und' END AS lang_id,
-       |  round(0.4 * least(length(text) / 500.0, 1.0)
-       |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-       |                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
-       |      + 0.3 * least((h_en / greatest(CAST(len(ws) AS DOUBLE), 1.0)) * 3.0, 1.0),
-       |    4) AS quality
+       |  ${qualitySql("text", "ws", "h_en")} AS quality
        |FROM h""".stripMargin
   }
 
@@ -428,11 +435,7 @@ object ExtQueries {
        |  ${wordsSqlOf("lower(text)")} AS wl FROM norm),
        |h AS (SELECT doc_id, text, ws, $hits FROM d),
        |gated AS (SELECT doc_id, text FROM h
-       |  WHERE round(0.4 * least(length(text) / 500.0, 1.0)
-       |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-       |                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
-       |      + 0.3 * least((h_en / greatest(CAST(len(ws) AS DOUBLE), 1.0)) * 3.0, 1.0),
-       |    4) >= 0.5
+       |  WHERE ${qualitySql("text", "ws", "h_en")} >= 0.5
        |    AND h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de)),
        |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
        |SELECT g.doc_id,
