@@ -50,10 +50,13 @@ object Curation {
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
+    // fixed-point ⌊tf·N·10⁴/df⌋/10⁴ — tf·N/df is a rational; round(…,4)
+    // is engine-dependent exactly at decimal midpoints, floor-div is not
+    val scaled = col("tf") * col("n") * lit(10000L)
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"), col("tf"),
-        round((col("tf") * col("n")).cast("double") / col("df").cast("double"), 4)
-          .as("score"))
+        ((scaled - pmod(scaled, col("df"))).cast("double") /
+          col("df").cast("double") / lit(10000.0)).as("score"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"),

@@ -73,6 +73,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Jaccard i/u as an exact 4-decimal fixed-point value:
+    * ⌊i·10⁴/u⌋ / 10⁴. i/u is a RATIONAL — round(…,4) lands exactly on
+    * decimal midpoints (i/u = odd/32 etc.) where engines' round-half
+    * conventions disagree; integer floor-division is unambiguous. The
+    * pmod subtraction makes the double division exact (numerator is a
+    * multiple of u; quotient ≤ 10⁴). */
+  private def jaccard4(i: Column, u: Column): Column = {
+    val scaled = i * lit(10000L)
+    (scaled - pmod(scaled, u)).cast("double") / u.cast("double") / lit(10000.0)
+  }
+
   /** Exact Jaccard for given (id_a, id_b) pairs, via two hash joins
     * against the shingle index — never materializes shingle sets. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -86,8 +97,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+        jaccard4(col("inter"),
+          col("sz_a") + col("sz_b") - col("inter")).as("jaccard"))
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
@@ -129,8 +140,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+        jaccard4(col("inter"),
+          col("sz_a") + col("sz_b") - col("inter")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -14,9 +14,12 @@ import graft.ext.{Curation, Dedup, Hashing, Multimodal, Similarity, TextAnalysis
   * hash-compare checks the algorithms end-to-end, not just row counts.
   *
   * Cross-engine determinism: all hashing goes through Hashing.hexInt
-  * (md5-based, identical in DuckDB); float results are rounded BEFORE any
-  * threshold filter or ranking on both sides, so boundary rows and ties
-  * resolve identically.
+  * (md5-based, identical in DuckDB); RATIONAL scores (jaccard, tf-idf,
+  * quality) are 4-decimal fixed-point via integer floor-division — never
+  * round(), which is engine-dependent exactly at decimal midpoints —
+  * and irrational scores (cosines) are rounded BEFORE any threshold
+  * filter or ranking on both sides, so boundary rows and ties resolve
+  * identically.
   */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -240,9 +243,10 @@ object ExtQueries {
        |  FROM cands c JOIN sh a ON a.id = c.id_a
        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+       |SELECT id_a, id_b,
+       |  CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 AS jaccard
        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-       |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
+       |WHERE CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 >= 0.5""".stripMargin
   }
 
   /** df-capped chain mirroring Dedup.ngramJaccardPairs (maxDocFreq=64):
@@ -257,9 +261,10 @@ object ExtQueries {
        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
        |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+       |SELECT id_a, id_b,
+       |  CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 AS jaccard
        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-       |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
+       |WHERE CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 >= 0.5""".stripMargin
 
   private val dedupSimhashSql: String = {
     val fp = (0 until Dedup.simhashBits).map { i =>
@@ -299,9 +304,10 @@ object ExtQueries {
        |  FROM cands c JOIN sh a ON a.id = c.id_a
        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+       |SELECT id_a, id_b,
+       |  CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 AS jaccard
        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-       |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
+       |WHERE CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 >= 0.5""".stripMargin
   }
 
   private val stopLists: Map[String, String] = TextAnalysis.stopwords.map {
@@ -385,7 +391,7 @@ object ExtQueries {
        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT count(*) AS n FROM documents),
        |scored AS (SELECT doc_id, term, tf,
-       |  round(CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE), 4) AS score
+       |  CAST((tf * n * 10000) // df AS DOUBLE) / 10000.0 AS score
        |  FROM tf JOIN idf USING (term) CROSS JOIN n),
        |ranked AS (SELECT doc_id, term, tf, score,
        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
