@@ -51,12 +51,19 @@ object Curation {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     // fixed-point ⌊tf·N·10⁴/df⌋/10⁴ — tf·N/df is a rational; round(…,4)
-    // is engine-dependent exactly at decimal midpoints, floor-div is not
-    val scaled = col("tf") * col("n") * lit(10000L)
+    // is engine-dependent exactly at decimal midpoints, floor-div is not.
+    // The product runs in decimal(38,0): tf·N·10⁴ exceeds int64 once
+    // N·tf > ~9·10¹⁴ (a billion-doc corpus meets that with tf in the
+    // thousands) and non-ANSI int64 would wrap silently; decimal keeps
+    // the quotient exact, and the single decimal→double cast of the
+    // exact integer quotient is correctly rounded in every engine.
+    val dec = "decimal(38,0)"
+    val dfDec = col("df").cast(dec)
+    val scaled = col("tf").cast(dec) * col("n").cast(dec) * lit(10000L).cast(dec)
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"), col("tf"),
-        ((scaled - pmod(scaled, col("df"))).cast("double") /
-          col("df").cast("double") / lit(10000.0)).as("score"))
+        (((scaled - pmod(scaled, dfDec)) / dfDec).cast("double") /
+          lit(10000.0)).as("score"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"),

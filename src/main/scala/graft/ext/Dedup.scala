@@ -104,10 +104,12 @@ object Dedup {
   /** MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
     * exact-Jaccard verify ≥ threshold. The shingle index feeds four plan
     * branches (signatures, sizes, both sides of the intersection join) —
-    * persisted so the explode+hash pass runs once, not four times. */
+    * materialized once via eager localCheckpoint so the explode+hash pass
+    * runs once, not four times. Checkpoint, not persist: cache-registry
+    * entries outlive the call (one leak per invocation in a loop or a
+    * streaming batch), checkpointed blocks are GC-reclaimed. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs).localCheckpoint(true)
     val cands = lshCandidates(lshBands(minhashSignatures(sh)))
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -125,12 +127,14 @@ object Dedup {
     * path; this one is the accuracy oracle with its hazard bounded. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Int = 64): DataFrame = {
-    val sh0 = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoints, not persist: sh0 feeds two branches (df
+    // counts + the semi-join) and sh three; persist() entries would stay
+    // registered after the call returns (ADVICE r3), checkpointed blocks
+    // are GC-reclaimed once the returned plan is dropped
+    val sh0 = shingles(docs, n).localCheckpoint(true)
     val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select(col("shingle"))
-    val sh = sh0.join(kept, Seq("shingle"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sh0.join(kept, Seq("shingle"), "left_semi").localCheckpoint(true)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val l = sh.select(col("id").as("id_a"), col("shingle"))
     val r = sh.select(col("id").as("id_b"), col("shingle"))
@@ -175,15 +179,14 @@ object Dedup {
         col("l.mn") === col("r.mn") && col("l.mn2") === col("r.mn2") &&
         col("l.mx") === col("r.mx") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // shingle ONLY the candidate documents — the verify set is tiny next
     // to the corpus, so the explode+hash pass shrinks proportionally
     val candIds = cands.select(col("id_a").as("cid"))
       .union(cands.select(col("id_b").as("cid"))).distinct()
     val candDocs = docs.join(broadcast(candIds),
       col(idCol) === col("cid"), "left_semi")
-    val sh = shingles(candDocs, 3, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(candDocs, 3, idCol, textCol).localCheckpoint(true)
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
 
@@ -255,11 +258,19 @@ object Dedup {
     * in a known corpus — the "what's new since the last training run"
     * gate. Digest-keyed LEFT ANTI join: both sides shuffle 32-byte
     * digests, never text; the known side is typically the larger and
-    * stays where it is. */
+    * stays where it is.
+    *
+    * Null-text rows are dropped on BOTH sides, pinning the SQL `NOT IN`
+    * semantics: a null digest in `docs` must not classify as novel
+    * (anti-join would keep it — null keys never match), and a single null
+    * digest in `known` must not drop every row (NOT IN over a set
+    * containing NULL yields NULL for all). */
   def novelAgainst(docs: DataFrame, known: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val d = docs.select(col(idCol), md5(col(textCol)).as("__d"))
+      .filter(col("__d").isNotNull)
     val k = known.select(md5(col(textCol)).as("__d"))
+      .filter(col("__d").isNotNull)
     d.join(k, Seq("__d"), "left_anti").select(col(idCol))
   }
 

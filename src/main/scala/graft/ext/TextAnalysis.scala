@@ -54,22 +54,29 @@ object TextAnalysis {
     * differs across engines by an ulp via FMA contraction) and no
     * `round()` (the rational often lands EXACTLY on decimal midpoints —
     * observed 0.57305 — where round-half rules are engine-dependent).
-    * Integer floor-division is unambiguous everywhere; all products stay
-    * < 2^53 so the final exact divisions are lossless. */
+    * Integer floor-division is unambiguous everywhere. The numerator runs
+    * in decimal(38,0): num·10⁴ is ~5·10⁷·len·tokens, which overflows a
+    * silently-wrapping non-ANSI int64 for multi-MB documents; decimal
+    * keeps every product exact (< 10³⁸ up to exabyte-sized strings), and
+    * the one decimal→double cast of the exact quotient (≤ 10⁴) is
+    * lossless. */
   def qualityScore(text: Column): Column = {
+    val dec = "decimal(38,0)"
     val len = length(text).cast("long")
     val l = greatest(len, lit(1L))
     val t = greatest(size(words(text)).cast("long"), lit(1L))
     val p = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
     val h = stopwordHits(words(lower(text)), "en")
-    val num = lit(4L) * least(len, lit(500L)) * l * t +
-      lit(3L) * (l - p) * lit(500L) * t +
-      lit(3L) * least(lit(3L) * h, t) * lit(500L) * l
-    val den = lit(5000L) * l * t
-    val scaled = num * lit(10000L)
-    // (scaled - scaled mod den) is an exact multiple of den, so the double
+    val lD = l.cast(dec)
+    val tD = t.cast(dec)
+    val num = lit(4L).cast(dec) * least(len, lit(500L)).cast(dec) * lD * tD +
+      lit(3L).cast(dec) * (l - p).cast(dec) * lit(500L).cast(dec) * tD +
+      lit(3L).cast(dec) * least(lit(3L) * h, t).cast(dec) * lit(500L).cast(dec) * lD
+    val den = lit(5000L).cast(dec) * lD * tD
+    val scaled = num * lit(10000L).cast(dec)
+    // (scaled - scaled mod den) is an exact multiple of den, so the decimal
     // division yields the exact integer quotient (≤ 10⁴)
-    val q4 = (scaled - pmod(scaled, den)).cast("double") / den.cast("double")
+    val q4 = ((scaled - pmod(scaled, den)) / den).cast("double")
     q4 / lit(10000.0)
   }
 

@@ -81,14 +81,19 @@ class Pipeline(spark: SparkSession, store: TableStore,
     // counts the cached touched-bucket content — no full-target re-scan.
     val src = store.readOrEmpty(intName, Schemas.intermediate)
     val tgtStored = store.readOrEmpty(targetName, Schemas.scd2TargetStored)
+    // localCheckpoint (eager) PINS the new bucket content before the
+    // dynamic overwrite deletes the old files its plan lazily reads —
+    // a plain persist() recomputes from the mutated target on cache
+    // eviction (FileNotFound or a silently wrong count). The count runs
+    // before the write for the same reason, and the checkpointed blocks
+    // are GC-reclaimed after the run (no cache-registry leak).
     val touched = Historizer.applyScd2Partitioned(
         src, tgtStored, conf.copy(loadKey = loadKey), now)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    store.overwritePartitionsDynamic(targetName, touched, Seq("nk_bucket"))
+      .localCheckpoint(true)
     val inserted = touched
       .filter(col("da_inserted_datetime") === lit(now) && col("da_current_flag") === "Y")
       .count()
-    touched.unpersist()
+    store.overwritePartitionsDynamic(targetName, touched, Seq("nk_bucket"))
 
     // UPDATE_STATUS_AND_FINISH_WORKFLOW
     ctl.markHistLoadProcessed(loadKey, interfaceName)

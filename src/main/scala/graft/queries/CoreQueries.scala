@@ -25,6 +25,17 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** Scratch path for side-effectful queries (JSON spool, embedded Derby),
+    * unique per (JVM, data dir): concurrent harness runs on one machine
+    * must not clobber each other's spool — and embedded Derby holds a
+    * single-JVM lock on its database directory, so a shared fixed path
+    * fails a parallel run outright (ADVICE r3). Within one JVM the path is
+    * stable, so repeated runs reuse rather than re-create. */
+  private def scratch(dir: String, tag: String): String = {
+    val id = s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$id"
+  }
+
   // ---------------------------------------------------------------- S4 scan
   /** Projection-only scan: ReadSchema must prune to 2 of 6 part columns. */
   def qS4Scan(s: SparkSession, dir: String): DataFrame =
@@ -48,7 +59,7 @@ object CoreQueries {
     * email field and 6 of the 12 fields are never present, so the
     * null-defaulting path is genuinely exercised. */
   def qS3Users(s: SparkSession, dir: String): DataFrame = {
-    val spool = s"${System.getProperty("java.io.tmpdir")}/graft_users_json"
+    val spool = scratch(dir, "users_json")
     t(s, dir, "customer").select(to_json(struct(
         col("c_custkey").cast("string").as("uid"),
         col("c_name").as("full_name"),
@@ -71,8 +82,8 @@ object CoreQueries {
     * oracle reads the same rows straight from the shared parquet. */
   def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     System.setProperty("derby.stream.error.file",
-      s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
-    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_derby_nation;create=true"
+      s"${scratch(dir, "derby")}.log")
+    val url = s"jdbc:derby:${scratch(dir, "derby_nation")};create=true"
     graft.ingest.JdbcTables.write(t(s, dir, "nation"), url, "nation",
       org.apache.spark.sql.SaveMode.Overwrite)
     graft.ingest.JdbcTables.readPartitioned(s, url, "nation",

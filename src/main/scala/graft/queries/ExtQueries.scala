@@ -318,12 +318,13 @@ object ExtQueries {
     * integer numerator/denominator, 4-decimal floor via integer division
     * (`//`) — no float summation (FMA-contraction ulps) and no round()
     * (the rational lands exactly on decimal midpoints, where round-half
-    * rules are engine-dependent). */
+    * rules are engine-dependent). HUGEINT like the Spark side's
+    * decimal(38,0): the products overflow int64 for multi-MB documents. */
   private def qualitySql(text: String, ws: String, hEn: String): String =
-    s"""(CAST(((4 * least(length($text), 500) * greatest(length($text), 1) * greatest(len($ws), 1)
-       |    + 3 * (greatest(length($text), 1) - len(regexp_extract_all($text, '[^A-Za-z0-9\\s]'))) * 500 * greatest(len($ws), 1)
-       |    + 3 * least(3 * $hEn, greatest(len($ws), 1)) * 500 * greatest(length($text), 1)) * 10000)
-       |  // (5000 * greatest(length($text), 1) * greatest(len($ws), 1)) AS DOUBLE) / 10000.0)""".stripMargin
+    s"""(CAST(((CAST(4 AS HUGEINT) * least(length($text), 500) * greatest(length($text), 1) * greatest(len($ws), 1)
+       |    + CAST(3 AS HUGEINT) * (greatest(length($text), 1) - len(regexp_extract_all($text, '[^A-Za-z0-9\\s]'))) * 500 * greatest(len($ws), 1)
+       |    + CAST(3 AS HUGEINT) * least(3 * $hEn, greatest(len($ws), 1)) * 500 * greatest(length($text), 1)) * 10000)
+       |  // (CAST(5000 AS HUGEINT) * greatest(length($text), 1) * greatest(len($ws), 1)) AS DOUBLE) / 10000.0)""".stripMargin
 
   private val textStatsSql: String = {
     val hits = Seq("en", "es", "fr", "de").map(l =>
@@ -384,14 +385,16 @@ object ExtQueries {
        |SELECT doc_id, stratum, bucket FROM s
        |WHERE bucket < (CASE stratum WHEN 'en' THEN 50 ELSE 20 END)""".stripMargin
 
-  /** Log-free tf-idf chain mirroring Curation.tfidfTopTerms (k=5). */
+  /** Log-free tf-idf chain mirroring Curation.tfidfTopTerms (k=5).
+    * HUGEINT like the Spark side's decimal(38,0): tf·N·10⁴ overflows
+    * int64 once N·tf > ~9·10¹⁴. */
   private val textTfidfSql =
     s"""WITH w AS (SELECT doc_id, unnest(${wordsSqlOf("text")}) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT count(*) AS n FROM documents),
        |scored AS (SELECT doc_id, term, tf,
-       |  CAST((tf * n * 10000) // df AS DOUBLE) / 10000.0 AS score
+       |  CAST((CAST(tf AS HUGEINT) * n * 10000) // df AS DOUBLE) / 10000.0 AS score
        |  FROM tf JOIN idf USING (term) CROSS JOIN n),
        |ranked AS (SELECT doc_id, term, tf, score,
        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
@@ -424,9 +427,13 @@ object ExtQueries {
        |        / (a.nv * b.nv), 6) AS cos
        |FROM p JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b""".stripMargin
 
+  /** Null-text rows filtered on both sides, matching Dedup.novelAgainst's
+    * pinned NOT IN semantics (null digests neither classify as novel nor
+    * poison the known set). */
   private val dedupNovelSql =
     """SELECT doc_id FROM documents
-      |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)""".stripMargin
+      |WHERE text IS NOT NULL AND md5(text) NOT IN
+      |  (SELECT md5(text) FROM documents WHERE doc_id < 100 AND text IS NOT NULL)""".stripMargin
 
   /** Full funnel oracle: same normalize → quality/lang gates (rounded
     * quality BEFORE the threshold, en-priority tie rule) → min-id per

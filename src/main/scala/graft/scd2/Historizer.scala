@@ -222,8 +222,13 @@ object Historizer {
     * target content (caller persists it, e.g. TableStore.overwrite). */
   def applyScd2(src: DataFrame, tgt: DataFrame, conf: Scd2Config,
       now: Timestamp): DataFrame = {
-    val delta = deltaDetect(src, tgt, conf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: the delta feeds two plan branches
+    // (close-out, inserts) so it must materialize once — but a persist()
+    // entry lives in the cache registry until someone unpersists, and
+    // callers that loop (streaming foreachBatch) would leak one cached
+    // DataFrame per batch. Checkpointed blocks are GC-reclaimed when the
+    // batch's plans are dropped.
+    val delta = deltaDetect(src, tgt, conf).localCheckpoint(true)
     val closed = closeOut(tgt, delta, now)
     val ins = insertRows(src, delta, tgt.columns.toSeq, conf, now)
     require(ins.columns.sorted.sameElements(tgt.columns.sorted),
@@ -265,8 +270,10 @@ object Historizer {
       .select(bucketOf.as("__b")).distinct().collect().map(_.getInt(0)).toSeq
     val tgtPruned = tgtStored.filter(col("nk_bucket").isin(srcBuckets: _*))
       .drop("nk_bucket")
+    // localCheckpoint for the same reason as applyScd2 — per-micro-batch
+    // calls from StreamingIngest.scd2Sink must not grow the cache registry
     val delta = deltaDetect(src, tgtPruned, conf, marksFrom = Some(tgt))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // ≤ targetBuckets distinct values — metadata-scale collect, and the
     // literal IN list lets the touched-bucket filter prune partitions at
     // the parquet scan

@@ -35,6 +35,14 @@ class TextAnalysisSpec extends SparkSpec {
     Seq(qc, qj).foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
 
+  test("quality score survives multi-MB documents (no int64 wrap)") {
+    // len·tokens ≈ 2.9·10¹⁴ ⇒ the old int64 num·10⁴ (~5·10³·l·t·10⁴)
+    // wrapped negative here; the decimal(38,0) path must stay in [0,1]
+    val huge = "ab " * 8_000_000 // 24 MB, 8M tokens
+    val q = one(huge, TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(q >= 0.0 && q <= 1.0, s"quality=$q")
+  }
+
   test("fingerprint: equal texts agree, short texts hash whole") {
     val a = one("abcdefghij", TextAnalysis.fingerprint(col("text")))
     val b = one("abcdefghij", TextAnalysis.fingerprint(col("text")))
