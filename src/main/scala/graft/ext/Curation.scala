@@ -85,6 +85,54 @@ object Curation {
       .filter(col("rnk") <= k)
   }
 
+  /** Downsample a corpus to a TARGET MIXTURE of strata (the "40% web /
+    * 30% code / 30% books" training-mix knob). Given integer weights, the
+    * output is the LARGEST subset achieving those proportions without
+    * upsampling: the binding stratum (smallest cᵥ/wᵥ) is kept whole and
+    * every other stratum is hash-downsampled to match. Strata without a
+    * weight are dropped; a weighted stratum absent from the data is simply
+    * not in the counts, so the mixture renormalizes over present strata.
+    *
+    * All arithmetic is integer: T = min_s ⌊c_s·W/w_s⌋ is the feasible
+    * total, keep_ppm_s = ⌊w_s·T·10⁶/(W·c_s)⌋ the per-stratum rate on a
+    * parts-per-million grid, and a row survives iff
+    * `hexInt(stratum ':' id) % 10⁶ < keep_ppm`. Content-hash selection —
+    * reproducible across runs/engines/retries, no rand(). w·T·10⁶
+    * overflows int64 at planet-scale corpus counts, so the rate runs in
+    * decimal(38,0) (HUGEINT in the oracle).
+    *
+    * Scale shape: one map-side-combined count per stratum (a handful of
+    * rows), the rate table broadcasts back, and the keep decision is a
+    * projection — the corpus is never shuffled. */
+  def resampleToMix(docs: DataFrame, stratum: Column,
+      weights: Map[String, Int], idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"need positive weights, got $weights")
+    val totalW = weights.values.sum.toLong
+    val wCol = weights.foldRight(lit(0L): Column) { case ((s, wt), acc) =>
+      when(col("stratum") === s, lit(wt.toLong)).otherwise(acc)
+    }
+    val tagged = docs.select(col(idCol), stratum.as("stratum"))
+      .withColumn("w", wCol).filter(col("w") > 0)
+    val counts = tagged.groupBy(col("stratum"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val cw = col("c") * lit(totalW)
+    val caps = counts.withColumn("cap", (cw - pmod(cw, col("w"))) / col("w"))
+    val tMin = caps.agg(min(col("cap")).cast("long").as("t"))
+    val dec = "decimal(38,0)"
+    val num = col("w").cast(dec) * col("t").cast(dec) * lit(1000000L).cast(dec)
+    val den = lit(totalW).cast(dec) * col("c").cast(dec)
+    val rates = caps.crossJoin(broadcast(tMin))
+      .select(col("stratum"),
+        ((num - pmod(num, den)) / den).cast("long").as("keep_ppm"))
+    tagged.join(broadcast(rates), Seq("stratum"))
+      .withColumn("bucket",
+        hexInt(concat(col("stratum"), lit(":"), col(idCol).cast("string")))
+          % 1000000L)
+      .filter(col("bucket") < col("keep_ppm"))
+      .select(col(idCol), col("stratum"), col("keep_ppm"))
+  }
+
   /** Token-budget document chunking: each doc explodes into windows of
     * `chunkSize` whitespace tokens advancing by `stride` (overlap =
     * chunkSize - stride), the shape sequence-packing pipelines feed to

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Hashing._
@@ -78,6 +79,55 @@ object TextAnalysis {
     // division yields the exact integer quotient (≤ 10⁴)
     val q4 = ((scaled - pmod(scaled, den)) / den).cast("double")
     q4 / lit(10000.0)
+  }
+
+  /** Gopher-style repetition signals per document — the cheap "is this
+    * text degenerate?" battery run before any model-based quality filter:
+    * duplicate-word fraction, mean word length, and the mass of the single
+    * most frequent word n-gram (boilerplate and keyword-stuffing light up
+    * the last one).
+    *
+    * Scale shape: the word-level signals are pure projections (codegen,
+    * zero shuffle). The top-gram signal explodes grams WITHOUT
+    * deduplication (repetition is the point) and aggregates twice, both
+    * map-side combined and keyed by doc id; the per-doc window for the
+    * arg-max is partitioned by doc id — no global funnel. All fractions
+    * sit on the fixed 4-decimal grid via integer floor-division (the
+    * engine-independence argument of [[qualityScore]]); counts·10⁴ stay
+    * < 2^63 for any document under ~10¹⁴ grams, so int64 is safe where
+    * the quality score's len·tokens PRODUCT was not. Ties on the top gram
+    * break lexicographically. Docs with fewer than n words report zero
+    * grams and a null top gram. */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0, ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val perRow = docs.select(col(idCol),
+      nWords.as("n_words"),
+      frac4(nWords - size(array_distinct(ws)), nWords).as("dup_word_frac"),
+      frac4(length(concat_ws("", ws)), nWords).as("mean_word_len"))
+    val cnt = docs
+      .select(col(idCol), explode(ngrams(words(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val totals = cnt.groupBy(col(idCol)).agg(sum(col("cnt")).as("n_ngrams"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cnt").desc, col("gram"))
+    val top = cnt.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col(idCol), col("gram").as("top_gram"), col("cnt").as("top_gram_n"))
+    perRow.join(totals, Seq(idCol), "left").join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("dup_word_frac"),
+        col("mean_word_len"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        col("top_gram"),
+        coalesce(col("top_gram_n"), lit(0L)).as("top_gram_n"),
+        frac4(coalesce(col("top_gram_n"), lit(0L)),
+          coalesce(col("n_ngrams"), lit(0L))).as("top_gram_frac"))
   }
 
   /** Rolling-hash document fingerprint: minimum 32-bit hash over char

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Decontamination, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
 
 /** Query + oracle registry for the training-data-pipeline surface
   * (graft.ext): dedup, similarity search, text analysis, multimodal
@@ -137,6 +137,24 @@ object ExtQueries {
   def qSamplePerGroup(s: SparkSession, dir: String): DataFrame =
     Curation.samplePerGroup(docs(s, dir), TextAnalysis.langId(col("text")), k = 3)
 
+  /** Decontamination vs a simulated held-out benchmark (doc_id % 97 == 0
+    * stands in for the eval set); training corpus = everything else. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontamination.overlapStats(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+  }
+
+  /** Gopher-style repetition battery over word bigrams. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir), n = 2)
+
+  /** Resample to a 60/25/15 en/es/zh mixture on the stored lang column
+    * (the two unlisted languages drop out). */
+  def qSampleMix(s: SparkSession, dir: String): DataFrame =
+    Curation.resampleToMix(docs(s, dir), col("lang"),
+      Map("en" -> 60, "es" -> 25, "zh" -> 15))
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -188,6 +206,9 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
     "q_sample_per_group" -> (qSamplePerGroup _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_sample_mix" -> (qSampleMix _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -434,6 +455,80 @@ object ExtQueries {
     """SELECT doc_id FROM documents
       |WHERE text IS NOT NULL AND md5(text) NOT IN
       |  (SELECT md5(text) FROM documents WHERE doc_id < 100 AND text IS NOT NULL)""".stripMargin
+
+  /** 4-decimal floor fraction `⌊num·10⁴/den⌋/10⁴`, 0.0 on empty den —
+    * mirrors the Spark operators' integer fixed-point grid. */
+  private def frac4Sql(num: String, den: String): String =
+    s"""CASE WHEN coalesce($den, 0) > 0
+       | THEN CAST((coalesce($num, 0) * 10000) // $den AS DOUBLE) / 10000.0
+       | ELSE 0.0 END""".stripMargin
+
+  /** Decontamination oracle mirroring Decontamination.overlapStats (word
+    * 3-grams; eval = doc_id % 97 = 0, training = the rest). */
+  private val decontaminateSql: String = {
+    def grams(pred: String) =
+      s"""SELECT doc_id, list_distinct(${Hashing.ngramsSql("ws", 3)}) AS gs
+         |FROM (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents
+         |      WHERE $pred)""".stripMargin
+    s"""WITH tr AS (${grams("doc_id % 97 <> 0")}),
+       |dg AS (SELECT doc_id, unnest(gs) AS gram FROM tr),
+       |eg AS (SELECT DISTINCT unnest(gs) AS gram
+       |  FROM (${grams("doc_id % 97 = 0")})),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+       |hit AS (SELECT dg.doc_id, count(*) AS n_contaminated
+       |  FROM dg JOIN eg USING (gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  ${frac4Sql("n_contaminated", "n_grams")} AS contaminated_frac,
+       |  CAST(CASE WHEN coalesce(n_contaminated, 0) > 0 THEN 1 ELSE 0 END
+       |       AS BIGINT) AS is_contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
+  }
+
+  /** Repetition-battery oracle mirroring TextAnalysis.repetitionStats
+    * (word bigrams, cnt-desc/gram-asc tiebreak). */
+  private val textRepetitionSql =
+    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents),
+       |p AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |  len(ws) - len(list_distinct(ws)) AS ndup,
+       |  length(array_to_string(ws, '')) AS chars FROM w),
+       |g AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 2)}) AS gram FROM w),
+       |cnt AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams
+       |  FROM cnt GROUP BY 1),
+       |top AS (SELECT doc_id, gram AS top_gram, cnt AS top_gram_n FROM
+       |  (SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |     ORDER BY cnt DESC, gram) AS rnk FROM cnt) WHERE rnk = 1)
+       |SELECT p.doc_id, n_words,
+       |  ${frac4Sql("ndup", "n_words")} AS dup_word_frac,
+       |  ${frac4Sql("chars", "n_words")} AS mean_word_len,
+       |  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |  top_gram,
+       |  CAST(coalesce(top_gram_n, 0) AS BIGINT) AS top_gram_n,
+       |  ${frac4Sql("top_gram_n", "n_ngrams")} AS top_gram_frac
+       |FROM p LEFT JOIN tot USING (doc_id) LEFT JOIN top USING (doc_id)""".stripMargin
+
+  /** Mixture-resampling oracle mirroring Curation.resampleToMix
+    * (60/25/15 en/es/zh on the stored lang column; HUGEINT like the
+    * Spark side's decimal(38,0)). */
+  private val sampleMixSql =
+    s"""WITH d AS (SELECT doc_id, lang AS stratum,
+       |  CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 25 WHEN 'zh' THEN 15
+       |    ELSE 0 END AS w
+       |  FROM documents),
+       |c AS (SELECT stratum, w, count(*) AS c FROM d WHERE w > 0 GROUP BY 1, 2),
+       |cap AS (SELECT stratum, w, c, (c * 100) // w AS cap FROM c),
+       |tm AS (SELECT min(cap) AS t FROM cap),
+       |r AS (SELECT stratum,
+       |  CAST((CAST(w AS HUGEINT) * t * 1000000) // (CAST(100 AS HUGEINT) * c)
+       |       AS BIGINT) AS keep_ppm
+       |  FROM cap CROSS JOIN tm)
+       |SELECT doc_id, stratum, keep_ppm
+       |FROM d JOIN r USING (stratum)
+       |WHERE ${hexIntSql("stratum || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < keep_ppm""".stripMargin
 
   /** Full funnel oracle: same normalize → quality/lang gates (rounded
     * quality BEFORE the threshold, en-priority tie rule) → min-id per
@@ -686,6 +781,9 @@ object ExtQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
     "q_sample_per_group" -> samplePerGroupSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_sample_mix" -> sampleMixSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -126,4 +126,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dedup_crossmodal")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("decontamination: eval grams broadcast; the corpus is never sort-merge joined") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "eval-gram join degraded to SMJ\n" + p)
+  }
+
+  test("mixture resampling: rate table broadcasts; the corpus keep-filter is not shuffled") {
+    val p = plan("q_sample_mix")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), "rate join degraded to SMJ\n" + p)
+  }
+
+  test("repetition battery: per-doc aggregates are partial+final, window is per-doc") {
+    val p = plan("q_text_repetition")
+    assert(!p.contains("No Partition Defined"), "global window funnel\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -93,4 +93,23 @@ class CurationSpec extends SparkSpec {
     assert(out(10L) === 10L && out(11L) === 10L && out(12L) === 10L)
     assert(out(99L) === 99L)
   }
+
+  test("mixture resampling keeps the binding stratum whole and downsamples the rest") {
+    // 600 a / 200 b at 50:50 → b binds: T = 400, b kept in full (ppm 10⁶),
+    // a downsampled to ~200 (ppm 333333). c has no weight and vanishes.
+    val docs = ((0L until 600L).map(i => (i, "a")) ++
+      (600L until 800L).map(i => (i, "b")) ++
+      (800L until 850L).map(i => (i, "c"))).toDF("doc_id", "lang")
+    val once = Curation.resampleToMix(docs, col("lang"),
+      Map("a" -> 50, "b" -> 50)).collect()
+    val twice = Curation.resampleToMix(docs, col("lang"),
+      Map("a" -> 50, "b" -> 50)).collect()
+    assert(once.map(_.getLong(0)).sorted.sameElements(twice.map(_.getLong(0)).sorted))
+    val by = once.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(by("b") === 200, by)               // binding stratum fully kept
+    assert(by("a") > 160 && by("a") < 240, by) // hash noise around 200
+    assert(!by.contains("c"))
+    once.filter(_.getString(1) == "b").foreach(r => assert(r.getLong(2) === 1000000L))
+    once.filter(_.getString(1) == "a").foreach(r => assert(r.getLong(2) === 333333L))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+  test("overlap stats count shared n-grams and stay on the 4-decimal grid") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // full overlap: both 3-grams shared
+      (2L, "alpha beta gamma zz ww vv"),   // 1 of 4 grams shared
+      (3L, "xx yy zz ww"),                 // no overlap
+      (4L, "hi")                           // < 3 words: no grams at all
+    ).toDF("doc_id", "text")
+    val r = Decontamination.overlapStats(docs, eval, n = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(r(1L) === ((2L, 2L, 1.0, 1L)))
+    assert(r(2L) === ((4L, 1L, 0.25, 1L)))
+    assert(r(3L) === ((2L, 0L, 0.0, 0L)))
+    assert(r(4L) === ((0L, 0L, 0.0, 0L)))
+  }
+
+  test("clean gate drops any-overlap docs at maxFrac=0 and keeps them at 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (3L, "xx yy zz ww"),
+      (4L, "hi")
+    ).toDF("doc_id", "text")
+    val strict = Decontamination.clean(docs, eval).select("doc_id")
+      .as[Long].collect().sorted
+    assert(strict.sameElements(Array(3L, 4L)))
+    val lax = Decontamination.clean(docs, eval, maxFrac = 1.0).select("doc_id")
+      .as[Long].collect().sorted
+    assert(lax.sameElements(Array(1L, 3L, 4L)))
+  }
+
+  test("eval-set grams are deduplicated — repeats in eval don't double-count") {
+    val dupEval = Seq((100L, "alpha beta gamma"), (101L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = Decontamination.overlapStats(docs, dupEval, n = 3).collect()
+    assert(r.head.getLong(2) === 1L) // one shared gram, counted once
+  }
+}

@@ -43,6 +43,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q >= 0.0 && q <= 1.0, s"quality=$q")
   }
 
+  test("repetition stats: duplicate mass, mean word length, top bigram") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // all dup; top bigram 'spam spam' x3
+      (2L, "one two three four"),  // no repetition
+      (3L, "x")                    // 1 word: no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) === 0.75)          // 3 of 4 words are dups
+    assert(r(1L).getString(5) === "spam spam")
+    assert(r(1L).getLong(6) === 3L)
+    assert(r(1L).getDouble(7) === 1.0)           // every bigram is the top one
+    assert(r(2L).getDouble(2) === 0.0)
+    assert(r(2L).getDouble(3) === 3.75)          // (3+3+5+4)/4 chars
+    assert(r(2L).getDouble(7) === 0.3333)        // 1/3 floored to the grid
+    assert(r(3L).getLong(4) === 0L && r(3L).isNullAt(5))
+    assert(r(3L).getDouble(7) === 0.0)
+  }
+
   test("fingerprint: equal texts agree, short texts hash whole") {
     val a = one("abcdefghij", TextAnalysis.fingerprint(col("text")))
     val b = one("abcdefghij", TextAnalysis.fingerprint(col("text")))
