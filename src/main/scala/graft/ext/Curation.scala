@@ -161,6 +161,44 @@ object Curation {
         concat_ws(" ", slice(col("ws"), start, len)).as("chunk_text"))
   }
 
+  /** Deterministic sequence packing: assign whole documents to
+    * fixed-token-budget bins — the front-end of packed pre-training
+    * batches. Docs are spread across `buckets` by content hash, ordered
+    * reproducibly within each bucket (hash, then id), and binned by the
+    * running token offset: seq_id = ⌊start/budget⌋. A document lands
+    * wholly in the bin where its start offset falls, so a bin overruns
+    * its budget by at most one document — the standard declarative
+    * approximation; EXACT first-fit packing is inherently sequential and
+    * would serialize the corpus through one task.
+    *
+    * Scale shape: the only shuffle is the hash-bucket exchange; the
+    * running sum is a window PARTITIONED by bucket (no global funnel —
+    * compare the surrogate-minting discussion at Historizer.scala), and
+    * every downstream batch reader can consume (bucket, seq_id) groups
+    * independently. Zero-token docs carry nothing packable and drop. */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 2048,
+      buckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && buckets > 0,
+      s"need positive budget/buckets, got $budgetTokens/$buckets")
+    val idStr = col(idCol).cast("string")
+    val d = docs.select(col(idCol),
+        size(words(col(textCol))).cast("long").as("tokens"),
+        (hexInt(idStr) % buckets).as("bucket"))
+      .filter(col("tokens") > 0)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(hexInt(col(idCol).cast("string")), col(idCol))
+    // inclusive running sum minus own tokens = exclusive start offset;
+    // offsets stay < 2^53 per bucket for any feasible bucket, so the
+    // long→double floor-div is exact
+    val start = sum(col("tokens")).over(w) - col("tokens")
+    val b = lit(budgetTokens.toLong)
+    d.withColumn("start", start)
+      .select(col(idCol), col("bucket"), col("tokens"),
+        ((col("start") - pmod(col("start"), b)) / b).cast("long").as("seq_id"),
+        pmod(col("start"), b).as("seq_offset"))
+  }
+
   /** PII patterns kept to the syntax subset Java regex and RE2 (DuckDB)
     * interpret identically: explicit classes, no lookaround, `[0-9]`
     * over `\d`. */

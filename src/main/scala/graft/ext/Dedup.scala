@@ -254,6 +254,32 @@ object Dedup {
     connected.unionByName(singletons)
   }
 
+  /** Canonical selection by QUALITY rather than min-id: for every
+    * duplicate cluster, keep the member with the highest
+    * [[TextAnalysis.qualityScore]] (doc id breaks ties) — "of these
+    * near-copies, train on the best-written one". Composes
+    * [[duplicateClusters]] with the quality projection; the arg-max
+    * window partitions by cluster, so there is no global funnel, and
+    * cluster sizes are near-dup family sizes — small by nature.
+    * Singletons pick themselves. */
+  def bestOfClusters(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clusters = duplicateClusters(docs, threshold, idCol)
+    val scored = docs.select(col(idCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col(idCol))
+    clusters.join(scored, Seq(idCol))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col(idCol).as("best_id"),
+        col("quality").as("best_quality"), col("n_members"))
+  }
+
   /** Incremental dedup: documents NOT already present (by content digest)
     * in a known corpus — the "what's new since the last training run"
     * gate. Digest-keyed LEFT ANTI join: both sides shuffle 32-byte

@@ -155,6 +155,14 @@ object ExtQueries {
     Curation.resampleToMix(docs(s, dir), col("lang"),
       Map("en" -> 60, "es" -> 25, "zh" -> 15))
 
+  /** Pack documents into 256-token sequences across 8 hash buckets. */
+  def qTextPack(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(s, dir), budgetTokens = 256, buckets = 8)
+
+  /** Highest-quality member of every near-dup cluster. */
+  def qDedupBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.bestOfClusters(docs(s, dir), threshold = 0.5)
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -209,6 +217,8 @@ object ExtQueries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_sample_mix" -> (qSampleMix _),
+    "q_text_pack" -> (qTextPack _),
+    "q_dedup_best" -> (qDedupBest _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -530,6 +540,44 @@ object ExtQueries {
        |WHERE ${hexIntSql("stratum || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
        |  < keep_ppm""".stripMargin
 
+  /** Sequence-packing oracle mirroring Curation.packSequences (budget 256,
+    * 8 buckets): same hash spread, same (hash, id) order, same exclusive
+    * running-offset binning. */
+  private val textPackSql = {
+    val h = hexIntSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens,
+       |  $h % 8 AS bucket
+       |  FROM (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents)
+       |  WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, bucket, tokens,
+       |  CAST(sum(tokens) OVER (PARTITION BY bucket
+       |    ORDER BY $h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    - tokens AS start FROM d)
+       |SELECT doc_id, bucket, tokens,
+       |  start // 256 AS seq_id, start % 256 AS seq_offset FROM c""".stripMargin
+  }
+
+  /** Best-of-cluster oracle: the recursive-closure cluster CTE joined to
+    * the fixed-point quality score, arg-max per cluster (quality desc,
+    * id tiebreak). */
+  // lazy: embeds dedupClustersSql, which is declared later in this object
+  private lazy val dedupBestSql =
+    s"""WITH base AS (SELECT doc_id, text,
+       |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
+       |  FROM documents),
+       |h AS (SELECT doc_id, text, ws,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |  FROM base),
+       |q AS (SELECT doc_id, ${qualitySql("text", "ws", "h_en")} AS quality FROM h),
+       |c AS (SELECT * FROM ($dedupClustersSql)),
+       |j AS (SELECT c.doc_id, c.cluster_id, q.quality FROM c JOIN q USING (doc_id)),
+       |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM j GROUP BY 1),
+       |r AS (SELECT cluster_id, doc_id, quality, ROW_NUMBER() OVER (
+       |  PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rnk FROM j)
+       |SELECT r.cluster_id, doc_id AS best_id, quality AS best_quality, n_members
+       |FROM r JOIN m USING (cluster_id) WHERE rnk = 1""".stripMargin
+
   /** Full funnel oracle: same normalize → quality/lang gates (rounded
     * quality BEFORE the threshold, en-priority tie rule) → min-id per
     * digest → BPE-ish token count. */
@@ -784,6 +832,8 @@ object ExtQueries {
     "q_decontaminate" -> decontaminateSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_sample_mix" -> sampleMixSql,
+    "q_text_pack" -> textPackSql,
+    "q_dedup_best" -> dedupBestSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

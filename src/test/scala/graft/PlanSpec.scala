@@ -139,6 +139,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "rate join degraded to SMJ\n" + p)
   }
 
+  test("sequence packing: running offset windows per bucket, never globally") {
+    val p = plan("q_text_pack")
+    assert(!p.contains("No Partition Defined"), "global cumsum funnel\n" + p)
+  }
+
   test("repetition battery: per-doc aggregates are partial+final, window is per-doc") {
     val p = plan("q_text_repetition")
     assert(!p.contains("No Partition Defined"), "global window funnel\n" + p)

@@ -112,4 +112,24 @@ class CurationSpec extends SparkSpec {
     once.filter(_.getString(1) == "b").foreach(r => assert(r.getLong(2) === 1000000L))
     once.filter(_.getString(1) == "a").foreach(r => assert(r.getLong(2) === 333333L))
   }
+
+  test("sequence packing: every doc lands once, offsets stay under budget, bins overflow by at most one doc") {
+    // 40 docs x 10 tokens, budget 16 → every sequence takes 1-2 docs
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, budgetTokens = 16, buckets = 4).collect()
+    assert(out.length === 40)
+    assert(out.map(_.getLong(0)).distinct.length === 40)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 16, r)  // seq_offset < budget
+    }
+    // a doc starting inside a bin belongs to it wholly: bin fill ≤ budget + maxdoc - 1
+    val fills = out.groupBy(r => (r.getLong(1), r.getLong(3)))
+      .view.mapValues(_.map(_.getLong(2)).sum)
+    fills.foreach { case (k, f) => assert(f <= 16 + 10 - 1, s"$k overfilled: $f") }
+    // empty docs carry nothing and drop
+    val withEmpty = docs.union(Seq((999L, "   ")).toDF("doc_id", "text"))
+    assert(Curation.packSequences(withEmpty, 16, 4).count() === 40)
+  }
 }

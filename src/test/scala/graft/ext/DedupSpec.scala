@@ -62,4 +62,24 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashSignatures(Dedup.shingles(d)))).collect()
     cands.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("best-of-cluster picks the member with the highest quality score") {
+    // chain 10-11-12 clusters together (same fixture as duplicateClusters);
+    // 99 is a singleton and picks itself
+    val base = (0 until 30).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      10L -> base,
+      11L -> (base + " extra"),
+      12L -> (base + " extra more"),
+      99L -> "totally different words with no overlap at all whatsoever here")
+    val quality = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectBest = Seq(10L, 11L, 12L).maxBy(id => (quality(id), -id))
+    val out = Dedup.bestOfClusters(d, threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(10L) === ((expectBest, quality(expectBest), 3L)))
+    assert(out(99L) === ((99L, quality(99L), 1L)))
+    assert(out.size === 2)
+  }
 }
