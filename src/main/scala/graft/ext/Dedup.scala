@@ -300,6 +300,35 @@ object Dedup {
     d.join(k, Seq("__d"), "left_anti").select(col(idCol))
   }
 
+  /** Approximate novelty gate: [[novelAgainst]]'s scale path when the
+    * known corpus is too large to sit on one side of a join every run. A
+    * Bloom filter of the known set's 64-bit content hashes is built ONCE
+    * (one mergeable aggregate pass, fixed memory: ~1.2 bytes/key at 1%
+    * fpp), then the incoming corpus is gated by a pure filter projection
+    * — no join, no shuffle, scan speed.
+    *
+    * One-sided error, the conservative direction for training hygiene: a
+    * false positive drops a genuinely novel doc (rate ≤ fpp), a known doc
+    * is NEVER classified novel. Spark's Bloom filter is deterministic
+    * (fixed hash seed), so results reproduce run-to-run. The serialized
+    * filter lands on the driver and ships once in the task binary — size
+    * expectedItems honestly (10⁹ keys @1% ≈ 1.2 GB; beyond that, shard
+    * by digest prefix or fall back to [[novelAgainst]]). */
+  def novelAgainstApprox(docs: DataFrame, known: DataFrame,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.BloomOps
+    val numBits = BloomOps.optimalNumBits(expectedItems, fpp)
+    val bloom = known.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__h"))
+      .agg(BloomOps.bloomAgg(col("__h"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val d = docs.filter(col(textCol).isNotNull)
+    if (bloom == null) d.select(col(idCol)) // empty known set: all novel
+    else d.filter(!BloomOps.mightContain(lit(bloom), xxhash64(col(textCol))))
+      .select(col(idCol))
+  }
+
   /** Cross-modal dedup verification: MinHash text near-dup pairs scored
     * against the documents' embedding cosine — textual duplicates whose
     * embeddings disagree (template pages, boilerplate collisions) and

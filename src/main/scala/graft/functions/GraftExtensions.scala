@@ -29,7 +29,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     (FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-      (es: Seq[Expression]) => SimHash32(es.head)))
+      (es: Seq[Expression]) => SimHash32(es.head)),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

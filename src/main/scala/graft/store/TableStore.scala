@@ -106,6 +106,34 @@ class TableStore(spark: SparkSession, baseDir: String) {
     deleteRecursively(old)
   }
 
+  /** Range-clustered rewrite: range-partition on `clusterCols` and sort
+    * within partitions before writing, so each parquet file's footer
+    * min/max for those columns covers a narrow, mostly-disjoint slice.
+    * Point/range scans then skip whole files on footer stats alone — the
+    * poor engine's Z-ORDER, and at 100 TB the difference between reading
+    * one file and reading the table when the predicate is on the cluster
+    * key. `repartitionByRange` samples the key distribution, so skewed
+    * keys still yield balanced files. Same atomic tmp-then-swap as
+    * [[overwrite]]. */
+  def overwriteClustered(name: String, df: DataFrame,
+      clusterCols: Seq[String], numFiles: Int = 0): Unit = {
+    require(clusterCols.nonEmpty, "need at least one cluster column")
+    val cols = clusterCols.map(df.col)
+    val ranged =
+      (if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+       else df.repartitionByRange(cols: _*))
+        .sortWithinPartitions(cols: _*)
+    val tmp = Paths.get(path(s"$name.tmp"))
+    deleteRecursively(tmp)
+    ranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val live = Paths.get(path(name))
+    val old = Paths.get(path(s"$name.old"))
+    deleteRecursively(old)
+    if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -63,6 +63,33 @@ class DedupSpec extends SparkSpec {
     cands.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("bloom novelty gate: no false negatives, bounded false-positive drops") {
+    import spark.implicits._
+    val known = (0L until 500L).map(i => (i, s"known document number $i"))
+      .toDF("doc_id", "text")
+    val mixed = ((0L until 500L).map(i => (i, s"known document number $i")) ++
+      (1000L until 2000L).map(i => (i, s"fresh document number $i")))
+      .toDF("doc_id", "text")
+    val novel = Dedup.novelAgainstApprox(mixed, known, expectedItems = 1000L)
+      .as[Long].collect().toSet
+    // every known doc is caught — the filter has no false negatives
+    assert((0L until 500L).forall(i => !novel.contains(i)))
+    // novel docs survive up to the fpp: ≥ 97% at fpp=1% is a safe margin
+    val survived = (1000L until 2000L).count(novel.contains)
+    assert(survived >= 970, s"only $survived/1000 novel docs survived")
+    // agrees with the exact gate on everything the exact gate returns
+    val exact = Dedup.novelAgainst(mixed, known).as[Long].collect().toSet
+    assert(novel.subsetOf(exact))
+  }
+
+  test("bloom novelty gate: empty known set classifies everything novel, nulls drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.novelAgainstApprox(docs, empty).as[Long].collect()
+    assert(out.sorted.sameElements(Array(1L)))
+  }
+
   test("best-of-cluster picks the member with the highest quality score") {
     // chain 10-11-12 clusters together (same fixture as duplicateClusters);
     // 99 is a singleton and picks itself

@@ -18,6 +18,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh === 5L) // unanimous votes reproduce the single hash's bits
     // null propagation matches the higher-order-function forms
     assert(spark.sql("SELECT graft_dot(NULL, array(1.0D)) AS d").collect()(0).isNullAt(0))
+    // bloom probe: build a filter over xxhash64 values, probe through SQL
+    val bloom = {
+      import org.apache.spark.sql.functions._
+      spark.range(100)
+        .select(xxhash64(col("id").cast("string")).as("h"))
+        .agg(BloomOps.bloomAgg(col("h"), 100L, BloomOps.optimalNumBits(100L, 0.01)))
+        .head().getAs[Array[Byte]](0)
+    }
+    spark.createDataFrame(Seq(Tuple1(bloom))).toDF("bf").createOrReplaceTempView("bf_v")
+    val hit = spark.sql(
+      "SELECT graft_might_contain((SELECT bf FROM bf_v), xxhash64(CAST(7 AS STRING))) AS m")
+      .collect()(0).getBoolean(0)
+    assert(hit)
   }
 
   test("the extensions class injects every function without error") {

@@ -46,4 +46,24 @@ class TableStoreSpec extends SparkSpec {
       assert(parquetFiles(s"${store.path("p")}/$d").size <= 3, d)
     }
   }
+
+  test("clustered overwrite yields disjoint per-file key ranges (footer skipping)") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val store = new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+    // write shuffled keys — without clustering every file would span the
+    // whole key range and no footer could ever exclude a file
+    val shuffled = new scala.util.Random(7).shuffle((0L until 10000L).toVector)
+    store.overwrite("c", shuffled.map(k => (k, s"v$k")).toDF("k", "v").repartition(8))
+    store.overwriteClustered("c", store.read("c"), Seq("k"), numFiles = 8)
+    val spans = store.read("c")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length >= 2, "expected multiple files")
+    spans.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file ranges: $hi vs $lo2")
+    }
+    assert(store.read("c").count() === 10000)
+    assert(!Files.exists(Paths.get(store.path("c.tmp"))))
+  }
 }
