@@ -199,6 +199,69 @@ object Curation {
         pmod(col("start"), b).as("seq_offset"))
   }
 
+  /** Per-source boilerplate detection: a gram is boilerplate for a
+    * source when it appears in at least `ratioQ4/10⁴` of that source's
+    * documents (template headers, navigation chrome, license footers —
+    * the crawl-corpus noise floor). Reports each document's boilerplate
+    * mass so a curation funnel can gate or strip.
+    *
+    * The threshold test is `df·10⁴ ≥ ratioQ4·n_docs` — pure int64
+    * comparison, no division anywhere, so engine-exact at any scale
+    * (products stay < 2^63 up to ~10¹⁴-doc sources). Scale shape: the
+    * (source, gram) df table is vocabulary-sized, far smaller than the
+    * corpus; per-source doc counts broadcast; the boilerplate probe is
+    * one equi-join on (source, gram). */
+  def boilerplateStats(docs: DataFrame, n: Int = 1, ratioQ4: Long = 5000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val g = docs.select(col(idCol), col(sourceCol).as("src"),
+      explode(array_distinct(ngrams(words(col(textCol)), n))).as("gram"))
+    val perSource = docs.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("nd"))
+    val dfs = g.groupBy(col("src"), col("gram")).agg(count(lit(1)).as("df"))
+    val boiler = dfs.join(broadcast(perSource), "src")
+      .filter(col("df") * lit(10000L) >= lit(ratioQ4) * col("nd"))
+      .select(col("src"), col("gram"))
+    val totals = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = g.join(boiler, Seq("src", "gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    val t = coalesce(col("n_grams"), lit(0L))
+    val b = coalesce(col("n_boiler"), lit(0L))
+    val scaled = b * lit(10000L)
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left").join(hits, Seq(idCol), "left")
+      .select(col(idCol), t.as("n_grams"), b.as("n_boiler"),
+        when(t > 0, ((scaled - pmod(scaled, t)) / t).cast("double") / 10000.0)
+          .otherwise(lit(0.0)).as("boiler_frac"))
+  }
+
+  /** Corpus profile with rollup totals: per (source, lang) — and per
+    * source, and grand total — document count, token mass, distinct
+    * content count, and mean quality. The mean sums
+    * [[TextAnalysis.qualityScoreQ4]] (exact long addition, immune to the
+    * float-summation-order divergence a mean of doubles would hit) and
+    * floor-divides once per group. One shuffle on the grouping sets;
+    * every aggregate is map-side combinable. */
+  def corpusReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      size(words(col(textCol))).cast("long").as("toks"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"),
+      md5(col(textCol)).as("digest"))
+    // decimal(38,0): Σq4 ≤ n·10⁴ exceeds double-exact 2^53 once a group
+    // holds ~10¹² docs — the grand-total row of a planet-scale corpus
+    val dec = "decimal(38,0)"
+    val sumQ4 = sum(col("q4")).cast(dec)
+    val nDocs = count(lit(1))
+    val nD = nDocs.cast(dec)
+    base.rollup(col("source"), col("lang"))
+      .agg(nDocs.as("n_docs"), sum(col("toks")).as("n_tokens"),
+        countDistinct(col("digest")).as("n_unique"),
+        (((sumQ4 - pmod(sumQ4, nD)) / nD).cast("double") / 10000.0)
+          .as("mean_quality"))
+  }
+
   /** PII patterns kept to the syntax subset Java regex and RE2 (DuckDB)
     * interpret identically: explicit classes, no lookaround, `[0-9]`
     * over `\d`. */

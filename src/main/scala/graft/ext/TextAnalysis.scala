@@ -61,7 +61,14 @@ object TextAnalysis {
     * keeps every product exact (< 10³⁸ up to exabyte-sized strings), and
     * the one decimal→double cast of the exact quotient (≤ 10⁴) is
     * lossless. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreQ4(text).cast("double") / lit(10000.0)
+
+  /** The score's exact fixed-point integer ⌊num·10⁴/den⌋ ∈ [0, 10⁴] —
+    * what aggregations should sum (long addition is order-independent
+    * where double summation is not; see [[graft.ext.Curation]]'s corpus
+    * report). [[qualityScore]] is this over 10⁴. */
+  def qualityScoreQ4(text: Column): Column = {
     val dec = "decimal(38,0)"
     val len = length(text).cast("long")
     val l = greatest(len, lit(1L))
@@ -77,8 +84,7 @@ object TextAnalysis {
     val scaled = num * lit(10000L).cast(dec)
     // (scaled - scaled mod den) is an exact multiple of den, so the decimal
     // division yields the exact integer quotient (≤ 10⁴)
-    val q4 = ((scaled - pmod(scaled, den)) / den).cast("double")
-    q4 / lit(10000.0)
+    ((scaled - pmod(scaled, den)) / den).cast("long")
   }
 
   /** Gopher-style repetition signals per document — the cheap "is this

@@ -163,6 +163,14 @@ object ExtQueries {
   def qDedupBest(s: SparkSession, dir: String): DataFrame =
     Dedup.bestOfClusters(docs(s, dir), threshold = 0.5)
 
+  /** Per-source boilerplate mass (words in ≥ 50% of a source's docs). */
+  def qTextBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Curation.boilerplateStats(docs(s, dir), n = 1, ratioQ4 = 5000L)
+
+  /** Corpus profile rollup over (source, lang). */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame =
+    Curation.corpusReport(docs(s, dir))
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -219,6 +227,8 @@ object ExtQueries {
     "q_sample_mix" -> (qSampleMix _),
     "q_text_pack" -> (qTextPack _),
     "q_dedup_best" -> (qDedupBest _),
+    "q_text_boilerplate" -> (qTextBoilerplate _),
+    "q_corpus_report" -> (qCorpusReport _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -351,11 +361,16 @@ object ExtQueries {
     * (the rational lands exactly on decimal midpoints, where round-half
     * rules are engine-dependent). HUGEINT like the Spark side's
     * decimal(38,0): the products overflow int64 for multi-MB documents. */
-  private def qualitySql(text: String, ws: String, hEn: String): String =
-    s"""(CAST(((CAST(4 AS HUGEINT) * least(length($text), 500) * greatest(length($text), 1) * greatest(len($ws), 1)
+  /** The score's exact fixed-point integer ⌊num·10⁴/den⌋ (HUGEINT) —
+    * mirrors TextAnalysis.qualityScoreQ4. */
+  private def qualityQ4Sql(text: String, ws: String, hEn: String): String =
+    s"""(((CAST(4 AS HUGEINT) * least(length($text), 500) * greatest(length($text), 1) * greatest(len($ws), 1)
        |    + CAST(3 AS HUGEINT) * (greatest(length($text), 1) - len(regexp_extract_all($text, '[^A-Za-z0-9\\s]'))) * 500 * greatest(len($ws), 1)
        |    + CAST(3 AS HUGEINT) * least(3 * $hEn, greatest(len($ws), 1)) * 500 * greatest(length($text), 1)) * 10000)
-       |  // (CAST(5000 AS HUGEINT) * greatest(length($text), 1) * greatest(len($ws), 1)) AS DOUBLE) / 10000.0)""".stripMargin
+       |  // (CAST(5000 AS HUGEINT) * greatest(length($text), 1) * greatest(len($ws), 1)))""".stripMargin
+
+  private def qualitySql(text: String, ws: String, hEn: String): String =
+    s"(CAST(${qualityQ4Sql(text, ws, hEn)} AS DOUBLE) / 10000.0)"
 
   private val textStatsSql: String = {
     val hits = Seq("en", "es", "fr", "de").map(l =>
@@ -577,6 +592,45 @@ object ExtQueries {
        |  PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rnk FROM j)
        |SELECT r.cluster_id, doc_id AS best_id, quality AS best_quality, n_members
        |FROM r JOIN m USING (cluster_id) WHERE rnk = 1""".stripMargin
+
+  /** Boilerplate oracle mirroring Curation.boilerplateStats (n=1 →
+    * distinct words; int64 threshold compare, no division). */
+  private val textBoilerplateSql =
+    s"""WITH g AS (SELECT doc_id, src, unnest(list_distinct(ws)) AS gram
+       |  FROM (SELECT doc_id, source AS src, ${wordsSqlOf("text")} AS ws
+       |        FROM documents)),
+       |ps AS (SELECT source AS src, count(*) AS nd FROM documents GROUP BY 1),
+       |dfs AS (SELECT src, gram, count(*) AS df FROM g GROUP BY 1, 2),
+       |boiler AS (SELECT src, gram FROM dfs JOIN ps USING (src)
+       |  WHERE df * 10000 >= 5000 * nd),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+       |hit AS (SELECT g.doc_id, count(*) AS n_boiler
+       |  FROM g JOIN boiler USING (src, gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  ${frac4Sql("n_boiler", "n_grams")} AS boiler_frac
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
+
+  /** Corpus-report oracle mirroring Curation.corpusReport: ROLLUP
+    * (source, lang), mean quality = one floor-division of the exact
+    * HUGEINT q4 sum. */
+  private val corpusReportSql =
+    s"""WITH base AS (SELECT source, lang,
+       |  CAST(len(ws) AS BIGINT) AS toks,
+       |  ${qualityQ4Sql("text", "ws", "h_en")} AS q4,
+       |  md5(text) AS digest
+       |  FROM (SELECT source, lang, text, ws,
+       |    len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |    FROM (SELECT source, lang, text, ${wordsSqlOf("text")} AS ws,
+       |      ${wordsSqlOf("lower(text)")} AS wl FROM documents)))
+       |SELECT source, lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+       |  CAST(sum(q4) // count(*) AS DOUBLE) / 10000.0 AS mean_quality
+       |FROM base GROUP BY ROLLUP (source, lang)""".stripMargin
 
   /** Full funnel oracle: same normalize → quality/lang gates (rounded
     * quality BEFORE the threshold, en-priority tie rule) → min-id per
@@ -834,6 +888,8 @@ object ExtQueries {
     "q_sample_mix" -> sampleMixSql,
     "q_text_pack" -> textPackSql,
     "q_dedup_best" -> dedupBestSql,
+    "q_text_boilerplate" -> textBoilerplateSql,
+    "q_corpus_report" -> corpusReportSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -113,6 +113,44 @@ class CurationSpec extends SparkSpec {
     once.filter(_.getString(1) == "a").foreach(r => assert(r.getLong(2) === 333333L))
   }
 
+  test("boilerplate: per-source common words flagged, cross-source words are not") {
+    // 'nav' is in every docs.com doc (df 3/3 ≥ 50%) but only one blog.net
+    // doc (1/2 < 50%) — boilerplate is per-source, not global
+    val docs = Seq(
+      (1L, "nav home alpha", "docs.com"),
+      (2L, "nav home beta", "docs.com"),
+      (3L, "nav gamma delta", "docs.com"),
+      (4L, "nav epsilon", "blog.net"),
+      (5L, "zeta eta", "blog.net"),
+      (6L, "theta iota", "blog.net")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.boilerplateStats(docs, n = 1, ratioQ4 = 5000L).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // docs.com boilerplate = {nav, home? home df=2/3 ≥ 50% yes}
+    assert(r(1L) === ((3L, 2L, 0.6666)))
+    assert(r(3L) === ((3L, 1L, 0.3333)))
+    // blog.net: no word reaches 50% of 2 docs except none (all df=1)
+    assert(r(4L)._2 === 0L && r(5L)._2 === 0L)
+  }
+
+  test("corpus report: rollup rows with exact integer-mean quality") {
+    val docs = Seq(
+      (1L, "the a and of to in is it", "s1", "en"),
+      (2L, "the a and of to in is it", "s1", "en"),
+      (3L, "uno dos tres", "s1", "es"),
+      (4L, "the a and", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val rows = Curation.corpusReport(docs).collect()
+    // 3 leaf groups + 2 source subtotals + 1 grand total
+    assert(rows.length === 6)
+    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getLong(2) === 4L)
+    assert(grand.getLong(4) === 3L) // docs 1,2 share a digest
+    val q4s = docs.select(TextAnalysis.qualityScoreQ4(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(grand.getDouble(5) === (q4s.sum / 4L) / 10000.0)
+  }
+
   test("sequence packing: every doc lands once, offsets stay under budget, bins overflow by at most one doc") {
     // 40 docs x 10 tokens, budget 16 → every sequence takes 1-2 docs
     val docs = (0L until 40L)
