@@ -120,6 +120,55 @@ object Multimodal {
             least(lit(windowMs), col("duration_ms") - col("window_ms")) / 1000.0)
           .cast("long").as("n_samples"))
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("in_w", LongType, nullable = false),
+    StructField("in_h", LongType, nullable = false),
+    StructField("out_w", LongType, nullable = false),
+    StructField("out_h", LongType, nullable = false),
+    StructField("out_bytes", LongType, nullable = false),
+    StructField("out_digest", StringType, nullable = true)))
+
+  /** ===== STUB ===== fake resample: the "resized" payload is a prefix
+    * slice sized to the output geometry. A real implementation decodes,
+    * filters, and re-encodes here. */
+  def resampleStub(payload: Array[Byte], outW: Long, outH: Long): Array[Byte] =
+    payload.take(math.min(payload.length.toLong, outW * outH / 64L).toInt)
+
+  /** Image resize plumbing: fit each image inside (maxW, maxH) preserving
+    * aspect ratio, never upscaling. Geometry is exact integer arithmetic
+    * (cross-multiplied axis choice, floor division — no float scale
+    * factor to diverge between engines). The decode→resample→digest pass
+    * runs iterator-style per partition like [[decodeMeta]], constant
+    * memory; only geometry + a digest of the resized bytes leave the
+    * executor, never the pixels — which is what keeps a 100 TB resize
+    * job's shuffle at metadata width. */
+  def resizeImages(media: DataFrame, maxW: Long = 256L,
+      maxH: Long = 256L): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"need positive bounds, got $maxW x $maxH")
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          val (wOpt, hOpt, _, _) = decodeStub("image", payload)
+          val w = wOpt.get
+          val h = hOpt.get
+          val (ow, oh) =
+            if (w <= maxW && h <= maxH) (w, h) // never upscale
+            else if (w * maxH >= h * maxW)     // width-bound
+              (maxW, math.max(1L, h * maxW / w))
+            else                               // height-bound
+              (math.max(1L, w * maxH / h), maxH)
+          val out = resampleStub(payload, ow, oh)
+          val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(out)
+          Row(id, w, h, ow, oh, out.length.toLong, digest)
+        }
+      }(enc)
+  }
+
   /** "Feature extraction" over decoded media — stub embedding = 8 hash
     * floats of the payload digest; the batching/shape contract is what a
     * real model-inference UDF must satisfy. */

@@ -203,6 +203,10 @@ object ExtQueries {
     Multimodal.sampleAudioWindows(
       Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir))))
 
+  /** Aspect-preserving resize geometry + resized-payload digest. */
+  def qMmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(Multimodal.mediaFromDocuments(docs(s, dir)))
+
   def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       .select(Seq(col("media_id"), col("kind")) ++
@@ -240,7 +244,8 @@ object ExtQueries {
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
-    "q_mm_features" -> (qMmFeatures _))
+    "q_mm_features" -> (qMmFeatures _),
+    "q_mm_resize" -> (qMmResize _))
 
   // =================================================== DuckDB oracles
 
@@ -869,6 +874,30 @@ object ExtQueries {
        |FROM m""".stripMargin
   }
 
+  /** Resize oracle mirroring Multimodal.resizeImages (max 256x256): stub
+    * geometry (64 + n%512 by 64 + 7n%512), integer cross-multiplied axis
+    * choice, floor-div scaling, prefix-slice resample. DuckDB slices/md5s
+    * VARCHAR only — payloads here are ASCII text bytes, so the cast
+    * digests the same bytes Spark's byte-array md5 sees. */
+  private val mmResizeSql =
+    s"""WITH $mediaCte,
+       |i AS (SELECT media_id, n, payload,
+       |  64 + n % 512 AS w, 64 + (n * 7) % 512 AS h
+       |  FROM m WHERE kind = 'image'),
+       |g AS (SELECT media_id, n, payload, w, h,
+       |  CASE WHEN w <= 256 AND h <= 256 THEN w
+       |       WHEN w * 256 >= h * 256 THEN 256
+       |       ELSE greatest(1, (w * 256) // h) END AS out_w,
+       |  CASE WHEN w <= 256 AND h <= 256 THEN h
+       |       WHEN w * 256 >= h * 256 THEN greatest(1, (h * 256) // w)
+       |       ELSE 256 END AS out_h
+       |  FROM i)
+       |SELECT media_id, w AS in_w, h AS in_h, out_w, out_h,
+       |  least(n, (out_w * out_h) // 64) AS out_bytes,
+       |  md5(substring(CAST(payload AS VARCHAR), 1,
+       |    CAST(least(n, (out_w * out_h) // 64) AS BIGINT))) AS out_digest
+       |FROM g""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
@@ -901,5 +930,6 @@ object ExtQueries {
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,
-    "q_mm_features" -> mmFeaturesSql)
+    "q_mm_features" -> mmFeaturesSql,
+    "q_mm_resize" -> mmResizeSql)
 }

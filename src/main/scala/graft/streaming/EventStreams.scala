@@ -156,6 +156,23 @@ object EventStreams {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Streaming novelty gate: pass through only documents whose content
+    * digest is absent from a static known corpus — the continuous twin of
+    * [[graft.ext.Dedup.novelAgainst]] for "filter the crawl against what
+    * we already trained on" as data arrives. Stream-static LEFT ANTI
+    * join: stateless on the stream side (no watermark, no state store —
+    * the static side is re-resolved per micro-batch, so a refreshed known
+    * table is picked up). Null-text rows drop on both sides, pinning the
+    * same NOT IN semantics as the batch gate. */
+  def novelStream(docs: DataFrame, known: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+      .withColumn("__d", md5(col(textCol)))
+    val k = known.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__d"))
+    d.join(k, Seq("__d"), "left_anti").drop("__d")
+  }
+
   /** Batch sessionization — gaps-and-islands with window functions, the
     * declarative equivalent of [[sessionizeStream]] over finite input
     * (every session closed). One shuffle on user_id; the running session

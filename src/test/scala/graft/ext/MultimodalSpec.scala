@@ -61,6 +61,35 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.count() === 4)
   }
 
+  test("resizeImages: aspect-fit geometry never upscales, digest matches prefix slice") {
+    // payload length n drives stub dims: w = 64 + n%512, h = 64 + 7n%512
+    // n=10 → 74x134 (fits, untouched); n=400 → 464x* (width- or height-bound)
+    val media = Seq(
+      (1L, "image", ("x" * 10).getBytes("UTF-8")),
+      (2L, "image", ("y" * 400).getBytes("UTF-8")),
+      (3L, "audio", ("z" * 400).getBytes("UTF-8")) // non-image: excluded
+    ).toDF("media_id", "kind", "payload")
+    val r = Multimodal.resizeImages(media).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 2)
+    val small = r(1L)
+    assert(small.getLong(1) === 74L && small.getLong(2) === 134L)
+    assert(small.getLong(3) === 74L && small.getLong(4) === 134L) // untouched
+    val big = r(2L)
+    val (w, h) = (big.getLong(1), big.getLong(2))
+    val (ow, oh) = (big.getLong(3), big.getLong(4))
+    assert(w > 256 || h > 256)
+    assert(ow <= 256 && oh <= 256 && (ow == 256 || oh == 256))
+    // aspect preserved within floor rounding: ow/oh ≈ w/h
+    assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.02, s"$ow x $oh vs $w x $h")
+    // resized bytes = prefix of payload sized to the output geometry
+    val expectBytes = math.min(400L, ow * oh / 64L)
+    assert(big.getLong(5) === expectBytes)
+    val expectDigest = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(("y" * 400).getBytes("UTF-8").take(expectBytes.toInt))
+    assert(big.getString(6) === expectDigest)
+  }
+
   test("extractFeatures: 8 deterministic floats in [0,1)") {
     val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap

@@ -163,6 +163,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming novelty gate drops known digests, agrees with the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val known = Seq((100L, "seen before"), (101L, "also seen"))
+      .toDF("doc_id", "text")
+    val q = EventStreams.novelStream(
+        docs.toDF().toDF("doc_id", "text"), known)
+      .writeStream.format("memory").queryName("novel_out")
+      .outputMode("append").start()
+    try {
+      docs.addData((1L, "seen before"), (2L, "fresh content"),
+        (3L, "also seen"), (4L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val got = spark.table("novel_out").select("doc_id").as[Long].collect().toSet
+      assert(got === Set(2L))
+      // batch twin returns the same novel ids on the same finite input
+      val batchIn = Seq((1L, "seen before"), (2L, "fresh content"),
+        (3L, "also seen"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val batch = graft.ext.Dedup.novelAgainst(batchIn, known)
+        .as[Long].collect().toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
     val dir = Files.createTempDirectory("graft-stream")
     val in = dir.resolve("in"); Files.createDirectories(in)
