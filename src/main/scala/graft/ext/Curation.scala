@@ -199,6 +199,52 @@ object Curation {
         pmod(col("start"), b).as("seq_offset"))
   }
 
+  /** Keep the top `keepPpm/10⁶` fraction of each stratum by quality —
+    * "train on the best 30% per language". EXACT form: per-stratum
+    * rank over (q4 desc, id), keep iff `rank·10⁶ ≤ keepPpm·count` (int64
+    * cross-multiply, products < 2^63 up to 10¹²-doc strata; no division).
+    *
+    * The per-stratum window SORTS each stratum — fine up to large strata,
+    * but a 100 TB single-language corpus makes it the job's long pole.
+    * [[topQualityPerGroupApprox]] is the scale path: a quantile-sketch
+    * threshold turns the same gate into one scan + a pure filter. This
+    * exact form doubles as its accuracy oracle. */
+  def topQualityPerGroup(docs: DataFrame, stratum: Column, keepPpm: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(keepPpm > 0 && keepPpm <= 1000000L, s"keepPpm in (0,10⁶], got $keepPpm")
+    val scored = docs.select(col(idCol), stratum.as("stratum"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"))
+    val counts = scored.groupBy(col("stratum")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("q4").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("stratum"))
+      .filter(col("rnk") * lit(1000000L) <= lit(keepPpm) * col("c"))
+      .select(col(idCol), col("stratum"),
+        (col("q4").cast("double") / 10000.0).as("quality"), col("rnk"))
+  }
+
+  /** The scale path for [[topQualityPerGroup]]: per-stratum quality
+    * threshold from a mergeable quantile sketch (one aggregation pass,
+    * fixed memory), then a pure filter — no per-stratum sort anywhere.
+    * Approximation moves the cut line by at most the sketch's rank error
+    * (`relativeError`); everything comfortably above it is kept exactly
+    * as in the exact form. */
+  def topQualityPerGroupApprox(docs: DataFrame, stratum: Column,
+      keepPpm: Long, relativeError: Double = 0.001,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(keepPpm > 0 && keepPpm <= 1000000L, s"keepPpm in (0,10⁶], got $keepPpm")
+    val scored = docs.select(col(idCol), stratum.as("stratum"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"))
+    val cut = scored.groupBy(col("stratum")).agg(
+      percentile_approx(col("q4"), lit(1.0 - keepPpm / 1000000.0),
+        lit((1.0 / relativeError).toInt)).as("q4_cut"))
+    scored.join(broadcast(cut), Seq("stratum"))
+      .filter(col("q4") >= col("q4_cut"))
+      .select(col(idCol), col("stratum"),
+        (col("q4").cast("double") / 10000.0).as("quality"))
+  }
+
   /** Per-source boilerplate detection: a gram is boilerplate for a
     * source when it appears in at least `ratioQ4/10⁴` of that source's
     * documents (template headers, navigation chrome, license footers —

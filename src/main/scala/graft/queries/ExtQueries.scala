@@ -163,6 +163,10 @@ object ExtQueries {
   def qDedupBest(s: SparkSession, dir: String): DataFrame =
     Dedup.bestOfClusters(docs(s, dir), threshold = 0.5)
 
+  /** Top 30% quality per stored language (exact per-stratum rank gate). */
+  def qSampleTopQuality(s: SparkSession, dir: String): DataFrame =
+    Curation.topQualityPerGroup(docs(s, dir), col("lang"), keepPpm = 300000L)
+
   /** Per-source boilerplate mass (words in ≥ 50% of a source's docs). */
   def qTextBoilerplate(s: SparkSession, dir: String): DataFrame =
     Curation.boilerplateStats(docs(s, dir), n = 1, ratioQ4 = 5000L)
@@ -233,6 +237,7 @@ object ExtQueries {
     "q_dedup_best" -> (qDedupBest _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_sample_topq" -> (qSampleTopQuality _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -874,6 +879,23 @@ object ExtQueries {
        |FROM m""".stripMargin
   }
 
+  /** Top-30%-per-language oracle mirroring Curation.topQualityPerGroup:
+    * per-stratum rank over (q4 desc, id), int64 cross-multiplied keep
+    * test. */
+  private val sampleTopQualitySql =
+    s"""WITH base AS (SELECT doc_id, lang AS stratum,
+       |  ${qualityQ4Sql("text", "ws", "h_en")} AS q4
+       |  FROM (SELECT doc_id, lang, text, ws,
+       |    len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |    FROM (SELECT doc_id, lang, text, ${wordsSqlOf("text")} AS ws,
+       |      ${wordsSqlOf("lower(text)")} AS wl FROM documents))),
+       |c AS (SELECT stratum, count(*) AS c FROM base GROUP BY 1),
+       |r AS (SELECT doc_id, stratum, q4, ROW_NUMBER() OVER (
+       |  PARTITION BY stratum ORDER BY q4 DESC, doc_id) AS rnk FROM base)
+       |SELECT doc_id, stratum, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r JOIN c USING (stratum) WHERE rnk * 1000000 <= 300000 * c""".stripMargin
+
   /** Resize oracle mirroring Multimodal.resizeImages (max 256x256): stub
     * geometry (64 + n%512 by 64 + 7n%512), integer cross-multiplied axis
     * choice, floor-div scaling, prefix-slice resample. DuckDB slices/md5s
@@ -919,6 +941,7 @@ object ExtQueries {
     "q_dedup_best" -> dedupBestSql,
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_corpus_report" -> corpusReportSql,
+    "q_sample_topq" -> sampleTopQualitySql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -113,6 +113,29 @@ class CurationSpec extends SparkSpec {
     once.filter(_.getString(1) == "a").foreach(r => assert(r.getLong(2) === 333333L))
   }
 
+  test("top-quality gate: exact keeps ceil-free 30% per stratum; approx agrees away from the cut") {
+    // distinct quality per doc within each stratum (monotone punctuation
+    // penalty) — a tie plateau at the cut would legitimately widen the
+    // threshold gate and obscure the exact/approx comparison
+    val docs = (0L until 200L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "es"
+      (i, "the a of to in is it and " + ("!" * (1 + (i / 2).toInt)), lang)
+    }.toDF("doc_id", "text", "lang")
+    val exact = Curation.topQualityPerGroup(docs, col("lang"), keepPpm = 300000L)
+      .collect()
+    val byStratum = exact.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byStratum("en") === 30 && byStratum("es") === 30) // ⌊0.3·100⌋
+    // every kept doc outranks every dropped doc within its stratum
+    exact.foreach(r => assert(r.getLong(3) <= 30))
+    val approx = Curation.topQualityPerGroupApprox(docs, col("lang"),
+      keepPpm = 300000L).collect()
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val approxIds = approx.map(_.getLong(0)).toSet
+    // same gate within sketch tolerance: symmetric difference is a sliver
+    assert((exactIds diff approxIds).size + (approxIds diff exactIds).size <= 20,
+      s"exact=${exactIds.size} approx=${approxIds.size}")
+  }
+
   test("boilerplate: per-source common words flagged, cross-source words are not") {
     // 'nav' is in every docs.com doc (df 3/3 ≥ 50%) but only one blog.net
     // doc (1/2 < 50%) — boilerplate is per-source, not global

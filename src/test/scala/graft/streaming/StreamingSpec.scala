@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation projections are stream-safe and agree with their batch forms") {
+    // normalize/quality/langId/stratified-keep are pure projections, so
+    // the SAME Column expressions run unchanged on a stream — this pins
+    // that (no accidental aggregate/window sneaking into the battery)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Curation, TextAnalysis}
+    val docs = MemoryStream[(Long, String)]
+    val battery = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"),
+      Curation.normalizeText(col("text")).as("norm"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang"))
+    val q = battery(docs.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation_stream_out")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "  The   A of TO  "), (2L, "el la de que y en un es"))
+      docs.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("curation_stream_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+      val batch = battery(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+      assert(got === batch)
+      assert(got.exists(_._4 == "es"))
+    } finally q.stop()
+  }
+
   test("streaming novelty gate drops known digests, agrees with the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
