@@ -163,6 +163,14 @@ object ExtQueries {
   def qDedupBest(s: SparkSession, dir: String): DataFrame =
     Dedup.bestOfClusters(docs(s, dir), threshold = 0.5)
 
+  /** Corpus vocabulary head: top-40 words by exact count (tokenizer-vocab
+    * induction's first pass; heavyHitters = one map-side-combined count +
+    * TakeOrdered, no global sort). */
+  def qVocabTop(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.heavyHitters(
+      docs(s, dir).select(explode(Hashing.words(col("text"))).as("term")),
+      "term", k = 40)
+
   /** Top 30% quality per stored language (exact per-stratum rank gate). */
   def qSampleTopQuality(s: SparkSession, dir: String): DataFrame =
     Curation.topQualityPerGroup(docs(s, dir), col("lang"), keepPpm = 300000L)
@@ -238,6 +246,7 @@ object ExtQueries {
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_sample_topq" -> (qSampleTopQuality _),
+    "q_vocab_top" -> (qVocabTop _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -879,6 +888,13 @@ object ExtQueries {
        |FROM m""".stripMargin
   }
 
+  /** Vocabulary-head oracle: exact word counts, (count desc, term) order,
+    * top 40. */
+  private val vocabTopSql =
+    s"""WITH w AS (SELECT unnest(${wordsSqlOf("text")}) AS term FROM documents)
+       |SELECT term, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY term
+       |ORDER BY n DESC, term LIMIT 40""".stripMargin
+
   /** Top-30%-per-language oracle mirroring Curation.topQualityPerGroup:
     * per-stratum rank over (q4 desc, id), int64 cross-multiplied keep
     * test. */
@@ -942,6 +958,7 @@ object ExtQueries {
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_corpus_report" -> corpusReportSql,
     "q_sample_topq" -> sampleTopQualitySql,
+    "q_vocab_top" -> vocabTopSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

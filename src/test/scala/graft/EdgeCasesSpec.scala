@@ -85,6 +85,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(clusters === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("round-4 operators on empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val some = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // decontamination: empty eval set flags nothing; null text = no grams
+    val ds = graft.ext.Decontamination.overlapStats(some, empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ds === Map(1L -> 0L, 2L -> 0L))
+    assert(graft.ext.Decontamination.clean(some, empty).count() === 2)
+    // repetition stats: null text reports null word count, zero fractions
+    val rep = TextAnalysis.repetitionStats(some).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(2L).isNullAt(1) && rep(2L).getDouble(7) === 0.0)
+    // packing / resampling / top-quality on empty input yield empty output
+    assert(Curation.packSequences(empty).count() === 0)
+    assert(Curation.resampleToMix(empty, col("doc_id").cast("string"),
+      Map("x" -> 1)).count() === 0)
+    assert(Curation.topQualityPerGroup(empty,
+      TextAnalysis.langId(col("text")), 500000L).count() === 0)
+    assert(Curation.boilerplateStats(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+      .count() === 0)
+    // corpus report over an empty corpus: zero rows (grouped-aggregate
+    // semantics — ROLLUP emits no grand total without input, same in SQL)
+    assert(Curation.corpusReport(
+      Seq.empty[(Long, String, String, String)]
+        .toDF("doc_id", "text", "source", "lang")).count() === 0)
+  }
+
   test("as-of join with an empty right side keeps all left rows with nulls") {
     val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "r1"))
       .toDF("k", "ts", "reading")
