@@ -300,6 +300,52 @@ object Dedup {
     d.join(k, Seq("__d"), "left_anti").select(col(idCol))
   }
 
+  /** Span-level repeated-substring detection — the exact-substring dedup
+    * of Lee et al. (2022), re-expressed relationally: find maximal char
+    * spans whose every k-gram occurs more than once in the corpus
+    * (boilerplate, licenses, templated passages — the spans one removes
+    * rather than the documents).
+    *
+    * Plan shape: (1) explode a position index of k-gram hashes — the
+    * corpus cost is O(chars), the relational stand-in for the paper's
+    * suffix array (a `stride` > 1 winnows positions for a cheaper
+    * approximation); (2) mark grams whose global occurrence count > 1 —
+    * one map-side-combined count keyed by the 8-byte hash, then a
+    * semi-join back; (3) merge marked positions into maximal spans with
+    * a per-document gaps-and-islands window (partitioned by doc — no
+    * global sort). Span ends are exclusive of nothing: [start, end] spans
+    * start..end chars inclusive, end = last marked pos + k - 1. */
+  def repeatedSpans(docs: DataFrame, k: Int = 20, stride: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && stride > 0, s"need positive k/stride, got $k/$stride")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val g = docs.select(col(idCol), col(textCol).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1), lit(stride)))
+          .as("p"))
+      .select(col(idCol), col("p").cast("long").as("pos"),
+        hexInt(col("t").substr(col("p"), lit(k))).as("h"))
+    val rep = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val marked = g.join(rep, Seq("h"), "left_semi")
+    marked
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") - col("prev") > stride, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_grams"))
+  }
+
   /** Approximate novelty gate: [[novelAgainst]]'s scale path when the
     * known corpus is too large to sit on one side of a join every run. A
     * Bloom filter of the known set's 64-bit content hashes is built ONCE

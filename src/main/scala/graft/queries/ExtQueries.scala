@@ -163,6 +163,10 @@ object ExtQueries {
   def qDedupBest(s: SparkSession, dir: String): DataFrame =
     Dedup.bestOfClusters(docs(s, dir), threshold = 0.5)
 
+  /** Maximal repeated char-20-gram spans (exact-substring dedup). */
+  def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(docs(s, dir), k = 20)
+
   /** Corpus vocabulary head: top-40 words by exact count (tokenizer-vocab
     * induction's first pass; heavyHitters = one map-side-combined count +
     * TakeOrdered, no global sort). */
@@ -247,6 +251,7 @@ object ExtQueries {
     "q_corpus_report" -> (qCorpusReport _),
     "q_sample_topq" -> (qSampleTopQuality _),
     "q_vocab_top" -> (qVocabTop _),
+    "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -888,6 +893,28 @@ object ExtQueries {
        |FROM m""".stripMargin
   }
 
+  /** Repeated-span oracle mirroring Dedup.repeatedSpans (k=20, stride 1):
+    * position-indexed gram hashes, global count > 1, per-doc
+    * gaps-and-islands. */
+  private val dedupSpansSql = {
+    val h = hexIntSql("substr(text, CAST(p AS INT), 20)")
+    s"""WITH px AS (SELECT doc_id, unnest(range(1, length(text) - 18)) AS p, text
+       |  FROM documents WHERE length(text) >= 20),
+       |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, $h AS h FROM px),
+       |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM rep)),
+       |i AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+       |       THEN 1 ELSE 0 END AS ni FROM m),
+       |s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS UNBOUNDED PRECEDING) AS isl FROM i)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+       |  max(pos) + 19 - min(pos) + 1 AS span_len,
+       |  CAST(count(*) AS BIGINT) AS n_grams
+       |FROM s GROUP BY doc_id, isl""".stripMargin
+  }
+
   /** Vocabulary-head oracle: exact word counts, (count desc, term) order,
     * top 40. */
   private val vocabTopSql =
@@ -959,6 +986,7 @@ object ExtQueries {
     "q_corpus_report" -> corpusReportSql,
     "q_sample_topq" -> sampleTopQualitySql,
     "q_vocab_top" -> vocabTopSql,
+    "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
     cands.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("repeated spans: shared substring yields one maximal span per doc, unique text none") {
+    // docs 1 and 2 share a 30-char block at different offsets; doc 3 is
+    // all-unique. k=10: every 10-gram inside the block repeats, nothing
+    // else does — one island per doc spanning exactly the block.
+    val block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars
+    val d = docs(
+      1L -> s"xxxx${block}yyyy",
+      2L -> s"zzzzzzzz${block}wwww",
+      3L -> "abcdefghij-unique-tail-qrstuv")
+    val spans = Dedup.repeatedSpans(d, k = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(spans.size === 2)
+    // doc 1: block at 1-based pos 5..34 → grams at 5..25, span 5..34
+    assert(spans(1L) === ((5L, 34L, 30L, 21L)))
+    // doc 2: block at pos 9..38 → grams at 9..29, span 9..38
+    assert(spans(2L) === ((9L, 38L, 30L, 21L)))
+  }
+
   test("bloom novelty gate: no false negatives, bounded false-positive drops") {
     import spark.implicits._
     val known = (0L until 500L).map(i => (i, s"known document number $i"))
