@@ -263,8 +263,15 @@ object Dedup {
     * cluster sizes are near-dup family sizes — small by nature.
     * Singletons pick themselves. */
   def bestOfClusters(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bestOfClustersFrom(docs, duplicateClusters(docs, threshold, idCol),
+      idCol, textCol)
+
+  /** [[bestOfClusters]] over a PRECOMPUTED cluster table — the form a
+    * pipeline uses when it already ran [[duplicateClusters]] for labels,
+    * so the iterative propagation doesn't run twice. */
+  def bestOfClustersFrom(docs: DataFrame, clusters: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val clusters = duplicateClusters(docs, threshold, idCol)
     val scored = docs.select(col(idCol),
       TextAnalysis.qualityScore(col(textCol)).as("quality"))
     val w = org.apache.spark.sql.expressions.Window

@@ -395,6 +395,34 @@ object CoreQueries {
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
 
+  /** Q10-style returned-item revenue: who returned the most value —
+    * 3-way join, rounded-revenue agg, deterministic top-k. */
+  def qSqlQ10(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+
+  /** Q12-style priority split (adapted to this schema's columns):
+    * conditional-CASE counts inside one aggregation over a fact-fact
+    * join. */
+  def qSqlQ12(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin)
+
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -586,6 +614,8 @@ object CoreQueries {
     "q_sql_q4" -> (qSqlQ4 _),
     "q_sql_q5" -> (qSqlQ5 _),
     "q_sql_q6" -> (qSqlQ6 _),
+    "q_sql_q10" -> (qSqlQ10 _),
+    "q_sql_q12" -> (qSqlQ12 _),
     "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
@@ -813,6 +843,25 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_sql_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_sql_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
     "q_sql_q5" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
