@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+import Hashing.numHashes
+
+/** Incremental MinHash-LSH index maintenance — the cross-RUN form of
+  * [[Dedup.minhashNearDups]]: a persisted (bands, signatures) index lets
+  * each day's crawl increment find its near-dups against everything ever
+  * ingested WITHOUT re-shingling the corpus. Per-increment cost is
+  * O(increment + band matches), not O(corpus) — the property that makes
+  * continuous dedup viable at 100 TB (the full-corpus re-run isn't).
+  *
+  * Index layout (two tables in a [[TableStore]]):
+  *  - `<name>_bands`: (id, band, bh) — the LSH bucket keys;
+  *  - `<name>_sigs`:  (id, mh0..mh{k-1}) — full signatures for scoring.
+  *
+  * New-vs-old pairs are scored by SIGNATURE-estimated Jaccard (matching
+  * lanes / k) because the index intentionally stores no text; estimates
+  * are exact 1/k-grid rationals (k = 16 ⇒ exact in binary), and exact
+  * verification can always re-read the two documents' text by id.
+  * Determinism: same content ⇒ same signatures ⇒ same pairs, regardless
+  * of which increment a document arrived in.
+  */
+object IncrementalDedup {
+
+  private def bandsName(name: String) = s"${name}_bands"
+  private def sigsName(name: String) = s"${name}_sigs"
+
+  /** Ingest one increment: returns near-dup pairs (new-vs-index and
+    * new-vs-new, estimated Jaccard ≥ threshold), then appends the
+    * increment's bands+signatures to the index. Pair orientation: id_a is
+    * always the already-indexed (or lower-id) side. */
+  def indexIncrement(newDocs: DataFrame, store: TableStore, name: String,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val renamed = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sh = Dedup.shingles(renamed, 3, "id", "text")
+    val sigs = Dedup.minhashSignatures(sh).localCheckpoint(true)
+    val newBands = Dedup.lshBands(sigs).localCheckpoint(true)
+
+    val oldBands = readOrEmpty(spark, store, bandsName(name), newBands)
+    val oldSigs = readOrEmpty(spark, store, sigsName(name), sigs)
+
+    // candidates: new bucket keys vs the index, plus within the increment.
+    // The index side is pre-bucketed by construction — the join shuffles
+    // only the increment's band rows against matching buckets.
+    val vsOld = oldBands.as("l").join(newBands.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val vsNew = Dedup.lshCandidates(newBands)
+    val cands = vsOld.unionByName(vsNew).distinct()
+
+    val allSigs = oldSigs.unionByName(sigs)
+    val estJaccard = (0 until numHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes.toDouble
+    val pairs = cands
+      .join(allSigs.as("a"), col("id_a") === col("a.id"))
+      .join(allSigs.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .localCheckpoint(true) // pin results BEFORE the index mutates below
+
+    store.append(bandsName(name), newBands)
+    store.append(sigsName(name), sigs)
+    pairs
+  }
+
+  private def readOrEmpty(spark: SparkSession, store: TableStore,
+      table: String, like: DataFrame): DataFrame =
+    if (store.exists(table)) store.read(table)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.store.TableStore
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+
+  test("increment N finds near-dups against everything indexed before it") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-inc").toString)
+    // day 1: two unrelated docs — no pairs, index seeded
+    val day1 = Seq((1L, base), (2L, "entirely different words here today ok"))
+      .toDF("doc_id", "text")
+    val p1 = IncrementalDedup.indexIncrement(day1, store, "idx")
+    assert(p1.count() === 0)
+    // day 2: an exact copy of doc 1 and a fresh doc — exactly one pair,
+    // found against the PERSISTED index, est_jaccard exactly 1.0
+    val day2 = Seq((10L, base), (11L, "more fresh unrelated text content"))
+      .toDF("doc_id", "text")
+    val p2 = IncrementalDedup.indexIncrement(day2, store, "idx").collect()
+    assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L)))
+    assert(p2.head.getDouble(2) === 1.0)
+    // day 3: another copy pairs with BOTH prior copies
+    val day3 = Seq((20L, base)).toDF("doc_id", "text")
+    val p3 = IncrementalDedup.indexIncrement(day3, store, "idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 === Set((1L, 20L), (10L, 20L)))
+  }
+
+  test("within-increment pairs are found too, and index growth is additive") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-inc").toString)
+    val inc = Seq((1L, base), (2L, base + " extra"), (3L, "unrelated stuff wholly"))
+      .toDF("doc_id", "text")
+    val pairs = IncrementalDedup.indexIncrement(inc, store, "idx", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(store.read("idx_bands").count() === 3 * Hashing.bands)
+    assert(store.read("idx_sigs").count() === 3)
+    // re-ingesting the same ids as a new increment pairs them with their
+    // stored twins (same content ⇒ est 1.0) — determinism across runs
+    val again = IncrementalDedup.indexIncrement(
+      Seq((101L, base)).toDF("doc_id", "text"), store, "idx")
+    assert(again.filter("id_a = 1 AND id_b = 101").count() === 1)
+  }
+}
