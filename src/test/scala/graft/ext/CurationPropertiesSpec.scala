@@ -93,4 +93,44 @@ class CurationPropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("packing: every non-empty doc lands exactly once, offsets under budget, per-bucket token conservation") {
+    val B = 16
+    check(Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nonEmpty = texts.count(_.split("\\s+").exists(_.nonEmpty))
+      val out = Curation.packSequences(docs, budgetTokens = B, buckets = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      out.length == nonEmpty &&
+        out.map(_._1).distinct.length == nonEmpty &&
+        out.forall { case (_, _, _, _, off) => off >= 0 && off < B } &&
+        // within a bucket, offsets tile the token stream: Σ tokens equals
+        // the max (seq_id·B + offset + tokens) — no gaps, no overlaps
+        out.groupBy(_._2).values.forall { rows =>
+          val total = rows.map(_._3).sum
+          val end = rows.map { case (_, _, t, s, o) => s * B + o + t }.max
+          total == end
+        }
+    })
+  }
+
+  test("decontamination: overlap counts are monotone in the eval set") {
+    check(Prop.forAll(genCorpus, genCorpus) { (train, evalA) =>
+      val docs = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val evalSmall = evalA.take(math.max(1, evalA.length / 2))
+        .zipWithIndex.map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val evalBig = evalA.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      def hits(ev: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        Decontamination.overlapStats(docs, ev).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val small = hits(evalSmall)
+      val big = hits(evalBig)
+      // a superset eval set can only flag more (or equally many) grams
+      small.forall { case (id, n) => big(id) >= n }
+    })
+  }
 }
