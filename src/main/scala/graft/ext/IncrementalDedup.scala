@@ -46,22 +46,32 @@ object IncrementalDedup {
     val oldSigs = readOrEmpty(spark, store, sigsName(name), sigs)
 
     // candidates: new bucket keys vs the index, plus within the increment.
-    // The index side is pre-bucketed by construction — the join shuffles
-    // only the increment's band rows against matching buckets.
-    val vsOld = oldBands.as("l").join(newBands.as("r"),
+    // The INCREMENT side broadcasts — the corpus-sized index is streamed
+    // map-side with no shuffle; shuffling the index every day would make
+    // the increment cost O(corpus) and defeat the design.
+    val vsOld = oldBands.as("l").join(broadcast(newBands.as("r")),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") =!= col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
     val vsNew = Dedup.lshCandidates(newBands)
     val cands = vsOld.unionByName(vsNew).distinct()
+      .localCheckpoint(true) // three consumers below (two prunes + join)
 
-    val allSigs = oldSigs.unionByName(sigs)
+    // prune stored signatures to candidate ids BEFORE joining — the sigs
+    // table is corpus-sized and must not shuffle; band-match volume is
+    // increment-scale, so the id set broadcasts (with an id-clustered
+    // layout the semi-join also skips files on footer ranges)
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val sigsNeeded = oldSigs.unionByName(sigs)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .localCheckpoint(true)
     val estJaccard = (0 until numHashes)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes.toDouble
     val pairs = cands
-      .join(allSigs.as("a"), col("id_a") === col("a.id"))
-      .join(allSigs.as("b"), col("id_b") === col("b.id"))
+      .join(sigsNeeded.as("a"), col("id_a") === col("a.id"))
+      .join(sigsNeeded.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .localCheckpoint(true) // pin results BEFORE the index mutates below
