@@ -116,10 +116,15 @@ object Curation {
       .withColumn("w", wCol).filter(col("w") > 0)
     val counts = tagged.groupBy(col("stratum"), col("w"))
       .agg(count(lit(1)).as("c"))
-    val cw = col("c") * lit(totalW)
-    val caps = counts.withColumn("cap", (cw - pmod(cw, col("w"))) / col("w"))
-    val tMin = caps.agg(min(col("cap")).cast("long").as("t"))
+    // caps in decimal(38,0) like keep_ppm below: a long/long Divide runs
+    // in doubles, which silently loses low bits once c·W > 2^53 (ppm-
+    // grained weights on a 10¹⁰-doc stratum) and diverges from the
+    // oracle's exact integer division
     val dec = "decimal(38,0)"
+    val cw = col("c").cast(dec) * lit(totalW).cast(dec)
+    val wD = col("w").cast(dec)
+    val caps = counts.withColumn("cap", (cw - pmod(cw, wD)) / wD)
+    val tMin = caps.agg(min(col("cap")).cast("long").as("t"))
     val num = col("w").cast(dec) * col("t").cast(dec) * lit(1000000L).cast(dec)
     val den = lit(totalW).cast(dec) * col("c").cast(dec)
     val rates = caps.crossJoin(broadcast(tMin))

@@ -51,12 +51,17 @@ object Decontamination {
 
   /** The gate itself: training docs that survive decontamination at
     * `maxFrac` (strictly-greater rejects; 0.0 = any shared gram rejects).
-    */
+    * Gated on the EXACT rational `n_contaminated ≤ maxFrac · n_grams` —
+    * not the 4-decimal display fraction, whose floor would leak a doc
+    * with one shared gram among > 10⁴ grams through even the strictest
+    * gate. */
   def clean(docs: DataFrame, eval: DataFrame, n: Int = 3,
       maxFrac: Double = 0.0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.join(
       overlapStats(docs, eval, n, idCol, textCol)
-        .filter(col("contaminated_frac") <= maxFrac).select(col(idCol)),
+        .filter(col("n_contaminated").cast("double") <=
+          lit(maxFrac) * col("n_grams").cast("double"))
+        .select(col(idCol)),
       Seq(idCol), "left_semi")
 }

@@ -333,7 +333,9 @@ object Dedup {
         explode(sequence(lit(1), length(col("t")) - (k - 1), lit(stride)))
           .as("p"))
       .select(col(idCol), col("p").cast("long").as("pos"),
-        hexInt(col("t").substr(col("p"), lit(k))).as("h"))
+        // 60-bit hash: at 10⁹+ gram positions a 32-bit key space would
+        // mark ~20% of unique grams as spuriously repeated
+        hexLong(col("t").substr(col("p"), lit(k))).as("h"))
     val rep = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val marked = g.join(rep, Seq("h"), "left_semi")

@@ -21,6 +21,16 @@ object Hashing {
   def hexIntSql(s: String): String =
     s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
 
+  /** 60-bit hash (15 md5 hex digits): for keys where 32-bit collision
+    * mass matters at corpus scale (10⁹ keys collide w.p. ~0.2 in 2³²,
+    * ~4·10⁻⁴ in 2⁶⁰). 15 digits, not 16, so the value always fits a
+    * SIGNED 64-bit int in both engines. */
+  def hexLong(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hexLongSql(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
   /** MinHash parameters: k universal-hash functions
     * h_i(x) = (a_i * x + b_i) mod p over the 32-bit shingle hash.
     * p is the smallest prime > 2^32; a/b are fixed odd-ish constants so

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.store.TableStore
 import Hashing.numHashes
@@ -10,12 +11,20 @@ import Hashing.numHashes
   * [[Dedup.minhashNearDups]]: a persisted (bands, signatures) index lets
   * each day's crawl increment find its near-dups against everything ever
   * ingested WITHOUT re-shingling the corpus. Per-increment cost is
-  * O(increment + band matches), not O(corpus) — the property that makes
-  * continuous dedup viable at 100 TB (the full-corpus re-run isn't).
+  * O(increment + band matches) plus one id-column pass over the index,
+  * never a re-shingle of the corpus — the property that makes continuous
+  * dedup viable at 100 TB (the full-corpus re-run isn't).
   *
   * Index layout (two tables in a [[TableStore]]):
   *  - `<name>_bands`: (id, band, bh) — the LSH bucket keys;
   *  - `<name>_sigs`:  (id, mh0..mh{k-1}) — full signatures for scoring.
+  *
+  * Re-ingested ids are FIRST-WRITE-WINS: an increment row whose id is
+  * already indexed is dropped before shingling (anti-join against the
+  * stored id column — a one-column pruned scan; at extreme scale an
+  * id-Bloom prefilter, see [[graft.functions.BloomOps]], cuts that to a
+  * projection). Without this, a revisited id would accrete duplicate
+  * index rows and multiply future pair results.
   *
   * New-vs-old pairs are scored by SIGNATURE-estimated Jaccard (matching
   * lanes / k) because the index intentionally stores no text; estimates
@@ -29,6 +38,14 @@ object IncrementalDedup {
   private def bandsName(name: String) = s"${name}_bands"
   private def sigsName(name: String) = s"${name}_sigs"
 
+  private val sigsSchema = StructType(
+    StructField("id", LongType) +:
+      (0 until numHashes).map(i => StructField(s"mh$i", LongType)))
+  private val bandsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("band", IntegerType, nullable = false),
+    StructField("bh", StringType)))
+
   /** Ingest one increment: returns near-dup pairs (new-vs-index and
     * new-vs-new, estimated Jaccard ≥ threshold), then appends the
     * increment's bands+signatures to the index. Pair orientation: id_a is
@@ -36,14 +53,15 @@ object IncrementalDedup {
   def indexIncrement(newDocs: DataFrame, store: TableStore, name: String,
       threshold: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
-    val renamed = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val sh = Dedup.shingles(renamed, 3, "id", "text")
+    val oldBands = store.readOrEmpty(bandsName(name), bandsSchema)
+    val oldSigs = store.readOrEmpty(sigsName(name), sigsSchema)
+
+    // first-write-wins: drop increment rows whose id is already indexed
+    val fresh = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(oldSigs.select(col("id")), Seq("id"), "left_anti")
+    val sh = Dedup.shingles(fresh, 3, "id", "text")
     val sigs = Dedup.minhashSignatures(sh).localCheckpoint(true)
     val newBands = Dedup.lshBands(sigs).localCheckpoint(true)
-
-    val oldBands = readOrEmpty(spark, store, bandsName(name), newBands)
-    val oldSigs = readOrEmpty(spark, store, sigsName(name), sigs)
 
     // candidates: new bucket keys vs the index, plus within the increment.
     // The INCREMENT side broadcasts — the corpus-sized index is streamed
@@ -80,10 +98,4 @@ object IncrementalDedup {
     store.append(sigsName(name), sigs)
     pairs
   }
-
-  private def readOrEmpty(spark: SparkSession, store: TableStore,
-      table: String, like: DataFrame): DataFrame =
-    if (store.exists(table)) store.read(table)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
 }

@@ -25,12 +25,25 @@ object BloomOps {
 
   /** Aggregate a LONG hash column into a serialized Bloom filter
     * (BINARY). Null hashes are skipped by the aggregate; zero input rows
-    * yield a null buffer — callers must treat null as "empty filter". */
-  def bloomAgg(hashes: Column, expectedItems: Long, numBits: Long): Column =
+    * yield a null buffer — callers must treat null as "empty filter".
+    *
+    * BloomFilterAggregate SILENTLY clamps its sizing to the session's
+    * runtime-filter confs (maxNumItems = 4·10⁶, maxNumBits = 64 Mbit by
+    * default) — at clamped sizing a large filter saturates and
+    * mightContain answers true for nearly everything. The confs are
+    * raised here to the requested sizing so the caller's fpp contract
+    * actually holds. */
+  def bloomAgg(hashes: Column, expectedItems: Long, numBits: Long): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    def raise(key: String, v: Long): Unit =
+      if (spark.conf.get(key).toLong < v) spark.conf.set(key, v.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(hashes),
       ColumnBridge.expression(lit(expectedItems)),
       ColumnBridge.expression(lit(numBits))).toAggregateExpression())
+  }
 
   /** Membership probe of a LONG hash against a serialized filter; the
     * filter side must be foldable (a literal), which also means it ships

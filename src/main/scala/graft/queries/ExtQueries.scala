@@ -897,7 +897,7 @@ object ExtQueries {
     * position-indexed gram hashes, global count > 1, per-doc
     * gaps-and-islands. */
   private val dedupSpansSql = {
-    val h = hexIntSql("substr(text, CAST(p AS INT), 20)")
+    val h = Hashing.hexLongSql("substr(text, CAST(p AS INT), 20)")
     s"""WITH px AS (SELECT doc_id, unnest(range(1, length(text) - 18)) AS p, text
        |  FROM documents WHERE length(text) >= 20),
        |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, $h AS h FROM px),

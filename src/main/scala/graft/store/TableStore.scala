@@ -123,15 +123,7 @@ class TableStore(spark: SparkSession, baseDir: String) {
       (if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
        else df.repartitionByRange(cols: _*))
         .sortWithinPartitions(cols: _*)
-    val tmp = Paths.get(path(s"$name.tmp"))
-    deleteRecursively(tmp)
-    ranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val live = Paths.get(path(name))
-    val old = Paths.get(path(s"$name.old"))
-    deleteRecursively(old)
-    if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    overwrite(name, ranged)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -39,6 +39,16 @@ class DecontaminationSpec extends SparkSpec {
     assert(lax.sameElements(Array(1L, 3L, 4L)))
   }
 
+  test("strict gate rejects one shared gram even among >10^4 grams (no floor leak)") {
+    // contaminated_frac floors to 0.0000 here; the gate must still reject
+    val words = (0 until 10205).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, s"alpha beta gamma $words")).toDF("doc_id", "text")
+    val stats = Decontamination.overlapStats(docs, eval, n = 3).collect()(0)
+    assert(stats.getLong(2) === 1L)       // one shared gram ("alpha beta gamma")
+    assert(stats.getDouble(3) === 0.0)    // display fraction floors to zero...
+    assert(Decontamination.clean(docs, eval).count() === 0) // ...but the gate rejects
+  }
+
   test("eval-set grams are deduplicated — repeats in eval don't double-count") {
     val dupEval = Seq((100L, "alpha beta gamma"), (101L, "alpha beta gamma"))
       .toDF("doc_id", "text")

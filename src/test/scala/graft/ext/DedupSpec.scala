@@ -101,6 +101,14 @@ class DedupSpec extends SparkSpec {
     assert(novel.subsetOf(exact))
   }
 
+  test("bloom sizing raises the session clamp confs (no silent saturation)") {
+    val items = 8L * 1000 * 1000 // above Spark's default 4M item clamp
+    val bits = graft.functions.BloomOps.optimalNumBits(items, 0.3)
+    graft.functions.BloomOps.bloomAgg(col("h"), items, bits) // constructing raises confs
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= items)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong >= bits)
+  }
+
   test("bloom novelty gate: empty known set classifies everything novel, nulls drop") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")

@@ -46,4 +46,22 @@ class IncrementalDedupSpec extends SparkSpec {
       Seq((101L, base)).toDF("doc_id", "text"), store, "idx")
     assert(again.filter("id_a = 1 AND id_b = 101").count() === 1)
   }
+
+  test("re-ingesting an already-indexed id is a no-op (first-write-wins)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-inc").toString)
+    val inc = Seq((1L, base)).toDF("doc_id", "text")
+    IncrementalDedup.indexIncrement(inc, store, "idx")
+    // same id again (even with different text): dropped before indexing —
+    // no duplicate sigs/bands rows, no self-pair, and later increments
+    // don't see multiplied rows
+    val redo = IncrementalDedup.indexIncrement(
+      Seq((1L, base + " mutated")).toDF("doc_id", "text"), store, "idx")
+    assert(redo.count() === 0)
+    assert(store.read("idx_sigs").count() === 1)
+    assert(store.read("idx_bands").count() === Hashing.bands.toLong)
+    val day3 = IncrementalDedup.indexIncrement(
+      Seq((2L, base)).toDF("doc_id", "text"), store, "idx").collect()
+    assert(day3.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(day3.length === 1) // exactly one row — no sig-row multiplication
+  }
 }
