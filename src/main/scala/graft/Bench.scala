@@ -48,8 +48,16 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop per-query persisted intermediates (shingle indexes, SCD2
-      // deltas) so queries are measured independently
+      // deltas) so queries are measured independently. clearCache only
+      // covers catalog-cached plans; localCheckpoint blocks register as
+      // persistent RDDs and otherwise accumulate until the ContextCleaner's
+      // next GC-driven sweep — measured: they inflate later queries ~4×
+      // across an 87-query run. The explicit GC lets the cleaner reap
+      // everything the dropped plans still pin.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
