@@ -250,6 +250,49 @@ object Curation {
         (col("q4").cast("double") / 10000.0).as("quality"))
   }
 
+  /** Deterministic train/val/test assignment: bucket = md5-hash of the
+    * salted id mod 100, split by cumulative percentage. The decision is a
+    * pure projection of the id — reproducible across runs, engines,
+    * retries and partitionings (never `rand()`, whose draw depends on
+    * partition layout), and adding documents never reassigns existing
+    * ones, so eval sets stay stable as the corpus grows. The salt keeps
+    * independent experiments' splits uncorrelated. Zero shuffle. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "split", idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    val bucket = hexInt(concat(lit(s"$salt:"), col(idCol).cast("string"))) % 100
+    docs.select(col(idCol), bucket.as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Absolute per-source volume cap (the C4/RefinedWeb "domain cap" that
+    * stops one mega-site dominating the mix): keep at most `cap`
+    * documents per stratum, preferring quality, id tiebreak. Differs
+    * from [[topQualityPerGroup]] in being an absolute count, not a
+    * fraction — the policy knob pipelines actually set per domain.
+    *
+    * One shuffle on the stratum; the window is per-stratum, so no global
+    * funnel. A pathologically hot stratum (one domain = half the corpus)
+    * funnels into one partition — at that scale pre-gate with
+    * [[topQualityPerGroupApprox]] (sketch threshold ≈ cap/|stratum|
+    * ppm) so the exact window only ranks the survivors, ~cap rows per
+    * stratum. */
+  def capPerGroup(docs: DataFrame, stratum: Column, cap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val scored = docs.select(col(idCol), stratum.as("stratum"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("q4").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+      .select(col("stratum"), col(idCol),
+        (col("q4").cast("double") / 10000.0).as("quality"), col("rnk"))
+  }
+
   /** Per-source boilerplate detection: a gram is boilerplate for a
     * source when it appears in at least `ratioQ4/10⁴` of that source's
     * documents (template headers, navigation chrome, license footers —

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over the embedding column — the coarse-quantizer
+  * TRAINER the IVF index wants (north star; no reference equivalent).
+  * [[Similarity.ivfTopK]]'s hash-sampled centroids keep that operator
+  * stateless, but sampled cells are as lopsided as the data; two or three
+  * Lloyd sweeps move the centroids to where the mass is, which evens cell
+  * population and lets a production index keep nProbe/K small at fixed
+  * recall.
+  *
+  * Everything runs on an INTEGER lattice so the DuckDB oracle reproduces
+  * it bit-for-bit (the repo's fixed-point discipline, see
+  * [[TextAnalysis.qualityScore]]):
+  *  - components quantize to floor(v·10⁴) longs — float→double widening
+  *    and the ·10⁴ product are IEEE-exact in both engines, floor is
+  *    unambiguous;
+  *  - assignment distance is the exact integer Σ(aᵢ−cᵢ)² with
+  *    (distance, cent_id) tiebreak — no rounding anywhere;
+  *  - the centroid update is the floor-div mean (s − pmod(s, n)) / n,
+  *    an exact rational in both engines.
+  * Magnitudes: |component| ≤ ~10⁵ on the lattice for embeddings in
+  * [-10, 10], so per-dim squares ≤ ~4·10¹⁰ and a 4096-dim distance stays
+  * < 2·10¹⁴ ≪ 2⁶³; component sums stay < 2⁵³ up to ~10⁸ members/cell
+  * (beyond that, assign from a fit on a sample — see below).
+  *
+  * Scale shape (100 TB corpus): each Lloyd sweep is ONE corpus pass with
+  * the K centroids broadcast (O(K·dim) bytes, corpus-independent) + one
+  * map-side-combined shuffle keyed (cent_id, dim) whose reduce side is
+  * K·dim rows — centroid state never exceeds a few MB. Sweeps are a
+  * fixed small count, not convergence-driven, so the total cost is
+  * `iters` scans. The production pattern is to FIT on a deterministic
+  * hash-sample (`sampleMod` > 1: vec_id-hash ≡ 0 (mod m) keeps ~1/m of
+  * the corpus) and then assign the full corpus once.
+  */
+object KMeans {
+
+  val scale = 10000L
+
+  /** floor(v·10⁴) per component: float → exact double → exact product →
+    * unambiguous floor. Long lattice both engines agree on. */
+  def quantize(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * lit(scale.toDouble)).cast("long"))
+
+  /** Exact integer squared distance between two equal-length long arrays.
+    * Codegen'd [[graft.functions.SquaredDistanceLong]] — bit-identical to
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)),0L,_+_)` without the
+    * per-element lambda dispatch (assignment is corpus·K·dim evaluations
+    * per sweep). */
+  def dist2(a: Column, b: Column): Column =
+    graft.functions.ArrayOps.squaredDistanceLong(a, b)
+
+  /** Deterministic seeds: the k corpus vectors with the smallest
+    * (md5-hash(id), id) — same stateless rule as [[Similarity.ivfTopK]],
+    * a TakeOrdered, not a sort. cent_id = the seed's vec_id (stable
+    * through re-estimation). */
+  def seedCentroids(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("cent_id"), quantize(col(embCol)).as("cq"))
+      .orderBy(Hashing.hexInt(col("cent_id").cast("string")), col("cent_id"))
+      .limit(k)
+
+  /** Nearest centroid per vector: broadcast cross-score + per-vector
+    * argmin on the exact (dist2, cent_id) key. One corpus pass. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("q"), col("cq")))
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("cent_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("q"), col("cent_id"), col("d2"))
+  }
+
+  /** Floor-div mean per (centroid, dimension), reassembled in dimension
+    * order. A cell that loses every member drops out (k shrinks) — both
+    * engines agree, and a production fit re-seeds from the next hash
+    * rank instead. */
+  private def step(assigned: DataFrame): DataFrame = {
+    val byDim = assigned
+      .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cent_id"), col("pos"),
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long").as("cv"))
+    byDim.groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+      .select(col("cent_id"), transform(col("ps"), p => p("cv")).as("cq"))
+  }
+
+  /** `iters` Lloyd sweeps from the hash seeds; returns (cent_id, cq) on
+    * the 10⁴ lattice. `sampleMod` > 1 fits on the deterministic 1/m
+    * hash-sample of the corpus — the 100 TB pattern. */
+  def fit(emb: DataFrame, k: Int, iters: Int = 2, sampleMod: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val base = if (sampleMod <= 1) emb
+      else emb.filter(Hashing.hexInt(col(idCol).cast("string")) % sampleMod === 0)
+    val e = base.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    var cents = seedCentroids(base, k, idCol, embCol)
+    for (_ <- 0 until iters) cents = step(assign(e, cents))
+    cents
+  }
+
+  /** Fit + final assignment, reported per cell: member count, exact
+    * integer inertia (Σ dist2), and the centroid's exact L1 lattice norm
+    * — the three numbers that tell an index operator whether the cells
+    * are balanced and tight. All-long output, hash-comparable across
+    * engines. */
+  def clusterStats(emb: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = fit(emb, k, iters, 1, idCol, embCol)
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    assign(e, cents)
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+      .join(cents.select(col("cent_id"),
+        aggregate(transform(col("cq"), abs(_)), lit(0L), _ + _).as("cent_l1")),
+        Seq("cent_id"))
+      .select(col("cent_id"), col("n_members"), col("inertia"), col("cent_l1"))
+  }
+
+  /** Trained-centroid IVF: [[Similarity.ivfTopK]] with the coarse
+    * quantizer from [[fit]] instead of the hash sample. Centroids
+    * dequantize to doubles (exact: lattice longs < 2⁵³); assignment and
+    * probing use the same rounded-cosine rule as the stateless IVF, so
+    * the two are drop-in interchangeable. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 32, nProbe: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = fit(corpus, numCentroids, iters)
+      .select(col("cent_id"),
+        transform(col("cq"), v => v.cast("double") / lit(scale.toDouble)).as("ct"))
+      .withColumn("ct_norm", Similarity.norm(col("ct")))
+    Similarity.ivfTopKFrom(corpus, queries, k, cents, nProbe)
+  }
+}

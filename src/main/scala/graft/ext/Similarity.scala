@@ -138,6 +138,15 @@ object Similarity {
       .withColumn("ct_norm", norm(col("ct")))
       .orderBy(Hashing.hexInt(col("cent_id").cast("string")), col("cent_id"))
       .limit(numCentroids)
+    ivfTopKFrom(corpus, queries, k, cents, nProbe)
+  }
+
+  /** IVF flow over a SUPPLIED centroid table (cent_id, ct: array<double>,
+    * ct_norm) — the seam [[KMeans.ivfTopK]] plugs trained centroids into.
+    * Same plan as [[ivfTopK]]: broadcast centroids, one-pass assignment,
+    * per-query probes, cell-local exact scoring. */
+  def ivfTopKFrom(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nProbe: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
@@ -185,6 +194,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Symmetric int8 quantization report — the 4× memory lever for an ANN
+    * index (float32 → int8 halves-twice the vectors a cache level holds;
+    * IVF cell scans become SIMD byte ops on a real engine). Per vector:
+    * scale = max |component|, code_i = ⌊v_i·127/scale⌋, and the
+    * worst-dimension reconstruction error — the number that says whether
+    * int8 is safe for the corpus at hand (bounded by scale/127).
+    *
+    * Engine-exact on purpose: float→double widening, the ·127 product,
+    * the division, and ⌊·⌋ are all IEEE-identical in DuckDB (⌊·⌋ where a
+    * production quantizer would round-to-nearest — rounding ties are
+    * engine-dependent, the documented fixed-point discipline). Reported
+    * doubles land on the 10⁻⁶ floor grid. Pure projection: zero shuffle,
+    * scan speed at any corpus size. */
+  def quantizeInt8Stats(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(embCol))
+    val df = emb.select(col(idCol), v.as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+    val code: Column => Column = x =>
+      when(col("amax") > 0, floor(x * lit(127.0) / col("amax")).cast("long"))
+        .otherwise(lit(0L))
+    val recon: (Column, Column) => Column = (x, c) =>
+      abs(x - c.cast("double") * col("amax") / lit(127.0))
+    df.withColumn("codes", transform(col("v"), code))
+      .select(col(idCol),
+        floor(col("amax") * lit(1000000.0)).cast("long").as("amax_q6"),
+        floor(array_max(zip_with(col("v"), col("codes"), recon)) *
+          lit(1000000.0)).cast("long").as("err_q6"),
+        aggregate(transform(col("codes"), c => abs(c)), lit(0L), _ + _)
+          .as("code_l1"))
   }
 
   /** Near-dup banding: 8 bands × 8 planes (hyperplanes 0..63, band b owns

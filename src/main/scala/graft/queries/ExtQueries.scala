@@ -207,6 +207,29 @@ object ExtQueries {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** Lloyd k-means cell report (k=8, 2 sweeps) on the integer lattice. */
+  def qSimKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.ext.KMeans.clusterStats(emb(s, dir), k = 8, iters = 2)
+
+  /** IVF with the trained coarse quantizer instead of the hash sample. */
+  def qSimIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.ext.KMeans.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+      numCentroids = 8, nProbe = 4, iters = 2)
+  }
+
+  /** Per-vector int8 quantization + reconstruction-error report. */
+  def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Stats(emb(s, dir))
+
+  /** Deterministic 80/10/10 train/val/test assignment. */
+  def qSampleSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(docs(s, dir))
+
+  /** Domain cap: at most 60 docs per source, preferring quality. */
+  def qCurationDomaincap(s: SparkSession, dir: String): DataFrame =
+    Curation.capPerGroup(docs(s, dir), col("source"), cap = 60)
+
   // ----------------------------------------------------- multimodal
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -260,6 +283,11 @@ object ExtQueries {
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_neardup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_kmeans" -> (qSimKmeans _),
+    "q_sim_ivf_kmeans" -> (qSimIvfKmeans _),
+    "q_emb_quantize" -> (qEmbQuantize _),
+    "q_sample_split" -> (qSampleSplit _),
+    "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
@@ -801,6 +829,123 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** Integer-lattice k-means CTE chain (KMeans.scala twin): e = quantized
+    * corpus, c0 = hash-order seeds, then per sweep an exact-integer argmin
+    * assignment a<i> and a floor-div mean update c<i>. Every value is a
+    * BIGINT, so the chain is hash-exact across engines. */
+  private def kmeansAssignSql(name: String, cents: String): String =
+    s"""$name AS (SELECT id, q, cent_id, d2 FROM (
+       |  SELECT id, q, cent_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cent_id) AS rn
+       |  FROM (SELECT e.id, e.q, c.cent_id,
+       |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+       |      i -> (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |         * (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+       |    FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""e AS (SELECT vec_id AS id,
+         |  list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cent_id, q AS cq FROM e
+         |  ORDER BY ${hexIntSql("CAST(id AS VARCHAR)")}, id LIMIT $k)""".stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""${kmeansAssignSql(s"a$i", s"c${i - 1}")},
+         |u$i AS (SELECT cent_id, pos,
+         |    CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cv
+         |  FROM (SELECT cent_id, pos, CAST(sum(v) AS BIGINT) AS s,
+         |      count(*) AS n
+         |    FROM (SELECT cent_id, unnest(q) AS v,
+         |        unnest(range(1, len(q) + 1)) AS pos FROM a$i)
+         |    GROUP BY cent_id, pos)),
+         |c$i AS (SELECT cent_id, list(cv ORDER BY pos) AS cq
+         |  FROM u$i GROUP BY cent_id)""".stripMargin
+    }
+    (init +: sweeps).mkString(",\n")
+  }
+
+  private val simKmeansSql =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |${kmeansAssignSql("af", "c2")},
+       |st AS (SELECT cent_id, count(*) AS n_members,
+       |  CAST(sum(d2) AS BIGINT) AS inertia FROM af GROUP BY cent_id)
+       |SELECT st.cent_id, st.n_members, st.inertia,
+       |  CAST(list_sum(list_transform(c2.cq, x -> abs(x))) AS BIGINT) AS cent_l1
+       |FROM st JOIN c2 USING (cent_id)""".stripMargin
+
+  /** IVF over the trained centroids: the simIvfSql flow with cents =
+    * dequantized k-means output (k=8, 2 sweeps, nProbe=4). */
+  private val simIvfKmeansSql =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |$simCtes,
+       |cents AS (SELECT cent_id,
+       |    list_transform(cq, x -> CAST(x AS DOUBLE) / 10000.0) AS ct FROM c2),
+       |cents_n AS (SELECT cent_id, ct,
+       |    sqrt(list_sum(list_transform(ct, x -> x * x))) AS ct_norm FROM cents),
+       |assigned AS (SELECT neighbor_id, ce, cnorm, cent_id FROM (
+       |  SELECT cn.neighbor_id, cn.ce, cn.cnorm, cents_n.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cn.neighbor_id ORDER BY
+       |      round(list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * ct[i]))
+       |            / (cnorm * ct_norm), 6) DESC, cent_id) AS crn
+       |  FROM cn CROSS JOIN cents_n) WHERE crn = 1),
+       |probes AS (SELECT query_id, qe, qnorm, cent_id FROM (
+       |  SELECT qn.query_id, qn.qe, qn.qnorm, cents_n.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qn.query_id ORDER BY
+       |      round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ct[i]))
+       |            / (qnorm * ct_norm), 6) DESC, cent_id) AS crn
+       |  FROM qn CROSS JOIN cents_n) WHERE crn <= 4),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM assigned JOIN probes USING (cent_id) WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  private val embQuantizeSql =
+    """WITH v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+      |a AS (SELECT vec_id, ve,
+      |  list_max(list_transform(ve, x -> abs(x))) AS amax FROM v),
+      |c AS (SELECT vec_id, ve, amax,
+      |  list_transform(ve, x -> CASE WHEN amax > 0
+      |    THEN CAST(floor(x * 127.0 / amax) AS BIGINT) ELSE 0 END) AS codes
+      |  FROM a)
+      |SELECT vec_id,
+      |  CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_q6,
+      |  CAST(floor(list_max(list_transform(range(1, len(ve) + 1),
+      |    i -> abs(ve[CAST(i AS INT)]
+      |      - CAST(codes[CAST(i AS INT)] AS DOUBLE) * amax / 127.0)))
+      |    * 1000000.0) AS BIGINT) AS err_q6,
+      |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1
+      |FROM c""".stripMargin
+
+  private val sampleSplitSql =
+    s"""SELECT doc_id,
+       |  ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+       |  CASE WHEN ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+       |       WHEN ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  private val curationDomaincapSql =
+    s"""WITH base AS (SELECT doc_id, source, text,
+       |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
+       |  FROM documents),
+       |h AS (SELECT doc_id, source, text, ws,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |  FROM base),
+       |sc AS (SELECT doc_id, source,
+       |  ${qualityQ4Sql("text", "ws", "h_en")} AS q4 FROM h),
+       |r AS (SELECT source AS stratum, doc_id, q4,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY q4 DESC, doc_id) AS rnk
+       |  FROM sc)
+       |SELECT stratum, doc_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 60""".stripMargin
+
   /** Test-corpus embedding dimensionality. The Spark operator handles any
     * dim ≤ Similarity.maxDim (dot truncates); the oracle unrolls the plane
     * dot products to flat ±v[j] sums, so it pins the dim of the shared
@@ -995,6 +1140,11 @@ object ExtQueries {
     "q_sim_ann" -> simAnnSql,
     "q_sim_neardup" -> simNearDupSql,
     "q_sim_ivf" -> simIvfSql,
+    "q_sim_kmeans" -> simKmeansSql,
+    "q_sim_ivf_kmeans" -> simIvfKmeansSql,
+    "q_emb_quantize" -> embQuantizeSql,
+    "q_sample_split" -> sampleSplitSql,
+    "q_curation_domaincap" -> curationDomaincapSql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,

@@ -193,4 +193,37 @@ class CurationSpec extends SparkSpec {
     val withEmpty = docs.union(Seq((999L, "   ")).toDF("doc_id", "text"))
     assert(Curation.packSequences(withEmpty, 16, 4).count() === 40)
   }
+
+  test("hash split: total partition, ~80/10/10, stable under corpus growth") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Curation.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size === 1000)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900, counts)
+    assert(counts("val") > 50 && counts("val") < 160, counts)
+    assert(counts("test") > 50 && counts("test") < 160, counts)
+    // adding docs never reassigns existing ones
+    val grown = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val again = Curation.hashSplit(grown).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (id, s) => assert(again(id) === s) }
+    // a different salt draws a different split
+    val salted = Curation.hashSplit(docs, salt = "exp2").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.exists { case (id, s) => salted(id) != s })
+  }
+
+  test("per-group cap keeps at most `cap` per stratum, highest quality first") {
+    val docs = Seq(
+      (1L, "a", "the and is of to in it for on this was with as"), // stopword-rich
+      (2L, "a", "zz@@##"), (3L, "a", "qq!!**"), (4L, "b", "hello world")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.capPerGroup(docs, col("source"), cap = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.count(_._1 == "a") === 2)
+    assert(out.count(_._1 == "b") === 1)
+    // the quality-rich doc 1 holds rank 1 in stratum a
+    assert(out.contains(("a", 1L, 1L)))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embTable(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("two well-separated blobs land in two cells with near-blob centroids") {
+    // blob A around (10, 0), blob B around (-10, 0)
+    val t = embTable(
+      1L -> Seq(10f, 0.1f), 2L -> Seq(10.2f, -0.1f), 3L -> Seq(9.8f, 0f),
+      4L -> Seq(-10f, 0.1f), 5L -> Seq(-9.9f, -0.2f), 6L -> Seq(-10.1f, 0f))
+    val cents = KMeans.fit(t, k = 2, iters = 3).collect()
+      .map(r => r.getSeq[Long](1))
+    assert(cents.length === 2)
+    // one centroid near +10·10⁴ on dim 0, the other near −10·10⁴
+    val xs = cents.map(_.head).sorted
+    assert(xs(0) < -90000L && xs(1) > 90000L, s"centroid x: ${xs.toSeq}")
+  }
+
+  test("a Lloyd sweep never increases integer inertia on the fit set") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    def inertia(iters: Int): Long =
+      KMeans.clusterStats(e, k = 8, iters = iters)
+        .agg(sum("inertia")).head().getLong(0)
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    assert(i2 <= i1, s"sweep 2 raised inertia: $i1 -> $i2")
+    e.unpersist()
+  }
+
+  test("trained-IVF results carry exact cosines and usable recall") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val q = e.filter(col("vec_id") < 8)
+    val ivf = KMeans.ivfTopK(e, q, k = 5, numCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = Similarity.bruteForceTopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bfAll = Similarity.bruteForceTopK(e, q, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (k0, cos) => assert(bfAll(k0) === cos) }
+    val recall = bf.keySet.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.4, s"recall $recall")
+    e.unpersist()
+  }
+
+  test("cluster stats: every corpus vector is assigned exactly once") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val n = e.count()
+    val stats = KMeans.clusterStats(e, k = 8, iters = 2)
+    assert(stats.agg(sum("n_members")).head().getLong(0) === n)
+  }
+
+  test("codegen'd dist2 equals the higher-order form, with its null semantics") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+      .select(KMeans.quantize(col("embedding")).as("q"))
+      .withColumn("r", reverse(col("q")))
+    val mismatch = e.filter(
+      KMeans.dist2(col("q"), col("r")) =!=
+        aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _)).count()
+    assert(mismatch === 0L)
+    // null array → null, like zip_with/aggregate
+    val n = e.limit(1).select(
+      KMeans.dist2(lit(null).cast("array<bigint>"), col("q"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("quantization is the exact 1e4 floor lattice") {
+    val t = embTable(1L -> Seq(0.12345f, -0.5f, 0f))
+    val q = t.select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0)
+    // 0.12345f widens to 0.12345000356435776 → floor 1234
+    assert(q === Seq(1234L, -5000L, 0L))
+  }
+}

@@ -84,4 +84,17 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0) === b(1))
     b.foreach(v => assert(v >= 0L && v < 256L))
   }
+
+  test("int8 quantization: error bounded by scale/127, zero vector safe") {
+    val t = embTable(1L -> Seq(1f, -0.5f, 0.25f, 0f), 2L -> Seq(0f, 0f, 0f, 0f))
+    val out = Similarity.quantizeInt8Stats(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (amax1, err1, l11) = out(1L)
+    assert(amax1 === 1000000L)            // scale 1.0 on the 1e-6 grid
+    // worst-dim error < scale/127 ≈ 0.007874 → under 7875 on the grid
+    assert(err1 >= 0L && err1 < 7875L, s"err $err1")
+    // codes: floor(±v·127): 127, -64, 31, 0 → |·| sum 222
+    assert(l11 === 222L)
+    assert(out(2L) === ((0L, 0L, 0L)))    // zero vector: all zero, no NaN
+  }
 }
