@@ -64,14 +64,20 @@ object KMeans {
       .limit(k)
 
   /** Nearest centroid per vector: broadcast cross-score + per-vector
-    * argmin on the exact (dist2, cent_id) key. One corpus pass. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = e.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2(col("q"), col("cq")))
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("cent_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("q"), col("cent_id"), col("d2"))
-  }
+    * argmin on the exact (dist2, cent_id) key. One corpus pass. The
+    * argmin is `min(struct(d2, cent_id))` under a groupBy — lexicographic
+    * struct order IS the (distance, id-tiebreak) rule, and the partial
+    * aggregate combines map-side, so the shuffle carries ~|corpus| rows
+    * instead of the |corpus|·K a sorted window over the cross-score
+    * would, with no per-partition sort. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("id"), col("q"),
+        struct(dist2(col("q"), col("cq")).as("d2"), col("cent_id")).as("dc"))
+      .groupBy(col("id"), col("q"))
+      .agg(min(col("dc")).as("dc"))
+      .select(col("id"), col("q"), col("dc.cent_id").as("cent_id"),
+        col("dc.d2").as("d2"))
 
   /** Floor-div mean per (centroid, dimension), reassembled in dimension
     * order. A cell that loses every member drops out (k shrinks) — both
@@ -98,7 +104,12 @@ object KMeans {
       else emb.filter(Hashing.hexInt(col(idCol).cast("string")) % sampleMod === 0)
     val e = base.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
     var cents = seedCentroids(base, k, idCol, embCol)
-    for (_ <- 0 until iters) cents = step(assign(e, cents))
+    // eager localCheckpoint per sweep: the centroid table is K rows, but
+    // as a lazy plan sweep i would recompute sweeps 1..i-1's corpus
+    // passes inside its own (O(iters²) scans); pinning K·dim values
+    // keeps the total at O(iters) scans. Blocks are GC-reclaimed once
+    // the returned plan is dropped.
+    for (_ <- 0 until iters) cents = step(assign(e, cents)).localCheckpoint(true)
     cents
   }
 
