@@ -63,37 +63,51 @@ object KMeans {
       .orderBy(Hashing.hexInt(col("cent_id").cast("string")), col("cent_id"))
       .limit(k)
 
-  /** Nearest centroid per vector: broadcast cross-score + per-vector
-    * argmin on the exact (dist2, cent_id) key. One corpus pass. The
-    * argmin is `min(struct(d2, cent_id))` under a groupBy — lexicographic
-    * struct order IS the (distance, id-tiebreak) rule, and the partial
-    * aggregate combines map-side, so the shuffle carries ~|corpus| rows
-    * instead of the |corpus|·K a sorted window over the cross-score
-    * would, with no per-partition sort. */
+  /** Nearest centroid per (vector, subspace): broadcast score + argmin on
+    * the exact (dist2, cent_id) key. One corpus pass. The argmin is
+    * `min(struct(d2, cent_id))` under a groupBy — lexicographic struct
+    * order IS the (distance, id-tiebreak) rule, and the partial aggregate
+    * combines map-side, so the shuffle carries ~|corpus| rows instead of
+    * the |corpus|·K a sorted window over the cross-score would, with no
+    * per-partition sort. Plain k-means is the single-subspace case
+    * (sub ≡ 0); PQ reuses the identical kernel per subspace. */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("id"), col("q"),
+    e.join(broadcast(cents), Seq("sub"))
+      .select(col("id"), col("sub"), col("q"),
         struct(dist2(col("q"), col("cq")).as("d2"), col("cent_id")).as("dc"))
-      .groupBy(col("id"), col("q"))
+      .groupBy(col("id"), col("sub"), col("q"))
       .agg(min(col("dc")).as("dc"))
-      .select(col("id"), col("q"), col("dc.cent_id").as("cent_id"),
-        col("dc.d2").as("d2"))
+      .select(col("id"), col("sub"), col("q"),
+        col("dc.cent_id").as("cent_id"), col("dc.d2").as("d2"))
 
-  /** Floor-div mean per (centroid, dimension), reassembled in dimension
-    * order. A cell that loses every member drops out (k shrinks) — both
-    * engines agree, and a production fit re-seeds from the next hash
-    * rank instead. */
+  /** Floor-div mean per (subspace, centroid, dimension), reassembled in
+    * dimension order. A cell that loses every member drops out (k
+    * shrinks) — both engines agree, and a production fit re-seeds from
+    * the next hash rank instead. */
   private def step(assigned: DataFrame): DataFrame = {
     val byDim = assigned
-      .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy(col("cent_id"), col("pos"))
+      .select(col("sub"), col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cent_id"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .select(col("cent_id"), col("pos"),
+      .select(col("sub"), col("cent_id"), col("pos"),
         ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long").as("cv"))
-    byDim.groupBy(col("cent_id"))
+    byDim.groupBy(col("sub"), col("cent_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
-      .select(col("cent_id"), transform(col("ps"), p => p("cv")).as("cq"))
+      .select(col("sub"), col("cent_id"), transform(col("ps"), p => p("cv")).as("cq"))
   }
+
+  /** `iters` Lloyd sweeps over sub-keyed frames, centroids pinned per
+    * sweep: the centroid table is K·|subs| rows, but as a lazy plan sweep
+    * i would recompute sweeps 1..i-1's corpus passes inside its own
+    * (O(iters²) scans); pinning keeps the total at O(iters) scans.
+    * Blocks are GC-reclaimed once the returned plan is dropped. */
+  private def sweeps(e: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cents = seed
+    for (_ <- 0 until iters) cents = step(assign(e, cents)).localCheckpoint(true)
+    cents
+  }
+
+  private def withSub0(df: DataFrame): DataFrame = df.withColumn("sub", lit(0))
 
   /** `iters` Lloyd sweeps from the hash seeds; returns (cent_id, cq) on
     * the 10⁴ lattice. `sampleMod` > 1 fits on the deterministic 1/m
@@ -102,15 +116,9 @@ object KMeans {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val base = if (sampleMod <= 1) emb
       else emb.filter(Hashing.hexInt(col(idCol).cast("string")) % sampleMod === 0)
-    val e = base.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-    var cents = seedCentroids(base, k, idCol, embCol)
-    // eager localCheckpoint per sweep: the centroid table is K rows, but
-    // as a lazy plan sweep i would recompute sweeps 1..i-1's corpus
-    // passes inside its own (O(iters²) scans); pinning K·dim values
-    // keeps the total at O(iters) scans. Blocks are GC-reclaimed once
-    // the returned plan is dropped.
-    for (_ <- 0 until iters) cents = step(assign(e, cents)).localCheckpoint(true)
-    cents
+    val e = withSub0(base.select(col(idCol).as("id"), quantize(col(embCol)).as("q")))
+    sweeps(e, withSub0(seedCentroids(base, k, idCol, embCol)), iters)
+      .select(col("cent_id"), col("cq"))
   }
 
   /** Fit + final assignment, reported per cell: member count, exact
@@ -120,8 +128,8 @@ object KMeans {
     * engines. */
   def clusterStats(emb: DataFrame, k: Int, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cents = fit(emb, k, iters, 1, idCol, embCol)
-    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val cents = withSub0(fit(emb, k, iters, 1, idCol, embCol))
+    val e = withSub0(emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q")))
     assign(e, cents)
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
@@ -143,5 +151,47 @@ object KMeans {
         transform(col("cq"), v => v.cast("double") / lit(scale.toDouble)).as("ct"))
       .withColumn("ct_norm", Similarity.norm(col("ct")))
     Similarity.ivfTopKFrom(corpus, queries, k, cents, nProbe)
+  }
+
+  /** Product quantization (Jégou/Douze/Schmid 2011, cited in SCALE.md):
+    * split the embedding into `subspaces` consecutive `subDim`-wide
+    * blocks, run an independent Lloyd fit per block, and encode each
+    * vector as its per-block nearest-centroid ids. 64 float32 dims at
+    * m=8, k=16 compress to 8 small codes — the memory lever that turns a
+    * RAM-bound ANN index into a scan. Output: one row per vector with
+    * the m codes as columns c0..c<m-1> plus `qerr`, the EXACT integer
+    * total quantization error Σ_sub dist2 (the per-corpus go/no-go number
+    * for PQ, like [[Similarity.quantizeInt8Stats]] for int8).
+    *
+    * All subspaces train in the SAME jobs: the corpus explodes to
+    * (vector, sub) rows once, centroids live in one (sub, cent_id) table
+    * broadcast per sweep — m independent fits at the cost (and shuffle
+    * count) of one. Seeds are the per-block slices of the k global
+    * hash-order seed vectors, so seeding needs one TakeOrdered of k rows,
+    * never a per-subspace corpus sort. Same integer lattice as [[fit]];
+    * dims beyond subspaces·subDim are ignored (65..∞ of a 64-dim table:
+    * none). */
+  def pqCodes(emb: DataFrame, subspaces: Int = 8, subDim: Int = 8,
+      k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val subs = explode(sequence(lit(0), lit(subspaces - 1)))
+    def slices(src: DataFrame, keyAs: String, key: Column): DataFrame =
+      src.select(key.as(keyAs), quantize(col(embCol)).as("qf"))
+        .select(col(keyAs), subs.as("sub"), col("qf"))
+        .select(col(keyAs), col("sub"),
+          slice(col("qf"), col("sub") * lit(subDim) + lit(1), lit(subDim))
+            .as(if (keyAs == "id") "q" else "cq"))
+    val e = slices(emb, "id", col(idCol))
+    val seedIds = emb
+      .orderBy(Hashing.hexInt(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+    val cents = sweeps(e, slices(seedIds, "cent_id", col(idCol)), iters)
+    val aggs = (0 until subspaces).map(s =>
+      max(when(col("sub") === s, col("cent_id"))).as(s"c$s")) :+
+      sum(col("d2")).as("qerr")
+    assign(e, cents)
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("id", idCol)
   }
 }

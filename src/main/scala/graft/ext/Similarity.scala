@@ -156,14 +156,29 @@ object Similarity {
 
     def nearestCents(side: DataFrame, idCol: String, emb: String,
         nrm: String, keep: Int): DataFrame = {
-      val scored = side.crossJoin(broadcast(cents))
-        .select(col(idCol), col(emb), col(nrm), col("cent_id"),
-          round(dot(col(emb), col("ct")) / (col(nrm) * col("ct_norm")), 6).as("ccos"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      scored.withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("ccos", "crn")
+      val ccos = round(dot(col(emb), col("ct")) / (col(nrm) * col("ct_norm")), 6)
+      if (keep == 1) {
+        // corpus-side assignment: argmax as min(struct(-cos, cent_id))
+        // under groupBy — the partial aggregate combines map-side, so the
+        // shuffle carries ~|corpus| rows instead of |corpus|·K, with no
+        // per-partition sort. Same (cos desc, cent_id) rule as the window.
+        side.crossJoin(broadcast(cents))
+          .select(col(idCol), col(emb), col(nrm),
+            struct(negate(ccos).as("nc"), col("cent_id")).as("cc"))
+          .groupBy(col(idCol), col(emb), col(nrm))
+          .agg(min(col("cc")).as("cc"))
+          .select(col(idCol), col(emb), col(nrm), col("cc.cent_id").as("cent_id"))
+      } else {
+        // query-side probes: keep-n per query; the query set is small by
+        // construction, so the window funnel is per-query and tiny
+        val scored = side.crossJoin(broadcast(cents))
+          .select(col(idCol), col(emb), col(nrm), col("cent_id"), ccos.as("ccos"))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("ccos").desc, col("cent_id"))
+        scored.withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= keep)
+          .drop("ccos", "crn")
+      }
     }
 
     val assigned = nearestCents(c, "neighbor_id", "c_emb", "c_norm", 1)

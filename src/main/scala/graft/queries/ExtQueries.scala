@@ -222,6 +222,10 @@ object ExtQueries {
   def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8Stats(emb(s, dir))
 
+  /** Product-quantization codes (8 subspaces × 16 centroids, 2 sweeps). */
+  def qSimPq(s: SparkSession, dir: String): DataFrame =
+    graft.ext.KMeans.pqCodes(emb(s, dir))
+
   /** Deterministic 80/10/10 train/val/test assignment. */
   def qSampleSplit(s: SparkSession, dir: String): DataFrame =
     Curation.hashSplit(docs(s, dir))
@@ -285,6 +289,7 @@ object ExtQueries {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_kmeans" -> (qSimKmeans _),
     "q_sim_ivf_kmeans" -> (qSimIvfKmeans _),
+    "q_sim_pq" -> (qSimPq _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -904,6 +909,55 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** PQ oracle: the subspace-keyed twin of [[kmeansCtes]] — corpus
+    * exploded to (id, sub) slice rows, centroids per (sub, cent_id),
+    * two unrolled sweeps, codes pivoted to columns. */
+  private def pqAssignSql(name: String, cents: String): String =
+    s"""$name AS (SELECT id, sub, q, cent_id, d2 FROM (
+       |  SELECT id, sub, q, cent_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d2, cent_id) AS rn
+       |  FROM (SELECT e.id, e.sub, e.q, c.cent_id,
+       |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+       |      i -> (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |         * (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+       |    FROM e JOIN $cents c USING (sub))) WHERE rn = 1)""".stripMargin
+
+  private val simPqSql = {
+    val (m, d, k, iters) = (8, 8, 16, 2)
+    val sliceSql = s"qf[(sub*$d+1):(sub*$d+$d)]"
+    val init =
+      s"""ef AS (SELECT vec_id AS id,
+         |  list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qf
+         |  FROM embeddings),
+         |sb AS (SELECT unnest(range(0, $m)) AS sub),
+         |e AS (SELECT id, sub, $sliceSql AS q FROM ef CROSS JOIN sb),
+         |sd AS (SELECT id, qf FROM ef
+         |  ORDER BY ${hexIntSql("CAST(id AS VARCHAR)")}, id LIMIT $k),
+         |p0 AS (SELECT sub, id AS cent_id, $sliceSql AS cq
+         |  FROM sd CROSS JOIN sb)""".stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""${pqAssignSql(s"pa$i", s"p${i - 1}")},
+         |pu$i AS (SELECT sub, cent_id, pos,
+         |    CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cv
+         |  FROM (SELECT sub, cent_id, pos, CAST(sum(v) AS BIGINT) AS s,
+         |      count(*) AS n
+         |    FROM (SELECT sub, cent_id, unnest(q) AS v,
+         |        unnest(range(1, len(q) + 1)) AS pos FROM pa$i)
+         |    GROUP BY sub, cent_id, pos)),
+         |p$i AS (SELECT sub, cent_id, list(cv ORDER BY pos) AS cq
+         |  FROM pu$i GROUP BY sub, cent_id)""".stripMargin
+    }
+    val codes = (0 until m).map(s =>
+      s"max(CASE WHEN sub = $s THEN cent_id END) AS c$s").mkString(",\n  ")
+    s"""WITH ${(init +: sweeps).mkString(",\n")},
+       |${pqAssignSql("pf", s"p$iters")}
+       |SELECT id AS vec_id,
+       |  $codes,
+       |  CAST(sum(d2) AS BIGINT) AS qerr
+       |FROM pf GROUP BY id""".stripMargin
+  }
+
   private val embQuantizeSql =
     """WITH v AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
@@ -1142,6 +1196,7 @@ object ExtQueries {
     "q_sim_ivf" -> simIvfSql,
     "q_sim_kmeans" -> simKmeansSql,
     "q_sim_ivf_kmeans" -> simIvfKmeansSql,
+    "q_sim_pq" -> simPqSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

@@ -57,6 +57,25 @@ class KMeansSpec extends SparkSpec {
     assert(stats.agg(sum("n_members")).head().getLong(0) === n)
   }
 
+  test("pq codes: total partition, codes from the seed set, exact zero error on duplicates") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val n = e.count()
+    val out = KMeans.pqCodes(e, subspaces = 8, subDim = 8, k = 16, iters = 2)
+    val rows = out.collect()
+    assert(rows.length === n)
+    // every vector carries all 8 codes and a non-negative exact error
+    rows.foreach { r =>
+      (1 to 8).foreach(i => assert(!r.isNullAt(i), s"null code in $r"))
+      assert(r.getLong(9) >= 0L)
+    }
+    e.unpersist()
+    // a corpus of one repeated vector quantizes exactly: qerr = 0
+    val dup = (1L to 20L).map(i => (i, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val dq = KMeans.pqCodes(dup, subspaces = 2, subDim = 8, k = 4, iters = 1).collect()
+    assert(dq.length === 20)
+    dq.foreach(r => assert(r.getLong(3) === 0L, s"nonzero qerr: $r"))
+  }
+
   test("codegen'd dist2 equals the higher-order form, with its null semantics") {
     val e = graft.Tables.load(spark, sf(), "embeddings")
       .select(KMeans.quantize(col("embedding")).as("q"))
