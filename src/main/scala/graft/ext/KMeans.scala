@@ -171,21 +171,33 @@ object KMeans {
     * never a per-subspace corpus sort. Same integer lattice as [[fit]];
     * dims beyond subspaces·subDim are ignored (65..∞ of a 64-dim table:
     * none). */
-  def pqCodes(emb: DataFrame, subspaces: Int = 8, subDim: Int = 8,
+  private def pqSlices(src: DataFrame, keyAs: String, key: Column,
+      subspaces: Int, subDim: Int, embCol: String): DataFrame = {
+    val subs = explode(sequence(lit(0), lit(subspaces - 1)))
+    src.select(key.as(keyAs), quantize(col(embCol)).as("qf"))
+      .select(col(keyAs), subs.as("sub"), col("qf"))
+      .select(col(keyAs), col("sub"),
+        slice(col("qf"), col("sub") * lit(subDim) + lit(1), lit(subDim))
+          .as(if (keyAs == "id") "q" else "cq"))
+  }
+
+  /** The trained PQ codebook: (sub, cent_id, cq) after `iters` sweeps. */
+  def pqFit(emb: DataFrame, subspaces: Int = 8, subDim: Int = 8,
       k: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val subs = explode(sequence(lit(0), lit(subspaces - 1)))
-    def slices(src: DataFrame, keyAs: String, key: Column): DataFrame =
-      src.select(key.as(keyAs), quantize(col(embCol)).as("qf"))
-        .select(col(keyAs), subs.as("sub"), col("qf"))
-        .select(col(keyAs), col("sub"),
-          slice(col("qf"), col("sub") * lit(subDim) + lit(1), lit(subDim))
-            .as(if (keyAs == "id") "q" else "cq"))
-    val e = slices(emb, "id", col(idCol))
+    val e = pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol)
     val seedIds = emb
       .orderBy(Hashing.hexInt(col(idCol).cast("string")), col(idCol))
       .limit(k)
-    val cents = sweeps(e, slices(seedIds, "cent_id", col(idCol)), iters)
+    sweeps(e, pqSlices(seedIds, "cent_id", col(idCol), subspaces, subDim,
+      embCol), iters)
+  }
+
+  def pqCodes(emb: DataFrame, subspaces: Int = 8, subDim: Int = 8,
+      k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = pqFit(emb, subspaces, subDim, k, iters, idCol, embCol)
+    val e = pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol)
     val aggs = (0 until subspaces).map(s =>
       max(when(col("sub") === s, col("cent_id"))).as(s"c$s")) :+
       sum(col("d2")).as("qerr")
@@ -193,5 +205,44 @@ object KMeans {
       .groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("id", idCol)
+  }
+
+  /** PQ ADC search (asymmetric distance computation): approximate top-k
+    * by summed per-subspace lookup distances — the query the PQ index
+    * exists for. Each query precomputes its distance TABLE (exact integer
+    * dist2 from the query's block to every codebook cell: Q·m·k rows,
+    * tiny); the corpus is touched only through its CODES — the scan
+    * reads m small ints per vector, never the embedding, which is the
+    * whole point at 100 TB (the float column stays cold on disk).
+    *
+    * Plan: codes explode to (id, sub, code) once, equi-join the
+    * broadcast distance table on (sub, code, …query), one
+    * map-side-combined sum per (query, id), TakeOrdered top-k. Shuffle
+    * carries |corpus|·|queries| partial rows — |queries| is small by
+    * construction (same contract as every search op here). Distances
+    * are exact integers, so ranking ties resolve identically in both
+    * engines via the (adc, neighbor_id) key. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+      subspaces: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = pqFit(emb, subspaces, subDim, k, iters, idCol, embCol)
+    val e = pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol)
+    val codes = assign(e, cents)
+      .select(col("id").as("neighbor_id"), col("sub"), col("cent_id"))
+    val dtab = pqSlices(queries, "query_id", col(idCol), subspaces, subDim,
+        embCol)
+      .withColumnRenamed("cq", "qq") // pqSlices names non-"id" slices cq
+      .join(cents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        dist2(col("qq"), col("cq")).as("dq"))
+    val scored = codes.join(broadcast(dtab), Seq("sub", "cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rn").cast("long").as("rank"))
   }
 }

@@ -226,6 +226,12 @@ object ExtQueries {
   def qSimPq(s: SparkSession, dir: String): DataFrame =
     graft.ext.KMeans.pqCodes(emb(s, dir))
 
+  /** PQ ADC top-5: the code-only scan the PQ index exists for. */
+  def qSimPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.ext.KMeans.pqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
+  }
+
   /** Deterministic 80/10/10 train/val/test assignment. */
   def qSampleSplit(s: SparkSession, dir: String): DataFrame =
     Curation.hashSplit(docs(s, dir))
@@ -290,6 +296,7 @@ object ExtQueries {
     "q_sim_kmeans" -> (qSimKmeans _),
     "q_sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_pq_search" -> (qSimPqSearch _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -922,8 +929,9 @@ object ExtQueries {
        |         * (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
        |    FROM e JOIN $cents c USING (sub))) WHERE rn = 1)""".stripMargin
 
-  private val simPqSql = {
-    val (m, d, k, iters) = (8, 8, 16, 2)
+  /** Shared PQ chain (m=8 d=8 k=16, 2 sweeps): ef/sb/e slices, seed
+    * codebook p0, sweeps pa<i>/pu<i>/p<i>, final codes pf. */
+  private def pqChainCtes(m: Int, d: Int, k: Int, iters: Int): String = {
     val sliceSql = s"qf[(sub*$d+1):(sub*$d+$d)]"
     val init =
       s"""ef AS (SELECT vec_id AS id,
@@ -948,14 +956,41 @@ object ExtQueries {
          |p$i AS (SELECT sub, cent_id, list(cv ORDER BY pos) AS cq
          |  FROM pu$i GROUP BY sub, cent_id)""".stripMargin
     }
+    s"""${(init +: sweeps).mkString(",\n")},
+       |${pqAssignSql("pf", s"p$iters")}""".stripMargin
+  }
+
+  private val simPqSql = {
+    val m = 8
     val codes = (0 until m).map(s =>
       s"max(CASE WHEN sub = $s THEN cent_id END) AS c$s").mkString(",\n  ")
-    s"""WITH ${(init +: sweeps).mkString(",\n")},
-       |${pqAssignSql("pf", s"p$iters")}
+    s"""WITH ${pqChainCtes(m, 8, 16, 2)}
        |SELECT id AS vec_id,
        |  $codes,
        |  CAST(sum(d2) AS BIGINT) AS qerr
        |FROM pf GROUP BY id""".stripMargin
+  }
+
+  /** ADC oracle: the PQ chain's final codes joined to each query's
+    * per-(sub, cell) exact distance table, summed, ranked. */
+  private val simPqSearchSql = {
+    val iters = 2
+    s"""WITH ${pqChainCtes(8, 8, 16, iters)},
+       |qe AS (SELECT id AS query_id, sub, q AS qq FROM e WHERE id < 8),
+       |dt AS (SELECT qe.query_id, qe.sub, c.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qe.qq) + 1),
+       |    i -> (qe.qq[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |       * (qe.qq[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS dq
+       |  FROM qe JOIN p$iters c USING (sub)),
+       |sc AS (SELECT dt.query_id, pf.id AS neighbor_id,
+       |    CAST(sum(dt.dq) AS BIGINT) AS adc
+       |  FROM pf JOIN dt ON pf.sub = dt.sub AND pf.cent_id = dt.cent_id
+       |  WHERE pf.id <> dt.query_id GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS "rank" FROM sc)
+       |SELECT query_id, neighbor_id, adc, "rank" FROM rk
+       |WHERE "rank" <= 5""".stripMargin
   }
 
   private val embQuantizeSql =
@@ -1197,6 +1232,7 @@ object ExtQueries {
     "q_sim_kmeans" -> simKmeansSql,
     "q_sim_ivf_kmeans" -> simIvfKmeansSql,
     "q_sim_pq" -> simPqSql,
+    "q_sim_pq_search" -> simPqSearchSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

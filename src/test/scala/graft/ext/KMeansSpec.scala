@@ -76,6 +76,23 @@ class KMeansSpec extends SparkSpec {
     dq.foreach(r => assert(r.getLong(3) === 0L, s"nonzero qerr: $r"))
   }
 
+  test("pq adc search: k per query, and cross-blob queries rank own-blob neighbors first") {
+    // two tight separated blobs; every query's top neighbors must come
+    // from its own blob (ADC distance across blobs is ~4 orders larger)
+    val rows = (0L until 10L).map(i => (i, Seq(10f + i * 0.001f, 0f, 1f, 2f))) ++
+      (10L until 20L).map(i => (i, Seq(-10f - i * 0.001f, 5f, -3f, 0f)))
+    val t = rows.toDF("vec_id", "embedding")
+    val out = KMeans.pqTopK(t, t.filter(col("vec_id").isin(0L, 15L)),
+      topK = 3, subspaces = 2, subDim = 2, k = 4, iters = 2).collect()
+    assert(out.count(_.getLong(0) == 0L) === 3)
+    assert(out.count(_.getLong(0) == 15L) === 3)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert((q < 10) == (n < 10), s"cross-blob neighbor: $r")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 3L)
+    }
+  }
+
   test("codegen'd dist2 equals the higher-order form, with its null semantics") {
     val e = graft.Tables.load(spark, sf(), "embeddings")
       .select(KMeans.quantize(col("embedding")).as("q"))
