@@ -133,8 +133,8 @@ object KMeans {
     assign(e, cents)
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
-      .join(cents.select(col("cent_id"),
-        aggregate(transform(col("cq"), abs(_)), lit(0L), _ + _).as("cent_l1")),
+      .join(broadcast(cents.select(col("cent_id"),
+        aggregate(transform(col("cq"), abs(_)), lit(0L), _ + _).as("cent_l1"))),
         Seq("cent_id"))
       .select(col("cent_id"), col("n_members"), col("inertia"), col("cent_l1"))
   }

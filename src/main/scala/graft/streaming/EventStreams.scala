@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -171,6 +171,37 @@ object EventStreams {
     val k = known.filter(col(textCol).isNotNull)
       .select(md5(col(textCol)).as("__d"))
     d.join(k, Seq("__d"), "left_anti").drop("__d")
+  }
+
+  /** Streaming centroid assignment: embeddings arriving on a stream are
+    * scored against a TRAINED centroid table ([[graft.ext.KMeans]] `fit`
+    * output) — the online half of the fit-batch/score-stream pattern
+    * every production index follows (cells route fresh vectors to their
+    * inverted lists as they arrive).
+    *
+    * The centroids collect to the driver ONCE (K·dim longs — small by
+    * the same contract that lets the batch path broadcast them) and bake
+    * into the plan as literal arrays, so the argmin is a PURE PROJECTION
+    * — a fold of `least(struct(d2, cent_id))` over K codegen'd distance
+    * expressions. No join, no aggregation, no state: exactly-once
+    * semantics are the source's, and a row's cell is identical whether
+    * it arrived by stream or by backfill (same exact-integer rule as the
+    * batch path — asserted in StreamingSpec). Works unchanged on batch
+    * frames. Empty centroid table → null cell, callers gate on it. */
+  def assignStream(vectors: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.ext.KMeans
+    val cs = cents.select(col("cent_id"), col("cq")).collect()
+    val q = KMeans.quantize(col(embCol))
+    val best: Column =
+      if (cs.isEmpty) lit(null).cast("struct<d2: bigint, cent_id: bigint>")
+      else cs.map { r =>
+        struct(
+          KMeans.dist2(q, typedlit(r.getSeq[Long](1))).as("d2"),
+          lit(r.getLong(0)).as("cent_id"))
+      }.reduceLeft(least(_, _))
+    vectors.select(col(idCol), best.getField("cent_id").as("cent_id"),
+      best.getField("d2").as("d2"))
   }
 
   /** Batch sessionization — gaps-and-islands with window functions, the

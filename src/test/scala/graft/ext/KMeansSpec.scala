@@ -108,6 +108,17 @@ class KMeansSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("degenerate corpora: empty table and corpus smaller than k") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(KMeans.clusterStats(empty, k = 4, iters = 2).count() === 0L)
+    assert(KMeans.pqCodes(empty, 2, 2, 4, 1).count() === 0L)
+    // 3 vectors, k=16: seeds are just the 3 — every vector is a centroid
+    val tiny = embTable(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(-1f, 0f))
+    val st = KMeans.clusterStats(tiny, k = 16, iters = 2).collect()
+    assert(st.map(_.getLong(1)).sum === 3L)
+    assert(st.forall(_.getLong(2) === 0L)) // every cell exact
+  }
+
   test("quantization is the exact 1e4 floor lattice") {
     val t = embTable(1L -> Seq(0.12345f, -0.5f, 0f))
     val q = t.select(KMeans.quantize(col("embedding"))).head().getSeq[Long](0)

@@ -215,6 +215,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming centroid assignment routes vectors to the batch path's cells") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, Seq(10f, 0f)), (2L, Seq(10.1f, 0.2f)), (3L, Seq(9.9f, -0.1f)),
+      (4L, Seq(-10f, 0f)), (5L, Seq(-10.2f, 0.1f)), (6L, Seq(-9.8f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = graft.ext.KMeans.fit(corpus, k = 2, iters = 2)
+    val vecs = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.assignStream(
+        vecs.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("assign_out")
+      .outputMode("append").start()
+    try {
+      vecs.addData((7L, Seq(9.5f, 0.3f)), (8L, Seq(-9.5f, -0.3f)))
+      q.processAllAvailable()
+      val got = spark.table("assign_out").select("vec_id", "cent_id")
+        .as[(Long, Long)].collect().toMap
+      // the stream rows land in the same cells as a batch backfill
+      val batch = EventStreams.assignStream(
+        Seq((7L, Seq(9.5f, 0.3f)), (8L, Seq(-9.5f, -0.3f)))
+          .toDF("vec_id", "embedding"), cents)
+        .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+      assert(got === batch)
+      // and the two blobs route to two different cells
+      assert(got(7L) !== got(8L))
+      // vectors near a blob join that blob's corpus members
+      val corpusCells = EventStreams.assignStream(corpus, cents)
+        .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+      assert(got(7L) === corpusCells(1L))
+      assert(got(8L) === corpusCells(4L))
+    } finally q.stop()
+  }
+
   test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
     val dir = Files.createTempDirectory("graft-stream")
     val in = dir.resolve("in"); Files.createDirectories(in)
