@@ -171,6 +171,42 @@ object KMeans {
     * never a per-subspace corpus sort. Same integer lattice as [[fit]];
     * dims beyond subspaces·subDim are ignored (65..∞ of a 64-dim table:
     * none). */
+  /** Assignment-drift report: fit on a BASE corpus, assign a fresh
+    * INCREMENT to the same (frozen) cells, and compare per-cell mean
+    * squared distances — the monitoring number that says whether
+    * yesterday's coarse quantizer still fits today's data (drift ≫ 1 in
+    * a cell means new vectors sit far from its centroid: re-fit, or the
+    * IVF recall quietly decays). Means are floor-div exact rationals;
+    * `drift_q4` = ⌊mean_new·10⁴ / max(mean_base, 1)⌋ stays integer
+    * end-to-end, so the whole report is hash-exact cross-engine. A cell
+    * the increment never hits reports n_new = 0 with zero drift; the
+    * increment is one broadcast-assignment pass (no re-fit). */
+  def driftReport(base: DataFrame, increment: DataFrame, k: Int,
+      iters: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cents = withSub0(fit(base, k, iters, 1, idCol, embCol))
+    def cellMeans(src: DataFrame, nAs: String, mAs: String): DataFrame = {
+      val e = withSub0(src.select(col(idCol).as("id"), quantize(col(embCol)).as("q")))
+      val s = sum(col("d2"))
+      val n = count(lit(1))
+      assign(e, cents).groupBy(col("cent_id"))
+        .agg(n.as(nAs),
+          ((s - pmod(s, n)) / n).cast("long").as(mAs))
+    }
+    val b = cellMeans(base, "n_base", "mean_d2_base")
+    val i = cellMeans(increment, "n_new", "mean_d2_new")
+    // decimal(38,0): mean·10⁴ brushes int64 at extreme dims/lattice values
+    val dec = "decimal(38,0)"
+    val scaled = coalesce(col("mean_d2_new"), lit(0L)).cast(dec) *
+      lit(10000L).cast(dec)
+    val dBase = greatest(col("mean_d2_base"), lit(1L)).cast(dec)
+    b.join(i, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"), col("mean_d2_base"),
+        coalesce(col("mean_d2_new"), lit(0L)).as("mean_d2_new"),
+        ((scaled - pmod(scaled, dBase)) / dBase).cast("long").as("drift_q4"))
+  }
+
   private def pqSlices(src: DataFrame, keyAs: String, key: Column,
       subspaces: Int, subDim: Int, embCol: String): DataFrame = {
     val subs = explode(sequence(lit(0), lit(subspaces - 1)))

@@ -232,6 +232,14 @@ object ExtQueries {
     graft.ext.KMeans.pqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
+  /** Quantizer drift: fit on even ids, assign the odd-id "increment". */
+  def qSimDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.ext.KMeans.driftReport(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), k = 8, iters = 2)
+  }
+
   /** Deterministic 80/10/10 train/val/test assignment. */
   def qSampleSplit(s: SparkSession, dir: String): DataFrame =
     Curation.hashSplit(docs(s, dir))
@@ -297,6 +305,7 @@ object ExtQueries {
     "q_sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_pq_search" -> (qSimPqSearch _),
+    "q_sim_drift" -> (qSimDrift _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -845,22 +854,23 @@ object ExtQueries {
     * corpus, c0 = hash-order seeds, then per sweep an exact-integer argmin
     * assignment a<i> and a floor-div mean update c<i>. Every value is a
     * BIGINT, so the chain is hash-exact across engines. */
-  private def kmeansAssignSql(name: String, cents: String): String =
+  private def kmeansAssignSql(name: String, cents: String,
+      src: String = "e"): String =
     s"""$name AS (SELECT id, q, cent_id, d2 FROM (
        |  SELECT id, q, cent_id, d2,
        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cent_id) AS rn
-       |  FROM (SELECT e.id, e.q, c.cent_id,
-       |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
-       |      i -> (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
-       |         * (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
-       |    FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+       |  FROM (SELECT $src.id, $src.q, c.cent_id,
+       |    CAST(list_sum(list_transform(range(1, len($src.q) + 1),
+       |      i -> ($src.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |         * ($src.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+       |    FROM $src CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
 
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, where: String = ""): String = {
     val init =
       s"""e AS (SELECT vec_id AS id,
          |  list_transform(embedding,
          |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
-         |  FROM embeddings),
+         |  FROM embeddings$where),
          |c0 AS (SELECT id AS cent_id, q AS cq FROM e
          |  ORDER BY ${hexIntSql("CAST(id AS VARCHAR)")}, id LIMIT $k)""".stripMargin
     val sweeps = (1 to iters).map { i =>
@@ -886,6 +896,30 @@ object ExtQueries {
        |SELECT st.cent_id, st.n_members, st.inertia,
        |  CAST(list_sum(list_transform(c2.cq, x -> abs(x))) AS BIGINT) AS cent_l1
        |FROM st JOIN c2 USING (cent_id)""".stripMargin
+
+  /** Drift oracle: the k-means chain fitted on even ids only, both
+    * halves assigned to the frozen c2 cells, per-cell floor-div means
+    * compared. `//` on non-negative HUGEINTs is the same floor-div as
+    * the Spark side's (s − pmod)/n. */
+  private val simDriftSql =
+    s"""WITH ${kmeansCtes(8, 2, " WHERE vec_id % 2 = 0")},
+       |en AS (SELECT vec_id AS id,
+       |  list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |${kmeansAssignSql("ab", "c2")},
+       |${kmeansAssignSql("an", "c2", "en")},
+       |bm AS (SELECT cent_id, count(*) AS n_base,
+       |  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_base
+       |  FROM ab GROUP BY 1),
+       |nm AS (SELECT cent_id, count(*) AS n_new,
+       |  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_new
+       |  FROM an GROUP BY 1)
+       |SELECT bm.cent_id, n_base, coalesce(n_new, 0) AS n_new, mean_d2_base,
+       |  coalesce(mean_d2_new, 0) AS mean_d2_new,
+       |  CAST(CAST(coalesce(mean_d2_new, 0) AS HUGEINT) * 10000
+       |    // greatest(mean_d2_base, 1) AS BIGINT) AS drift_q4
+       |FROM bm LEFT JOIN nm USING (cent_id)""".stripMargin
 
   /** IVF over the trained centroids: the simIvfSql flow with cents =
     * dequantized k-means output (k=8, 2 sweeps, nProbe=4). */
@@ -1233,6 +1267,7 @@ object ExtQueries {
     "q_sim_ivf_kmeans" -> simIvfKmeansSql,
     "q_sim_pq" -> simPqSql,
     "q_sim_pq_search" -> simPqSearchSql,
+    "q_sim_drift" -> simDriftSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

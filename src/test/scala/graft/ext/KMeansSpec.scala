@@ -108,6 +108,23 @@ class KMeansSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("drift report: re-assigning the base reads ~1.0, a shifted increment reads high") {
+    val base = (0L until 40L)
+      .map(i => (i, Seq(10f + (i % 5) * 0.01f, (i % 7) * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val same = KMeans.driftReport(base, base, k = 4, iters = 2).collect()
+    same.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"n mismatch: $r") // n_base = n_new
+      val (mB, drift) = (r.getLong(3), r.getLong(5))
+      assert(drift === (if (mB > 0) 10000L else 0L), s"self-drift: $r")
+    }
+    // an increment living far from every cell drifts ≫ 1
+    val shifted = (100L until 120L)
+      .map(i => (i, Seq(-50f, 30f))).toDF("vec_id", "embedding")
+    val moved = KMeans.driftReport(base, shifted, k = 4, iters = 2).collect()
+    assert(moved.filter(_.getLong(2) > 0).forall(_.getLong(5) > 20000L))
+  }
+
   test("degenerate corpora: empty table and corpus smaller than k") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(KMeans.clusterStats(empty, k = 4, iters = 2).count() === 0L)
