@@ -262,16 +262,34 @@ object KMeans {
       subspaces: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cents = pqFit(emb, subspaces, subDim, k, iters, idCol, embCol)
-    val e = pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol)
-    val codes = assign(e, cents)
-      .select(col("id").as("neighbor_id"), col("sub"), col("cent_id"))
+    pqSearchFrom(pqAssignments(emb, cents, subspaces, subDim, idCol, embCol),
+      cents, queries, topK, subspaces, subDim, idCol, embCol)
+  }
+
+  /** Per-(vector, subspace) code rows (id, sub, cent_id, d2) against a
+    * trained codebook — what an index BUILD persists. */
+  def pqAssignments(emb: DataFrame, cents: DataFrame,
+      subspaces: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assign(pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol), cents)
+      .select(col("id"), col("sub"), col("cent_id"), col("d2"))
+
+  /** ADC search over PRE-BUILT code rows + codebook — the search half of
+    * a persisted PQ index ([[graft.ext.PqIndex]]). Identical results to
+    * [[pqTopK]] on the same corpus: the index is deterministic state, so
+    * build-once/search-many and recompute-per-query are interchangeable. */
+  def pqSearchFrom(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+      topK: Int, subspaces: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val dtab = pqSlices(queries, "query_id", col(idCol), subspaces, subDim,
         embCol)
       .withColumnRenamed("cq", "qq") // pqSlices names non-"id" slices cq
       .join(cents, Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id"),
         dist2(col("qq"), col("cq")).as("dq"))
-    val scored = codes.join(broadcast(dtab), Seq("sub", "cent_id"))
+    val scored = codes
+      .select(col("id").as("neighbor_id"), col("sub"), col("cent_id"))
+      .join(broadcast(dtab), Seq("sub", "cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("dq")).as("adc"))

@@ -152,4 +152,36 @@ object TextAnalysis {
     * containment prefilter. */
   def distinctGramCount(text: Column): Column =
     graft.functions.GramOps.distinctGramCount(text, fpGram)
+
+  /** Gopher-style rule battery (Rae et al. 2021 §A1.1, thresholds
+    * adapted to the short-doc synthetic corpus): the five independent
+    * keep/drop flags a crawl-curation pass gates on, plus their
+    * conjunction. Every rule is an INTEGER inequality on exact counts —
+    * `mean word length ∈ [3, 10]` is tested as `3·T ≤ ΣL ≤ 10·T`, never
+    * as a rounded division — so flags are engine-exact at any scale.
+    * Pure projection over one pass of precomputed word stats: zero
+    * shuffle, scan speed. */
+  def gopherFlags(docs: DataFrame, minWords: Long = 10L,
+      maxWords: Long = 100000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val asFlag: Column => Column = c => when(c, 1L).otherwise(0L)
+    val stats = docs.select(col(idCol),
+      size(ws).cast("long").as("t"),
+      length(concat_ws("", ws)).cast("long").as("sl"),
+      regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast("long").as("p"),
+      length(col(textCol)).cast("long").as("l"),
+      stopwordHits(words(lower(col(textCol))), "en").as("stops"),
+      (size(ws) - size(array_distinct(ws))).cast("long").as("dups"))
+    stats.select(col(idCol),
+      asFlag(col("t") >= minWords && col("t") <= maxWords).as("f_nwords"),
+      asFlag(lit(3L) * col("t") <= col("sl") &&
+        col("sl") <= lit(10L) * col("t")).as("f_word_len"),
+      asFlag(lit(10L) * col("p") <= col("l")).as("f_symbol"),
+      asFlag(col("stops") >= 2L).as("f_stopwords"),
+      asFlag(lit(2L) * col("dups") <= col("t")).as("f_dup_words"))
+      .withColumn("keep",
+        col("f_nwords") * col("f_word_len") * col("f_symbol") *
+          col("f_stopwords") * col("f_dup_words"))
+  }
 }

@@ -31,7 +31,7 @@ object CoreQueries {
     * single-JVM lock on its database directory, so a shared fixed path
     * fails a parallel run outright (ADVICE r3). Within one JVM the path is
     * stable, so repeated runs reuse rather than re-create. */
-  private def scratch(dir: String, tag: String): String = {
+  private[queries] def scratch(dir: String, tag: String): String = {
     val id = s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$id"
   }

@@ -149,6 +149,10 @@ object ExtQueries {
   def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), n = 2)
 
+  /** Gopher rule battery: five integer keep/drop flags + conjunction. */
+  def qTextGopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFlags(docs(s, dir))
+
   /** Resample to a 60/25/15 en/es/zh mixture on the stored lang column
     * (the two unlisted languages drop out). */
   def qSampleMix(s: SparkSession, dir: String): DataFrame =
@@ -232,6 +236,17 @@ object ExtQueries {
     graft.ext.KMeans.pqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
+  /** Build the persisted PQ index in per-run scratch, search against it:
+    * must hash-match the recompute path (shares q_sim_pq_search's
+    * oracle), proving the persisted state round-trips exactly. */
+  def qSimPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "pq_index"))
+    graft.ext.PqIndex.build(store, e)
+    graft.ext.PqIndex.search(store, e.filter(col("vec_id") < 8), topK = 5)
+  }
+
   /** Quantizer drift: fit on even ids, assign the odd-id "increment". */
   def qSimDrift(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -285,6 +300,7 @@ object ExtQueries {
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_gopher" -> (qTextGopher _),
     "q_sample_mix" -> (qSampleMix _),
     "q_text_pack" -> (qTextPack _),
     "q_dedup_best" -> (qDedupBest _),
@@ -306,6 +322,7 @@ object ExtQueries {
     "q_sim_pq" -> (qSimPq _),
     "q_sim_pq_search" -> (qSimPqSearch _),
     "q_sim_drift" -> (qSimDrift _),
+    "q_sim_pq_indexed" -> (qSimPqIndexed _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -897,6 +914,32 @@ object ExtQueries {
        |  CAST(list_sum(list_transform(c2.cq, x -> abs(x))) AS BIGINT) AS cent_l1
        |FROM st JOIN c2 USING (cent_id)""".stripMargin
 
+  /** Gopher battery oracle: same integer inequalities over the same
+    * exact counts (mean-word-len tested as 3·T ≤ ΣL ≤ 10·T, no division
+    * anywhere). */
+  private val textGopherSql =
+    s"""WITH base AS (SELECT doc_id, text,
+       |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
+       |  FROM documents),
+       |st AS (SELECT doc_id,
+       |  len(ws) AS t,
+       |  length(array_to_string(ws, '')) AS sl,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+       |  length(text) AS l,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS stops,
+       |  len(ws) - len(list_distinct(ws)) AS dups
+       |  FROM base),
+       |f AS (SELECT doc_id,
+       |  CAST(CASE WHEN t >= 10 AND t <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_nwords,
+       |  CAST(CASE WHEN 3 * t <= sl AND sl <= 10 * t THEN 1 ELSE 0 END AS BIGINT) AS f_word_len,
+       |  CAST(CASE WHEN 10 * p <= l THEN 1 ELSE 0 END AS BIGINT) AS f_symbol,
+       |  CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stopwords,
+       |  CAST(CASE WHEN 2 * dups <= t THEN 1 ELSE 0 END AS BIGINT) AS f_dup_words
+       |  FROM st)
+       |SELECT doc_id, f_nwords, f_word_len, f_symbol, f_stopwords, f_dup_words,
+       |  f_nwords * f_word_len * f_symbol * f_stopwords * f_dup_words AS keep
+       |FROM f""".stripMargin
+
   /** Drift oracle: the k-means chain fitted on even ids only, both
     * halves assigned to the frozen c2 cells, per-cell floor-div means
     * compared. `//` on non-negative HUGEINTs is the same floor-div as
@@ -1268,6 +1311,8 @@ object ExtQueries {
     "q_sim_pq" -> simPqSql,
     "q_sim_pq_search" -> simPqSearchSql,
     "q_sim_drift" -> simDriftSql,
+    "q_sim_pq_indexed" -> simPqSearchSql,
+    "q_text_gopher" -> textGopherSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

@@ -71,4 +71,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("abcdefgh", TextAnalysis.distinctGramCount(col("text"))) === 4L)
     assert(one("ab", TextAnalysis.distinctGramCount(col("text"))) === 1L)
   }
+
+  test("gopher battery: clean prose keeps, each rule trips on its own pathology") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean: 12 distinct words, stopword-rich, no symbols
+      (1L, "the quick brown fox and the lazy dog ran with great speed"),
+      (2L, "short"),                                      // too few words
+      (3L, ("the and " + "a " * 40).trim),                // words too short
+      (4L, "the @@ and ## fox $$ dog %% ran && with !! speed ?? over :: hill ;; far"), // symbol-heavy
+      (5L, "zebra quagga okapi tapir bongo eland nyala kudu oryx addax dikdik gerenuk"), // no stopwords
+      (6L, ("the fox " * 10 + "and and and and").trim)    // mostly duplicate words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(docs, minWords = 10L).collect()
+      .map(r => r.getLong(0) -> (1 to 6).map(r.getLong).toList).toMap
+    assert(out(1L) === List(1L, 1L, 1L, 1L, 1L, 1L))
+    assert(out(2L)(0) === 0L && out(2L).last === 0L)      // f_nwords trips
+    assert(out(3L)(1) === 0L)                             // f_word_len trips
+    assert(out(4L)(2) === 0L)                             // f_symbol trips
+    assert(out(5L)(3) === 0L)                             // f_stopwords trips
+    assert(out(6L)(4) === 0L)                             // f_dup_words trips
+    assert(out.filterKeys(_ != 1L).values.forall(_.last == 0L))
+  }
 }
