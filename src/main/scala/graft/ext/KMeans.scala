@@ -274,6 +274,61 @@ object KMeans {
     assign(pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol), cents)
       .select(col("id"), col("sub"), col("cent_id"), col("d2"))
 
+  /** IVF-PQ: the standard large-scale ANN serving shape (FAISS's IVFPQ,
+    * minus residual encoding — documented simplification; residuals
+    * sharpen cells but need no new plan shapes). A coarse quantizer
+    * routes, PQ codes score: queries probe their `nProbe` nearest coarse
+    * cells by exact integer distance, and ADC runs ONLY over the probed
+    * cells' code rows — cost per query ≈ |corpus|·nProbe/coarseK code
+    * lookups, never a full scan.
+    *
+    * Build side (once per corpus): one coarse fit + one PQ fit + one
+    * id-keyed join attaching each vector's cell to its codes — the only
+    * corpus×corpus shuffle, amortized across every search after (persist
+    * it via [[PqIndex]]-style tables in production). Search side: probes
+    * and distance tables are Q-sized and broadcast; ADC sums are
+    * map-side combined. Everything integer → deterministic, oracle-
+    * checkable end-to-end. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+      coarseK: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
+      subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val coarse = withSub0(fit(emb, coarseK, iters, 1, idCol, embCol))
+    val cells = assign(withSub0(
+        emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))), coarse)
+      .select(col("id").as("neighbor_id"), col("cent_id").as("cell"))
+    val pqCents = pqFit(emb, subspaces, subDim, pqK, iters, idCol, embCol)
+    val codes = pqAssignments(emb, pqCents, subspaces, subDim, idCol, embCol)
+    // query → nProbe coarse cells (windowed top-n: queries are small)
+    val qg = withSub0(queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("q")))
+    val probeScored = qg.join(broadcast(coarse), Seq("sub"))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        dist2(col("q"), col("cq")).as("d2"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cell"))
+    val probes = probeScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe).select(col("query_id"), col("cell"))
+    val dtab = pqSlices(queries, "query_id", col(idCol), subspaces, subDim,
+        embCol)
+      .withColumnRenamed("cq", "qq")
+      .join(pqCents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        dist2(col("qq"), col("cq")).as("dq"))
+    val scored = codes.join(cells,
+        codes("id") === cells("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rn").cast("long").as("rank"))
+  }
+
   /** ADC search over PRE-BUILT code rows + codebook — the search half of
     * a persisted PQ index ([[graft.ext.PqIndex]]). Identical results to
     * [[pqTopK]] on the same corpus: the index is deterministic state, so

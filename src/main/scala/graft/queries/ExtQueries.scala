@@ -247,6 +247,12 @@ object ExtQueries {
     graft.ext.PqIndex.search(store, e.filter(col("vec_id") < 8), topK = 5)
   }
 
+  /** IVF-PQ top-5: coarse cells route, ADC over probed cells only. */
+  def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.ext.KMeans.ivfPqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
+  }
+
   /** Quantizer drift: fit on even ids, assign the odd-id "increment". */
   def qSimDrift(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -323,6 +329,7 @@ object ExtQueries {
     "q_sim_pq_search" -> (qSimPqSearch _),
     "q_sim_drift" -> (qSimDrift _),
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
+    "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -872,7 +879,7 @@ object ExtQueries {
     * assignment a<i> and a floor-div mean update c<i>. Every value is a
     * BIGINT, so the chain is hash-exact across engines. */
   private def kmeansAssignSql(name: String, cents: String,
-      src: String = "e"): String =
+      src: String): String =
     s"""$name AS (SELECT id, q, cent_id, d2 FROM (
        |  SELECT id, q, cent_id, d2,
        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cent_id) AS rn
@@ -882,32 +889,33 @@ object ExtQueries {
        |         * ($src.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
        |    FROM $src CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
 
-  private def kmeansCtes(k: Int, iters: Int, where: String = ""): String = {
+  private def kmeansCtes(k: Int, iters: Int, where: String = "",
+      p: String = ""): String = {
     val init =
-      s"""e AS (SELECT vec_id AS id,
+      s"""${p}e AS (SELECT vec_id AS id,
          |  list_transform(embedding,
          |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
          |  FROM embeddings$where),
-         |c0 AS (SELECT id AS cent_id, q AS cq FROM e
+         |${p}c0 AS (SELECT id AS cent_id, q AS cq FROM ${p}e
          |  ORDER BY ${hexIntSql("CAST(id AS VARCHAR)")}, id LIMIT $k)""".stripMargin
     val sweeps = (1 to iters).map { i =>
-      s"""${kmeansAssignSql(s"a$i", s"c${i - 1}")},
-         |u$i AS (SELECT cent_id, pos,
+      s"""${kmeansAssignSql(s"${p}a$i", s"${p}c${i - 1}", s"${p}e")},
+         |${p}u$i AS (SELECT cent_id, pos,
          |    CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cv
          |  FROM (SELECT cent_id, pos, CAST(sum(v) AS BIGINT) AS s,
          |      count(*) AS n
          |    FROM (SELECT cent_id, unnest(q) AS v,
-         |        unnest(range(1, len(q) + 1)) AS pos FROM a$i)
+         |        unnest(range(1, len(q) + 1)) AS pos FROM ${p}a$i)
          |    GROUP BY cent_id, pos)),
-         |c$i AS (SELECT cent_id, list(cv ORDER BY pos) AS cq
-         |  FROM u$i GROUP BY cent_id)""".stripMargin
+         |${p}c$i AS (SELECT cent_id, list(cv ORDER BY pos) AS cq
+         |  FROM ${p}u$i GROUP BY cent_id)""".stripMargin
     }
     (init +: sweeps).mkString(",\n")
   }
 
   private val simKmeansSql =
     s"""WITH ${kmeansCtes(8, 2)},
-       |${kmeansAssignSql("af", "c2")},
+       |${kmeansAssignSql("af", "c2", "e")},
        |st AS (SELECT cent_id, count(*) AS n_members,
        |  CAST(sum(d2) AS BIGINT) AS inertia FROM af GROUP BY cent_id)
        |SELECT st.cent_id, st.n_members, st.inertia,
@@ -940,6 +948,43 @@ object ExtQueries {
        |  f_nwords * f_word_len * f_symbol * f_stopwords * f_dup_words AS keep
        |FROM f""".stripMargin
 
+  /** IVF-PQ oracle: the g-prefixed coarse chain routes, the PQ chain
+    * scores; ADC restricted to each query's 2 probed cells. */
+  private val simIvfPqSql = {
+    val (nProbe, topK) = (2, 5)
+    s"""WITH ${kmeansCtes(8, 2, "", "g")},
+       |${kmeansAssignSql("gf", "gc2", "ge")},
+       |${pqChainCtes(8, 8, 16, 2)},
+       |qg AS (SELECT id AS query_id, q FROM ge WHERE id < 8),
+       |pr AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |  FROM (SELECT qg.query_id, c.cent_id AS cell,
+       |    CAST(list_sum(list_transform(range(1, len(qg.q) + 1),
+       |      i -> (qg.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |         * (qg.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+       |    FROM qg CROSS JOIN gc2 c)) WHERE rn <= $nProbe),
+       |cl AS (SELECT id AS neighbor_id, cent_id AS cell FROM gf),
+       |qe2 AS (SELECT id AS query_id, sub, q AS qq FROM e WHERE id < 8),
+       |dt AS (SELECT qe2.query_id, qe2.sub, c.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qe2.qq) + 1),
+       |    i -> (qe2.qq[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |       * (qe2.qq[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS dq
+       |  FROM qe2 JOIN p2 c USING (sub)),
+       |sc AS (SELECT dt.query_id, pf.id AS neighbor_id,
+       |    CAST(sum(dt.dq) AS BIGINT) AS adc
+       |  FROM pf JOIN cl ON pf.id = cl.neighbor_id
+       |  JOIN pr ON pr.cell = cl.cell
+       |  JOIN dt ON pf.sub = dt.sub AND pf.cent_id = dt.cent_id
+       |    AND dt.query_id = pr.query_id
+       |  WHERE pf.id <> pr.query_id GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS "rank" FROM sc)
+       |SELECT query_id, neighbor_id, adc, "rank" FROM rk
+       |WHERE "rank" <= $topK""".stripMargin
+  }
+
   /** Drift oracle: the k-means chain fitted on even ids only, both
     * halves assigned to the frozen c2 cells, per-cell floor-div means
     * compared. `//` on non-negative HUGEINTs is the same floor-div as
@@ -950,7 +995,7 @@ object ExtQueries {
        |  list_transform(embedding,
        |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
        |  FROM embeddings WHERE vec_id % 2 = 1),
-       |${kmeansAssignSql("ab", "c2")},
+       |${kmeansAssignSql("ab", "c2", "e")},
        |${kmeansAssignSql("an", "c2", "en")},
        |bm AS (SELECT cent_id, count(*) AS n_base,
        |  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS mean_d2_base
@@ -1313,6 +1358,7 @@ object ExtQueries {
     "q_sim_drift" -> simDriftSql,
     "q_sim_pq_indexed" -> simPqSearchSql,
     "q_text_gopher" -> textGopherSql,
+    "q_sim_ivfpq" -> simIvfPqSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

@@ -108,6 +108,24 @@ class KMeansSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("ivf-pq with full probing equals plain ADC; narrow probing is its subset") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val q = e.filter(col("vec_id") < 4)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val full = key(KMeans.ivfPqTopK(e, q, topK = 5, coarseK = 4, nProbe = 4).collect())
+    val adc = key(KMeans.pqTopK(e, q, topK = 5).collect())
+    assert(full === adc) // probing every cell = no routing at all
+    // narrow probing returns k rows per query with ADC values from the full table
+    val narrow = KMeans.ivfPqTopK(e, q, topK = 5, coarseK = 4, nProbe = 1).collect()
+    assert(narrow.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    val fullAdc = key(KMeans.ivfPqTopK(e, q, topK = 10000, coarseK = 4, nProbe = 4).collect())
+    narrow.foreach { r =>
+      assert(fullAdc((r.getLong(0), r.getLong(1)))._1 === r.getLong(2))
+    }
+    e.unpersist()
+  }
+
   test("drift report: re-assigning the base reads ~1.0, a shifted increment reads high") {
     val base = (0L until 40L)
       .map(i => (i, Seq(10f + (i % 5) * 0.01f, (i % 7) * 0.01f)))
