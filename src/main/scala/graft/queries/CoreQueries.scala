@@ -423,6 +423,20 @@ object CoreQueries {
         |WHERE l_shipdate >= o_orderdate AND l_shipdate < DATE '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin)
 
+  /** Q14-style promo revenue: fact-dim join + conditional aggregate. The
+    * ratio is one division of two rounded sums, so both engines divide
+    * the same two numbers (the per-sum 2-decimal round is the documented
+    * float-aggregate discipline). */
+  def qSqlQ14(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |  / round(sum(l_extendedprice * (1.0 - l_discount)), 2), 4)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-09-01'
+        |  AND l_shipdate < DATE '1996-12-01'""".stripMargin)
+
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -616,6 +630,7 @@ object CoreQueries {
     "q_sql_q6" -> (qSqlQ6 _),
     "q_sql_q10" -> (qSqlQ10 _),
     "q_sql_q12" -> (qSqlQ12 _),
+    "q_sql_q14" -> (qSqlQ14 _),
     "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
@@ -862,6 +877,14 @@ object CoreQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= o_orderdate AND l_shipdate < DATE '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin,
+    "q_sql_q14" ->
+      """SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |  / round(sum(l_extendedprice * (1.0 - l_discount)), 2), 4)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-09-01'
+        |  AND l_shipdate < DATE '1996-12-01'""".stripMargin,
     "q_sql_q5" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
