@@ -207,15 +207,22 @@ object KMeans {
         ((scaled - pmod(scaled, dBase)) / dBase).cast("long").as("drift_q4"))
   }
 
-  private def pqSlices(src: DataFrame, keyAs: String, key: Column,
-      subspaces: Int, subDim: Int, embCol: String): DataFrame = {
+  /** Explode a lattice (BIGINT-array) frame into per-subspace slice rows,
+    * carrying `keys` through. */
+  private def latticeSlices(src: DataFrame, keys: Seq[String], qfCol: String,
+      subspaces: Int, subDim: Int, valAs: String): DataFrame = {
     val subs = explode(sequence(lit(0), lit(subspaces - 1)))
-    src.select(key.as(keyAs), quantize(col(embCol)).as("qf"))
-      .select(col(keyAs), subs.as("sub"), col("qf"))
-      .select(col(keyAs), col("sub"),
-        slice(col("qf"), col("sub") * lit(subDim) + lit(1), lit(subDim))
-          .as(if (keyAs == "id") "q" else "cq"))
+    src.select(keys.map(col) :+ subs.as("sub") :+ col(qfCol) : _*)
+      .select(keys.map(col) :+ col("sub") :+
+        slice(col(qfCol), col("sub") * lit(subDim) + lit(1), lit(subDim))
+          .as(valAs) : _*)
   }
+
+  private def pqSlices(src: DataFrame, keyAs: String, key: Column,
+      subspaces: Int, subDim: Int, embCol: String): DataFrame =
+    latticeSlices(src.select(key.as(keyAs), quantize(col(embCol)).as("qf")),
+      Seq(keyAs), "qf", subspaces, subDim,
+      if (keyAs == "id") "q" else "cq")
 
   /** The trained PQ codebook: (sub, cent_id, cq) after `iters` sweeps. */
   def pqFit(emb: DataFrame, subspaces: Int = 8, subDim: Int = 8,
@@ -319,6 +326,74 @@ object KMeans {
         codes("id") === cells("neighbor_id"))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(dtab), Seq("query_id", "sub", "cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** Residual IVF-PQ — the full FAISS-IVFPQ shape: the PQ codebook
+    * quantizes RESIDUALS v − c(cell) instead of raw vectors, so all k
+    * cells share one codebook tuned to the (much tighter) within-cell
+    * distribution — better recall at the same code budget than
+    * [[ivfPqTopK]]. Residuals live on the same integer lattice
+    * (componentwise long subtraction, exact), so the whole chain stays
+    * hash-reproducible.
+    *
+    * The one structural difference from plain IVF-PQ: the query-side
+    * distance table is keyed per (query, PROBED CELL) — the query's
+    * residual differs per cell — so it holds Q·nProbe·m·k rows, still
+    * broadcast-sized. Build cost and search shuffle shape are otherwise
+    * identical to [[ivfPqTopK]]. */
+  def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+      coarseK: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
+      subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val coarse = withSub0(fit(emb, coarseK, iters, 1, idCol, embCol))
+    val eFull = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val assigned = assign(withSub0(eFull), coarse)
+      .select(col("id"), col("q"), col("cent_id").as("cell"))
+    // exact lattice residuals r = q − c(cell)
+    val resid = assigned
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cq"))),
+        Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("q"), col("cq"), _ - _).as("rf"))
+      // one corpus-sized table feeding seed-take, every sweep, and the
+      // final encode — pin it once (same rationale as sweeps())
+      .localCheckpoint(true)
+    val eRes = latticeSlices(resid, Seq("id"), "rf", subspaces, subDim, "q")
+    val seeds = latticeSlices(
+      resid.orderBy(Hashing.hexInt(col("id").cast("string")), col("id"))
+        .limit(pqK).withColumnRenamed("id", "cent_id"),
+      Seq("cent_id"), "rf", subspaces, subDim, "cq")
+    val pqCents = sweeps(eRes, seeds, iters)
+    val codes = assign(eRes, pqCents)
+      .select(col("id"), col("sub"), col("cent_id"))
+    // query probes carry their per-cell residual
+    val qg = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("q"))
+    val probeScored = qg.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        dist2(col("q"), col("cq")).as("d2"),
+        zip_with(col("q"), col("cq"), _ - _).as("rqf"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cell"))
+    val probes = probeScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell"), col("rqf"))
+    val dtab = latticeSlices(probes, Seq("query_id", "cell"), "rqf",
+        subspaces, subDim, "rq")
+      .join(pqCents, Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("cent_id"),
+        dist2(col("rq"), col("cq")).as("dq"))
+    val cells = assigned.select(col("id").as("neighbor_id"), col("cell"))
+    val scored = codes.join(cells, codes("id") === cells("neighbor_id"))
+      .join(broadcast(dtab), Seq("cell", "sub", "cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("dq")).as("adc"))

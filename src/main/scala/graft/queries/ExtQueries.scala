@@ -253,6 +253,12 @@ object ExtQueries {
     graft.ext.KMeans.ivfPqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
+  /** Residual IVF-PQ top-5: codebook over v − c(cell) residuals. */
+  def qSimIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.ext.KMeans.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8), topK = 5)
+  }
+
   /** Quantizer drift: fit on even ids, assign the odd-id "increment". */
   def qSimDrift(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -330,6 +336,7 @@ object ExtQueries {
     "q_sim_drift" -> (qSimDrift _),
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
+    "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -985,6 +992,51 @@ object ExtQueries {
        |WHERE "rank" <= $topK""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: coarse chain (g-prefix) → residual ef →
+    * PQ chain over residuals → per-(query, cell) residual distance
+    * tables → ADC over probed cells. */
+  private val simIvfPqResSql = {
+    val (nProbe, topK, d) = (2, 5, 8)
+    val residEf =
+      """SELECT gf.id,
+        |  list_transform(range(1, len(gf.q) + 1),
+        |    i -> gf.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]) AS qf
+        |  FROM gf JOIN gc2 c ON gf.cent_id = c.cent_id""".stripMargin
+    s"""WITH ${kmeansCtes(8, 2, "", "g")},
+       |${kmeansAssignSql("gf", "gc2", "ge")},
+       |${pqChainCtes(8, d, 16, 2, residEf)},
+       |qg AS (SELECT id AS query_id, q FROM ge WHERE id < 8),
+       |prs AS (SELECT query_id, cell, rqf FROM (
+       |  SELECT query_id, cell, rqf, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |  FROM (SELECT qg.query_id, c.cent_id AS cell,
+       |    CAST(list_sum(list_transform(range(1, len(qg.q) + 1),
+       |      i -> (qg.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |         * (qg.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2,
+       |    list_transform(range(1, len(qg.q) + 1),
+       |      i -> qg.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]) AS rqf
+       |    FROM qg CROSS JOIN gc2 c)) WHERE rn <= $nProbe),
+       |dt AS (SELECT query_id, cell, z.sub, c.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(z.rq) + 1),
+       |    i -> (z.rq[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |       * (z.rq[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS dq
+       |  FROM (SELECT query_id, cell, sub,
+       |      rqf[(sub*$d+1):(sub*$d+$d)] AS rq FROM prs CROSS JOIN sb) z
+       |  JOIN p2 c USING (sub)),
+       |cl AS (SELECT id AS neighbor_id, cent_id AS cell FROM gf),
+       |sc AS (SELECT dt.query_id, pf.id AS neighbor_id,
+       |    CAST(sum(dt.dq) AS BIGINT) AS adc
+       |  FROM pf JOIN cl ON pf.id = cl.neighbor_id
+       |  JOIN dt ON dt.cell = cl.cell AND pf.sub = dt.sub
+       |    AND pf.cent_id = dt.cent_id
+       |  WHERE pf.id <> dt.query_id GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS "rank" FROM sc)
+       |SELECT query_id, neighbor_id, adc, "rank" FROM rk
+       |WHERE "rank" <= $topK""".stripMargin
+  }
+
   /** Drift oracle: the k-means chain fitted on even ids only, both
     * halves assigned to the frozen c2 cells, per-cell floor-div means
     * compared. `//` on non-negative HUGEINTs is the same floor-div as
@@ -1051,15 +1103,21 @@ object ExtQueries {
        |         * (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
        |    FROM e JOIN $cents c USING (sub))) WHERE rn = 1)""".stripMargin
 
-  /** Shared PQ chain (m=8 d=8 k=16, 2 sweeps): ef/sb/e slices, seed
-    * codebook p0, sweeps pa<i>/pu<i>/p<i>, final codes pf. */
-  private def pqChainCtes(m: Int, d: Int, k: Int, iters: Int): String = {
+  /** Shared PQ chain: ef/sb/e slices, seed codebook p0, sweeps
+    * pa<i>/pu<i>/p<i>, final codes pf. `efSql` overrides the vector
+    * source — any CTE body producing (id, qf: BIGINT list); quantized
+    * embeddings by default, coarse-cell residuals for the
+    * IVFPQ-residual oracle. */
+  private def pqChainCtes(m: Int, d: Int, k: Int, iters: Int,
+      efSql: String = ""): String = {
     val sliceSql = s"qf[(sub*$d+1):(sub*$d+$d)]"
-    val init =
-      s"""ef AS (SELECT vec_id AS id,
+    val ef = if (efSql.nonEmpty) efSql else
+      s"""SELECT vec_id AS id,
          |  list_transform(embedding,
          |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qf
-         |  FROM embeddings),
+         |  FROM embeddings""".stripMargin
+    val init =
+      s"""ef AS ($ef),
          |sb AS (SELECT unnest(range(0, $m)) AS sub),
          |e AS (SELECT id, sub, $sliceSql AS q FROM ef CROSS JOIN sb),
          |sd AS (SELECT id, qf FROM ef
@@ -1359,6 +1417,7 @@ object ExtQueries {
     "q_sim_pq_indexed" -> simPqSearchSql,
     "q_text_gopher" -> textGopherSql,
     "q_sim_ivfpq" -> simIvfPqSql,
+    "q_sim_ivfpq_res" -> simIvfPqResSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,
