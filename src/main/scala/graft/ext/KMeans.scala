@@ -63,14 +63,44 @@ object KMeans {
       .orderBy(Hashing.hexInt(col("cent_id").cast("string")), col("cent_id"))
       .limit(k)
 
+  /** Zero-shuffle argmin: the K centroids fold into the plan as literal
+    * arrays and `least(struct(d2, cent_id))` picks the (distance,
+    * id-tiebreak) minimum — a pure projection, no join, no aggregation.
+    * Lexicographic struct order is exactly the argmin rule; dist2 values
+    * are exact integers so ties resolve identically everywhere. Used
+    * wherever the codebook is single-space and K is broadcast-sized
+    * (fit sweeps, cell routing, streaming assignment); the multi-
+    * codebook PQ paths keep the broadcast-join [[assign]] kernel, whose
+    * m·k-way fold would blow codegen method limits. Empty centroid set →
+    * null struct, callers see null cell. */
+  private[graft] def argminLiteral(q: Column,
+      cents: Seq[(Long, Seq[Long])]): Column =
+    if (cents.isEmpty) lit(null).cast("struct<d2: bigint, cent_id: bigint>")
+    else cents.map { case (cid, cq) =>
+      struct(dist2(q, typedlit(cq)).as("d2"), lit(cid).as("cent_id"))
+    }.reduceLeft(least(_, _))
+
+  /** Single-space literal assignment over (id, q) rows. */
+  private def assignLit(e: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val best = argminLiteral(col("q"), cents)
+    e.select(col("id"), col("q"), best.getField("cent_id").as("cent_id"),
+      best.getField("d2").as("d2"))
+  }
+
+  private def collectCents(cents: DataFrame): Seq[(Long, Seq[Long])] =
+    cents.select(col("cent_id"), col("cq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+
   /** Nearest centroid per (vector, subspace): broadcast score + argmin on
     * the exact (dist2, cent_id) key. One corpus pass. The argmin is
     * `min(struct(d2, cent_id))` under a groupBy — lexicographic struct
     * order IS the (distance, id-tiebreak) rule, and the partial aggregate
     * combines map-side, so the shuffle carries ~|corpus| rows instead of
     * the |corpus|·K a sorted window over the cross-score would, with no
-    * per-partition sort. Plain k-means is the single-subspace case
-    * (sub ≡ 0); PQ reuses the identical kernel per subspace. */
+    * per-partition sort. This kernel serves the MULTI-codebook PQ paths
+    * (one codebook per subspace); single-space assignment uses the
+    * zero-shuffle [[argminLiteral]] projection instead. */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), Seq("sub"))
       .select(col("id"), col("sub"), col("q"),
@@ -111,14 +141,24 @@ object KMeans {
 
   /** `iters` Lloyd sweeps from the hash seeds; returns (cent_id, cq) on
     * the 10⁴ lattice. `sampleMod` > 1 fits on the deterministic 1/m
-    * hash-sample of the corpus — the 100 TB pattern. */
+    * hash-sample of the corpus — the 100 TB pattern.
+    *
+    * Each sweep collects the K·dim centroid longs to the driver
+    * (metadata-scale, same contract as the broadcast) and assigns via
+    * the [[argminLiteral]] projection: the ONLY shuffle per sweep is the
+    * map-side-combined (cent_id, dim) mean update whose reduce side is
+    * K·dim rows — corpus rows (and their arrays) never move. */
   def fit(emb: DataFrame, k: Int, iters: Int = 2, sampleMod: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = if (sampleMod <= 1) emb
       else emb.filter(Hashing.hexInt(col(idCol).cast("string")) % sampleMod === 0)
-    val e = withSub0(base.select(col(idCol).as("id"), quantize(col(embCol)).as("q")))
-    sweeps(e, withSub0(seedCentroids(base, k, idCol, embCol)), iters)
-      .select(col("cent_id"), col("cq"))
+    val e = base.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    var centArr = collectCents(seedCentroids(base, k, idCol, embCol))
+    for (_ <- 0 until iters)
+      centArr = collectCents(step(withSub0(assignLit(e, centArr))))
+    centArr.toDF("cent_id", "cq")
   }
 
   /** Fit + final assignment, reported per cell: member count, exact
@@ -128,9 +168,9 @@ object KMeans {
     * engines. */
   def clusterStats(emb: DataFrame, k: Int, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cents = withSub0(fit(emb, k, iters, 1, idCol, embCol))
-    val e = withSub0(emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q")))
-    assign(e, cents)
+    val cents = fit(emb, k, iters, 1, idCol, embCol)
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    assignLit(e, collectCents(cents))
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
       .join(broadcast(cents.select(col("cent_id"),
@@ -184,12 +224,12 @@ object KMeans {
   def driftReport(base: DataFrame, increment: DataFrame, k: Int,
       iters: Int = 2, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val cents = withSub0(fit(base, k, iters, 1, idCol, embCol))
+    val cents = collectCents(fit(base, k, iters, 1, idCol, embCol))
     def cellMeans(src: DataFrame, nAs: String, mAs: String): DataFrame = {
-      val e = withSub0(src.select(col(idCol).as("id"), quantize(col(embCol)).as("q")))
+      val e = src.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       val s = sum(col("d2"))
       val n = count(lit(1))
-      assign(e, cents).groupBy(col("cent_id"))
+      assignLit(e, cents).groupBy(col("cent_id"))
         .agg(n.as(nAs),
           ((s - pmod(s, n)) / n).cast("long").as(mAs))
     }
@@ -300,16 +340,17 @@ object KMeans {
       coarseK: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
       subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val coarse = withSub0(fit(emb, coarseK, iters, 1, idCol, embCol))
-    val cells = assign(withSub0(
-        emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))), coarse)
+    val coarse = fit(emb, coarseK, iters, 1, idCol, embCol)
+    val cells = assignLit(
+        emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q")),
+        collectCents(coarse))
       .select(col("id").as("neighbor_id"), col("cent_id").as("cell"))
     val pqCents = pqFit(emb, subspaces, subDim, pqK, iters, idCol, embCol)
     val codes = pqAssignments(emb, pqCents, subspaces, subDim, idCol, embCol)
     // query → nProbe coarse cells (windowed top-n: queries are small)
-    val qg = withSub0(queries.select(col(idCol).as("query_id"),
-      quantize(col(embCol)).as("q")))
-    val probeScored = qg.join(broadcast(coarse), Seq("sub"))
+    val qg = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("q"))
+    val probeScored = qg.crossJoin(broadcast(coarse))
       .select(col("query_id"), col("cent_id").as("cell"),
         dist2(col("q"), col("cq")).as("d2"))
     val wp = Window.partitionBy(col("query_id"))
@@ -353,9 +394,9 @@ object KMeans {
       coarseK: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
       subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val coarse = withSub0(fit(emb, coarseK, iters, 1, idCol, embCol))
+    val coarse = fit(emb, coarseK, iters, 1, idCol, embCol)
     val eFull = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-    val assigned = assign(withSub0(eFull), coarse)
+    val assigned = assignLit(eFull, collectCents(coarse))
       .select(col("id"), col("q"), col("cent_id").as("cell"))
     // exact lattice residuals r = q − c(cell)
     val resid = assigned

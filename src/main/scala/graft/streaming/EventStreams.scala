@@ -191,15 +191,9 @@ object EventStreams {
   def assignStream(vectors: DataFrame, cents: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import graft.ext.KMeans
-    val cs = cents.select(col("cent_id"), col("cq")).collect()
-    val q = KMeans.quantize(col(embCol))
-    val best: Column =
-      if (cs.isEmpty) lit(null).cast("struct<d2: bigint, cent_id: bigint>")
-      else cs.map { r =>
-        struct(
-          KMeans.dist2(q, typedlit(r.getSeq[Long](1))).as("d2"),
-          lit(r.getLong(0)).as("cent_id"))
-      }.reduceLeft(least(_, _))
+    val best: Column = KMeans.argminLiteral(KMeans.quantize(col(embCol)),
+      cents.select(col("cent_id"), col("cq")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq)
     vectors.select(col(idCol), best.getField("cent_id").as("cent_id"),
       best.getField("d2").as("d2"))
   }
