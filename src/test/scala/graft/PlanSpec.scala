@@ -149,4 +149,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("No Partition Defined"), "global window funnel\n" + p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("kmeans cell report: assignment is a projection — no join, no window, no sort-merge") {
+    val p = plan("q_sim_kmeans")
+    assert(!p.contains("SortMergeJoin"), "centroid join degraded to SMJ\n" + p)
+    assert(!p.contains("Window"), "argmin ran as a window\n" + p)
+    // the codegen'd integer kernel is in the plan (literal-folded argmin)
+    assert(p.contains("squareddistancelong") || p.contains("SquaredDistanceLong"), p)
+  }
+
+  test("pq adc search: code/table joins are broadcast hash joins, never corpus-corpus SMJ") {
+    val p = plan("q_sim_pq_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "distance table degraded to SMJ\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gopher battery is a pure projection: no shuffle beyond the input spread") {
+    val p = plan("q_text_gopher")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"rule battery gained a shuffle ($exchanges)\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
 }
