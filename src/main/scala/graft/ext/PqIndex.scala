@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.store.TableStore
 
@@ -40,4 +41,25 @@ object PqIndex {
     KMeans.pqSearchFrom(store.read(s"${name}_codes"),
       store.read(s"${name}_codebook"), queries, topK, subspaces, subDim,
       idCol, embCol)
+
+  /** Online index maintenance: encode NEW vectors against the FROZEN
+    * codebook and append their codes — no re-training, one broadcast
+    * pass over the increment (the same frozen-state discipline as
+    * [[KMeans.driftReport]], which is also the tool that says when this
+    * stops being good enough and a re-[[build]] is due). Re-ingested ids
+    * are dropped (first write wins, the [[IncrementalDedup]] contract),
+    * so re-running an increment is idempotent. Appends add files rather
+    * than extending the clustered layout — `TableStore.compact` restores
+    * it when the tail grows. */
+  def appendIncrement(store: TableStore, emb: DataFrame, name: String = "pq",
+      subspaces: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val codesName = s"${name}_codes"
+    val cents = store.read(s"${name}_codebook")
+    val fresh = KMeans.pqAssignments(emb, cents, subspaces, subDim,
+        idCol, embCol)
+      .join(store.read(codesName).select(col("id")).distinct(),
+        Seq("id"), "left_anti")
+    store.append(codesName, fresh)
+  }
 }
