@@ -41,7 +41,10 @@ object KMeans {
   val scale = 10000L
 
   /** floor(v·10⁴) per component: float → exact double → exact product →
-    * unambiguous floor. Long lattice both engines agree on. */
+    * unambiguous floor. Long lattice both engines agree on. Finite
+    * inputs are the contract: a NaN/Inf component nulls the lattice cell
+    * in Spark while DuckDB's BIGINT cast errors — scrub non-finite
+    * embeddings upstream (they are corrupt data, not a vector). */
   def quantize(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * lit(scale.toDouble)).cast("long"))
 
