@@ -92,6 +92,33 @@ object CoreQueries {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
   }
 
+  // ------------------------------------------------------- format matrix
+  /** CSV source roundtrip: nation spools to headered CSV in per-run
+    * scratch and reads back under an EXPLICIT schema (inference is a
+    * determinism hazard: a text format carries no types). Longs and
+    * strings round-trip exactly; the oracle reads the same rows from the
+    * shared parquet, so the whole text encode/decode path is
+    * hash-checked. */
+  def qSCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val spool = scratch(dir, "csv_nation")
+    t(s, dir, "nation").write.mode("overwrite")
+      .option("header", "true").csv(spool)
+    s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(spool)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  /** ORC source roundtrip: supplier through the second columnar format
+    * the engine speaks (type-preserving, so doubles are bit-exact). */
+  def qSOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val spool = scratch(dir, "orc_supplier")
+    t(s, dir, "supplier").write.mode("overwrite").orc(spool)
+    s.read.orc(spool)
+      .filter(col("s_acctbal") > 0.0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("acctbal"))
+  }
+
   // --------------------------------------------------------------- filters
   /** P1: event-time threshold filter (>= boundary, STG_Firebase2Oracle.py:58).
     * The predicate reaches the parquet scan as PushedFilters. ts emitted at
@@ -591,6 +618,8 @@ object CoreQueries {
     "q_s3_users" -> (qS3Users _),
     "q_s4_scan" -> (qS4Scan _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
+    "q_csv_roundtrip" -> (qSCsvRoundtrip _),
+    "q_orc_roundtrip" -> (qSOrcRoundtrip _),
     "q_s6_stage_copy" -> (qS6StageCopy _),
     "q_p1_threshold" -> (qP1Threshold _),
     "q_p2_equality" -> (qP2Equality _),
@@ -658,6 +687,11 @@ object CoreQueries {
     "q_s4_scan" -> "SELECT p_partkey, p_name FROM part",
     "q_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3",
+    "q_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+        |FROM supplier WHERE s_acctbal > 0.0""".stripMargin,
     "q_s6_stage_copy" ->
       """SELECT event_id, user_id, CAST(42 AS BIGINT) AS load_key
         |FROM events WHERE event_type = 'click'""".stripMargin,
