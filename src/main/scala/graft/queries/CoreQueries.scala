@@ -576,6 +576,26 @@ object CoreQueries {
       count(lit(1)).over(w).cast("long").as("n_1h"))
   }
 
+  /** W4: lag + ntile — the inter-event-delta and quantile-bucket half of
+    * the window surface (W1–W3 cover ranking, running and range frames).
+    * Deltas between consecutive user events in whole seconds (exact
+    * integer subtraction of epoch micros, floor-div to seconds); ntile(4)
+    * is deterministic because the window's order (ts, event_id) is total.
+    * One shuffle on user_id, window strictly per-user. */
+  def qW4LagNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .select(col("user_id"), col("event_id"),
+        // floor-div, not a double cast: Spark's double→long cast
+        // truncates where DuckDB's rounds — pmod keeps both integral
+        ((col("tus") - lag(col("tus"), 1).over(w) -
+          pmod(col("tus") - lag(col("tus"), 1).over(w), lit(1000000L))) /
+          lit(1000000L)).cast("long").as("gap_sec"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
   /** A4: exact per-group median by order statistics — the value at
     * position (n+1)/2 of the (value, id)-ordered group. No interpolation
     * arithmetic (interpolated quantiles aren't identically rounded across
@@ -648,6 +668,7 @@ object CoreQueries {
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_w3_moving_range" -> (qW3MovingRange _),
+    "q_w4_lag_ntile" -> (qW4LagNtile _),
     "q_a4_median" -> (qA4Median _),
     "q_a5_histogram" -> (qA5Histogram _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -836,6 +857,12 @@ object CoreQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tus
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
         |FROM e""".stripMargin,
+    "q_w4_lag_ntile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events)
+        |SELECT user_id, event_id,
+        |  CAST((tus - lag(tus, 1) OVER w) // 1000000 AS BIGINT) AS gap_sec,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
