@@ -129,6 +129,22 @@ object ExtQueries {
       .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
   }
 
+  /** Round-4 curation funnel: rule gate → split → domain cap — the
+    * pre-training admission pipeline as one chained query. Every stage
+    * is a pure integer decision, so the composition is hash-exact. */
+  def qCurationFunnel2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = d.join(
+      TextAnalysis.gopherFlags(d).filter(col("keep") === 1L)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val train = kept.join(
+      Curation.hashSplit(kept).filter(col("split") === "train")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Curation.capPerGroup(train, col("source"), cap = 40)
+  }
+
   /** Text near-dup pairs cross-checked by embedding cosine. */
   def qDedupCrossmodal(s: SparkSession, dir: String): DataFrame =
     Dedup.crossModalNearDups(docs(s, dir), emb(s, dir), threshold = 0.5)
@@ -340,6 +356,7 @@ object ExtQueries {
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
+    "q_curation_funnel2" -> (qCurationFunnel2 _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
@@ -1037,6 +1054,29 @@ object ExtQueries {
        |WHERE "rank" <= $topK""".stripMargin
   }
 
+  /** Funnel-2 oracle: the gopher battery, the split decision, and the
+    * per-source cap composed as CTEs — the same three integer gates. */
+  private val curationFunnel2Sql =
+    s"""WITH g AS ($textGopherSql),
+       |kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN g ON d.doc_id = g.doc_id AND g.keep = 1),
+       |train AS (SELECT doc_id, source, text FROM kept
+       |  WHERE ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 < 80),
+       |base AS (SELECT doc_id, source, text,
+       |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
+       |  FROM train),
+       |h AS (SELECT doc_id, source, text, ws,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |  FROM base),
+       |sc AS (SELECT doc_id, source,
+       |  ${qualityQ4Sql("text", "ws", "h_en")} AS q4 FROM h),
+       |r AS (SELECT source AS stratum, doc_id, q4,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY q4 DESC, doc_id) AS rnk
+       |  FROM sc)
+       |SELECT stratum, doc_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 40""".stripMargin
+
   /** Drift oracle: the k-means chain fitted on even ids only, both
     * halves assigned to the frozen c2 cells, per-cell floor-div means
     * compared. `//` on non-negative HUGEINTs is the same floor-div as
@@ -1421,6 +1461,7 @@ object ExtQueries {
     "q_emb_quantize" -> embQuantizeSql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,
+    "q_curation_funnel2" -> curationFunnel2Sql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,
