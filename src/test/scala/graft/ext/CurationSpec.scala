@@ -214,6 +214,25 @@ class CurationSpec extends SparkSpec {
     assert(out.exists { case (id, s) => salted(id) != s })
   }
 
+  test("hash split rejects degenerate percentages; cap groups null strata together") {
+    intercept[IllegalArgumentException](
+      Curation.hashSplit(Seq((1L, "x")).toDF("doc_id", "text"), trainPct = 0))
+    intercept[IllegalArgumentException](
+      Curation.hashSplit(Seq((1L, "x")).toDF("doc_id", "text"),
+        trainPct = 90, valPct = 10))
+    intercept[IllegalArgumentException](
+      Curation.capPerGroup(Seq((1L, "a", "x")).toDF("doc_id", "source", "text"),
+        col("source"), cap = 0))
+    // null sources form one stratum and respect the cap like any other
+    val docs = Seq((1L, null.asInstanceOf[String], "the and is of to"),
+      (2L, null.asInstanceOf[String], "zz"), (3L, "b", "hello world"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.capPerGroup(docs, col("source"), cap = 1).collect()
+    assert(out.length === 2)
+    assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.find(_.isNullAt(0)).get.getLong(1) === 1L) // quality-rich doc wins
+  }
+
   test("per-group cap keeps at most `cap` per stratum, highest quality first") {
     val docs = Seq(
       (1L, "a", "the and is of to in it for on this was with as"), // stopword-rich
