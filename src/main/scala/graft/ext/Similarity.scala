@@ -243,6 +243,44 @@ object Similarity {
           .as("code_l1"))
   }
 
+  /** SQ8 cosine top-k: brute-force search over the int8 CODES instead of
+    * the float vectors — the search path [[quantizeInt8Stats]]'s error
+    * report certifies. Per-vector scales cancel out of the cosine
+    * (cos(ŝa·ca, ŝb·cb) = Σca·cb / (‖ca‖·‖cb‖)), so scoring needs only
+    * the exact int64 code dot (codegen'd
+    * [[graft.functions.DotProductLong]]) and two norms — the corpus scan
+    * reads a 4×-smaller column and does integer multiplies. Approximate
+    * by quantization only; ranking uses the rounded cosine with id
+    * tiebreak, deterministic cross-engine. Zero-norm codes (the zero
+    * vector) drop — cosine is undefined there. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def codes(df: DataFrame, idAs: String, codeAs: String): DataFrame = {
+      val v = toDouble(col("embedding"))
+      val amax = array_max(transform(v, x => abs(x)))
+      df.select(col("vec_id").as(idAs),
+          transform(v, x => when(amax > 0,
+            floor(x * lit(127.0) / amax).cast("long")).otherwise(lit(0L)))
+            .as(codeAs))
+        .withColumn(s"${codeAs}_n2",
+          graft.functions.ArrayOps.dotProductLong(col(codeAs), col(codeAs)))
+        .filter(col(s"${codeAs}_n2") > 0L)
+    }
+    val c = codes(corpus, "neighbor_id", "cc")
+    val q = codes(queries, "query_id", "qc")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.ArrayOps.dotProductLong(col("cc"), col("qc"))
+            .cast("double") /
+          (sqrt(col("cc_n2").cast("double")) * sqrt(col("qc_n2").cast("double"))),
+          6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+
   /** Near-dup banding: 8 bands × 8 planes (hyperplanes 0..63, band b owns
     * planes b·8..b·8+7). Unrelated vectors collide in a band w.p. ~2⁻⁸, so
     * candidate volume is ~bands/256 ≈ 3% of all pairs — near-linear at

@@ -29,6 +29,64 @@ object ArrayOps {
   def squaredDistanceLong(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredDistanceLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotProductLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Σ aᵢ·bᵢ over two ARRAY<BIGINT> columns — the SQ8 scoring kernel
+  * ([[graft.ext.Similarity]] `sq8TopK`): int8 codes dot exactly in int64
+  * (|code| ≤ 127 ⇒ |Σ| ≤ 127²·dim ≪ 2⁶³ up to billion-dim). Same
+  * null/ordering contract as [[SquaredDistanceLong]]. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product_long expects two ARRAY<BIGINT>, got ${left.dataType.sql} / ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int dpl_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long dpl_acc = 0L;
+         |for (int dpl_i = 0; dpl_i < dpl_n; dpl_i++) {
+         |  if ($a.isNullAt(dpl_i) || $b.isNullAt(dpl_i)) { ${ev.isNull} = true; break; }
+         |  dpl_acc += $a.getLong(dpl_i) * $b.getLong(dpl_i);
+         |}
+         |${ev.value} = dpl_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Σ (aᵢ−bᵢ)² over two ARRAY<BIGINT> columns — the k-means assignment

@@ -242,6 +242,12 @@ object ExtQueries {
   def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8Stats(emb(s, dir))
 
+  /** SQ8 top-5: the int8-code search path quantizeInt8Stats certifies. */
+  def qSimTopkSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.sq8TopK(e, e.filter(col("vec_id") < 8), k = 5)
+  }
+
   /** Product-quantization codes (8 subspaces × 16 centroids, 2 sweeps). */
   def qSimPq(s: SparkSession, dir: String): DataFrame =
     graft.ext.KMeans.pqCodes(emb(s, dir))
@@ -354,6 +360,7 @@ object ExtQueries {
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_emb_quantize" -> (qEmbQuantize _),
+    "q_sim_topk_sq8" -> (qSimTopkSq8 _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -1213,6 +1220,29 @@ object ExtQueries {
        |WHERE "rank" <= 5""".stripMargin
   }
 
+  private val simTopkSq8Sql =
+    """WITH v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+      |a AS (SELECT vec_id, ve,
+      |  list_max(list_transform(ve, x -> abs(x))) AS amax FROM v),
+      |cod AS (SELECT vec_id, list_transform(ve, x -> CASE WHEN amax > 0
+      |  THEN CAST(floor(x * 127.0 / amax) AS BIGINT) ELSE 0 END) AS cd FROM a),
+      |n AS (SELECT vec_id, cd, CAST(list_sum(list_transform(range(1, len(cd) + 1),
+      |  i -> cd[CAST(i AS INT)] * cd[CAST(i AS INT)])) AS BIGINT) AS n2 FROM cod),
+      |c AS (SELECT vec_id AS neighbor_id, cd AS cc, n2 AS cn2 FROM n WHERE n2 > 0),
+      |q AS (SELECT vec_id AS query_id, cd AS qc, n2 AS qn2 FROM n
+      |  WHERE n2 > 0 AND vec_id < 8),
+      |sc AS (SELECT query_id, neighbor_id,
+      |  round(CAST(list_sum(list_transform(range(1, len(cc) + 1),
+      |      i -> cc[CAST(i AS INT)] * qc[CAST(i AS INT)])) AS DOUBLE)
+      |    / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6) AS cos
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |rk AS (SELECT query_id, neighbor_id, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS "rank" FROM sc)
+      |SELECT query_id, neighbor_id, cos, "rank" FROM rk
+      |WHERE "rank" <= 5""".stripMargin
+
   private val embQuantizeSql =
     """WITH v AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
@@ -1459,6 +1489,7 @@ object ExtQueries {
     "q_sim_ivfpq" -> simIvfPqSql,
     "q_sim_ivfpq_res" -> simIvfPqResSql,
     "q_emb_quantize" -> embQuantizeSql,
+    "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

@@ -85,6 +85,26 @@ class SimilaritySpec extends SparkSpec {
     b.foreach(v => assert(v >= 0L && v < 256L))
   }
 
+  test("sq8 search: high recall vs float cosine, identical vectors at cos 1.0") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val q = e.filter(col("vec_id") < 8)
+    val sq8 = Similarity.sq8TopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 quantizes cosine finely (unlike 8-byte PQ codes): recall@5
+    // against the exact float ranking should be high
+    val recall = bf.count(sq8.contains).toDouble / bf.size
+    assert(recall >= 0.7, s"recall $recall")
+    e.unpersist()
+    // scaled copies share codes exactly: cos 1.0, and self is excluded
+    val t = embTable(1L -> e1, 2L -> e1.map(_ * 3f), 3L -> e2)
+    val top = Similarity.sq8TopK(t, t.filter(col("vec_id") === 1L), k = 1)
+      .collect()
+    assert(top.length === 1)
+    assert(top(0).getLong(1) === 2L && top(0).getDouble(2) === 1.0)
+  }
+
   test("int8 quantization: error bounded by scale/127, zero vector safe") {
     val t = embTable(1L -> Seq(1f, -0.5f, 0.25f, 0f), 2L -> Seq(0f, 0f, 0f, 0f))
     val out = Similarity.quantizeInt8Stats(t).collect()
