@@ -596,6 +596,22 @@ object CoreQueries {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** W5: first/last_value over the full partition frame — each event
+    * labeled with its user's first and latest event id (the "session
+    * anchor" projection). Frame pinned to the WHOLE partition explicitly:
+    * last_value's default frame stops at CURRENT ROW, a classic
+    * silent-wrong-answer default in both engines. */
+  def qW5FirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .select(col("user_id"), col("event_id"),
+        first(col("event_id")).over(w).as("first_event"),
+        last(col("event_id")).over(w).as("last_event"))
+  }
+
   /** A4: exact per-group median by order statistics — the value at
     * position (n+1)/2 of the (value, id)-ordered group. No interpolation
     * arithmetic (interpolated quantiles aren't identically rounded across
@@ -669,6 +685,7 @@ object CoreQueries {
     "q_stream_join" -> (qStreamJoin _),
     "q_w3_moving_range" -> (qW3MovingRange _),
     "q_w4_lag_ntile" -> (qW4LagNtile _),
+    "q_w5_first_last" -> (qW5FirstLast _),
     "q_a4_median" -> (qA4Median _),
     "q_a5_histogram" -> (qA5Histogram _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -863,6 +880,13 @@ object CoreQueries {
         |  CAST((tus - lag(tus, 1) OVER w) // 1000000 AS BIGINT) AS gap_sec,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin,
+    "q_w5_first_last" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events)
+        |SELECT user_id, event_id,
+        |  first_value(event_id) OVER w AS first_event,
+        |  last_value(event_id) OVER w AS last_event
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
