@@ -596,6 +596,20 @@ object CoreQueries {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** F-date battery: trunc/extract/diff over event time — the calendar
+    * half of the scalar-function surface (q_f_scalars covers strings/
+    * hash/conditionals). Day-of-week aligned to Spark's 1=Sunday
+    * convention (DuckDB counts from 0); everything else agrees natively.
+    * Pure projection, zero shuffle. */
+  def qFDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month_start"),
+      quarter(col("ts")).cast("long").as("qtr"),
+      year(col("ts")).cast("long").as("yr"),
+      dayofweek(col("ts")).cast("long").as("dow1"),
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("days_since"))
+
   /** W5: first/last_value over the full partition frame — each event
     * labeled with its user's first and latest event id (the "session
     * anchor" projection). Frame pinned to the WHOLE partition explicitly:
@@ -686,6 +700,7 @@ object CoreQueries {
     "q_w3_moving_range" -> (qW3MovingRange _),
     "q_w4_lag_ntile" -> (qW4LagNtile _),
     "q_w5_first_last" -> (qW5FirstLast _),
+    "q_f_dates" -> (qFDates _),
     "q_a4_median" -> (qA4Median _),
     "q_a5_histogram" -> (qA5Histogram _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -887,6 +902,14 @@ object CoreQueries {
         |  last_value(event_id) OVER w AS last_event
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_f_dates" ->
+      """SELECT event_id,
+        |  strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS month_start,
+        |  CAST(quarter(CAST(ts AS TIMESTAMP)) AS BIGINT) AS qtr,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS yr,
+        |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow1,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+        |FROM events""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
