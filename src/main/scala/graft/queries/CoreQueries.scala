@@ -413,6 +413,35 @@ object CoreQueries {
         |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
 
+  /** Correlated EXISTS / NOT EXISTS on the SQL surface — Catalyst
+    * rewrites both to semi/anti joins (the J5 plan shapes), but the SQL
+    * entry point is its own operator-class checkbox: customers with an
+    * urgent order and none cancelled. */
+  def qSqlExists(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'C')""".stripMargin)
+
+  /** Per-group MODE by exact counts: the most frequent event type per
+    * user, count-desc with a value tiebreak — the categorical summary
+    * statistic (A-family) the median query's order-statistics trick
+    * doesn't cover. Map-side-combined counts, per-group window. */
+  def qAggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+  }
+
   /** Q6-style: pure scan-side filter + scalar agg (everything pushes to
     * the parquet reader). */
   def qSqlQ6(s: SparkSession, dir: String): DataFrame =
@@ -701,6 +730,8 @@ object CoreQueries {
     "q_w4_lag_ntile" -> (qW4LagNtile _),
     "q_w5_first_last" -> (qW5FirstLast _),
     "q_f_dates" -> (qFDates _),
+    "q_sql_exists" -> (qSqlExists _),
+    "q_agg_mode" -> (qAggMode _),
     "q_a4_median" -> (qA4Median _),
     "q_a5_histogram" -> (qA5Histogram _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -910,6 +941,22 @@ object CoreQueries {
         |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow1,
         |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
         |FROM events""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'C')""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER (
+        |  PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
