@@ -153,6 +153,37 @@ object TextAnalysis {
   def distinctGramCount(text: Column): Column =
     graft.functions.GramOps.distinctGramCount(text, fpGram)
 
+  /** Feature-hashing document vectors (the hashing trick — Weinberger et
+    * al. 2009): each word lands in bucket md5(word) mod `dim` with a
+    * deterministic ±1 sign (md5 parity of a salted key — the signed
+    * variant that keeps collision bias zero-mean), and the document's
+    * vector is the per-bucket signed count. Pure integer arithmetic, so
+    * the text → vector bridge is engine-exact end-to-end — the corpus
+    * can be vectorized, quantized, indexed, and searched WITHOUT leaving
+    * the engine (see `q_text_hashvec_knn`).
+    *
+    * Plan shape: explode words → one map-side-combined count keyed
+    * (doc, bucket) → dense assembly over the dim-sized bucket range
+    * (dim·|docs| rows, scan-shaped) → one per-doc collect. Empty or
+    * null-text docs carry the zero vector. */
+  def hashingVectors(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .select(col(idCol), (hexInt(col("word")) % dim).as("bucket"),
+        when(hexInt(concat(lit("s:"), col("word"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sgn")).as("v"))
+    docs.select(col(idCol),
+        explode(sequence(lit(0L), lit(dim - 1L))).as("bucket"))
+      .join(counts, Seq(idCol, "bucket"), "left")
+      .select(col(idCol), col("bucket"), coalesce(col("v"), lit(0L)).as("v"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v")))).as("ps"))
+      .select(col(idCol), transform(col("ps"), p => p("v")).as("vec"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021 §A1.1, thresholds
     * adapted to the short-doc synthetic corpus): the five independent
     * keep/drop flags a crawl-curation pass gates on, plus their

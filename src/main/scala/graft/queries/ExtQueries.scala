@@ -169,6 +169,47 @@ object ExtQueries {
   def qTextGopher(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherFlags(docs(s, dir))
 
+  /** Hashing-trick vectors, reported as exact integer invariants (nnz,
+    * L1, L2², position checksum — the last pins bucket PLACEMENT, not
+    * just the multiset of values). */
+  def qTextHashvec(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayOps
+    TextAnalysis.hashingVectors(docs(s, dir)).select(col("doc_id"),
+      aggregate(col("vec"), lit(0L), (a, x) =>
+        a + when(x =!= 0L, 1L).otherwise(0L)).as("nnz"),
+      aggregate(transform(col("vec"), x => abs(x)), lit(0L), _ + _).as("l1"),
+      ArrayOps.dotProductLong(col("vec"), col("vec")).as("norm2"),
+      aggregate(zip_with(col("vec"),
+          sequence(lit(1L), lit(64L)), (v, i) => v * i),
+        lit(0L), _ + _).as("poschk"))
+  }
+
+  /** Text → vectors → cosine top-3, never leaving the engine: the full
+    * in-engine retrieval chain (vectorize with the hashing trick, score
+    * with the exact integer dot, rank by rounded cosine). */
+  def qTextHashvecKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayOps
+    val v = TextAnalysis.hashingVectors(docs(s, dir))
+      .withColumn("n2", ArrayOps.dotProductLong(col("vec"), col("vec")))
+      .filter(col("n2") > 0L)
+    val c = v.select(col("doc_id").as("neighbor_id"), col("vec").as("cv"),
+      col("n2").as("cn2"))
+    val q = v.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("vec").as("qv"),
+        col("n2").as("qn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(ArrayOps.dotProductLong(col("cv"), col("qv")).cast("double") /
+          (sqrt(col("cn2").cast("double")) * sqrt(col("qn2").cast("double"))),
+          6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+
   /** Resample to a 60/25/15 en/es/zh mixture on the stored lang column
     * (the two unlisted languages drop out). */
   def qSampleMix(s: SparkSession, dir: String): DataFrame =
@@ -335,6 +376,8 @@ object ExtQueries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_gopher" -> (qTextGopher _),
+    "q_text_hashvec" -> (qTextHashvec _),
+    "q_text_hashvec_knn" -> (qTextHashvecKnn _),
     "q_sample_mix" -> (qSampleMix _),
     "q_text_pack" -> (qTextPack _),
     "q_dedup_best" -> (qDedupBest _),
@@ -1220,6 +1263,51 @@ object ExtQueries {
        |WHERE "rank" <= 5""".stripMargin
   }
 
+  /** Dense signed-count bucket rows (doc_id, bucket, v) — the hashing
+    * trick's exploded form; vector invariants and dot products both
+    * aggregate straight off it. */
+  private val hashvecCtes =
+    s"""w AS (SELECT doc_id, unnest(${wordsSqlOf("text")}) AS word FROM documents),
+       |b AS (SELECT doc_id, ${hexIntSql("word")} % 64 AS bucket,
+       |  CASE WHEN ${hexIntSql("('s:' || word)")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM w),
+       |cnt AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+       |  FROM b GROUP BY 1, 2),
+       |g AS (SELECT d.doc_id, r.bucket, coalesce(c.v, 0) AS v
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) r
+       |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = r.bucket)""".stripMargin
+
+  private val textHashvecSql =
+    s"""WITH $hashvecCtes
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+       |  CAST(sum(abs(v)) AS BIGINT) AS l1,
+       |  CAST(sum(v * v) AS BIGINT) AS norm2,
+       |  CAST(sum(v * (bucket + 1)) AS BIGINT) AS poschk
+       |FROM g GROUP BY doc_id""".stripMargin
+
+  private val textHashvecKnnSql =
+    s"""WITH $hashvecCtes,
+       |n2 AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM g GROUP BY 1),
+       |dots AS (SELECT gq.doc_id AS query_id, gc.doc_id AS neighbor_id,
+       |    CAST(sum(gc.v * gq.v) AS BIGINT) AS dp
+       |  FROM g gc JOIN g gq ON gc.bucket = gq.bucket
+       |  WHERE gq.doc_id < 3 AND gc.doc_id <> gq.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT query_id, neighbor_id,
+       |  round(CAST(dp AS DOUBLE) /
+       |    (sqrt(CAST(cn.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))), 6) AS cos
+       |  FROM dots
+       |  JOIN n2 cn ON cn.doc_id = neighbor_id
+       |  JOIN n2 qn ON qn.doc_id = query_id
+       |  WHERE cn.n2 > 0 AND qn.n2 > 0),
+       |rk AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS "rank" FROM sc)
+       |SELECT query_id, neighbor_id, cos, "rank" FROM rk
+       |WHERE "rank" <= 3""".stripMargin
+
   private val simTopkSq8Sql =
     """WITH v AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
@@ -1486,6 +1574,8 @@ object ExtQueries {
     "q_sim_drift" -> simDriftSql,
     "q_sim_pq_indexed" -> simPqSearchSql,
     "q_text_gopher" -> textGopherSql,
+    "q_text_hashvec" -> textHashvecSql,
+    "q_text_hashvec_knn" -> textHashvecKnnSql,
     "q_sim_ivfpq" -> simIvfPqSql,
     "q_sim_ivfpq_res" -> simIvfPqResSql,
     "q_emb_quantize" -> embQuantizeSql,

@@ -72,6 +72,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("ab", TextAnalysis.distinctGramCount(col("text"))) === 1L)
   }
 
+  test("hashing vectors: fixed dim, zero for empty, copies identical, order-insensitive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table scan merge"), (2L, "spark table scan merge"),
+      (3L, "merge scan table spark"),       // same multiset, different order
+      (4L, "   "), (5L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingVectors(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out.size === 5)
+    out.values.foreach(v => assert(v.length === 64))
+    assert(out(1L) === out(2L))               // exact copies
+    assert(out(1L) === out(3L))               // bag-of-words: order-free
+    assert(out(4L).forall(_ == 0L))           // empty doc → zero vector
+    assert(out(1L) !== out(5L))
+  }
+
   test("gopher battery: clean prose keeps, each rule trips on its own pathology") {
     import spark.implicits._
     val docs = Seq(
