@@ -64,6 +64,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the per-query line above has outgrown the driver's tail window (the
+    // sbt [success] footer truncates it from the front → BENCH_r1-r4 all
+    // record "parsed": null), so ALSO emit a compact summary LAST: the
+    // tail then always ends with one short parseable JSON line
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

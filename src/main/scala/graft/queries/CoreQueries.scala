@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * one verified query per operator class of SURVEY.md §2.
   *
   * Determinism rules (driver hash-compares against DuckDB):
-  *  - float aggregates are `round(_, 2)` on both sides;
+  *  - money/value SUMs run on the exact integer-cents lattice (decimal
+  *    accumulator, one final decimal→double cast) — see [[centsSum]]; a
+  *    `round(sum(double),2)` is only kept where the true sum provably sits
+  *    ON the 2-decimal lattice with float error ≪ the 0.005 midpoint
+  *    distance (small windows/sessions), justified at each site;
   *  - window functions order by a unique key;
   *  - LIMIT always under a total order with a unique tiebreak;
   *  - no wall-clock functions;
@@ -35,6 +39,49 @@ object CoreQueries {
     val id = s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$id"
   }
+
+  // ------------------------------------------------- exact-sum lattice
+  // The money/value columns are exact 2-decimal values stored as doubles
+  // (driver-generated; verified on-lattice at every sf). A double SUM of
+  // them is partition-order-dependent, and when the true sum can land on
+  // a round-2 midpoint the last cent flips between runs (the r4
+  // q_sql_q10 flake). Discipline (template: Curation.tfidfTopTerms,
+  // KMeans lattice notes): recover the exact integer cents per row —
+  // round(x*100) is exact because x is the nearest double to a
+  // 2-decimal value, so x*100 is within ~1e-9 of the integer — sum in a
+  // decimal accumulator (exact, associative, order-independent), and
+  // make ONE final decimal→double cast of the exact integer, which is
+  // correctly rounded in every engine. Sums stay exact up to 10^38
+  // units; only the final display cast rounds (above 2^53 units ≈
+  // $9·10^11 the double is the nearest representable, still
+  // deterministic). DuckDB oracle twin: CAST(round(x*100) AS
+  // DECIMAL(18,0)), sum, CAST AS DOUBLE — identical text works in both
+  // dialects.
+
+  /** Σx over a 2-decimal column, exact: integer-cents decimal sum, one
+    * final cast back to dollars-as-double. */
+  private def centsSum(c: Column): Column =
+    sum(round(c * 100).cast("decimal(18,0)")).cast("double") / 100.0
+
+  /** Per-row revenue units: cents × (100 − discount basis points) — the
+    * exact 10⁻⁴-dollar lattice of `l_extendedprice * (1 - l_discount)`. */
+  private def revenueUnits: Column =
+    round(col("l_extendedprice") * 100).cast("decimal(18,0)") *
+      (lit(100) - round(col("l_discount") * 100).cast("decimal(18,0)"))
+
+  /** Σ extendedprice·(1−discount), exact (revenue units → dollars). */
+  private def revenueSum: Column =
+    sum(revenueUnits).cast("double") / 10000.0
+
+  /** The same two fragments in SQL text — valid verbatim in BOTH Spark
+    * SQL (the q_sql_* surface) and DuckDB (the oracle). */
+  private[queries] val centsSumSql =
+    (x: String) => s"CAST(sum(CAST(round($x * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0"
+  private[queries] val revenueUnitsSql =
+    "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) * " +
+      "(100 - CAST(round(l_discount * 100) AS DECIMAL(18,0)))"
+  private[queries] val revenueSumSql =
+    s"CAST(sum($revenueUnitsSql) AS DOUBLE) / 10000.0"
 
   // ---------------------------------------------------------------- S4 scan
   /** Projection-only scan: ReadSchema must prune to 2 of 6 part columns. */
@@ -181,7 +228,10 @@ object CoreQueries {
       .select(col("c_custkey"), col("n_name"), col("r_name"))
 
   /** J3: cross join with a 1-row aggregate (surrogate high-water pattern,
-    * Delta_detection_query_gen.py:37-41) → BroadcastNestedLoopJoin. */
+    * Delta_detection_query_gen.py:37-41) → BroadcastNestedLoopJoin.
+    * round(MAX,2)/round(x−y,2) need no lattice migration: MAX is
+    * order-independent and the subtraction is a single IEEE op of two
+    * on-lattice doubles — identical in every engine. */
   def qJ3CrossAgg(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val maxv = o.agg(round(max(col("o_totalprice")), 2).as("max_price"))
@@ -244,9 +294,9 @@ object CoreQueries {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        centsSum(col("l_quantity")).as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum.as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Join + group aggregate: revenue per nation (broadcast dim chain,
@@ -257,7 +307,7 @@ object CoreQueries {
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(revenueSum.as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** Distinct aggregation (beyond reference parity; expand-based plan). */
@@ -279,7 +329,12 @@ object CoreQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("rn"))
   }
 
-  /** Analytic windows beyond parity: lag + running sum per partition. */
+  /** Analytic windows beyond parity: lag + running sum per partition.
+    * round(sum(double),2) is SAFE here (no lattice migration needed):
+    * `value` is on the 2-decimal lattice so every true prefix sum is
+    * too, and per-user prefixes (≤ ~10³ rows × ~10³ magnitude) carry
+    * float error ≤ n·ulp ≈ 1e-7 ≪ the 0.005 midpoint distance — the
+    * round is order-independent for any engine's summation order. */
   def qW2Running(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     t(s, dir, "events")
@@ -352,7 +407,7 @@ object CoreQueries {
   def qStWindowAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -365,11 +420,13 @@ object CoreQueries {
     s.sql(text)
   }
 
-  /** Q3-style shipping priority: join chain + agg + deterministic top-k. */
+  /** Q3-style shipping priority: join chain + agg + deterministic top-k.
+    * Revenue on the exact lattice (see [[revenueSumSql]]) so the hash —
+    * and the ORDER BY revenue — are partition-order-independent. */
   def qSqlQ3(s: SparkSession, dir: String): DataFrame =
     sql(s, dir,
-      """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      s"""SELECT o_orderkey,
+        |  $revenueSumSql AS revenue,
         |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -393,8 +450,8 @@ object CoreQueries {
     * pipeline in the registry (two broadcast dims, one fact-fact SMJ). */
   def qSqlQ5(s: SparkSession, dir: String): DataFrame =
     sql(s, dir,
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      s"""SELECT n_name,
+        |  $revenueSumSql AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -446,17 +503,21 @@ object CoreQueries {
     * the parquet reader). */
   def qSqlQ6(s: SparkSession, dir: String): DataFrame =
     sql(s, dir,
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      // cents × basis points = exact 10⁻⁴-dollar lattice, same discipline
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+        |    * CAST(round(l_discount * 100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
 
   /** Q10-style returned-item revenue: who returned the most value —
-    * 3-way join, rounded-revenue agg, deterministic top-k. */
+    * 3-way join, exact-lattice revenue agg, deterministic top-k. (The r4
+    * red row: its round(sum(double),2) sat on a rounding midpoint and
+    * flipped with partition order — hence the lattice form.) */
   def qSqlQ10(s: SparkSession, dir: String): DataFrame =
     sql(s, dir,
-      """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      s"""SELECT c_custkey, c_name, n_name,
+        |  $revenueSumSql AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -479,19 +540,23 @@ object CoreQueries {
         |WHERE l_shipdate >= o_orderdate AND l_shipdate < DATE '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin)
 
-  /** Q14-style promo revenue: fact-dim join + conditional aggregate. The
-    * ratio is one division of two rounded sums, so both engines divide
-    * the same two numbers (the per-sum 2-decimal round is the documented
-    * float-aggregate discipline). */
+  /** Q14-style promo revenue: fact-dim join + conditional aggregate. Both
+    * sums run on the exact revenue-unit lattice; the percentage is the
+    * tfidf floor-div trick (⌊n·10⁶/d⌋ / 10⁴ = 100·n/d at 4 decimals):
+    * round(double,4) of a quotient is engine-dependent exactly at decimal
+    * midpoints, a floor-div of exact integers is not. */
   def qSqlQ14(s: SparkSession, dir: String): DataFrame =
     sql(s, dir,
-      """SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-        |  / round(sum(l_extendedprice * (1.0 - l_discount)), 2), 4)
-        |  AS promo_revenue_pct
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= DATE '1996-09-01'
-        |  AND l_shipdate < DATE '1996-12-01'""".stripMargin)
+      s"""WITH s AS (SELECT
+        |    sum(CASE WHEN p_type = 'PROMO' THEN $revenueUnitsSql
+        |        ELSE CAST(0 AS DECIMAL(18,0)) END) AS promo_u,
+        |    sum($revenueUnitsSql) AS total_u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1996-09-01'
+        |    AND l_shipdate < DATE '1996-12-01')
+        |SELECT CAST((promo_u * 1000000 - pmod(promo_u * 1000000, total_u))
+        |    / total_u AS DOUBLE) / 10000.0 AS promo_revenue_pct
+        |FROM s""".stripMargin)
 
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
@@ -527,7 +592,7 @@ object CoreQueries {
   def qAggRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(centsSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
 
   /** Array aggregation + higher-order surface: per-order sorted quantity
@@ -571,7 +636,7 @@ object CoreQueries {
   def qAggCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("sum_price"))
 
   /** Pivot: per-user event counts spread across event-type columns (the
     * Expand+Aggregate plan; values enumerated so the plan is static). */
@@ -594,7 +659,11 @@ object CoreQueries {
   /** W3: event-time RANGE-frame window — per-user moving 1-hour sum and
     * count. The frame is value-based over integer microseconds, so tied
     * timestamps are peers in both engines and the result is independent
-    * of tie order. Partitioned window — no global funnel. */
+    * of tie order. Partitioned window — no global funnel.
+    * round(sum(double),2) is SAFE (same argument as [[qW2Running]]):
+    * true frame sums sit on the 2-decimal lattice, ≤ ~10³ on-lattice
+    * addends per frame keep float error ≪ the 0.005 midpoint distance
+    * even under DuckDB's segment-tree summation order. */
   def qW3MovingRange(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("tus"), col("value"))
@@ -831,17 +900,17 @@ object CoreQueries {
       """SELECT MAX(l_orderkey) AS max_key, MAX(l_partkey) AS max_part,
         |  count(*) AS cnt FROM lineitem""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${centsSumSql("l_quantity")} AS sum_qty,
+        |  ${centsSumSql("l_extendedprice")} AS sum_base_price,
+        |  $revenueSumSql AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_join" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      s"""SELECT n_name,
+        |  $revenueSumSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -889,8 +958,8 @@ object CoreQueries {
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year
         |FROM orders""".stripMargin,
     "q_st_window_agg" ->
-      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, ${centsSumSql("value")} AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -966,8 +1035,8 @@ object CoreQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         | AND epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""".stripMargin,
     "q_agg_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${centsSumSql("l_quantity")} AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
@@ -992,8 +1061,8 @@ object CoreQueries {
         |FROM e JOIN sess ON e.user_id = sess.user_id
         |  AND e.ts >= sess.session_start AND e.ts <= sess.session_end""".stripMargin,
     "q_sql_q3" ->
-      """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      s"""SELECT o_orderkey,
+        |  $revenueSumSql AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1009,13 +1078,14 @@ object CoreQueries {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
     "q_sql_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+        |    * CAST(round(l_discount * 100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_sql_q10" ->
-      """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      s"""SELECT c_custkey, c_name, n_name,
+        |  $revenueSumSql AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1033,16 +1103,19 @@ object CoreQueries {
         |WHERE l_shipdate >= o_orderdate AND l_shipdate < DATE '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin,
     "q_sql_q14" ->
-      """SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-        |  / round(sum(l_extendedprice * (1.0 - l_discount)), 2), 4)
-        |  AS promo_revenue_pct
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= DATE '1996-09-01'
-        |  AND l_shipdate < DATE '1996-12-01'""".stripMargin,
+      s"""WITH s AS (SELECT
+        |    sum(CASE WHEN p_type = 'PROMO' THEN $revenueUnitsSql
+        |        ELSE CAST(0 AS DECIMAL(18,0)) END) AS promo_u,
+        |    sum($revenueUnitsSql) AS total_u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1996-09-01'
+        |    AND l_shipdate < DATE '1996-12-01')
+        |SELECT CAST((CAST(promo_u AS HUGEINT) * 1000000)
+        |    // CAST(total_u AS HUGEINT) AS DOUBLE) / 10000.0 AS promo_revenue_pct
+        |FROM s""".stripMargin,
     "q_sql_q5" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      s"""SELECT n_name,
+        |  $revenueSumSql AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1057,8 +1130,8 @@ object CoreQueries {
         |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "q_agg_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  ${centsSumSql("o_totalprice")} AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,

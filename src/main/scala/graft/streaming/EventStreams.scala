@@ -36,7 +36,13 @@ object EventStreams {
     events
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      // day-wide groups are unbounded at scale, so the sum runs on the
+      // exact integer-cents lattice (decimal accumulator, one final
+      // decimal→double cast) — order-independent across micro-batch
+      // arrival orders, same discipline as the batch twin qStWindowAgg
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("decimal(18,0)"))
+          .cast("double") / 100.0).as("sum_value"))
 
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time silence, via flatMapGroupsWithState with event-time
@@ -91,6 +97,11 @@ object EventStreams {
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      // round(sum(double),2) is stable here: `value` sits on the
+      // 2-decimal lattice, so every true session sum does too, and a
+      // session's addend count stays small enough (bounded by the gap)
+      // that float error ≪ the 0.005 round-2 midpoint distance — and the
+      // form must match sessionizeStream's sequential double accumulator
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
   /** Streaming exact dedup: drops re-deliveries of the same key within
@@ -220,6 +231,8 @@ object EventStreams {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
+        // stable round: see sessionWindowAgg — on-lattice session sums,
+        // small addend counts, and parity with the streaming state form
         round(sum(col("value")), 2).as("sum_value"))
       .drop("sess_id")
   }
