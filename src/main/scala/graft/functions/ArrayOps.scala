@@ -38,7 +38,10 @@ object ArrayOps {
 /** Σ aᵢ·bᵢ over two ARRAY<BIGINT> columns — the SQ8 scoring kernel
   * ([[graft.ext.Similarity]] `sq8TopK`): int8 codes dot exactly in int64
   * (|code| ≤ 127 ⇒ |Σ| ≤ 127²·dim ≪ 2⁶³ up to billion-dim). Same
-  * null/ordering contract as [[SquaredDistanceLong]]. */
+  * null/ordering contract as [[SquaredDistanceLong]], including null on
+  * mismatched lengths (ADVICE r4: the higher-order twin null-pads the
+  * shorter array, which nulls the aggregate — a silent partial dot over
+  * min(len) would mask malformed/mixed-dimension data). */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -60,7 +63,8 @@ case class DotProductLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -71,16 +75,25 @@ case class DotProductLong(left: Expression, right: Expression)
     acc
   }
 
+  // locals MUST be ctx.freshName'd: two instances of the expression in one
+  // codegen function (e.g. a query scoring against two code columns)
+  // otherwise redeclare the same Java local, janino rejects the class, and
+  // the whole stage silently falls back to interpreted mode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dplN")
+      val acc = ctx.freshName("dplAcc")
+      val i = ctx.freshName("dplI")
       s"""
-         |int dpl_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long dpl_acc = 0L;
-         |for (int dpl_i = 0; dpl_i < dpl_n; dpl_i++) {
-         |  if ($a.isNullAt(dpl_i) || $b.isNullAt(dpl_i)) { ${ev.isNull} = true; break; }
-         |  dpl_acc += $a.getLong(dpl_i) * $b.getLong(dpl_i);
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
-         |${ev.value} = dpl_acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -94,9 +107,11 @@ case class DotProductLong(left: Expression, right: Expression)
   * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)),0L,_+_)` but a tight
   * codegen loop instead of a lambda dispatch per element: assignment is
   * corpus·K·dim evaluations per Lloyd sweep, the hottest integer loop in
-  * the engine. Null handling matches the higher-order form (null array
-  * or element → null). Overflow-safe for the 10⁴ lattice up to ~10⁹ per
-  * component (squares < 2⁶³/dim). */
+  * the engine. Null handling matches the higher-order form (null array,
+  * null element, or mismatched lengths → null — zip_with's null-padding
+  * nulls the aggregate, so a min(len) partial distance would diverge).
+  * Overflow-safe for the 10⁴ lattice up to ~10⁹ per component
+  * (squares < 2⁶³/dim). */
 case class SquaredDistanceLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -118,7 +133,8 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -130,17 +146,24 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
     acc
   }
 
+  // freshName'd locals — see DotProductLong.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("sdlN")
+      val acc = ctx.freshName("sdlAcc")
+      val i = ctx.freshName("sdlI")
+      val d = ctx.freshName("sdlD")
       s"""
-         |int sdl_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long sdl_acc = 0L;
-         |for (int sdl_i = 0; sdl_i < sdl_n; sdl_i++) {
-         |  if ($a.isNullAt(sdl_i) || $b.isNullAt(sdl_i)) { ${ev.isNull} = true; break; }
-         |  long sdl_d = $a.getLong(sdl_i) - $b.getLong(sdl_i);
-         |  sdl_acc += sdl_d * sdl_d;
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
          |}
-         |${ev.value} = sdl_acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -152,8 +175,13 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
 /** Σ aᵢ·bᵢ over two ARRAY<DOUBLE> columns, accumulated sequentially in
   * index order (IEEE-identical to `aggregate(zip_with(a,b,_*_),0.0,_+_)`).
   * Null array or any null element → null, matching zip_with/aggregate
-  * null propagation. Lengths must match (zip_with would null-pad; the
-  * engine only calls this on fixed-dimension embedding columns). */
+  * null propagation over the common prefix. Unequal lengths TRUNCATE to
+  * the shorter array — deliberately, and unlike the integer kernels
+  * below: [[graft.ext.Similarity]]'s sign-LSH keeps ±1 hyperplane
+  * literals at a fixed maxDim and dots embeddings of any dimension ≤
+  * maxDim against them, so the prefix-dot IS the operator's contract
+  * (`aggregate(zip_with(slice(b, 1, size(a)), a, _ * _), 0.0, _ + _)`
+  * is the exact higher-order twin). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -188,16 +216,20 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
+  // freshName'd locals — see DotProductLong.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dpN")
+      val acc = ctx.freshName("dpAcc")
+      val i = ctx.freshName("dpI")
       s"""
-         |int dp_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dp_acc = 0.0;
-         |for (int dp_i = 0; dp_i < dp_n; dp_i++) {
-         |  if ($a.isNullAt(dp_i) || $b.isNullAt(dp_i)) { ${ev.isNull} = true; break; }
-         |  dp_acc += $a.getDouble(dp_i) * $b.getDouble(dp_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = dp_acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -246,24 +278,32 @@ case class SimHash32(child: Expression)
     fp
   }
 
+  // freshName'd locals — see DotProductLong.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("shVotes")
+      val nul = ctx.freshName("shNull")
+      val i = ctx.freshName("shI")
+      val h = ctx.freshName("shH")
+      val b = ctx.freshName("shB")
+      val b2 = ctx.freshName("shB")
+      val fp = ctx.freshName("shFp")
       s"""
-         |int[] sh_votes = new int[32];
-         |boolean sh_null = false;
-         |for (int sh_i = 0; sh_i < $a.numElements(); sh_i++) {
-         |  if ($a.isNullAt(sh_i)) { sh_null = true; break; }
-         |  long sh_h = $a.getLong(sh_i);
-         |  for (int sh_b = 0; sh_b < 32; sh_b++) {
-         |    sh_votes[sh_b] += (((sh_h >> sh_b) & 1L) == 1L) ? 1 : -1;
+         |int[] $votes = new int[32];
+         |boolean $nul = false;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $nul = true; break; }
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
-         |if (sh_null) { ${ev.isNull} = true; } else {
-         |  long sh_fp = 0L;
-         |  for (int sh_b = 0; sh_b < 32; sh_b++) {
-         |    if (sh_votes[sh_b] > 0) sh_fp |= (1L << sh_b);
+         |if ($nul) { ${ev.isNull} = true; } else {
+         |  long $fp = 0L;
+         |  for (int $b2 = 0; $b2 < 32; $b2++) {
+         |    if ($votes[$b2] > 0) $fp |= (1L << $b2);
          |  }
-         |  ${ev.value} = sh_fp;
+         |  ${ev.value} = $fp;
          |}
        """.stripMargin
     })
