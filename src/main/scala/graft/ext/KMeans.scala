@@ -324,6 +324,77 @@ object KMeans {
     assign(pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol), cents)
       .select(col("id"), col("sub"), col("cent_id"), col("d2"))
 
+  /** (id, cell) coarse-cell assignment against a trained coarse table —
+    * the routing half an IVF index build persists next to its codes.
+    * Zero-shuffle: the K centroids fold into the plan as literals. */
+  def cellAssignments(emb: DataFrame, coarse: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignLit(emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q")),
+        collectCents(coarse))
+      .select(col("id"), col("cent_id").as("cell"))
+
+  /** (query_id, cell) probe pairs: each query's `nProbe` nearest coarse
+    * cells by exact integer distance. Windowed top-n — the query set is
+    * small by construction, so the funnel is per-query and tiny. */
+  def probeCells(queries: DataFrame, coarse: DataFrame, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qg = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("q"))
+    val scored = qg.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        dist2(col("q"), col("cq")).as("d2"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cell"))
+    scored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe).select(col("query_id"), col("cell"))
+  }
+
+  /** Query-side ADC distance table (query_id, sub, cent_id, dq): exact
+    * integer dist2 from each query block to every codebook cell —
+    * Q·m·k rows, broadcast-sized. */
+  private def adcTable(queries: DataFrame, pqCents: DataFrame,
+      subspaces: Int, subDim: Int, idCol: String, embCol: String): DataFrame =
+    pqSlices(queries, "query_id", col(idCol), subspaces, subDim, embCol)
+      .withColumnRenamed("cq", "qq") // pqSlices names non-"id" slices cq
+      .join(pqCents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        dist2(col("qq"), col("cq")).as("dq"))
+
+  /** ADC top-k over code rows + supplied probes — the shared search
+    * kernel behind [[ivfPqSearchFrom]] (which computes probes itself)
+    * and [[graft.ext.PqIndex.searchIvf]] (which also collects the probed
+    * cells to prune the codes SCAN to their files). */
+  private[graft] def adcOverProbed(codes: DataFrame, probes: DataFrame,
+      pqCents: DataFrame, queries: DataFrame, topK: Int,
+      subspaces: Int, subDim: Int, idCol: String, embCol: String): DataFrame = {
+    val dtab = adcTable(queries, pqCents, subspaces, subDim, idCol, embCol)
+    val scored = codes
+      .select(col("id").as("neighbor_id"), col("cell"), col("sub"),
+        col("cent_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** IVF-PQ search over PRE-BUILT state — code rows already carrying
+    * their coarse `cell` (id, sub, cent_id, cell), the trained coarse
+    * table, and the PQ codebook. [[ivfPqTopK]] is build + this; a
+    * persisted index ([[graft.ext.PqIndex.searchIvf]]) drives the same
+    * kernel, so the two are hash-identical by construction. */
+  def ivfPqSearchFrom(codes: DataFrame, coarse: DataFrame,
+      pqCents: DataFrame, queries: DataFrame, topK: Int, nProbe: Int = 2,
+      subspaces: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    adcOverProbed(codes, probeCells(queries, coarse, nProbe, idCol, embCol),
+      pqCents, queries, topK, subspaces, subDim, idCol, embCol)
+
   /** IVF-PQ: the standard large-scale ANN serving shape (FAISS's IVFPQ,
     * minus residual encoding — documented simplification; residuals
     * sharpen cells but need no new plan shapes). A coarse quantizer
@@ -343,41 +414,26 @@ object KMeans {
       coarseK: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
       subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (coarse, pqCents, codes) =
+      ivfPqBuild(emb, coarseK, subspaces, subDim, pqK, iters, idCol, embCol)
+    ivfPqSearchFrom(codes, coarse, pqCents, queries, topK, nProbe,
+      subspaces, subDim, idCol, embCol)
+  }
+
+  /** The build half of [[ivfPqTopK]]: (coarse table, PQ codebook, code
+    * rows carrying their coarse cell) — exactly the three tables a
+    * persisted index stores ([[graft.ext.PqIndex.buildIvf]]). The
+    * codes⋈cells id-keyed join is the one corpus-sized shuffle. */
+  def ivfPqBuild(emb: DataFrame, coarseK: Int = 8, subspaces: Int = 8,
+      subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
     val coarse = fit(emb, coarseK, iters, 1, idCol, embCol)
-    val cells = assignLit(
-        emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q")),
-        collectCents(coarse))
-      .select(col("id").as("neighbor_id"), col("cent_id").as("cell"))
     val pqCents = pqFit(emb, subspaces, subDim, pqK, iters, idCol, embCol)
     val codes = pqAssignments(emb, pqCents, subspaces, subDim, idCol, embCol)
-    // query → nProbe coarse cells (windowed top-n: queries are small)
-    val qg = queries.select(col(idCol).as("query_id"),
-      quantize(col(embCol)).as("q"))
-    val probeScored = qg.crossJoin(broadcast(coarse))
-      .select(col("query_id"), col("cent_id").as("cell"),
-        dist2(col("q"), col("cq")).as("d2"))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("cell"))
-    val probes = probeScored.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nProbe).select(col("query_id"), col("cell"))
-    val dtab = pqSlices(queries, "query_id", col(idCol), subspaces, subDim,
-        embCol)
-      .withColumnRenamed("cq", "qq")
-      .join(pqCents, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cent_id"),
-        dist2(col("qq"), col("cq")).as("dq"))
-    val scored = codes.join(cells,
-        codes("id") === cells("neighbor_id"))
-      .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(dtab), Seq("query_id", "sub", "cent_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("dq")).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("adc"),
-        col("rn").cast("long").as("rank"))
+      .join(cellAssignments(emb, coarse, idCol, embCol), Seq("id"))
+      .select(col("id"), col("cell"), col("sub"), col("cent_id"))
+    (coarse, pqCents, codes)
   }
 
   /** Residual IVF-PQ — the full FAISS-IVFPQ shape: the PQ codebook
@@ -397,6 +453,20 @@ object KMeans {
       coarseK: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
       subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (coarse, pqCents, codes) = ivfPqResidualBuild(
+      emb, coarseK, subspaces, subDim, pqK, iters, idCol, embCol)
+    ivfPqResidualSearchFrom(codes, coarse, pqCents, queries, topK, nProbe,
+      subspaces, subDim, idCol, embCol)
+  }
+
+  /** Build half of [[ivfPqResidualTopK]]: (coarse table, residual PQ
+    * codebook, code rows carrying their cell) — persistable exactly like
+    * the plain [[ivfPqBuild]] triple (the codebook just lives on the
+    * residual lattice). */
+  def ivfPqResidualBuild(emb: DataFrame, coarseK: Int = 8,
+      subspaces: Int = 8, subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
     val coarse = fit(emb, coarseK, iters, 1, idCol, embCol)
     val eFull = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
     val assigned = assignLit(eFull, collectCents(coarse))
@@ -418,25 +488,38 @@ object KMeans {
     val pqCents = sweeps(eRes, seeds, iters)
     val codes = assign(eRes, pqCents)
       .select(col("id"), col("sub"), col("cent_id"))
-    // query probes carry their per-cell residual
-    val qg = queries.select(col(idCol).as("query_id"),
-      quantize(col(embCol)).as("q"))
-    val probeScored = qg.crossJoin(broadcast(coarse))
-      .select(col("query_id"), col("cent_id").as("cell"),
-        dist2(col("q"), col("cq")).as("d2"),
-        zip_with(col("q"), col("cq"), _ - _).as("rqf"))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("cell"))
-    val probes = probeScored.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("cell"), col("rqf"))
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id"), col("cell"), col("sub"), col("cent_id"))
+    (coarse, pqCents, codes)
+  }
+
+  /** Residual-IVF-PQ search over pre-built state. One structural
+    * difference from [[ivfPqSearchFrom]]: the query-side distance table
+    * is keyed per (query, PROBED CELL) — the query's residual differs per
+    * cell — so the dtab join on (cell, sub, cent_id) subsumes the probe
+    * filter. Q·nProbe·m·k rows, still broadcast-sized. */
+  def ivfPqResidualSearchFrom(codes: DataFrame, coarse: DataFrame,
+      pqCents: DataFrame, queries: DataFrame, topK: Int, nProbe: Int = 2,
+      subspaces: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    residualAdcOverProbes(codes,
+      residualProbes(queries, coarse, nProbe, idCol, embCol),
+      pqCents, topK, subspaces, subDim)
+
+  /** Residual-ADC kernel over supplied probe rows — shared by
+    * [[ivfPqResidualSearchFrom]] and [[graft.ext.PqIndex.searchIvfResidual]]
+    * (which pins the probes to also prune the codes scan). */
+  private[graft] def residualAdcOverProbes(codes: DataFrame,
+      probes: DataFrame, pqCents: DataFrame, topK: Int,
+      subspaces: Int, subDim: Int): DataFrame = {
     val dtab = latticeSlices(probes, Seq("query_id", "cell"), "rqf",
         subspaces, subDim, "rq")
       .join(pqCents, Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("cent_id"),
         dist2(col("rq"), col("cq")).as("dq"))
-    val cells = assigned.select(col("id").as("neighbor_id"), col("cell"))
-    val scored = codes.join(cells, codes("id") === cells("neighbor_id"))
+    val scored = codes
+      .select(col("id").as("neighbor_id"), col("cell"), col("sub"),
+        col("cent_id"))
       .join(broadcast(dtab), Seq("cell", "sub", "cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -446,6 +529,23 @@ object KMeans {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc"),
         col("rn").cast("long").as("rank"))
+  }
+
+  /** (query_id, cell, rqf) probe rows with the query's per-cell lattice
+    * residual — the residual-path twin of [[probeCells]]. */
+  private[graft] def residualProbes(queries: DataFrame, coarse: DataFrame,
+      nProbe: Int, idCol: String, embCol: String): DataFrame = {
+    val qg = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("q"))
+    val probeScored = qg.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        dist2(col("q"), col("cq")).as("d2"),
+        zip_with(col("q"), col("cq"), _ - _).as("rqf"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cell"))
+    probeScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell"), col("rqf"))
   }
 
   /** ADC search over PRE-BUILT code rows + codebook — the search half of

@@ -28,6 +28,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Rounded cosine dot/(na·nb) with an explicit NaN at zero norms.
+    * IEEE 0/0 IS NaN, but ANSI Spark (the 4.x default) turns any /0
+    * into a job-failing error — the guard restores the IEEE value, so a
+    * degenerate zero-norm vector or centroid stays a deterministic
+    * NaN that ranks FIRST under `cos DESC` in both Spark and DuckDB
+    * (ADVICE r4) instead of killing the query. */
+  def cosine(d: Column, na: Column, nb: Column): Column = {
+    val p = na * nb
+    round(when(p === 0.0, lit(Double.NaN)).otherwise(d / p), 6)
+  }
+
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
   /** Brute-force cosine top-k neighbors for each query vector.
@@ -43,7 +54,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("c_emb"), col("q_emb")) / (col("c_norm") * col("q_norm")), 6).as("cos"))
+        cosine(dot(col("c_emb"), col("q_emb")), col("c_norm"), col("q_norm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -103,7 +114,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("c_emb"), col("q_emb")) / (col("c_norm") * col("q_norm")), 6).as("cos"))
+        cosine(dot(col("c_emb"), col("q_emb")), col("c_norm"), col("q_norm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -156,15 +167,22 @@ object Similarity {
 
     def nearestCents(side: DataFrame, idCol: String, emb: String,
         nrm: String, keep: Int): DataFrame = {
-      val ccos = round(dot(col(emb), col("ct")) / (col(nrm) * col("ct_norm")), 6)
+      val ccos = cosine(dot(col(emb), col("ct")), col(nrm), col("ct_norm"))
       if (keep == 1) {
         // corpus-side assignment: argmax as min(struct(-cos, cent_id))
         // under groupBy — the partial aggregate combines map-side, so the
         // shuffle carries ~|corpus| rows instead of |corpus|·K, with no
         // per-partition sort. Same (cos desc, cent_id) rule as the window.
+        // NaN guard (ADVICE r4): a zero-norm vector or centroid makes the
+        // cosine NaN; ORDER BY cos DESC ranks NaN FIRST in both Spark and
+        // DuckDB, but -NaN is still NaN and ranks LAST under min(struct) —
+        // so map NaN → -∞, which min-ranks first, and the aggregate argmin
+        // agrees with the window path and the oracle even on degenerate
+        // vectors (ties among NaNs fall to the cent_id tiebreak in both).
         side.crossJoin(broadcast(cents))
           .select(col(idCol), col(emb), col(nrm),
-            struct(negate(ccos).as("nc"), col("cent_id")).as("cc"))
+            struct(nanvl(negate(ccos), lit(Double.NegativeInfinity)).as("nc"),
+              col("cent_id")).as("cc"))
           .groupBy(col(idCol), col(emb), col(nrm))
           .agg(min(col("cc")).as("cc"))
           .select(col(idCol), col(emb), col(nrm), col("cc.cent_id").as("cent_id"))
@@ -188,7 +206,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("c_emb"), col("q_emb")) / (col("c_norm") * col("q_norm")), 6).as("cos"))
+        cosine(dot(col("c_emb"), col("q_emb")), col("c_norm"), col("q_norm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -207,7 +225,7 @@ object Similarity {
       .withColumn("nb", norm(col("eb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
+        cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -322,7 +340,7 @@ object Similarity {
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
     cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

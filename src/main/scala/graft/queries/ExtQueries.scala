@@ -316,6 +316,19 @@ object ExtQueries {
     graft.ext.KMeans.ivfPqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
+  /** Persisted cell-clustered IVF-PQ: build the three index tables in
+    * per-run scratch, search against them — must hash-match the
+    * recompute path (shares q_sim_ivfpq's oracle). The codes table is
+    * range-clustered on (cell, id), so the probed-cells IN filter prunes
+    * the scan to the probed cells' files (r4 "What's missing" #1). */
+  def qSimIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "ivfpq_index"))
+    graft.ext.PqIndex.buildIvf(store, e)
+    graft.ext.PqIndex.searchIvf(store, e.filter(col("vec_id") < 8), topK = 5)
+  }
+
   /** Residual IVF-PQ top-5: codebook over v − c(cell) residuals. */
   def qSimIvfPqRes(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -401,6 +414,7 @@ object ExtQueries {
     "q_sim_drift" -> (qSimDrift _),
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
+    "q_sim_ivfpq_indexed" -> (qSimIvfPqIndexed _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sim_topk_sq8" -> (qSimTopkSq8 _),
@@ -1577,6 +1591,9 @@ object ExtQueries {
     "q_text_hashvec" -> textHashvecSql,
     "q_text_hashvec_knn" -> textHashvecKnnSql,
     "q_sim_ivfpq" -> simIvfPqSql,
+    // the persisted index must reproduce the recompute path exactly —
+    // sharing the oracle IS the assertion
+    "q_sim_ivfpq_indexed" -> simIvfPqSql,
     "q_sim_ivfpq_res" -> simIvfPqResSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sim_topk_sq8" -> simTopkSq8Sql,

@@ -43,6 +43,29 @@ class TableStore(spark: SparkSession, baseDir: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
 
+  /** Staged append: materialize the increment fully in `<name>.stage`,
+    * then move the finished part-files into the live directory (parquet
+    * part names carry a write-UUID, so moves never collide). A failure
+    * while WRITING leaves only stage garbage (cleaned on the next call);
+    * a failure mid-MOVE leaves a prefix of complete files — callers that
+    * co-locate each logical key's rows in one file (repartition by key
+    * before calling) therefore never expose a torn key, which a plain
+    * [[append]] cannot promise (ADVICE r4: a mid-append crash persisted
+    * some of an id's rows and the retry's anti-join then skipped the id
+    * forever). Reads planned against the live dir also keep a stable
+    * file listing while the stage materializes. */
+  def appendStaged(name: String, df: DataFrame): Unit = {
+    val stage = Paths.get(path(s"$name.stage"))
+    deleteRecursively(stage)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val live = Paths.get(path(name))
+    Files.createDirectories(live)
+    Files.list(stage).filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .forEach(p => Files.move(p, live.resolve(p.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE))
+    deleteRecursively(stage)
+  }
+
   /** Append into a hive-partitioned layout (`col=value` subdirs). Reads
     * through [[read]] recover the partition column; scans filtered on it
     * prune whole directories. */

@@ -43,4 +43,62 @@ class PqIndexSpec extends SparkSpec {
     assert(got.exists(_._2 % 2 == 0) && got.exists(_._2 % 2 == 1))
     e.unpersist()
   }
+
+  test("incremental append co-locates each id's rows in one file (torn-write safety)") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val store = tmpStore()
+    PqIndex.build(store, e.filter(pmod(col("vec_id"), lit(2)) === 0))
+    PqIndex.appendIncrement(store, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+    // every id's 8 (id, sub) rows live in exactly one parquet file: a
+    // crash that persists a file subset can then never expose a torn id
+    val perFile = store.read("pq_codes")
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy(col("id")).agg(countDistinct(col("f")).as("nf"))
+    assert(perFile.filter(col("nf") > 1).count() === 0)
+    // and no stage leftovers
+    assert(!store.exists("pq_codes.stage"))
+  }
+
+  test("ivf index: per-file cell ranges are disjoint and search prunes to probed cells") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val store = tmpStore()
+    PqIndex.buildIvf(store, e, codesFiles = 4)
+
+    // --- layout: each codes file covers a cell range that does not
+    // overlap any other file's interior (range-clustered on (cell, id))
+    val files = new java.io.File(store.path("ivfpq_codes")).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, "need multiple files for a pruning claim")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("cell")), max(col("cell"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file cell ranges overlap: hi=$hi > next lo=$lo2")
+    }
+
+    // --- search equals the in-query recompute path (same kernel)
+    val q = e.filter(col("vec_id") < 8)
+    val got = PqIndex.searchIvf(store, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = KMeans.ivfPqTopK(e, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+
+    // --- the probed-cell IN filter reaches the parquet scan (file/row-
+    // group pruning on footer stats — the nProbe/K read the index exists
+    // for) and the residual variant agrees with ITS recompute path too
+    val plan = PqIndex.searchIvf(store, q, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"probed-cells filter not pushed to the codes scan:\n$plan")
+
+    PqIndex.buildIvfResidual(store, e)
+    val gotR = PqIndex.searchIvfResidual(store, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expectR = KMeans.ivfPqResidualTopK(e, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotR === expectR)
+    e.unpersist()
+  }
 }

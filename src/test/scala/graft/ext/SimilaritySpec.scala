@@ -77,6 +77,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ident === Set((1L, 2L, 1.0)))
   }
 
+  test("zero-norm centroid: aggregate argmin agrees with the cos-DESC NaN-first rule") {
+    // ADVICE r4: a zero-norm centroid makes every cosine against it NaN;
+    // ORDER BY cos DESC ranks NaN FIRST (Spark windows AND DuckDB), so
+    // the whole corpus must assign to the degenerate cell — and the
+    // query probes it too, so IVF degrades to exact search over the one
+    // cell and must equal brute force. Before the nanvl guard, the
+    // corpus-side min(struct(-cos,…)) ranked NaN LAST: corpus and probes
+    // disagreed on the cell and results silently vanished.
+    val corpus = embTable(1L -> e1, 2L -> e1b, 3L -> e2)
+    val queries = embTable(1L -> e1)
+    val cents = Seq(
+      (10L, Seq(0.0, 0.0, 0.0, 0.0)), // zero-norm: cos = NaN vs everything
+      (11L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("cent_id", "ct")
+      .withColumn("ct_norm", Similarity.norm(col("ct")))
+    val got = Similarity.ivfTopKFrom(corpus, queries, k = 2, cents, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSet === brute.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("sign bucket is deterministic and within 8 bits") {
     val t = embTable(1L -> e1, 2L -> e1, 3L -> e2)
     val b = t.select(Similarity.signBucket(
