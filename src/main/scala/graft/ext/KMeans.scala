@@ -324,6 +324,17 @@ object KMeans {
     assign(pqSlices(emb, "id", col(idCol), subspaces, subDim, embCol), cents)
       .select(col("id"), col("sub"), col("cent_id"), col("d2"))
 
+  /** Long code rows (id, sub, cent_id) → one WIDE row per vector
+    * (id, c0..c<m-1>): the shape a stream-static ADC join wants, where
+    * the per-neighbor distance is a projection over the m code columns
+    * instead of an m-row aggregation (aggregations are stateful on
+    * streams; projections are free). One map-side-combined shuffle. */
+  def codesWide(codes: DataFrame, subspaces: Int = 8): DataFrame = {
+    val aggs = (0 until subspaces).map(s =>
+      max(when(col("sub") === s, col("cent_id"))).as(s"c$s"))
+    codes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** (id, cell) coarse-cell assignment against a trained coarse table —
     * the routing half an IVF index build persists next to its codes.
     * Zero-shuffle: the K centroids fold into the plan as literals. */

@@ -209,6 +209,90 @@ object EventStreams {
       best.getField("d2").as("d2"))
   }
 
+  /** One ADC search hit: exact integer PQ distance, ranked per query. */
+  case class AdcHit(query_id: Long, neighbor_id: Long, adc: Long, rank: Long)
+
+  /** Streaming PQ ADC top-k: query vectors arriving on a stream search a
+    * persisted PQ index — the score-stream half of the fit-batch /
+    * score-stream pattern, one step past [[assignStream]]'s coarse cells
+    * (r4 verdict item 6).
+    *
+    * The plan keeps every corpus-sized computation stateless:
+    *  - the CODEBOOK collects once (m·k·subDim longs, the broadcast-size
+    *    contract) and bakes into the plan as literal arrays: each
+    *    arriving query computes its ADC distance TABLE — per subspace, a
+    *    map cent_id → exact dist2(query slice, cell) — in a pure
+    *    projection of k literal-fold expressions;
+    *  - CODES join as a static side in WIDE form ([[graft.ext.KMeans
+    *    .codesWide]]; read them from a [[graft.ext.PqIndex]] store in
+    *    production) — a stream-static equi-join fan-out, and the
+    *    per-neighbor ADC is `Σ_sub element_at(dtab_sub, c_sub)`, again a
+    *    projection, never an m-row aggregation;
+    *  - the ONLY state is a per-query top-k buffer in
+    *    flatMapGroupsWithState: O(k) per query, merged monotonically, so
+    *    re-delivered or multi-batch candidates fold in correctly. Emits
+    *    the current merged top-k each micro-batch (update semantics).
+    *
+    * Results on finite input equal [[graft.ext.KMeans.pqSearchFrom]] on
+    * the same rows — same exact integer distances, same (adc,
+    * neighbor_id) tie rule — asserted in StreamingSpec. Works unchanged
+    * on batch frames (flatMapGroupsWithState runs in batch too). */
+  def pqSearchStream(queries: DataFrame, codesWide: DataFrame,
+      cents: DataFrame, topK: Int, subspaces: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): Dataset[AdcHit] = {
+    import graft.ext.KMeans
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // codebook → plan literals, grouped by subspace
+    val bySub: Map[Int, Seq[(Long, Seq[Long])]] =
+      cents.select(col("sub"), col("cent_id"), col("cq")).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2))))
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+    val q = KMeans.quantize(col(embCol))
+    // per-subspace distance maps over the query's lattice slice
+    val dtabs = (0 until subspaces).map { s =>
+      val slices = bySub.getOrElse(s, Seq.empty)
+      val qs = slice(q, s * subDim + 1, subDim)
+      map_from_arrays(
+        typedlit(slices.map(_._1)),
+        array(slices.map { case (_, cq) => KMeans.dist2(qs, typedlit(cq)) }: _*))
+        .as(s"dt$s")
+    }
+    val adc = (0 until subspaces)
+      .map(s => element_at(col(s"dt$s"), col(s"c$s")))
+      .reduce(_ + _)
+    // every query scores every code row — plain PQ ADC is a full codes
+    // scan by definition (the cell-routed IVF variant is the sub-linear
+    // path, PqIndex.searchIvf). Constant-key equi-join: the stream-static
+    // form Structured Streaming supports everywhere a cross join isn't.
+    val cands = queries
+      .select(col(idCol).as("query_id") +: dtabs: _*)
+      .withColumn("__k", lit(1))
+      .join(codesWide.withColumnRenamed("id", "neighbor_id")
+        .withColumn("__k", lit(1)), Seq("__k"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .as[(Long, Long, Long)]
+    // the one stateful op: a k-sized (adc, neighbor_id)-ordered buffer
+    cands.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Seq[(Long, Long)]]) => {
+          var best = state.getOption.getOrElse(Seq.empty)
+          rows.foreach { case (_, nid, a) =>
+            val beats = best.size < topK || {
+              val (la, ln) = best.last
+              a < la || (a == la && nid < ln)
+            }
+            if (beats) best = ((a, nid) +: best).sorted.take(topK)
+          }
+          state.update(best)
+          best.iterator.zipWithIndex.map { case ((a, nid), i) =>
+            AdcHit(qid, nid, a, i + 1L)
+          }
+        })
+  }
+
   /** Batch sessionization — gaps-and-islands with window functions, the
     * declarative equivalent of [[sessionizeStream]] over finite input
     * (every session closed). One shuffle on user_id; the running session

@@ -248,6 +248,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ADC top-k equals batch pqSearchFrom on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    // fit-batch: frozen codebook + wide codes, as a PqIndex store would
+    // serve them
+    val cents = graft.ext.KMeans.pqFit(e)
+    val codes = graft.ext.KMeans.pqAssignments(e, cents)
+    val wide = graft.ext.KMeans.codesWide(codes).cache()
+    val queriesBatch = e.filter(col("vec_id") < 4)
+
+    // score-stream: the same queries arrive in two micro-batches
+    val qs = MemoryStream[(Long, Seq[Float])]
+    val stream = EventStreams.pqSearchStream(
+      qs.toDF().toDF("vec_id", "embedding"), wide, cents, topK = 5)
+    val q = stream.writeStream.format("memory").queryName("adc_out")
+      .outputMode("update").start()
+    try {
+      val qrows = queriesBatch.select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect()
+      qs.addData(qrows.take(2).toSeq: _*)
+      q.processAllAvailable()
+      qs.addData(qrows.drop(2).toSeq: _*)
+      q.processAllAvailable()
+      // update-mode memory sink: keep the LAST emission per query
+      val got = spark.table("adc_out")
+        .as[EventStreams.AdcHit].collect()
+        .groupBy(h => (h.query_id, h.neighbor_id))
+        .map { case ((qid, nid), hs) => (qid, nid, hs.last.adc, hs.last.rank) }
+        .toSet
+      val expect = graft.ext.KMeans.pqSearchFrom(codes, cents,
+          queriesBatch, topK = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expect)
+    } finally { q.stop(); wide.unpersist(); e.unpersist() }
+  }
+
   test("file-source tree stream lands batches through the SCD2 sink with NC absorption") {
     val dir = Files.createTempDirectory("graft-stream")
     val in = dir.resolve("in"); Files.createDirectories(in)
