@@ -86,4 +86,80 @@ class Scd2PropertiesSpec extends SparkSpec {
       ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("partitioned SCD2: exactly-one-current per key and byte-identical untouched buckets, any batch sequence") {
+    import graft.store.TableStore
+    import java.nio.file.{Files => JFiles, Path}
+    import scala.jdk.CollectionConverters._
+
+    def dataFiles(root: Path): Map[String, Array[Byte]] =
+      if (!JFiles.exists(root)) Map.empty
+      else JFiles.walk(root).iterator().asScala
+        .filter(p => JFiles.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> JFiles.readAllBytes(p))
+        .toMap
+
+    // key index → nk_bucket, via the engine's own hash
+    val bucketOfKey: Map[Int, Int] = (0 until 6).map { k =>
+      val b = toDf(Map(k -> (50, 20)), 0L)
+        .select(Historizer.nkBucket(conf.naturalKeys, conf.targetBuckets))
+        .first().getInt(0)
+      k -> b
+    }.toMap
+
+    val prop = Prop.forAll(Gen.listOfN(3, genBatch)) { batches =>
+      val nonEmpty = batches.filter(_.nonEmpty)
+      (nonEmpty.nonEmpty: Prop) ==> {
+        val dir = JFiles.createTempDirectory("graft-scd2-prop")
+        val store = new TableStore(spark, dir.toString)
+        val root = java.nio.file.Paths.get(store.path("hist"))
+        var now = Timestamp.valueOf("2024-06-01 00:00:00")
+        var model = Map.empty[Int, (Int, Int)] // current payload per key
+        var ok = true
+
+        nonEmpty.zipWithIndex.foreach { case (b, i) =>
+          val before = dataFiles(root)
+          val tgtStored = store.readOrEmpty("hist", Schemas.scd2TargetStored)
+          val touched = Historizer.applyScd2Partitioned(
+            toDf(b, i + 1L), tgtStored, conf.copy(loadKey = i + 1L), now)
+          store.overwritePartitionsDynamic(
+            "hist", touched, Seq("nk_bucket"))
+          now = new Timestamp(now.getTime + 86400000L)
+
+          // buckets legitimately rewritable this increment: those of the
+          // batch keys that are NEW or CHANGED vs the model ('NC' keys
+          // must not rewrite their bucket)
+          val changedKeys = b.keySet.filter(k => !model.get(k).contains(b(k)))
+          val touchable = changedKeys.map(bucketOfKey)
+          val after = dataFiles(root)
+          before.foreach { case (rel, bytes) =>
+            val untouched = !touchable.exists(t => rel.startsWith(s"nk_bucket=$t/"))
+            if (untouched) {
+              ok &&= after.get(rel).exists(java.util.Arrays.equals(_, bytes))
+            }
+          }
+          model ++= b
+        }
+
+        // end state: exactly one current row per key ever written, and
+        // its payload is the model's
+        val rows = store.read("hist").collect()
+        val byKey = rows.groupBy(_.getAs[Timestamp]("timestamp"))
+        ok &&= byKey.size == model.size
+        ok &&= byKey.values.forall(
+          _.count(_.getAs[String]("da_current_flag") == "Y") == 1)
+        ok &&= model.forall { case (k, (h, _)) =>
+          val ts = new Timestamp(t0.getTime + k * 300000L)
+          byKey.get(ts).exists(_.find(
+            _.getAs[String]("da_current_flag") == "Y")
+            .exists(_.getAs[String]("humidity") == s"$h.0"))
+        }
+        ok: Prop
+      }
+    }
+    val result = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
