@@ -274,20 +274,35 @@ object Curation {
     * from [[topQualityPerGroup]] in being an absolute count, not a
     * fraction — the policy knob pipelines actually set per domain.
     *
-    * One shuffle on the stratum; the window is per-stratum, so no global
-    * funnel. A pathologically hot stratum (one domain = half the corpus)
-    * funnels into one partition — at that scale pre-gate with
-    * [[topQualityPerGroupApprox]] (sketch threshold ≈ cap/|stratum|
-    * ppm) so the exact window only ranks the survivors, ~cap rows per
-    * stratum. */
+    * Skew-guarded two-phase top-cap (VERDICT r4 item 8): a hot stratum
+    * (one domain = 90 % of the corpus) would funnel into ONE window task.
+    * Phase 1 ranks within (stratum, salt) — salt = xxhash64(id) mod
+    * `saltFactor`, deterministic under retries — and keeps `cap` rows per
+    * slice, spreading every stratum over `saltFactor` tasks; phase 2 runs
+    * the exact window over the ≤ saltFactor·cap survivors per stratum.
+    * EXACT by construction: a global top-cap row ranks ≤ cap inside its
+    * own salt slice too, so phase 1 never drops a winner. Cost: the
+    * corpus-sized shuffle keys change from stratum to (stratum, salt);
+    * the phase-2 shuffle carries ≤ saltFactor·cap rows per stratum —
+    * bounded regardless of corpus size. */
   def capPerGroup(docs: DataFrame, stratum: Column, cap: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      saltFactor: Int = 16): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
     val scored = docs.select(col(idCol), stratum.as("stratum"),
       TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"))
+    val w1 = Window.partitionBy(col("stratum"), col("__salt"))
+      .orderBy(col("q4").desc, col(idCol))
+    val survivors = scored
+      .withColumn("__salt",
+        pmod(xxhash64(col(idCol)), lit(saltFactor.toLong)).cast("int"))
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= cap)
+      .drop("__salt", "__r")
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("q4").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    survivors.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= cap)
       .select(col("stratum"), col(idCol),
         (col("q4").cast("double") / 10000.0).as("quality"), col("rnk"))

@@ -245,4 +245,73 @@ class CurationSpec extends SparkSpec {
     // the quality-rich doc 1 holds rank 1 in stratum a
     assert(out.contains(("a", 1L, 1L)))
   }
+
+  test("per-group cap on a 90%-one-key corpus: no window task reads >2x the mean (salted)") {
+    // one hot domain holds 90% of the corpus — the case that funnels a
+    // plain per-stratum window into a single task (VERDICT r4 item 8)
+    val n = 4000
+    val docs = (0 until n).map { i =>
+      val s = if (i % 10 == 0) s"cold${i % 7}" else "hot"
+      (i.toLong, s, s"doc number $i words vary ${"x " * (i % 17)}")
+    }.toDF("doc_id", "source", "text")
+
+    // salted and unsalted (saltFactor=1 = the old single-window plan)
+    // agree exactly — the guard changes placement, never results
+    val expect = Curation.capPerGroup(docs, col("source"), cap = 25,
+        saltFactor = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    // measure REAL per-task shuffle-read record counts; AQE off so small
+    // partitions aren't coalesced away from the 16-partition layout the
+    // claim is about
+    val taskReads = scala.collection.concurrent.TrieMap.empty[(Int, Long), Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val recs = te.taskMetrics.shuffleReadMetrics.recordsRead
+        if (recs > 0) taskReads.put((te.stageId, te.taskInfo.taskId), recs)
+      }
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // salt granularity ≫ partition count: each task then averages many
+      // small (stratum, salt) slices, so hash-placement collisions even
+      // out (16 coarse slices into 16 partitions would land 2-4 on one
+      // task — balls-in-bins, not residual key skew). Production sizing
+      // rule: saltFactor ≥ ~16× the reducer count a hot stratum should
+      // spread over; the default (16) suits modest skew.
+      val got = Curation.capPerGroup(docs, col("source"), cap = 25,
+          saltFactor = 256).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got === expect)
+      // listener events are async; wait until the phase-1 stage's reads
+      // are visible (≥ saltFactor·cap survivors), plus a grace period
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (taskReads.values.sum < 16 * 25 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // the heaviest shuffle stage is the phase-1 window — the only stage
+    // whose task load grows with the corpus (Spark's map-side
+    // WindowGroupLimit caps it at mappers·cap per (stratum, salt) group;
+    // unsalted, ALL of the hot stratum's surviving rows land on one
+    // task). Phase 2 is bounded at saltFactor·cap rows per stratum by
+    // construction, corpus-independent, so its skew is a constant.
+    val byStage = taskReads.toSeq.groupBy(_._1._1)
+      .map { case (_, xs) => xs.map(_._2) }
+    val heaviest = byStage.maxBy(_.sum)
+    assert(heaviest.sum >= 1000,
+      s"expected the salted window stage, saw totals ${byStage.map(_.sum)}")
+    val mean = heaviest.sum.toDouble / heaviest.size
+    assert(heaviest.max <= 2.0 * mean,
+      s"skewed task: max=${heaviest.max} mean=$mean tasks=${heaviest.size}")
+  }
 }
