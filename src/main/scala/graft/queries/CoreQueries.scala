@@ -558,6 +558,102 @@ object CoreQueries {
         |    / total_u AS DOUBLE) / 10000.0 AS promo_revenue_pct
         |FROM s""".stripMargin)
 
+  // ---- TPC-H-shaped SQL, batch 2 (engine surface beyond the reference):
+  // each text is ONE definition valid verbatim in Spark SQL and DuckDB —
+  // the revenue/quantity lattice fragments keep every aggregate exact, so
+  // no per-dialect forks are needed. Plan shapes covered: two-dim join
+  // (q7), outer-join count histogram (q13), scalar-subquery max over a
+  // CTE with exact-integer equality (q15), IN + HAVING subquery (q18),
+  // disjunctive multi-column pushdown (q19), multiply-through exact
+  // average comparison + anti join (q22).
+
+  /** Q7-style volume shipping: nation-pair revenue by ship year. Two
+    * broadcast nation dims joined twice, one fact chain. */
+  private val sqlQ7Text =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year, $revenueSumSql AS revenue
+      |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+  def qSqlQ7(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ7Text)
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join with a
+    * join-side filter, then a two-level aggregation (count per customer,
+    * histogram of counts). */
+  private val sqlQ13Text =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin
+  def qSqlQ13(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ13Text)
+
+  /** Q15-style top supplier: quarterly revenue per supplier, the max
+    * picked by a scalar subquery over the CTE. The HAVING-max equality
+    * runs on the exact INTEGER revenue units (ties impossible to lose to
+    * float noise); only the reported column converts to dollars. */
+  private val sqlQ15Text =
+    s"""WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no, sum($revenueUnitsSql) AS total_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 10000.0 AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_u = (SELECT max(total_u) FROM rev)""".stripMargin
+  def qSqlQ15(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ15Text)
+
+  /** Q18-style large-volume orders: IN over a grouped HAVING subquery
+    * (Catalyst: left-semi against the re-aggregated fact), quantity sums
+    * on the integer-cents lattice end to end. */
+  private val sqlQ18Text =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) > 25000)
+      |GROUP BY c_custkey, c_name, o_orderkey""".stripMargin
+  def qSqlQ18(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ18Text)
+
+  /** Q19-style discounted revenue under a disjunction of (brand, size,
+    * quantity) envelopes — the OR-pushdown shape: the per-table halves of
+    * the disjunction should still prune at both scans. */
+  private val sqlQ19Text =
+    s"""SELECT $revenueSumSql AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 15)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin
+  def qSqlQ19(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ19Text)
+
+  /** Q22-style global sales opportunity: above-average-balance customers
+    * in a country set with no urgent orders (every synthetic customer has
+    * SOME order, so the anti-join condition is priority-scoped). The
+    * average comparison multiplies through — bal·n > Σbal in exact
+    * integers — instead of comparing against a float mean. */
+  private val sqlQ22Text =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS DECIMAL(18,0)) AS bal_c
+      |  FROM customer WHERE c_nationkey IN (1, 3, 7, 10, 17, 21, 24)),
+      |stats AS (SELECT sum(bal_c) AS s, count(*) AS n FROM c WHERE bal_c > 0)
+      |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+      |FROM c CROSS JOIN stats
+      |WHERE bal_c * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+  def qSqlQ22(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ22Text)
+
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -813,6 +909,12 @@ object CoreQueries {
     "q_sql_q10" -> (qSqlQ10 _),
     "q_sql_q12" -> (qSqlQ12 _),
     "q_sql_q14" -> (qSqlQ14 _),
+    "q_sql_q7" -> (qSqlQ7 _),
+    "q_sql_q13" -> (qSqlQ13 _),
+    "q_sql_q15" -> (qSqlQ15 _),
+    "q_sql_q18" -> (qSqlQ18 _),
+    "q_sql_q19" -> (qSqlQ19 _),
+    "q_sql_q22" -> (qSqlQ22 _),
     "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
@@ -1093,6 +1195,13 @@ object CoreQueries {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // batch-2 SQL: ONE text serves both engines (lattice-exact aggregates)
+    "q_sql_q7" -> sqlQ7Text,
+    "q_sql_q13" -> sqlQ13Text,
+    "q_sql_q15" -> sqlQ15Text,
+    "q_sql_q18" -> sqlQ18Text,
+    "q_sql_q19" -> sqlQ19Text,
+    "q_sql_q22" -> sqlQ22Text,
     "q_sql_q12" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -335,6 +335,33 @@ object ExtQueries {
     graft.ext.KMeans.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
+  /** Persisted residual IVF-PQ: cell-clustered codes + residual codebook
+    * in per-run scratch; hash-matches the recompute path (shares
+    * q_sim_ivfpq_res's oracle). */
+  def qSimIvfPqResIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "ivfpqr_index"))
+    graft.ext.PqIndex.buildIvfResidual(store, e)
+    graft.ext.PqIndex.searchIvfResidual(store, e.filter(col("vec_id") < 8),
+      topK = 5)
+  }
+
+  /** The streaming ADC kernel run over a batch frame — the score-stream
+    * path of EventStreams.pqSearchStream is engine code too, and on
+    * finite input it must reproduce the batch ADC exactly (shares
+    * q_sim_pq_search's oracle): codebook-as-literals distance maps, wide
+    * codes join, k-heap state fold. */
+  def qSimPqStreamTwin(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = graft.ext.KMeans.pqFit(e)
+    val wide = graft.ext.KMeans.codesWide(
+      graft.ext.KMeans.pqAssignments(e, cents))
+    graft.streaming.EventStreams.pqSearchStream(
+        e.filter(col("vec_id") < 8), wide, cents, topK = 5)
+      .toDF()
+  }
+
   /** Quantizer drift: fit on even ids, assign the odd-id "increment". */
   def qSimDrift(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -416,6 +443,8 @@ object ExtQueries {
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_indexed" -> (qSimIvfPqIndexed _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
+    "q_sim_ivfpq_res_indexed" -> (qSimIvfPqResIndexed _),
+    "q_sim_pq_stream_twin" -> (qSimPqStreamTwin _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_sim_topk_sq8" -> (qSimTopkSq8 _),
     "q_sample_split" -> (qSampleSplit _),
@@ -1587,6 +1616,7 @@ object ExtQueries {
     "q_sim_pq_search" -> simPqSearchSql,
     "q_sim_drift" -> simDriftSql,
     "q_sim_pq_indexed" -> simPqSearchSql,
+    "q_sim_pq_stream_twin" -> simPqSearchSql,
     "q_text_gopher" -> textGopherSql,
     "q_text_hashvec" -> textHashvecSql,
     "q_text_hashvec_knn" -> textHashvecKnnSql,
@@ -1595,6 +1625,7 @@ object ExtQueries {
     // sharing the oracle IS the assertion
     "q_sim_ivfpq_indexed" -> simIvfPqSql,
     "q_sim_ivfpq_res" -> simIvfPqResSql,
+    "q_sim_ivfpq_res_indexed" -> simIvfPqResSql,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,

@@ -171,4 +171,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"rule battery gained a shuffle ($exchanges)\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
   }
+
+  test("q19 disjunction: per-table halves of the OR push to BOTH scans") {
+    val p = plan("q_sql_q19")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    // lineitem scan gets the quantity envelope of the OR, part scan the
+    // brand/size envelope — neither table is read unfiltered
+    assert(pushed.contains("l_quantity"), s"no quantity pushdown:\n$pushed")
+    assert(pushed.contains("p_brand") || pushed.contains("p_size"),
+      s"no part-side pushdown:\n$pushed")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q7 nation pair: both nation dims broadcast; one fact pipeline") {
+    val p = plan("q_sql_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected supplier+nation×2 broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q18 IN-subquery becomes a semi join, never a re-scan product") {
+    val p = plan("q_sql_q18")
+    assert(p.contains("LeftSemi"), s"IN subquery not rewritten to semi join\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ivfpq indexed search: probed-cell IN filter prunes the codes scan") {
+    // the q_sim_ivfpq_indexed store lives in per-run scratch; build+search
+    // once and inspect the executed plan of the search
+    val df = SparkEntry.queries("q_sim_ivfpq_indexed")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(cell"),
+      s"probed-cells filter not pushed:\n$p")
+  }
 }
