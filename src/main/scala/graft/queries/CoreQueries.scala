@@ -379,6 +379,26 @@ object CoreQueries {
     a.except(b)
   }
 
+  /** Multiset EXCEPT ALL — bag semantics via Catalyst's ReplaceExceptAll
+    * rewrite (row-count difference per value, no dedup): the ALL-variant
+    * half of the set-operator surface. */
+  def qSetExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    a.exceptAll(b)
+  }
+
+  /** Multiset INTERSECT ALL — min(multiplicity) per value. */
+  def qSetIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b)
+  }
+
   // -------------------------------------------------------- scalar functions
   /** F1/F2/F3/F5/F8/F10/F13 in one projection (string-typed hash input so
     * both engines render identically). */
@@ -557,6 +577,35 @@ object CoreQueries {
         |SELECT CAST((promo_u * 1000000 - pmod(promo_u * 1000000, total_u))
         |    / total_u AS DOUBLE) / 10000.0 AS promo_revenue_pct
         |FROM s""".stripMargin)
+
+  /** Explicit GROUPING SETS with grouping_id disambiguation — the third
+    * face of the Expand operator next to rollup/cube: two single-column
+    * sets plus the grand total, the gid telling which null means "all". */
+  private val sqlGroupingSetsText =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+  def qAggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlGroupingSetsText)
+
+  /** W6: the remaining ranking battery — rank/dense_rank under ties,
+    * percent_rank and cume_dist (exact small-integer rationals: both
+    * engines compute (rank−1)/(n−1) and rank/n on identical ints, so the
+    * doubles match bit-for-bit), nth_value over the full frame. Total
+    * order (value, event_id) keeps every rank deterministic. */
+  private val sqlW6Text =
+    """SELECT user_id, event_id,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY value, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin
+  def qW6RankBattery(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlW6Text)
 
   // ---- TPC-H-shaped SQL, batch 2 (engine surface beyond the reference):
   // each text is ONE definition valid verbatim in Spark SQL and DuckDB —
@@ -887,6 +936,10 @@ object CoreQueries {
     "q_set_union" -> (qSetUnion _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_set_except" -> (qSetExcept _),
+    "q_set_except_all" -> (qSetExceptAll _),
+    "q_set_intersect_all" -> (qSetIntersectAll _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
+    "q_w6_rank_battery" -> (qW6RankBattery _),
     "q_f_scalars" -> (qFScalars _),
     "q_st_window_agg" -> (qStWindowAgg _),
     "q_sessionize" -> (qSessionize _),
@@ -1049,6 +1102,16 @@ object CoreQueries {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q_agg_grouping_sets" -> sqlGroupingSetsText,
+    "q_w6_rank_battery" -> sqlW6Text,
     "q_f_scalars" ->
       """SELECT o_orderkey,
         |  sha256(coalesce(o_orderstatus,'') || coalesce(o_orderpriority,'')) AS row_hash,
