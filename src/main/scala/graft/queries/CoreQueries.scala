@@ -703,6 +703,281 @@ object CoreQueries {
       |GROUP BY c_nationkey""".stripMargin
   def qSqlQ22(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ22Text)
 
+  // ---- TPC-H-shaped SQL, batch 3: the remaining 8 of the 22 classic
+  // shapes, adapted to this schema (no partsupp table — the per-
+  // (part, supplier) lineitem aggregate plays its role; no commit/
+  // receipt dates — "late" is ship > order + 365 days, which the data's
+  // long-tail ship gaps make selective). Same one-text-two-dialects
+  // discipline; every money/quantity aggregate on the exact integer
+  // lattice, every avg-comparison multiplied through to integers.
+
+  /** Q2-style min-cost supplier: the "partsupp" is the per-(part,
+    * supplier) MIN line price; the correlated scalar subquery picks the
+    * regional minimum per part. Catalyst decorrelates to an aggregate
+    * re-join; the cost CTE is computed once per side (self-referenced). */
+  private val sqlQ2Text =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS cost_c
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+      |FROM part
+      |JOIN cost ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND cost_c = (SELECT min(c2.cost_c) FROM cost c2
+      |                JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+      |                JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |                JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |                WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+  def qSqlQ2(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ2Text)
+
+  /** Q8-style market share: one nation's share of a region's PROMO
+    * revenue by order year. Both operands of the final division are
+    * exact integer sums cast to double, so the quotient is a single
+    * deterministic IEEE op in both engines. */
+  private val sqlQ8Text =
+    s"""SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(rev_u) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    $revenueUnitsSql AS rev_u,
+      |    sn.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01') t
+      |GROUP BY o_year""".stripMargin
+  def qSqlQ8(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ8Text)
+
+  /** Q9-style product profit by supplier nation × year. Profit per line
+    * = revenue units − retail·qty: cents × cents lands on the SAME
+    * 10⁻⁴-dollar lattice as cents × (100−bp), so the subtraction stays
+    * in exact integers — no decimal division anywhere. */
+  private val sqlQ9Text =
+    s"""SELECT n_name AS nation, o_year,
+      |  CAST(sum(amount_u) AS DOUBLE) / 10000.0 AS sum_profit
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    $revenueUnitsSql
+      |    - CAST(round(p_retailprice * 100) AS DECIMAL(18,0))
+      |      * CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS amount_u
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') t
+      |GROUP BY n_name, o_year""".stripMargin
+  def qSqlQ9(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ9Text)
+
+  /** Q11-style important-value parts: per-part line value (price·qty,
+    * exact 10⁻⁴ units) filtered to groups above 0.1% of the regional
+    * total — the threshold multiplied through (val·1000 > Σval) so no
+    * float fraction is ever compared. */
+  private val sqlQ11Text =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+      |      * CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS val_u
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(val_u AS DOUBLE) / 1000000.0 AS value_dollars
+      |FROM pv
+      |WHERE val_u * 1000 > (SELECT sum(val_u) FROM pv)
+      |ORDER BY value_dollars DESC, l_partkey""".stripMargin
+  def qSqlQ11(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ11Text)
+
+  /** Q16-style supplier-count histogram: distinct suppliers per (brand,
+    * type, size) bucket, excluding a NOT-IN supplier set — the
+    * count(DISTINCT) + anti-set shape. */
+  private val sqlQ16Text =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'STANDARD%'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+  def qSqlQ16(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ16Text)
+
+  /** Q17-style small-quantity revenue: lines below 20% of their part's
+    * average quantity. avg comparison multiplied through — qty·5·n <
+    * Σqty in exact integers (qty < 0.2·avg ⟺ 5·qty·n < Σ). */
+  private val sqlQ17Text =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS sq, count(*) AS n
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE)
+      |  / 100.0 AS total_small_rev
+      |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pk = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND CAST(round(l_quantity * 100) AS DECIMAL(18,0)) * 5 * n < sq""".stripMargin
+  def qSqlQ17(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ17Text)
+
+  /** Q20-style volume suppliers: shipped >30% of a watched part's 1996
+    * volume (threshold multiplied through: 10·sq > 3·tq). Nested CTE
+    * reuse — the per-part total is the re-aggregated pair CTE. */
+  private val sqlQ20Text =
+    """WITH sp AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk,
+      |    sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS sq
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  GROUP BY l_suppkey, l_partkey),
+      |pt AS (SELECT pk, sum(sq) AS tq FROM sp GROUP BY pk)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT sk FROM sp JOIN pt USING (pk) JOIN part ON p_partkey = pk
+      |  WHERE p_name LIKE 'red%' AND sq * 10 > tq * 3)
+      |ORDER BY s_suppkey""".stripMargin
+  def qSqlQ20(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ20Text)
+
+  /** Q21-style waiting-supplier count: the only-late supplier on
+    * multi-supplier finished orders (late = shipped more than a year
+    * after order). Double-correlated EXISTS / NOT EXISTS — Catalyst
+    * plans a semi then an anti join against the same fact. */
+  private val sqlQ21Text =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+  def qSqlQ21(s: SparkSession, dir: String): DataFrame = sql(s, dir, sqlQ21Text)
+
+  // ---- null-semantics, conditional-aggregate and reshape coverage:
+  // the data is null-free by construction, so null keys are minted
+  // deterministically with nullif — the join/agg semantics under NULL
+  // are what's under test, not the data.
+
+  /** Null-safe equi-join (`IS NOT DISTINCT FROM`, Spark's `<=>`): the
+    * NULL key must hash-match NULL on the other side — one hash join,
+    * NULL a first-class key value, no row explosion. */
+  private val sqlJNullsafeText =
+    """WITH seg AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg_key
+      |             FROM customer),
+      |c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS ck FROM customer)
+      |SELECT seg_key, count(*) AS n
+      |FROM c JOIN seg ON ck IS NOT DISTINCT FROM seg_key
+      |GROUP BY seg_key""".stripMargin
+  def qJNullsafe(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlJNullsafeText)
+
+  /** Conditional-aggregate battery: FILTER clauses, count_if, bool_and/
+    * bool_or, bit_and/bit_or/bit_xor — one pass, all map-side
+    * combinable. count_if is cast to BIGINT (DuckDB returns DOUBLE). */
+  private val sqlAggFilterText =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(count_if(l_discount = 0) AS BIGINT) AS n_nodisc,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)))
+      |    FILTER (WHERE l_tax > 0.05) AS DOUBLE) / 100.0 AS taxed_rev,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  bool_or(l_tax > 0.07) AS any_hightax,
+      |  bit_and(l_suppkey) AS band, bit_or(l_suppkey) AS bor,
+      |  bit_xor(l_suppkey) AS bxor
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  def qAggFilter(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlAggFilterText)
+
+  /** Statistical aggregates from exact sufficient statistics: n, Σx,
+    * Σx², Σxy summed on the integer lattice (associative, order-
+    * independent), then mean/variance/stddev/corr as a FIXED double
+    * expression tree over those exact integers — every IEEE op
+    * (±,×,÷,√) is correctly rounded, so both engines produce bit-
+    * identical doubles regardless of row order. This is also the
+    * 100 TB shape: one map-side-combinable pass, constant state per
+    * group; a spec asserts Spark's native stddev_samp/corr agree to
+    * 1e-9 relative. */
+  private val sqlAggStatsText =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))
+      |           * CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+      |           * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))
+      |           * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sx / CAST(n AS DOUBLE) / 100.0 AS mean_qty,
+      |  (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) / 10000.0 AS var_qty,
+      |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) / 100.0 AS stddev_qty,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+      |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+      |FROM s""".stripMargin
+  def qAggStats(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlAggStatsText)
+
+  /** UNPIVOT (wide→long reshape): four measure columns melt to
+    * (measure, val) rows — the Expand-based plan, one scan, no join.
+    * Same UNPIVOT clause parses in both engines. */
+  private val sqlUnpivotText =
+    """SELECT l_orderkey, l_linenumber, measure, val
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |             l_discount, l_tax
+      |      FROM lineitem WHERE l_orderkey < 500)
+      |UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlUnpivotText)
+
+  /** posexplode: ordinal-indexed flatten of a split column (Generate
+    * with position — zero shuffle). Oracle: p_name is always exactly
+    * two words (asserted by the row count), so the DuckDB twin is the
+    * bounded per-position UNION ALL. */
+  def qPosexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+  private val posexplodeOracle =
+    """SELECT p_partkey, 0 AS pos, string_split(p_name, ' ')[1] AS word FROM part
+      |UNION ALL
+      |SELECT p_partkey, 1 AS pos, string_split(p_name, ' ')[2] AS word FROM part""".stripMargin
+
+  /** listagg / string_agg: ordered string concatenation per group —
+    * Spark 4's listagg WITHIN GROUP; the oracle is DuckDB's string_agg
+    * (same semantics, different spelling — the one dialect fork in the
+    * batch). Distinct (brand, type) pairs first so the order is total. */
+  def qAggListagg(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir,
+      """SELECT p_brand, listagg(p_type, '|') WITHIN GROUP (ORDER BY p_type) AS types
+        |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+        |GROUP BY p_brand""".stripMargin)
+  private val listaggOracle =
+    """SELECT p_brand, string_agg(p_type, '|' ORDER BY p_type) AS types
+      |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+      |GROUP BY p_brand""".stripMargin
+
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -968,6 +1243,20 @@ object CoreQueries {
     "q_sql_q18" -> (qSqlQ18 _),
     "q_sql_q19" -> (qSqlQ19 _),
     "q_sql_q22" -> (qSqlQ22 _),
+    "q_sql_q2" -> (qSqlQ2 _),
+    "q_sql_q8" -> (qSqlQ8 _),
+    "q_sql_q9" -> (qSqlQ9 _),
+    "q_sql_q11" -> (qSqlQ11 _),
+    "q_sql_q16" -> (qSqlQ16 _),
+    "q_sql_q17" -> (qSqlQ17 _),
+    "q_sql_q20" -> (qSqlQ20 _),
+    "q_sql_q21" -> (qSqlQ21 _),
+    "q_j_nullsafe" -> (qJNullsafe _),
+    "q_agg_filter" -> (qAggFilter _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_posexplode" -> (qPosexplode _),
+    "q_agg_listagg" -> (qAggListagg _),
     "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
@@ -1265,6 +1554,20 @@ object CoreQueries {
     "q_sql_q18" -> sqlQ18Text,
     "q_sql_q19" -> sqlQ19Text,
     "q_sql_q22" -> sqlQ22Text,
+    "q_sql_q2" -> sqlQ2Text,
+    "q_sql_q8" -> sqlQ8Text,
+    "q_sql_q9" -> sqlQ9Text,
+    "q_sql_q11" -> sqlQ11Text,
+    "q_sql_q16" -> sqlQ16Text,
+    "q_sql_q17" -> sqlQ17Text,
+    "q_sql_q20" -> sqlQ20Text,
+    "q_sql_q21" -> sqlQ21Text,
+    "q_j_nullsafe" -> sqlJNullsafeText,
+    "q_agg_filter" -> sqlAggFilterText,
+    "q_agg_stats" -> sqlAggStatsText,
+    "q_unpivot" -> sqlUnpivotText,
+    "q_posexplode" -> posexplodeOracle,
+    "q_agg_listagg" -> listaggOracle,
     "q_sql_q12" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -196,6 +196,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q21 double-correlated EXISTS: semi + anti joins, no product") {
+    val p = plan("q_sql_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q2 correlated min decorrelates: aggregate re-join, no product") {
+    val p = plan("q_sql_q2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // region/nation/supplier dims all broadcast against the cost CTE
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q16 NOT IN set stays a broadcast-able exclusion, distinct-agg planned") {
+    val p = plan("q_sql_q16")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("ivfpq indexed search: probed-cell IN filter prunes the codes scan") {
     // the q_sim_ivfpq_indexed store lives in per-run scratch; build+search
     // once and inspect the executed plan of the search
