@@ -978,6 +978,110 @@ object CoreQueries {
       |FROM (SELECT DISTINCT p_brand, p_type FROM part)
       |GROUP BY p_brand""".stripMargin
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a 12-month calendar
+    * scaffold generated by recursion, LEFT JOINed to the fact so empty
+    * months would still report — the standard gap-free time-series
+    * shape. The recursion is 12 driver-side rows; the fact side stays
+    * one distributed scan + aggregate. */
+  private val sqlRecursiveText =
+    s"""WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1996-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < TIMESTAMP '1996-12-01 00:00:00')
+      |SELECT substr(CAST(m AS STRING), 1, 7) AS month,
+      |  count(o_orderkey) AS n_orders,
+      |  ${centsSumSql("o_totalprice")} AS revenue
+      |FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+      |GROUP BY 1""".stripMargin
+  def qSqlRecursive(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlRecursiveText)
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
+    * orders per customer — the lateral spelling of the per-group top-k
+    * (unique tiebreak ⇒ deterministic set). */
+  private val sqlLateralText =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+  def qSqlLateral(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlLateralText)
+
+  /** Forward-fill (gap-fill) window: carry the last non-null value
+    * down a per-user timeline — the time-series imputation operator.
+    * Nulls are minted deterministically (error events have no value);
+    * the frame is running (UNBOUNDED PRECEDING..CURRENT ROW) so the
+    * fill never looks ahead. Spark spells IGNORE NULLS outside the
+    * call, DuckDB inside — hence the dialect fork. */
+  def qWFillForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") =!= "error", col("value")).as("v"))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"),
+        col("v"), col("v_filled"))
+  }
+  private val fillForwardOracle =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec,
+      |  CASE WHEN event_type <> 'error' THEN value END AS v,
+      |  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM events""".stripMargin
+
+  /** Error-tolerant scalar surface: TRY_CAST on malformed and clean
+    * strings, try_divide against a zero denominator. The oracle twin
+    * uses plain division (DuckDB yields NULL on a NULL denominator;
+    * nullif mints it), so both sides agree without ANSI faults. */
+  private val tryFuncsSparkText =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_type AS BIGINT) AS bad_cast,
+      |  TRY_CAST(CAST(p_size AS STRING) AS BIGINT) AS good_cast,
+      |  try_divide(p_retailprice, CAST(p_size - 1 AS DOUBLE)) AS per_size
+      |FROM part""".stripMargin
+  def qTryFuncs(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, tryFuncsSparkText)
+  private val tryFuncsOracle =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_type AS BIGINT) AS bad_cast,
+      |  TRY_CAST(CAST(p_size AS STRING) AS BIGINT) AS good_cast,
+      |  p_retailprice / nullif(CAST(p_size - 1 AS DOUBLE), 0.0) AS per_size
+      |FROM part""".stripMargin
+
+  /** JSON extraction over the events.props payload: both Spark APIs in
+    * one query — path extraction (get_json_object) and schema-projected
+    * parse (from_json) — reduced per event type. Extracted k is an
+    * integer, so every aggregate is exact. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val parsed = ev.select(col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+        .getField("k").as("k_struct"))
+    parsed
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_path")).as("sum_k"),
+        min(col("k_struct")).as("min_k"),
+        max(col("k_struct")).as("max_k"),
+        count_if(col("k_path") =!= col("k_struct")).as("n_mismatch"))
+  }
+  private val jsonExtractOracle =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(count_if(FALSE) AS BIGINT) AS n_mismatch
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** As-of join: each click event looks up the user's latest purchase at
     * or before it (graft.ops.AsofJoin — one shuffle+sort merge plan). */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1257,6 +1361,11 @@ object CoreQueries {
     "q_unpivot" -> (qUnpivot _),
     "q_posexplode" -> (qPosexplode _),
     "q_agg_listagg" -> (qAggListagg _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_sql_recursive" -> (qSqlRecursive _),
+    "q_sql_lateral" -> (qSqlLateral _),
+    "q_w_fill_forward" -> (qWFillForward _),
+    "q_try_funcs" -> (qTryFuncs _),
     "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
@@ -1568,6 +1677,11 @@ object CoreQueries {
     "q_unpivot" -> sqlUnpivotText,
     "q_posexplode" -> posexplodeOracle,
     "q_agg_listagg" -> listaggOracle,
+    "q_json_extract" -> jsonExtractOracle,
+    "q_sql_recursive" -> sqlRecursiveText,
+    "q_sql_lateral" -> sqlLateralText,
+    "q_w_fill_forward" -> fillForwardOracle,
+    "q_try_funcs" -> tryFuncsOracle,
     "q_sql_q12" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
