@@ -1009,6 +1009,101 @@ object CoreQueries {
   def qSqlLateral(s: SparkSession, dir: String): DataFrame =
     sql(s, dir, sqlLateralText)
 
+  /** Regexp scalar battery: group extraction, anchor match flag, and
+    * match counting — always-matching patterns so the engines' no-match
+    * conventions (Spark "" vs DuckDB NULL) never bite. */
+  def qRegexpFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("noun"),
+      when(col("p_name").rlike("^(red|blue|green)"), 1).otherwise(0)
+        .cast("int").as("is_rgb"),
+      size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+        .cast("long").as("n_vowels"))
+  private val regexpFuncsOracle =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+      |  CAST(CASE WHEN regexp_matches(p_name, '^(red|blue|green)')
+      |       THEN 1 ELSE 0 END AS INTEGER) AS is_rgb,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+      |FROM part""".stripMargin
+
+  /** Running distinct-user count per event type: the windowed
+    * count-distinct Spark spells as size(collect_set() OVER w). State
+    * is one set per window partition — bounded by the user universe,
+    * not the row count. The oracle proves it equal to the shuffle-free
+    * first-occurrence formulation (mark each user's first row per type
+    * with row_number, running-sum the marks) — which is ALSO the
+    * preferred spelling at 100 TB, where a giant collect_set buffer
+    * would be a memory hazard. */
+  def qWDistinctRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("user_id"))
+      .withColumn("distinct_users",
+        size(collect_set(col("user_id")).over(w)).cast("long"))
+      .drop("ts", "user_id")
+  }
+  private val wDistinctRunningOracle =
+    """WITH f AS (
+      |  SELECT event_type, user_id, ts, event_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+      |                                 ORDER BY ts, event_id) = 1
+      |         THEN 1 ELSE 0 END AS first_seen
+      |  FROM events)
+      |SELECT event_type, event_id,
+      |  CAST(sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_users
+      |FROM f""".stripMargin
+
+  /** Exact multi-quantile battery: p25/p50/p75/p99 per group by order
+    * statistics — rank the group once (total order via the event_id
+    * tiebreak), pick positions ⌊(n−1)·q⌋, no interpolation ⇒ results
+    * are corpus values, cross-engine exact. One per-group sort; the
+    * 100 TB path for high-cardinality groups is the approx-quantile
+    * sketch (`Sketches.quantileProfile`, spec'd against this form). */
+  private val sqlQuantilesText =
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  min(CASE WHEN rn - 1 = CAST(floor((n - 1) * 0.25) AS BIGINT) THEN value END) AS p25,
+      |  min(CASE WHEN rn - 1 = CAST(floor((n - 1) * 0.50) AS BIGINT) THEN value END) AS p50,
+      |  min(CASE WHEN rn - 1 = CAST(floor((n - 1) * 0.75) AS BIGINT) THEN value END) AS p75,
+      |  min(CASE WHEN rn - 1 = CAST(floor((n - 1) * 0.99) AS BIGINT) THEN value END) AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+  def qA6Quantiles(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlQuantilesText)
+
+  /** Ordered-sequence conversion funnel: first view → first click
+    * within a day → first purchase within a day of that click. Each
+    * stage is a per-user MIN under a time-bounded non-equi join against
+    * the previous stage's anchor — three aggregate passes co-partitioned
+    * on user_id (one shuffle key throughout; the stage anchors are tiny
+    * relative to the fact and broadcast under AQE). The pattern-match
+    * alternative (MATCH_RECOGNIZE) doesn't exist in either engine; this
+    * is the scalable spelling. */
+  private val sqlFunnelStepsText =
+    """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS ct
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |        AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 1 DAY
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS pt
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |        AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 1 DAY
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_viewed,
+      |       (SELECT count(*) FROM c) AS n_clicked_1d,
+      |       (SELECT count(*) FROM p) AS n_purchased_1d""".stripMargin
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, sqlFunnelStepsText)
+
   /** Forward-fill (gap-fill) window: carry the last non-null value
     * down a per-user timeline — the time-series imputation operator.
     * Nulls are minted deterministically (error events have no value);
@@ -1366,6 +1461,10 @@ object CoreQueries {
     "q_sql_lateral" -> (qSqlLateral _),
     "q_w_fill_forward" -> (qWFillForward _),
     "q_try_funcs" -> (qTryFuncs _),
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_a6_quantiles" -> (qA6Quantiles _),
+    "q_regexp_funcs" -> (qRegexpFuncs _),
+    "q_w_distinct_running" -> (qWDistinctRunning _),
     "q_sql_scalar_sub" -> (qSqlScalarSub _),
     "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
@@ -1682,6 +1781,10 @@ object CoreQueries {
     "q_sql_lateral" -> sqlLateralText,
     "q_w_fill_forward" -> fillForwardOracle,
     "q_try_funcs" -> tryFuncsOracle,
+    "q_funnel_steps" -> sqlFunnelStepsText,
+    "q_a6_quantiles" -> sqlQuantilesText,
+    "q_regexp_funcs" -> regexpFuncsOracle,
+    "q_w_distinct_running" -> wDistinctRunningOracle,
     "q_sql_q12" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
