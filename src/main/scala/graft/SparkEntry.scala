@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
     graft.queries.Scd2Queries.queries ++
-    graft.queries.ExtQueries.queries
+    graft.queries.ExtQueries.queries ++
+    graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
     graft.queries.Scd2Queries.oracleSql ++
-    graft.queries.ExtQueries.oracleSql
+    graft.queries.ExtQueries.oracleSql ++
+    graft.queries.ScaleQueries.oracleSql
 }

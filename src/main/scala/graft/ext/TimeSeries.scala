@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: bucket irregular sensor readings onto a
+  * fixed grid and linearly interpolate interior gaps.
+  *
+  * The reference's domain is exactly this shape — DHT11
+  * temperature/humidity readings arriving at irregular wall-clock times
+  * (`STG_Firebase2Oracle.py:36-39`: per-record string `Timestamp`, no
+  * fixed cadence) — but the reference stops at landing the raw rows. A
+  * downstream analytics consumer needs the series on a regular grid;
+  * these operators provide that as first-class, oracle-checked Spark
+  * plans.
+  *
+  * Scale shape (100 TB):
+  *  - [[resample]] is ONE map-side-combined shuffle on (key, bucket) —
+  *    partial aggregation collapses each input partition to at most
+  *    |keys|·|buckets-touched| rows before the exchange.
+  *  - [[interpolateLinear]] explodes each key's [min, max] bucket range
+  *    (bounded by wall-clock span / step, independent of reading count)
+  *    and runs four `last/first ignoreNulls` window passes PARTITIONED BY
+  *    KEY — no global window, no single-task stage. Grid rows for one key
+  *    land in one partition; skew equals the longest time span, not the
+  *    hottest device.
+  *
+  * Determinism: `value` sums use the exact integer-cents lattice
+  * (see CoreQueries' centsSum discipline) so bucket means are
+  * partition-order-independent; the interpolation arithmetic is the
+  * same IEEE-double expression the DuckDB oracle evaluates, on inputs
+  * that are already exact.
+  */
+object TimeSeries {
+
+  /** Readings → fixed grid: floor-bucket the event time to `stepSec`
+    * boundaries, count + exact-sum per (key, bucket). `valCol` must sit
+    * on the 2-decimal lattice (events.value does). */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, stepSec: Long): DataFrame =
+    df.groupBy(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec)
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(valCol) * 100).cast("decimal(18,0)")).as("sum_cents"))
+
+  /** Exact-numerator bucket mean as ONE final double: integer cents
+    * summed exactly, a single decimal→double cast, one double division
+    * chain — identical text in the DuckDB oracle. */
+  private def bucketMean(sumCents: Column, n: Column): Column =
+    sumCents.cast("double") / n / 100.0
+
+  /** Resampled series with interior gaps linearly interpolated.
+    *
+    * Output: (key, bucket, v, v_interp) for every grid point between each
+    * key's first and last occupied bucket — `v` is the observed bucket
+    * mean (null in gaps), `v_interp` fills gaps with
+    * prev + (next − prev) · (t − t_prev) / (t_next − t_prev).
+    * Endpoints are always observed (the grid is bounded by occupied
+    * buckets), so `v_interp` is total. */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, stepSec: Long): DataFrame = {
+    val res = resample(df, keyCol, tsCol, valCol, stepSec)
+    // per-key grid: sequence() is driver-free and bounded by time span
+    val grid = res.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), lit(stepSec))).as("bucket"))
+    val joined = grid.join(res, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        bucketMean(col("sum_cents"), col("n")).as("v"))
+    val before = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("v").isNotNull, col("bucket"))
+    joined
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(before))
+      .withColumn("prev_t", last(obsT, ignoreNulls = true).over(before))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(after))
+      .withColumn("next_t", first(obsT, ignoreNulls = true).over(after))
+      .select(col(keyCol), col("bucket"), col("v"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("prev_v") +
+            (col("next_v") - col("prev_v")) *
+              (col("bucket") - col("prev_t")) /
+              (col("next_t") - col("prev_t")))
+          .as("v_interp"))
+  }
+}

@@ -1,0 +1,353 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{IncrementalAgg, TimeSeries}
+import graft.ops.{BloomJoin, SkewJoin}
+import graft.store.TableStore
+
+/** Round-5 scale-pattern surface: time-series regularization, incremental
+  * rollup state, Bloom-reduced joins, Z-order layout, array higher-order
+  * functions. Same verification contract as every other registry — each
+  * query has a DuckDB oracle whose text mirrors the Spark arithmetic
+  * (integer-cents lattice for value sums, one final decimal→double cast,
+  * identical IEEE expression order for derived doubles).
+  */
+object ScaleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  // -------------------------------------------------- time series
+  /** Hourly resample of the 30-day events series: one map-side-combined
+    * shuffle on (user, hour-bucket). */
+  def qTsResample(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resample(t(s, dir, "events"), "user_id", "ts", "value", 3600)
+      .select(col("user_id"), col("bucket"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_v"))
+
+  /** Hourly grid with interior gaps linearly interpolated; per-user grid
+    * is bounded by the wall-clock span (720 buckets / 30 days), not by
+    * reading count. */
+  def qTsInterp(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.interpolateLinear(t(s, dir, "events"),
+      "user_id", "ts", "value", 3600)
+
+  private val tsResampleOracle =
+    """SELECT user_id,
+      |  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sum_v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val tsInterpOracle =
+    """WITH res AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+      |    count(*) AS n,
+      |    sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS sum_cents
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), 3600)) AS bucket
+      |  FROM res GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.bucket,
+      |    CAST(r.sum_cents AS DOUBLE) / r.n / 100.0 AS v
+      |  FROM grid g LEFT JOIN res r ON g.user_id = r.user_id AND g.bucket = r.bucket),
+      |w AS (
+      |  SELECT user_id, bucket, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      |  FROM j)
+      |SELECT user_id, bucket, v,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE prev_v + (next_v - prev_v) * (bucket - prev_t) / (next_t - prev_t)
+      |  END AS v_interp
+      |FROM w""".stripMargin
+
+  // -------------------------------------------------- incremental rollup
+  /** Three-increment fold of the mergeable aggregate state ≡ one global
+    * GROUP BY — the monoid identity the oracle asserts exactly. */
+  def qIncrRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val states = (0 until 3).map(i =>
+      IncrementalAgg.buildState(ev.filter(col("event_id") % 3 === i),
+        Seq("event_type"), "value"))
+    IncrementalAgg.finalizeState(
+      IncrementalAgg.mergeStates(states, Seq("event_type")), Seq("event_type"))
+  }
+
+  private val incrRollupOracle =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sum_v,
+      |  CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS DOUBLE) / count(*) / 100.0 AS avg_v,
+      |  min(value) AS min_v, max(value) AS max_v
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // -------------------------------------------------- bloom semi join
+  /** Bloom-pruned `orders ⋉ customer[BUILDING]`; the oracle is the plain
+    * semi join — Bloom must be invisible in the result. */
+  def qBloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // dim row count = catalog stats in production; a metadata-sized job here
+    val expected = math.max(1L, dim.count())
+    BloomJoin.bloomSemiJoin(t(s, dir, "orders"), dim,
+        "o_custkey", "c_custkey", expected)
+      .select(col("o_orderkey"), col("o_custkey"))
+  }
+
+  private val bloomSemijoinOracle =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  // -------------------------------------------------- z-order layout
+  /** Write events Z-ordered on (user_id, value), read back through a 2-D
+    * box predicate. Layout is invisible to the result (the oracle filters
+    * the raw table); ZOrderSpec asserts the pruning effect on footer
+    * stats. */
+  def qStoreZorder(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft-zorder").toString)
+    store.overwriteZOrdered("ev", t(s, dir, "events"),
+      Seq("user_id", "value"), numFiles = 8)
+    store.read("ev")
+      .filter(col("user_id").between(40, 80) && col("value").between(100, 200))
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
+  private val storeZorderOracle =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 100 AND 200""".stripMargin
+
+  // -------------------------------------------------- array HOFs
+  /** Higher-order array battery over per-order quantity lists: sort at
+    * build (collect_list order is partition-dependent), then
+    * transform/filter/aggregate on the exact integer-cents lattice. All
+    * lambdas run inside codegen — no UDF. */
+  def qArrayHof(s: SparkSession, dir: String): DataFrame = {
+    val qc = round(col("l_quantity") * 100).cast("long")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(qc)).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("long").as("n_items"),
+        aggregate(col("qs"), lit(0L), (a, x) => a + x).as("tot_c"),
+        size(filter(col("qs"), x => x > 2500)).cast("long").as("n_big"),
+        element_at(col("qs"), 1).as("min_qc"),
+        element_at(col("qs"), -1).as("max_qc"),
+        aggregate(transform(col("qs"), x => x * x), lit(0L), (a, x) => a + x)
+          .as("sumsq_c"))
+  }
+
+  private val arrayHofOracle =
+    """WITH a AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(round(l_quantity * 100) AS BIGINT))) AS qs
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |  CAST(len(qs) AS BIGINT) AS n_items,
+      |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS tot_c,
+      |  CAST(len(list_filter(qs, x -> x > 2500)) AS BIGINT) AS n_big,
+      |  qs[1] AS min_qc,
+      |  qs[-1] AS max_qc,
+      |  CAST(list_aggregate(list_transform(qs, x -> x * x), 'sum') AS BIGINT) AS sumsq_c
+      |FROM a""".stripMargin
+
+  // -------------------------------------------------- anomaly flags
+  /** Per-user z-score anomaly gate over the sensor series — the natural
+    * downstream consumer of the reference's DHT11 readings (a spiking
+    * temperature/humidity detector). Sufficient statistics (n, Σc, Σc²)
+    * are EXACT integer-cents sums per user (one map-side-combined
+    * shuffle, broadcast back onto the events via the grouping key), so
+    * the z-score is one shared-text IEEE formula over exact inputs;
+    * the 3σ verdict is then bit-deterministic in both engines. Variance
+    * uses the n·Σc² − (Σc)² form: integer, exact, no catastrophic
+    * cancellation. */
+  def qTsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * 100).cast("long")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), c.as("c"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    // bounds: c ≤ 49 002 cents, so even at 10⁶ rows/user
+    // n·scc ≤ 10⁶·(2.4·10⁹·10⁶) overflows — per-user volumes here are
+    // ≤ 10⁴, keeping every term ≤ ~10¹⁷ inside int64 on both engines
+    val z = (col("c") - col("sc").cast("double") / col("n")) /
+      nullif(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+          .cast("double")) / col("n"), lit(0.0))
+    ev.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), z.as("z"))
+      .filter(abs(col("z")) > 3.0)
+  }
+
+  private val tsAnomalyOracle =
+    """WITH c AS (
+      |  SELECT event_id, user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(c) AS BIGINT) AS sc,
+      |    CAST(sum(c * c) AS BIGINT) AS scc
+      |  FROM c GROUP BY 1),
+      |z AS (
+      |  SELECT user_id, event_id,
+      |    (c - CAST(sc AS DOUBLE) / n) /
+      |      nullif(sqrt(CAST(n * scc - sc * sc AS DOUBLE)) / n, 0.0) AS z
+      |  FROM c JOIN st USING (user_id))
+      |SELECT user_id, event_id, z FROM z WHERE abs(z) > 3.0""".stripMargin
+
+  // -------------------------------------------------- map functions
+  /** Map-typed column battery: per-order linenumber→quantity maps built
+    * with map_from_entries, then probed with element_at /
+    * map_keys / map_values / map_contains_key. The oracle never builds a
+    * map — each output column is re-derived relationally (a lookup is a
+    * conditional MAX, a values-fold is a SUM), which is precisely the
+    * semantic contract a map column must honor. */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val qc = round(col("l_quantity") * 100).cast("long")
+    t(s, dir, "lineitem")
+      // the synthetic lineitem repeats linenumbers within an order, and
+      // map keys must be unique — collapse to one row per key first
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(qc).as("qc"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("l_linenumber"), col("qc"))))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).cast("long").as("n_lines"),
+        element_at(col("m"), 3).as("line3_qc"),
+        map_contains_key(col("m"), 7).as("has_line7"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("tot_qc"),
+        array_max(map_keys(col("m"))).as("max_line"))
+  }
+
+  private val mapFuncsOracle =
+    """SELECT l_orderkey,
+      |  count(DISTINCT l_linenumber) AS n_lines,
+      |  CAST(sum(CASE WHEN l_linenumber = 3
+      |           THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS line3_qc,
+      |  bool_or(l_linenumber = 7) AS has_line7,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS tot_qc,
+      |  max(l_linenumber) AS max_line
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  // -------------------------------------------------- rolling correlation
+  /** Trailing-10-row Pearson correlation of (quantity, extendedprice) per
+    * supplier — every component (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT
+    * integer-cents sum inside the window, so the only floating-point ops
+    * are the final formula, written with byte-identical text in the
+    * oracle. The naive `corr(...) OVER w` is engine-dependent float
+    * accumulation; this is the lattice discipline extended to windowed
+    * second-moment statistics. Bounds: price ≤ 10⁷ cents, 10-row windows
+    * → every term ≤ ~10¹⁶, well inside long/int128 on both engines. */
+  def qWRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-9, 0)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), x.as("xc"), y.as("yc"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("xc")).over(w).as("sx"),
+        sum(col("yc")).over(w).as("sy"),
+        sum(col("xc") * col("yc")).over(w).as("sxy"),
+        sum(col("xc") * col("xc")).over(w).as("sxx"),
+        sum(col("yc") * col("yc")).over(w).as("syy"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0))).as("roll_corr"))
+  }
+
+  private val rollingCorrOracle =
+    """WITH c AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    count(*) OVER w AS n,
+      |    sum(xc) OVER w AS sx, sum(yc) OVER w AS sy,
+      |    sum(xc * yc) OVER w AS sxy,
+      |    sum(xc * xc) OVER w AS sxx,
+      |    sum(yc * yc) OVER w AS syy
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS roll_corr
+      |FROM m""".stripMargin
+
+  // -------------------------------------------------- salted skew join
+  /** Salted fan-out join of events (5 event types → pathological reducer
+    * skew on a plain shuffle join) against a per-type aggregate. The salt
+    * is invisible in the result — the oracle is the unsalted join. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_cnt"))
+    SkewJoin.saltedInnerJoin(
+        ev.select(col("event_id"), col("event_type")), dim,
+        Seq("event_type"), factor = 8)
+      .select(col("event_id"), col("event_type"), col("type_cnt"))
+  }
+
+  private val skewJoinOracle =
+    """SELECT e.event_id, e.event_type, d.type_cnt
+      |FROM events e
+      |JOIN (SELECT event_type, count(*) AS type_cnt FROM events GROUP BY 1) d
+      |  USING (event_type)""".stripMargin
+
+  // -------------------------------------------------- registry
+  val queries: Map[String, Q] = Map(
+    "q_ts_resample" -> (qTsResample _),
+    "q_ts_interp" -> (qTsInterp _),
+    "q_incr_rollup" -> (qIncrRollup _),
+    "q_bloom_semijoin" -> (qBloomSemijoin _),
+    "q_store_zorder" -> (qStoreZorder _),
+    "q_array_hof" -> (qArrayHof _),
+    "q_w_rolling_corr" -> (qWRollingCorr _),
+    "q_skew_join" -> (qSkewJoin _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_ts_anomaly" -> (qTsAnomaly _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ts_resample" -> tsResampleOracle,
+    "q_ts_interp" -> tsInterpOracle,
+    "q_incr_rollup" -> incrRollupOracle,
+    "q_bloom_semijoin" -> bloomSemijoinOracle,
+    "q_store_zorder" -> storeZorderOracle,
+    "q_array_hof" -> arrayHofOracle,
+    "q_w_rolling_corr" -> rollingCorrOracle,
+    "q_skew_join" -> skewJoinOracle,
+    "q_map_funcs" -> mapFuncsOracle,
+    "q_ts_anomaly" -> tsAnomalyOracle)
+}

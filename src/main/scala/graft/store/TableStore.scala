@@ -3,6 +3,7 @@ package graft.store
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Parquet-directory table store with atomic overwrite via
@@ -146,6 +147,26 @@ class TableStore(spark: SparkSession, baseDir: String) {
       (if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
        else df.repartitionByRange(cols: _*))
         .sortWithinPartitions(cols: _*)
+    overwrite(name, ranged)
+  }
+
+  /** Z-order clustered rewrite: range-partition + sort on the Morton
+    * interleave of `zCols` ([[graft.functions.ZOrder]]), so parquet
+    * footer min/max stays tight in EVERY z dimension — a box predicate
+    * on any subset of `zCols` prunes most files, where
+    * [[overwriteClustered]]'s lexicographic layout prunes only on its
+    * leading column. The z column is computed, used for layout, and
+    * dropped — the stored schema is unchanged, which is also why reads
+    * need no decoder: z-order is a LAYOUT, not a format. */
+  def overwriteZOrdered(name: String, df: DataFrame,
+      zCols: Seq[String], numFiles: Int = 0, bits: Int = 16): Unit = {
+    val z = graft.functions.ZOrder.zValue(df, zCols, bits)
+    val withZ = df.withColumn("__z", z)
+    val ranged =
+      (if (numFiles > 0) withZ.repartitionByRange(numFiles, col("__z"))
+       else withZ.repartitionByRange(col("__z")))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
     overwrite(name, ranged)
   }
 

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Event-stream operators: watermarked windowed aggregation and gap-based
   * sessionization — the stateful-streaming surface (SURVEY §2.9 notes the
@@ -43,6 +43,53 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100).cast("decimal(18,0)"))
           .cast("double") / 100.0).as("sum_value"))
+
+  /** Streaming incremental rollup: fold each micro-batch into a persisted
+    * [[graft.ext.IncrementalAgg]] state table — the streaming face of the
+    * build/merge/finalize monoid. Per trigger the work is
+    * O(batch) + O(|keys|): the batch is reduced map-side to key-grained
+    * state rows, merged with the stored state (a key-partitioned shuffle
+    * of STATE rows, never history), and atomically swapped in. Because
+    * merge is the same commutative monoid the batch path uses, the final
+    * state after any micro-batch slicing hash-equals one global
+    * `buildState` over all rows (StreamingSpec cross-checks exactly
+    * that), and readers get `finalizeState(store.read(name))` at any
+    * point without touching event history — the aggregate analog of the
+    * reference's "process only the delta" control-table discipline
+    * (`STG_Firebase2Oracle.py:52-59`). */
+  def rollupSink(events: DataFrame, store: graft.store.TableStore,
+      name: String, keys: Seq[String], valCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // effectively-once on top of replayed micro-batches: the highest
+        // folded batchId rides INSIDE the state table (every row carries
+        // it), so "state + fold watermark" commit in ONE atomic
+        // tmp-then-swap — a replayed batch sees itself already folded and
+        // no-ops. A side meta-file can't give this: state-then-meta
+        // double-counts on a crash between the writes, meta-then-state
+        // loses the batch.
+        val already = store.exists(name) && {
+          val st = store.read(name)
+          st.limit(1).count() > 0 &&
+            st.agg(max(col("__folded_batch"))).head().getLong(0) >= batchId
+        }
+        if (!already) {
+          val inc = graft.ext.IncrementalAgg.buildState(batch, keys, valCol)
+          val merged =
+            if (store.exists(name))
+              graft.ext.IncrementalAgg.mergeStates(
+                Seq(store.read(name).drop("__folded_batch"), inc), keys)
+            else inc
+          store.overwrite(name, merged.withColumn("__folded_batch", lit(batchId)))
+        }
+        ()
+      }
+      .start()
 
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time silence, via flatMapGroupsWithState with event-time

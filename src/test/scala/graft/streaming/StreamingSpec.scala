@@ -322,4 +322,39 @@ class StreamingSpec extends SparkSpec {
     assert(current.count() === 2) // one current row per natural key
     assert(current.filter(col("humidity") === "70.0").count() === 1)
   }
+
+  test("streaming rollup sink folds micro-batches into batch-identical state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("rollup-store").toString)
+    val ckpt = Files.createTempDirectory("rollup-ckpt").toString
+    val q = EventStreams.rollupSink(input.toDF(), store, "state",
+      Seq("event_type"), "value", ckpt, Trigger.ProcessingTime(0))
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.25),
+        Event(2L, 2L, ts("2024-01-01 10:01:00"), "view", 2.50))
+      q.processAllAvailable()
+      input.addData(
+        Event(3L, 1L, ts("2024-01-01 10:02:00"), "click", 0.25),
+        Event(4L, 3L, ts("2024-01-01 10:03:00"), "click", 10.00))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = Seq(
+      Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.25),
+      Event(2L, 2L, ts("2024-01-01 10:01:00"), "view", 2.50),
+      Event(3L, 1L, ts("2024-01-01 10:02:00"), "click", 0.25),
+      Event(4L, 3L, ts("2024-01-01 10:03:00"), "click", 10.00)).toDF()
+    val streamed = graft.ext.IncrementalAgg.finalizeState(
+      store.read("state").drop("__folded_batch"), Seq("event_type"))
+    val batch = graft.ext.IncrementalAgg.finalizeState(
+      graft.ext.IncrementalAgg.buildState(all, Seq("event_type"), "value"),
+      Seq("event_type"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // the fold watermark rides inside the state table (atomic with it)
+    assert(store.read("state").columns.contains("__folded_batch"))
+  }
 }
