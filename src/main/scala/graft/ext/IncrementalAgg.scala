@@ -37,7 +37,11 @@ object IncrementalAgg {
   def buildState(df: DataFrame, keys: Seq[String], valCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sum(round(col(valCol) * 100).cast("decimal(18,0)")).as("sum_cents"),
+        // state carries the WIDEST decimal (38,0): a narrower state type
+        // would overflow to silent NULL (non-ANSI) after enough merges,
+        // breaking the exactness contract — 10^38 cents is unreachable
+        sum(round(col(valCol) * 100).cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("sum_cents"),
         min(col(valCol)).as("min_v"),
         max(col(valCol)).as("max_v"))
 
@@ -47,7 +51,7 @@ object IncrementalAgg {
     states.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).cast("long").as("cnt"),
-        sum(col("sum_cents")).cast("decimal(18,0)").as("sum_cents"),
+        sum(col("sum_cents")).cast("decimal(38,0)").as("sum_cents"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 

@@ -9,15 +9,51 @@ import org.apache.spark.sql.types._
   * BINARY columns with typed metadata, decoded/feature-extracted through
   * a partition-wise batch path.
   *
-  * The decode step is a STUB — no codec libraries ship in this
-  * environment — but it is a DETERMINISTIC stub (pure function of the
-  * payload bytes), so the whole Spark-side contract is real and testable:
-  * schema, binary transport, mapPartitions batching, partition sizing.
-  * Swap `decodeStub` for a real JNI/codec call and nothing else changes.
-  * (A PySpark front-end would reach the same operator via mapInPandas;
-  * the Scala-native batch path here is the engine-level equivalent.)
+  * IMAGES decode for real: `javax.imageio` ships in the JDK (JPEG / PNG /
+  * GIF / BMP readers), so [[imageDims]] reads true geometry from the
+  * payload header and [[resizeImages]] runs an actual
+  * decode→rescale→re-encode on decodable payloads. Payloads no in-JDK
+  * codec accepts (and all audio/video — no codec libraries ship in this
+  * environment) fall back to [[decodeStub]], a DETERMINISTIC stand-in
+  * (pure function of the payload bytes), so the Spark-side contract —
+  * schema, binary transport, mapPartitions batching, partition sizing —
+  * is identical on both paths. Swap the stub for a JNI/codec call and
+  * nothing else changes. (A PySpark front-end would reach the same
+  * operator via mapInPandas; the Scala-native batch path here is the
+  * engine-level equivalent.)
   */
 object Multimodal {
+
+  /** True image geometry from the payload via javax.imageio — HEADER
+    * read only (ImageReader.getWidth/getHeight), never a full pixel
+    * decode: at 100 TB a metadata pass must not decompress every image.
+    * None when no installed codec recognizes the bytes. */
+  def imageDims(payload: Array[Byte]): Option[(Long, Long)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0).toLong, r.getHeight(0).toLong))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Full pixel decode (BufferedImage) — the expensive path, used only
+    * where pixels are actually needed (resize, stats). */
+  def decodeImageFull(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -62,9 +98,9 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** ===== STUB ===== deterministic fake decode: metadata as pure
-    * functions of payload length. A real implementation parses headers /
-    * calls a codec here; everything around it is production plumbing. */
+  /** ===== STUB ===== deterministic fallback decode for payloads no
+    * in-JDK codec accepts (and for audio/video, which have no in-JDK
+    * codec at all): metadata as pure functions of payload length. */
   def decodeStub(kind: String, payload: Array[Byte]): (Option[Long], Option[Long], Option[Long], Option[Long]) = {
     val n = payload.length.toLong
     kind match {
@@ -87,7 +123,13 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-          val (w, h, sr, dur) = decodeStub(kind, payload)
+          // image payloads a JDK codec recognizes decode for REAL
+          // (header-only geometry read); everything else falls back to
+          // the deterministic stub
+          val (w, h, sr, dur) = (kind, imageDims(payload)) match {
+            case ("image", Some((rw, rh))) => (Some(rw), Some(rh), None, None)
+            case _ => decodeStub(kind, payload)
+          }
           Row(id, kind, payload.length.toLong,
             w.orNull, h.orNull, sr.orNull, dur.orNull)
         }
@@ -129,11 +171,29 @@ object Multimodal {
     StructField("out_bytes", LongType, nullable = false),
     StructField("out_digest", StringType, nullable = true)))
 
-  /** ===== STUB ===== fake resample: the "resized" payload is a prefix
-    * slice sized to the output geometry. A real implementation decodes,
-    * filters, and re-encodes here. */
+  /** ===== STUB ===== fake resample for undecodable payloads: the
+    * "resized" payload is a prefix slice sized to the output geometry. */
   def resampleStub(payload: Array[Byte], outW: Long, outH: Long): Array[Byte] =
     payload.take(math.min(payload.length.toLong, outW * outH / 64L).toInt)
+
+  /** Real resample: decode, bilinear-scale into the target geometry, and
+    * re-encode as PNG (deterministic in-JDK encoder — no timestamps or
+    * metadata chunks). Pixel work stays inside the executor; only the
+    * re-encoded bytes' length + digest leave [[resizeImages]]. */
+  def resampleReal(img: java.awt.image.BufferedImage,
+      outW: Long, outH: Long): Array[Byte] = {
+    val dst = new java.awt.image.BufferedImage(
+      outW.toInt, outH.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, outW.toInt, outH.toInt, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
 
   /** Image resize plumbing: fit each image inside (maxW, maxH) preserving
     * aspect ratio, never upscaling. Geometry is exact integer arithmetic
@@ -153,18 +213,72 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-          val (wOpt, hOpt, _, _) = decodeStub("image", payload)
-          val w = wOpt.get
-          val h = hOpt.get
+          val real = decodeImageFull(payload)
+          val (w, h) = real match {
+            case Some(img) => (img.getWidth.toLong, img.getHeight.toLong)
+            case None =>
+              val (wOpt, hOpt, _, _) = decodeStub("image", payload)
+              (wOpt.get, hOpt.get)
+          }
           val (ow, oh) =
             if (w <= maxW && h <= maxH) (w, h) // never upscale
             else if (w * maxH >= h * maxW)     // width-bound
               (maxW, math.max(1L, h * maxW / w))
             else                               // height-bound
               (math.max(1L, w * maxH / h), maxH)
-          val out = resampleStub(payload, ow, oh)
+          val out = real match {
+            case Some(img) => resampleReal(img, ow, oh)
+            case None => resampleStub(payload, ow, oh)
+          }
           val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(out)
           Row(id, w, h, ow, oh, out.length.toLong, digest)
+        }
+      }(enc)
+  }
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("mean_lum", DoubleType, nullable = true),
+    StructField("min_lum", LongType, nullable = true),
+    StructField("max_lum", LongType, nullable = true)))
+
+  /** Per-image pixel statistics from REAL decoded bytes: mean/min/max
+    * 8-bit luminance (integer BT.601 weights — deterministic, no float
+    * accumulation). Null stats for payloads no JDK codec decodes. This
+    * is a full pixel decode — at 100 TB run it after metadata filtering,
+    * not as the first pass. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageStatsSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          decodeImageFull(payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L; var mn = 255L; var mx = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (299L * ((rgb >> 16) & 0xFF) +
+                    587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)) / 1000L
+                  sum += lum
+                  if (lum < mn) mn = lum
+                  if (lum > mx) mx = lum
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, w.toLong, h.toLong,
+                sum.toDouble / (w.toLong * h), mn, mx)
+            case None => Row(id, null, null, null, null, null)
+          }
         }
       }(enc)
   }

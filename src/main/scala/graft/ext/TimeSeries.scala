@@ -61,7 +61,9 @@ object TimeSeries {
     * buckets), so `v_interp` is total. */
   def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, stepSec: Long): DataFrame = {
-    val res = resample(df, keyCol, tsCol, valCol, stepSec)
+    // localCheckpoint: `res` feeds BOTH the per-key grid agg and the grid
+    // join below — without it the events aggregation runs twice.
+    val res = resample(df, keyCol, tsCol, valCol, stepSec).localCheckpoint()
     // per-key grid: sequence() is driver-free and bounded by time span
     val grid = res.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
@@ -70,16 +72,23 @@ object TimeSeries {
     val joined = grid.join(res, Seq(keyCol, "bucket"), "left")
       .select(col(keyCol), col("bucket"),
         bucketMean(col("sum_cents"), col("n")).as("v"))
+    // Both neighbor passes are RUNNING frames (unboundedPreceding →
+    // currentRow): Spark executes these incrementally in O(n) per
+    // partition. The forward neighbor comes from a running `last
+    // ignoreNulls` over DESCENDING bucket order — semantically identical
+    // to first-non-null-at-or-after, but avoids
+    // UnboundedFollowingWindowFunctionFrame, which re-scans the frame
+    // from scratch per row (O(n²); measured 18.3 s vs <3 s at sf0.1).
     val before = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val after = Window.partitionBy(col(keyCol)).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsT = when(col("v").isNotNull, col("bucket"))
     joined
       .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(before))
       .withColumn("prev_t", last(obsT, ignoreNulls = true).over(before))
-      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(after))
-      .withColumn("next_t", first(obsT, ignoreNulls = true).over(after))
+      .withColumn("next_v", last(col("v"), ignoreNulls = true).over(after))
+      .withColumn("next_t", last(obsT, ignoreNulls = true).over(after))
       .select(col(keyCol), col("bucket"), col("v"),
         when(col("v").isNotNull, col("v"))
           .otherwise(col("prev_v") +

@@ -25,8 +25,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * and min/max footer stats skip them anyway (matches the fold form,
   * where every comparison against null/NaN fails).
   */
-case class QuantileBucket(child: Expression, cuts: Array[Double])
+case class QuantileBucket(child: Expression, cuts: IndexedSeq[Double])
     extends UnaryExpression {
+
+  // cuts is an immutable IndexedSeq (NOT Array) so the case-class
+  // equals/hashCode are structural: semantically identical instances
+  // canonicalize together and common-subexpression elimination can
+  // collapse the interleave's duplicated probes. The primitive array the
+  // hot path needs is derived once per (deserialized) instance.
+  @transient private lazy val cutsArr: Array[Double] = cuts.toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
@@ -37,11 +44,12 @@ case class QuantileBucket(child: Expression, cuts: Array[Double])
   override def nullable: Boolean = false
 
   private def search(x: Double): Long = {
+    val a = cutsArr
     var lo = 0
-    var hi = cuts.length
+    var hi = a.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (cuts(mid) <= x) lo = mid + 1 else hi = mid
+      if (a(mid) <= x) lo = mid + 1 else hi = mid
     }
     lo.toLong
   }
@@ -52,7 +60,7 @@ case class QuantileBucket(child: Expression, cuts: Array[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cutsRef = ctx.addReferenceObj("qbCuts", cuts, "double[]")
+    val cutsRef = ctx.addReferenceObj("qbCuts", cutsArr, "double[]")
     val childGen = child.genCode(ctx)
     val x = ctx.freshName("qbX")
     val lo = ctx.freshName("qbLo")

@@ -39,7 +39,7 @@ object ZOrder {
     * bucket 0 (they carry no pruning information either way). */
   private def bucket(c: Column, cuts: Array[Double]): Column =
     ColumnBridge.column(
-      QuantileBucket(ColumnBridge.expression(c.cast("double")), cuts))
+      QuantileBucket(ColumnBridge.expression(c.cast("double")), cuts.toIndexedSeq))
 
   /** Interleave `bits`-wide bucket values round-robin: output bit
     * (i·D + d) takes bucket d's bit i — so every dimension contributes

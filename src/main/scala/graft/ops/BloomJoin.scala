@@ -27,16 +27,35 @@ import graft.functions.BloomOps
   */
 object BloomJoin {
 
+  /** Filter sizing WITHOUT a counting job. Precedence: caller-supplied →
+    * plan/catalog row-count stats → a bounded overestimate derived from
+    * the plan's `sizeInBytes` (assuming ≥16 bytes/row; overestimating
+    * costs bits, never correctness). A `dim.count()` here would run a
+    * whole extra Spark job just to size the filter — at 100 TB the dim
+    * count must come from statistics, not a scan. Clamped to
+    * [1024, 2²⁴] items (2²⁴ at 1 % fpp ≈ 20 MiB of filter — past that a
+    * Bloom pre-filter stops paying for its broadcast anyway). */
+  private[ops] def sizeHint(dim: DataFrame, explicit: Option[Long]): Long = {
+    val raw = explicit.getOrElse {
+      val stats = dim.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse(
+        stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 16L)
+    }
+    math.min(math.max(raw, 1024L), 1L << 24)
+  }
+
   /** `fact LEFT SEMI JOIN dim ON fact(factKey) = dim(dimKey)`, with a
     * Bloom pre-filter on the fact scan. `expectedItems` sizes the filter
     * (distinct dim keys; over-estimating costs bits, under-estimating
-    * costs ε). */
+    * costs ε); when None the size comes from [[sizeHint]] — no extra
+    * job. */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val numBits = BloomOps.optimalNumBits(expectedItems, fpp)
+      expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
+    val expected = sizeHint(dim, expectedItems)
+    val numBits = BloomOps.optimalNumBits(expected, fpp)
     val bloomRow = dim.select(xxhash64(col(dimKey)).as("__h"))
-      .agg(BloomOps.bloomAgg(col("__h"), expectedItems, numBits).as("bf"))
+      .agg(BloomOps.bloomAgg(col("__h"), expected, numBits).as("bf"))
       .head()
     val pruned =
       if (bloomRow.isNullAt(0)) fact.limit(0) // empty dim: empty semi join
@@ -51,10 +70,11 @@ object BloomJoin {
     * that end in something other than a semi join (e.g. an enrichment
     * join that would otherwise shuffle the full fact side). */
   def bloomProbe(dim: DataFrame, dimKey: String, factKey: Column,
-      expectedItems: Long, fpp: Double = 0.01): Column = {
-    val numBits = BloomOps.optimalNumBits(expectedItems, fpp)
+      expectedItems: Option[Long] = None, fpp: Double = 0.01): Column = {
+    val expected = sizeHint(dim, expectedItems)
+    val numBits = BloomOps.optimalNumBits(expected, fpp)
     val bloomRow = dim.select(xxhash64(col(dimKey)).as("__h"))
-      .agg(BloomOps.bloomAgg(col("__h"), expectedItems, numBits).as("bf"))
+      .agg(BloomOps.bloomAgg(col("__h"), expected, numBits).as("bf"))
       .head()
     if (bloomRow.isNullAt(0)) lit(false)
     else BloomOps.mightContain(lit(bloomRow.getAs[Array[Byte]](0)),

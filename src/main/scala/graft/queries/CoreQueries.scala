@@ -1028,23 +1028,48 @@ object CoreQueries {
       |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
       |FROM part""".stripMargin
 
-  /** Running distinct-user count per event type: the windowed
-    * count-distinct Spark spells as size(collect_set() OVER w). State
-    * is one set per window partition — bounded by the user universe,
-    * not the row count. The oracle proves it equal to the shuffle-free
-    * first-occurrence formulation (mark each user's first row per type
-    * with row_number, running-sum the marks) — which is ALSO the
-    * preferred spelling at 100 TB, where a giant collect_set buffer
-    * would be a memory hazard. */
+  /** Running distinct-user count per event type — the TWO-PHASE
+    * spelling. A naive `size(collect_set() OVER partitionBy(type))` (or
+    * even a running sum of first-occurrence marks partitioned by type)
+    * funnels each type's ENTIRE history through one window task: with a
+    * 5-value type key, ~20 % of the corpus lands on a single task — a
+    * scale-killer at 100 TB. Here no task ever holds more than one
+    * (type, day) slice:
+    *  1. first-occurrence marks via a window partitioned by
+    *     (event_type, user_id) — |types|·|users| partitions, fine-grained;
+    *  2. partial mark-sums per (event_type, day-bucket) — map-side
+    *     combined groupBy;
+    *  3. exclusive prefix offsets over the tiny (type, bucket) table —
+    *     |types|·|days| rows, negligible;
+    *  4. offsets broadcast back; each row adds its IN-BUCKET running
+    *     mark-sum (window partitioned by (type, bucket) — parallelism =
+    *     types × days, task size = one day of one type).
+    * The oracle keeps the single-window first-occurrence formulation —
+    * mathematically identical, and DuckDB-side n is small. */
   def qWDistinctRunning(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("user_id"))
+    val wFirst = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = ev
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("bucket", date_trunc("day", col("ts")))
+    val perBucket = marked.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("first_seen")).as("bucket_marks"))
+    val wPrefix = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("off",
+        coalesce(sum(col("bucket_marks")).over(wPrefix), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("off"))
+    val wInBucket = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
-      .select(col("event_type"), col("event_id"), col("ts"), col("user_id"))
+    marked.join(broadcast(offsets), Seq("event_type", "bucket"))
       .withColumn("distinct_users",
-        size(collect_set(col("user_id")).over(w)).cast("long"))
-      .drop("ts", "user_id")
+        (col("off") + sum(col("first_seen")).over(wInBucket)).cast("long"))
+      .select(col("event_type"), col("event_id"), col("distinct_users"))
   }
   private val wDistinctRunningOracle =
     """WITH f AS (

@@ -104,10 +104,10 @@ object ScaleQueries {
     val dim = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    // dim row count = catalog stats in production; a metadata-sized job here
-    val expected = math.max(1L, dim.count())
+    // filter sizing comes from plan stats (BloomJoin.sizeHint) — no
+    // driver-side dim.count() job; at 100 TB the count is catalog stats
     BloomJoin.bloomSemiJoin(t(s, dir, "orders"), dim,
-        "o_custkey", "c_custkey", expected)
+        "o_custkey", "c_custkey")
       .select(col("o_orderkey"), col("o_custkey"))
   }
 
@@ -124,11 +124,16 @@ object ScaleQueries {
   def qStoreZorder(s: SparkSession, dir: String): DataFrame = {
     val store = new TableStore(s,
       Files.createTempDirectory("graft-zorder").toString)
+    // bits=8 (255 quantile probes/column) — plenty for 8 files; the
+    // default 16 would cost a 65 535-probe approxQuantile pass
     store.overwriteZOrdered("ev", t(s, dir, "events"),
-      Seq("user_id", "value"), numFiles = 8)
-    store.read("ev")
+      Seq("user_id", "value"), numFiles = 8, bits = 8)
+    val out = store.read("ev")
       .filter(col("user_id").between(40, 80) && col("value").between(100, 200))
       .select(col("event_id"), col("user_id"), col("value"))
+      .localCheckpoint() // materialize before the backing files vanish
+    store.destroy() // repeated verify/bench runs must not leak temp stores
+    out
   }
 
   private val storeZorderOracle =
@@ -262,8 +267,13 @@ object ScaleQueries {
   def qWRollingCorr(s: SparkSession, dir: String): DataFrame = {
     val x = round(col("l_quantity") * 100).cast("long")
     val y = round(col("l_extendedprice") * 100).cast("long")
+    // ORDER BY must be a TOTAL order: sf0.1 lineitem contains tied
+    // (suppkey, shipdate, orderkey, linenumber) groups with differing
+    // quantity/price, so xc/yc join the sort key or the 10-row frame
+    // contents (hence roll_corr) would depend on engine tie-breaking
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("xc"), col("yc"))
       .rowsBetween(-9, 0)
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -298,7 +308,7 @@ object ScaleQueries {
       |    sum(yc * yc) OVER w AS syy
       |  FROM c
       |  WINDOW w AS (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, xc, yc
       |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
       |SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(n * sxy - sx * sy AS DOUBLE) /

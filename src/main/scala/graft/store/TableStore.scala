@@ -170,6 +170,11 @@ class TableStore(spark: SparkSession, baseDir: String) {
     overwrite(name, ranged)
   }
 
+  /** Remove the whole store from disk — for temp stores whose results
+    * have been materialized (e.g. layout demos). Callers must not read
+    * through this store afterwards. */
+  def destroy(): Unit = deleteRecursively(Paths.get(baseDir))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -73,9 +73,12 @@ object EventStreams {
         // no-ops. A side meta-file can't give this: state-then-meta
         // double-counts on a crash between the writes, meta-then-state
         // loses the batch.
+        // a state table first written by the BATCH IncrementalAgg path has
+        // no __folded_batch column — treat that as "nothing folded yet"
+        // (batch −1) instead of throwing on the first micro-batch
         val already = store.exists(name) && {
           val st = store.read(name)
-          st.limit(1).count() > 0 &&
+          st.columns.contains("__folded_batch") && st.limit(1).count() > 0 &&
             st.agg(max(col("__folded_batch"))).head().getLong(0) >= batchId
         }
         if (!already) {

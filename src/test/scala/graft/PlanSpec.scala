@@ -216,6 +216,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("windowed count-distinct: every window partitions finer than event_type alone") {
+    // the scale hazard is a window partitioned ONLY by the 5-value type
+    // key (one task holds ~20 % of the corpus); the two-phase spelling
+    // must keep row-bearing windows on (type, user) / (type, bucket).
+    // The one single-column window allowed is the prefix pass over the
+    // tiny (type, bucket) AGGREGATE (|types|·|days| rows, not data rows).
+    val df = SparkEntry.queries("q_w_distinct_running")(spark, sf("sf0.001"))
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val coarse = windows.filter(_.partitionSpec.size < 2)
+    coarse.foreach { w =>
+      // must sit directly over an Aggregate (state rows), never over rows
+      val overAgg = w.find {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }.isDefined
+      assert(overAgg, s"single-key window over non-aggregated rows:\n$w")
+    }
+    // and the data spreads: one event_type spans many (type, day) groups,
+    // so the hash exchange before the in-bucket window splits each type
+    // across that many reducers instead of one
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+    val perType = ev.groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts"))).as("n_buckets"))
+      .agg(org.apache.spark.sql.functions.min("n_buckets")).head().getLong(0)
+    assert(perType >= 20, s"expected ≥20 day-buckets per type, got $perType")
+  }
+
   test("ivfpq indexed search: probed-cell IN filter prunes the codes scan") {
     // the q_sim_ivfpq_indexed store lives in per-run scratch; build+search
     // once and inspect the executed plan of the search

@@ -9,7 +9,7 @@ class QuantileBucketSpec extends SparkSpec {
   import spark.implicits._
 
   private def qb(c: org.apache.spark.sql.Column, cuts: Array[Double]) =
-    ColumnBridge.column(QuantileBucket(ColumnBridge.expression(c), cuts))
+    ColumnBridge.column(QuantileBucket(ColumnBridge.expression(c), cuts.toIndexedSeq))
 
   test("binary search equals the declarative count-of-cuts-≤-x fold") {
     val cuts = Array(1.0, 2.5, 2.5, 7.0) // duplicate cut = skipped bucket, still monotone
@@ -30,6 +30,14 @@ class QuantileBucketSpec extends SparkSpec {
     assert(got == Seq(0L, 0L, 1L)) // 0.5: one cut (0.0) ≤ x
     val lit0 = qb(lit(null).cast("double"), cuts)
     assert(spark.range(1).select(lit0.as("b")).as[Long].head() == 0L)
+  }
+
+  test("semantically identical instances are equal (canonicalization/CSE work)") {
+    val e = ColumnBridge.expression(lit(1.0).cast("double"))
+    val a = QuantileBucket(e, IndexedSeq(1.0, 2.0, 3.0))
+    val b = QuantileBucket(e, Vector(1.0, 2.0, 3.0))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.canonicalized == b.canonicalized)
   }
 
   test("monotone: buckets never decrease as x increases") {

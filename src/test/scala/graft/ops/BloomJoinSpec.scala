@@ -12,7 +12,7 @@ class BloomJoinSpec extends SparkSpec {
     val dim = graft.Tables.load(spark, sf("sf0.001"), "customer")
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
     val viaBloom = BloomJoin.bloomSemiJoin(orders, dim,
-      "o_custkey", "c_custkey", expectedItems = math.max(1L, dim.count()))
+      "o_custkey", "c_custkey", expectedItems = Some(math.max(1L, dim.count())))
       .select($"o_orderkey")
     val plain = orders.join(dim, $"o_custkey" === $"c_custkey", "left_semi")
       .select($"o_orderkey")
@@ -24,7 +24,7 @@ class BloomJoinSpec extends SparkSpec {
     val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
     val dim = graft.Tables.load(spark, sf("sf0.001"), "customer")
       .filter(lit(false)).select($"c_custkey")
-    assert(BloomJoin.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey", 1L)
+    assert(BloomJoin.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey", Some(1L))
       .count() == 0)
   }
 
@@ -33,7 +33,7 @@ class BloomJoinSpec extends SparkSpec {
     val dim = graft.Tables.load(spark, sf("sf0.001"), "customer")
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
     val plan = BloomJoin.bloomSemiJoin(orders, dim,
-      "o_custkey", "c_custkey", math.max(1L, dim.count()))
+      "o_custkey", "c_custkey", Some(math.max(1L, dim.count())))
       .queryExecution.executedPlan.toString()
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
@@ -41,8 +41,47 @@ class BloomJoinSpec extends SparkSpec {
   test("bloomProbe keeps every true key (no false negatives by construction)") {
     val dim = Seq(1L, 2L, 3L).toDF("k")
     val fact = Seq(1L, 2L, 3L, 4L, 5L).toDF("fk")
-    val kept = fact.filter(BloomJoin.bloomProbe(dim, "k", $"fk", 3L))
+    val kept = fact.filter(BloomJoin.bloomProbe(dim, "k", $"fk", Some(3L)))
       .as[Long].collect().toSet
     assert(Set(1L, 2L, 3L).subsetOf(kept))
+  }
+
+  /** Jobs launched from this thread under a named job group — job-group
+    * tagging is synchronous (propagated through the thread-local
+    * properties), so no listener-bus race. */
+  private def jobsIn(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("stats-based sizing saves the driver-side dim-count job") {
+    val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    val dim = graft.Tables.load(spark, sf("sf0.001"), "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val withCount = jobsIn("bloom-explicit") {
+      val n = math.max(1L, dim.count())
+      BloomJoin.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey", Some(n))
+        .count()
+    }
+    val fromStats = jobsIn("bloom-stats") {
+      BloomJoin.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey").count()
+    }
+    // the explicit path pays the dim.count() job(s) — under AQE a count
+    // can be more than one job, so assert strict saving, not exactly one
+    assert(fromStats < withCount,
+      s"expected fewer jobs without the count, got $fromStats vs $withCount")
+    // and both produce the same rows as the plain semi join
+    val plain = orders.join(dim, $"o_custkey" === $"c_custkey", "left_semi")
+    assert(BloomJoin.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey")
+      .count() == plain.count())
+  }
+
+  test("sizeHint clamps and never needs a scan") {
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val hint = BloomJoin.sizeHint(dim, None)
+    assert(hint >= 1024L && hint <= (1L << 24))
+    assert(BloomJoin.sizeHint(dim, Some(5L)) == 1024L)        // floor
+    assert(BloomJoin.sizeHint(dim, Some(Long.MaxValue)) == (1L << 24)) // cap
   }
 }
