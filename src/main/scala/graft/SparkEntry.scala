@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
     graft.queries.Scd2Queries.queries ++
     graft.queries.ExtQueries.queries ++
-    graft.queries.ScaleQueries.queries
+    graft.queries.ScaleQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
     graft.queries.Scd2Queries.oracleSql ++
     graft.queries.ExtQueries.oracleSql ++
-    graft.queries.ScaleQueries.oracleSql
+    graft.queries.ScaleQueries.oracleSql ++
+    graft.queries.PipelineQueries.oracleSql
 }

@@ -94,6 +94,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming time-series resample: the streaming face of
+    * [[graft.ext.TimeSeries.resample]] (SURVEY §2.9 — the reference's
+    * DHT11 readings stream is the natural producer). Each micro-batch's
+    * readings floor-bucket to the `stepSec` grid and fold into the SAME
+    * persisted mergeable state [[rollupSink]] maintains, keyed by
+    * (key, bucket): per trigger the work is O(batch) + O(touched state
+    * rows), and because per-bucket (count, exact-cents-sum) is a
+    * commutative monoid there is no window finalization to wait for —
+    * late readings fold into their bucket whenever they arrive, instead
+    * of being dropped at a watermark. A reader regularizes the series at
+    * any point via [[resampleState]] without touching event history. */
+  def resampleSink(events: DataFrame, store: graft.store.TableStore,
+      name: String, keyCol: String, tsCol: String, valCol: String,
+      stepSec: Long, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val bucketed = events.withColumn("bucket",
+      (floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec).cast("long"))
+    rollupSink(bucketed, store, name, Seq(keyCol, "bucket"), valCol,
+      checkpointDir, trigger)
+  }
+
+  /** Read-side adapter: project the [[resampleSink]] state table to the
+    * exact (key, bucket, n, sum_cents) shape
+    * [[graft.ext.TimeSeries.resample]] produces, so downstream
+    * interpolation/anomaly stages run unchanged over streamed state. */
+  def resampleState(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol), col("bucket"),
+      col("cnt").as("n"), col("sum_cents"))
+
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time silence, via flatMapGroupsWithState with event-time
     * timeout. State per user is O(1) — counts and bounds, never the

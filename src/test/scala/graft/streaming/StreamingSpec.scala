@@ -357,4 +357,43 @@ class StreamingSpec extends SparkSpec {
     // the fold watermark rides inside the state table (atomic with it)
     assert(store.read("state").columns.contains("__folded_batch"))
   }
+
+  test("streaming resample folds micro-batches into batch-identical grid state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("resample-store").toString)
+    val ckpt = Files.createTempDirectory("resample-ckpt").toString
+    val q = EventStreams.resampleSink(input.toDF(), store, "grid",
+      "user_id", "ts", "value", 3600L, ckpt, Trigger.ProcessingTime(0))
+    val rows = Seq(
+      Event(1L, 1L, ts("2024-01-01 10:05:00"), "click", 1.25),
+      Event(2L, 1L, ts("2024-01-01 10:55:00"), "click", 2.50),
+      Event(3L, 2L, ts("2024-01-01 10:10:00"), "view", 0.75),
+      Event(4L, 1L, ts("2024-01-01 12:20:00"), "click", 10.00),
+      // late arrival for an already-folded bucket: folds, never dropped
+      Event(5L, 1L, ts("2024-01-01 10:30:00"), "click", 0.10))
+    try {
+      input.addData(rows(0), rows(1), rows(2))
+      q.processAllAvailable()
+      input.addData(rows(3), rows(4))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = EventStreams
+      .resampleState(store.read("grid").drop("__folded_batch"), "user_id")
+      .select(col("user_id"), col("bucket"), col("n"),
+        col("sum_cents").cast("decimal(38,0)").as("sum_cents"))
+    val batch = graft.ext.TimeSeries
+      .resample(rows.toDF(), "user_id", "ts", "value", 3600L)
+      .select(col("user_id"), col("bucket"), col("n"),
+        col("sum_cents").cast("decimal(38,0)").as("sum_cents"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // the 10:00 bucket accumulated across batches: 3 readings, 385 cents
+    val b10 = streamed.filter(col("user_id") === 1L &&
+      col("bucket") === ts("2024-01-01 10:00:00").getTime / 1000).head()
+    assert(b10.getLong(2) === 3L)
+    assert(b10.getDecimal(3).longValue === 385L)
+  }
 }
