@@ -77,10 +77,20 @@ object Scd2Queries {
     }.toSeq: _*)
   }
 
-  /** End-to-end DHT pipeline on an embedded fixture tree (rows-only
-    * check: not DuckDB-expressible — exercises ingest→stage→SCD2→control
-    * through the real Pipeline). */
+  /** Fixture tree lives at a STABLE temp path so the DuckDB oracle can
+    * `read_json` the very same bytes the pipeline ingested (the driver
+    * runs Verify first, which writes this file, then the oracle SQL). */
+  private val fixturePath =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_e2e_tree.json")
+
+  /** End-to-end DHT pipeline on an embedded fixture tree: exercises
+    * ingest→stage→SCD2→control through the real Pipeline, twice (the
+    * second run's records sit BEFORE the first run's watermark, so it
+    * exercises the empty-delta Success branch, D2/ST6, and must leave
+    * the target byte-identical). Oracle-checked since r7: the DuckDB
+    * text below recomputes the same chain from the fixture JSON. */
   def qPipelineE2E(s: SparkSession, dir: String): DataFrame = {
+    Files.writeString(fixturePath, fixtureTree)
     val tmp = Files.createTempDirectory("graft-e2e")
     val treePath = tmp.resolve("tree.json")
     Files.writeString(treePath, fixtureTree)
@@ -192,7 +202,47 @@ object Scd2Queries {
        |  da_deleted_flag, da_current_flag
        |FROM unioned""".stripMargin
 
+  /** The e2e pipeline as one DuckDB text over the SAME fixture file the
+    * Spark run ingested (written to [[fixturePath]] by qPipelineE2E,
+    * which the driver runs first). Chain replicated stage by stage:
+    * tree flatten (two map unnests ≡ TreeIngest.flatten's explodes),
+    * landing projection with the reference's N/A defaults + epoch
+    * watermark threshold (run 1: prev run absent → threshold epoch, so
+    * all rows pass), INT copy (deviceid filter + load_key), then SCD2
+    * against an EMPTY target: every row classifies 'I', surrogates mint
+    * from max(0) + row_number ordered by the natural keys
+    * (deviceid, timestamp) — Historizer's deterministic default path.
+    * Run 2's watermark is run 1's start (2024-06-01), which postdates
+    * every fixture reading (2024-03-01), so its delta is empty and the
+    * run takes the D2 skip branch: the target is untouched. The oracle
+    * therefore models run 2 as the identity. */
+  private def e2eSql =
+    s"""WITH tree AS (
+       |  SELECT root FROM read_json('${fixturePath.toString.replace("'", "''")}',
+       |    format='unstructured', records='false',
+       |    columns={root: 'MAP(VARCHAR, MAP(VARCHAR, STRUCT("TimeZone" VARCHAR, "Humidity" VARCHAR, "Temperature" VARCHAR, "Timestamp" VARCHAR)))'})),
+       |flat AS (
+       |  SELECT t.value AS rec
+       |  FROM tree, unnest(map_entries(root)) AS de(d),
+       |       unnest(map_entries(d.value)) AS te(t)),
+       |landing AS (
+       |  SELECT coalesce(rec."Humidity", 'N/A') AS humidity,
+       |         coalesce(rec."Temperature", 'N/A') AS temperature,
+       |         strptime(rec."Timestamp", '%Y-%m-%d %H:%M:%S') AS "timestamp",
+       |         'DEV01OMKARVARMA' AS deviceid
+       |  FROM flat
+       |  WHERE coalesce(strptime(rec."Timestamp", '%Y-%m-%d %H:%M:%S'),
+       |                 TIMESTAMP '1970-01-01 00:00:00') >= TIMESTAMP '1970-01-01 00:00:00'),
+       |int_t AS (SELECT * FROM landing WHERE deviceid = 'DEV01OMKARVARMA'),
+       |ins AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY deviceid, "timestamp") AS BIGINT) AS rn, *
+       |  FROM int_t)
+       |SELECT rn AS dht11_ak, rn AS dht11_key, deviceid, "timestamp",
+       |       humidity, temperature, 'Y' AS da_current_flag
+       |FROM ins""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_scd2_delta" -> deltaSql,
-    "q_scd2_apply" -> applySql)
+    "q_scd2_apply" -> applySql,
+    "q_pipeline_e2e" -> e2eSql)
 }
