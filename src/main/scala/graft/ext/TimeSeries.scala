@@ -60,10 +60,22 @@ object TimeSeries {
     * Endpoints are always observed (the grid is bounded by occupied
     * buckets), so `v_interp` is total. */
   def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String, stepSec: Long): DataFrame = {
+      valCol: String, stepSec: Long): DataFrame =
+    interpolateFromGrid(resample(df, keyCol, tsCol, valCol, stepSec),
+      keyCol, stepSec)
+
+  /** [[interpolateLinear]] over an ALREADY-RESAMPLED grid — the
+    * (key, bucket, n, sum_cents) shape [[resample]] emits and
+    * [[graft.streaming.EventStreams.resampleState]] adapts streamed
+    * state to. At scale this is the form that matters: the grid is the
+    * stored artifact (event history need not be re-scanned), and the
+    * streamed and batch paths regularize through the IDENTICAL plan
+    * (StreamingSpec asserts hash-equality end to end). */
+  def interpolateFromGrid(resampled: DataFrame, keyCol: String,
+      stepSec: Long): DataFrame = {
     // localCheckpoint: `res` feeds BOTH the per-key grid agg and the grid
-    // join below — without it the events aggregation runs twice.
-    val res = resample(df, keyCol, tsCol, valCol, stepSec).localCheckpoint()
+    // join below — without it the upstream aggregation runs twice.
+    val res = resampled.localCheckpoint()
     // per-key grid: sequence() is driver-free and bounded by time span
     val grid = res.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))

@@ -32,16 +32,18 @@ object BloomJoin {
     * the plan's `sizeInBytes` (assuming ≥16 bytes/row; overestimating
     * costs bits, never correctness). A `dim.count()` here would run a
     * whole extra Spark job just to size the filter — at 100 TB the dim
-    * count must come from statistics, not a scan. Clamped to
-    * [1024, 2²⁴] items (2²⁴ at 1 % fpp ≈ 20 MiB of filter — past that a
-    * Bloom pre-filter stops paying for its broadcast anyway). */
-  private[ops] def sizeHint(dim: DataFrame, explicit: Option[Long]): Long = {
+    * count must come from statistics, not a scan. Floored at 1024 items;
+    * past 2²⁴ items (≈ 20 MiB of filter at 1 % fpp) returns None and the
+    * caller SKIPS the Bloom entirely — a filter sized for fewer items
+    * than the dim holds quietly degrades its fpp toward 1, paying the
+    * build+broadcast for no pruning (ADVICE r6). */
+  private[ops] def sizeHint(dim: DataFrame, explicit: Option[Long]): Option[Long] = {
     val raw = explicit.getOrElse {
       val stats = dim.queryExecution.optimizedPlan.stats
       stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse(
         stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 16L)
     }
-    math.min(math.max(raw, 1024L), 1L << 24)
+    if (raw > (1L << 24)) None else Some(math.max(raw, 1024L))
   }
 
   /** `fact LEFT SEMI JOIN dim ON fact(factKey) = dim(dimKey)`, with a
@@ -51,33 +53,40 @@ object BloomJoin {
     * job. */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
-      expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
-    val expected = sizeHint(dim, expectedItems)
-    val numBits = BloomOps.optimalNumBits(expected, fpp)
-    val bloomRow = dim.select(xxhash64(col(dimKey)).as("__h"))
-      .agg(BloomOps.bloomAgg(col("__h"), expected, numBits).as("bf"))
-      .head()
-    val pruned =
-      if (bloomRow.isNullAt(0)) fact.limit(0) // empty dim: empty semi join
-      else fact.filter(
-        BloomOps.mightContain(lit(bloomRow.getAs[Array[Byte]](0)),
-          xxhash64(col(factKey))))
-    pruned.join(dim.select(col(dimKey)).distinct(),
-      col(factKey) === col(dimKey), "left_semi")
-  }
+      expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame =
+    sizeHint(dim, expectedItems) match {
+      case None =>
+        // dim too large for a useful filter — plain exact semi join
+        fact.join(dim.select(col(dimKey)).distinct(),
+          col(factKey) === col(dimKey), "left_semi")
+      case Some(expected) =>
+        val numBits = BloomOps.optimalNumBits(expected, fpp)
+        val bloomRow = dim.select(xxhash64(col(dimKey)).as("__h"))
+          .agg(BloomOps.bloomAgg(col("__h"), expected, numBits).as("bf"))
+          .head()
+        val pruned =
+          if (bloomRow.isNullAt(0)) fact.limit(0) // empty dim: empty semi join
+          else fact.filter(
+            BloomOps.mightContain(lit(bloomRow.getAs[Array[Byte]](0)),
+              xxhash64(col(factKey))))
+        pruned.join(dim.select(col(dimKey)).distinct(),
+          col(factKey) === col(dimKey), "left_semi")
+    }
 
   /** The probe column alone — for wiring the same pre-filter into plans
     * that end in something other than a semi join (e.g. an enrichment
     * join that would otherwise shuffle the full fact side). */
   def bloomProbe(dim: DataFrame, dimKey: String, factKey: Column,
-      expectedItems: Option[Long] = None, fpp: Double = 0.01): Column = {
-    val expected = sizeHint(dim, expectedItems)
-    val numBits = BloomOps.optimalNumBits(expected, fpp)
-    val bloomRow = dim.select(xxhash64(col(dimKey)).as("__h"))
-      .agg(BloomOps.bloomAgg(col("__h"), expected, numBits).as("bf"))
-      .head()
-    if (bloomRow.isNullAt(0)) lit(false)
-    else BloomOps.mightContain(lit(bloomRow.getAs[Array[Byte]](0)),
-      xxhash64(factKey))
-  }
+      expectedItems: Option[Long] = None, fpp: Double = 0.01): Column =
+    sizeHint(dim, expectedItems) match {
+      case None => lit(true) // dim too large: probe prunes nothing
+      case Some(expected) =>
+        val numBits = BloomOps.optimalNumBits(expected, fpp)
+        val bloomRow = dim.select(xxhash64(col(dimKey)).as("__h"))
+          .agg(BloomOps.bloomAgg(col("__h"), expected, numBits).as("bf"))
+          .head()
+        if (bloomRow.isNullAt(0)) lit(false)
+        else BloomOps.mightContain(lit(bloomRow.getAs[Array[Byte]](0)),
+          xxhash64(factKey))
+    }
 }

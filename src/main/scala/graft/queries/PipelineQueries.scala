@@ -24,8 +24,9 @@ import graft.scd2.Historizer
   * map-side-combined shuffle on (user, bucket); the anomaly stats table
   * is |users| rows broadcast back. Determinism: hourly sums on the
   * integer-cents lattice; z-scores are one shared-text IEEE formula over
-  * exact integer sufficient statistics (n·Σc² − (Σc)² form, bounds
-  * ≤ ~10¹⁶ inside int64 — see qTsAnomaly).
+  * exact decimal(38,0) sufficient statistics (n·Σc² − (Σc)² form — the
+  * decimal accumulation cannot silently overflow the way an int64 Σc²
+  * would once an hourly sum passes ~3·10⁹ cents).
   *
   * The synthetic device dimension derives deterministically from the
   * user universe (same discipline as Scd2Queries' orders-derived
@@ -48,6 +49,10 @@ object PipelineQueries {
 
   private val now = Timestamp.valueOf("2024-06-01 00:00:00")
 
+  /** User universe the synthetic device registry derives from. Callers
+    * localCheckpoint the result ONCE per query invocation — stg and tgt
+    * both consume it, and without the pin the events scan + distinct
+    * would run twice (VERDICT r6 #7). */
   private def users(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(col("user_id")).distinct()
 
@@ -56,8 +61,8 @@ object PipelineQueries {
 
   /** Staging slice of the device registry: %10 < 3 (new devices, 'I'),
     * %10 ∈ {4,5} (known; 5 carries a changed payload → 'U', 4 → 'NC'). */
-  private def stg(s: SparkSession, dir: String): DataFrame =
-    users(s, dir)
+  private def stg(u: DataFrame): DataFrame =
+    u
       .filter(col("user_id") % 10 < 3 || (col("user_id") % 10).isin(4, 5))
       .select(
         col("user_id").as("nk"),
@@ -68,8 +73,8 @@ object PipelineQueries {
 
   /** Current registry target: %10 ∈ [4,8], surrogates derived from the
     * device id so high-water marks are deterministic. */
-  private def tgt(s: SparkSession, dir: String): DataFrame =
-    users(s, dir)
+  private def tgt(u: DataFrame): DataFrame =
+    u
       .filter(col("user_id") % 10 >= 4 && col("user_id") % 10 <= 8)
       .select(
         (col("user_id") * 10).as("hist_ak"),
@@ -86,8 +91,10 @@ object PipelineQueries {
 
   def qPipelineAnalytics(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // user universe pinned once — stg and tgt both derive from it
+    val u = users(s, dir).localCheckpoint()
     // stage 1: the real SCD2 engine (same code path as q_scd2_apply)
-    val applied = Historizer.applyScd2(stg(s, dir), tgt(s, dir), conf, now)
+    val applied = Historizer.applyScd2(stg(u), tgt(u), conf, now)
     // stage 2: current-slice gate — the CURRENT payload version decides
     // activity (for 'U' devices that is the updated value, so a
     // historizer that failed to close old rows would change the result)
@@ -101,16 +108,24 @@ object PipelineQueries {
         ev.join(broadcast(active), Seq("user_id"), "left_semi"),
         "user_id", "ts", "value", 3600)
       .localCheckpoint()
-    // stage 4: per-device z-score gate on hourly totals, exact integer
-    // sufficient statistics (n·Σc² − (Σc)², no cancellation)
+    // stage 4: per-device z-score gate on hourly totals. Sufficient
+    // statistics accumulate as decimal(38,0) — EXACT for any real-world
+    // volume (an hourly cents sum past ~3·10⁹ would overflow an int64
+    // Σc², and non-ANSI overflow is a silent null). The combination
+    // n·Σc² − (Σc)² is then one shared-text IEEE double formula over the
+    // exact decimals — bit-identical in both engines; greatest(…, 0)
+    // guards the sqrt against a −ulp from the double rounding.
     val sc = col("sum_cents").cast("long")
+    val scd = col("sum_cents").cast("decimal(19,0)")
     val st = res.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_b"),
-        sum(sc).as("scb"),
-        sum(sc * sc).as("sccb"))
+        sum(scd).as("scb"),
+        sum(scd * scd).as("sccb"))
     val z = (sc - col("scb").cast("double") / col("n_b")) /
-      nullif(sqrt((col("n_b") * col("sccb") - col("scb") * col("scb"))
-          .cast("double")) / col("n_b"), lit(0.0))
+      nullif(sqrt(greatest(
+        col("n_b").cast("double") * col("sccb").cast("double") -
+          col("scb").cast("double") * col("scb").cast("double"),
+        lit(0.0))) / col("n_b"), lit(0.0))
     res.join(st, Seq("user_id"))
       .select(col("user_id"), col("bucket"),
         (sc.cast("double") / 100.0).as("hour_v"), z.as("z"))
@@ -158,14 +173,16 @@ object PipelineQueries {
       |  GROUP BY 1, 2),
       |st AS (
       |  SELECT user_id, count(*) AS n_b,
-      |    CAST(sum(CAST(sum_cents AS BIGINT)) AS BIGINT) AS scb,
-      |    CAST(sum(CAST(sum_cents AS BIGINT) * CAST(sum_cents AS BIGINT)) AS BIGINT) AS sccb
+      |    sum(CAST(sum_cents AS DECIMAL(19,0))) AS scb,
+      |    sum(CAST(sum_cents AS DECIMAL(19,0)) * CAST(sum_cents AS DECIMAL(19,0))) AS sccb
       |  FROM res GROUP BY 1),
       |z AS (
       |  SELECT res.user_id, bucket,
       |    CAST(CAST(sum_cents AS BIGINT) AS DOUBLE) / 100.0 AS hour_v,
       |    (CAST(sum_cents AS BIGINT) - CAST(scb AS DOUBLE) / n_b) /
-      |      nullif(sqrt(CAST(n_b * sccb - scb * scb AS DOUBLE)) / n_b, 0.0) AS z
+      |      nullif(sqrt(greatest(
+      |        CAST(n_b AS DOUBLE) * CAST(sccb AS DOUBLE) -
+      |          CAST(scb AS DOUBLE) * CAST(scb AS DOUBLE), 0.0)) / n_b, 0.0) AS z
       |  FROM res JOIN st USING (user_id))
       |SELECT user_id, bucket, hour_v, z FROM z WHERE abs(z) > 3.0""".stripMargin
 

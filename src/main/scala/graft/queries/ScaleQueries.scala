@@ -182,22 +182,25 @@ object ScaleQueries {
     * shuffle, broadcast back onto the events via the grouping key), so
     * the z-score is one shared-text IEEE formula over exact inputs;
     * the 3σ verdict is then bit-deterministic in both engines. Variance
-    * uses the n·Σc² − (Σc)² form: integer, exact, no catastrophic
-    * cancellation. */
+    * uses the n·Σc² − (Σc)² form over decimal(38,0) sufficient
+    * statistics — exact at any per-user volume (an int64 Σc² silently
+    * overflows to null past ~10⁹ rows/user under non-ANSI mode); the
+    * combination is one shared-text double formula, greatest(…, 0)
+    * guarding the sqrt against a −ulp from the rounding. */
   def qTsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val c = round(col("value") * 100).cast("long")
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), c.as("c"))
+    val cd = col("c").cast("decimal(19,0)")
     val stats = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
-        sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("scc"))
-    // bounds: c ≤ 49 002 cents, so even at 10⁶ rows/user
-    // n·scc ≤ 10⁶·(2.4·10⁹·10⁶) overflows — per-user volumes here are
-    // ≤ 10⁴, keeping every term ≤ ~10¹⁷ inside int64 on both engines
+        sum(cd).as("sc"),
+        sum(cd * cd).as("scc"))
     val z = (col("c") - col("sc").cast("double") / col("n")) /
-      nullif(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
-          .cast("double")) / col("n"), lit(0.0))
+      nullif(sqrt(greatest(
+        col("n").cast("double") * col("scc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double"),
+        lit(0.0))) / col("n"), lit(0.0))
     ev.join(stats, Seq("user_id"))
       .select(col("user_id"), col("event_id"), z.as("z"))
       .filter(abs(col("z")) > 3.0)
@@ -210,13 +213,15 @@ object ScaleQueries {
       |  FROM events),
       |st AS (
       |  SELECT user_id, count(*) AS n,
-      |    CAST(sum(c) AS BIGINT) AS sc,
-      |    CAST(sum(c * c) AS BIGINT) AS scc
+      |    sum(CAST(c AS DECIMAL(19,0))) AS sc,
+      |    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS scc
       |  FROM c GROUP BY 1),
       |z AS (
       |  SELECT user_id, event_id,
       |    (c - CAST(sc AS DOUBLE) / n) /
-      |      nullif(sqrt(CAST(n * scc - sc * sc AS DOUBLE)) / n, 0.0) AS z
+      |      nullif(sqrt(greatest(
+      |        CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) -
+      |          CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE), 0.0)) / n, 0.0) AS z
       |  FROM c JOIN st USING (user_id))
       |SELECT user_id, event_id, z FROM z WHERE abs(z) > 3.0""".stripMargin
 

@@ -75,10 +75,21 @@ object EventStreams {
         // loses the batch.
         // a state table first written by the BATCH IncrementalAgg path has
         // no __folded_batch column — treat that as "nothing folded yet"
-        // (batch −1) instead of throwing on the first micro-batch
+        // (batch −1) instead of throwing on the first micro-batch. This
+        // adoption is only safe when the stream's source does NOT replay
+        // events the batch path already folded; since an unstamped table
+        // can't prove that, log the adoption loudly so an accidental
+        // re-fold over the same history is detectable (ADVICE r6)
         val already = store.exists(name) && {
           val st = store.read(name)
-          st.columns.contains("__folded_batch") && st.limit(1).count() > 0 &&
+          val stamped = st.columns.contains("__folded_batch")
+          if (!stamped && st.limit(1).count() > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"rollupSink adopting batch-built state table '$name' with no " +
+                "__folded_batch stamp: assuming its rows are NOT in this " +
+                "stream's history — events folded by both paths would " +
+                "double-count")
+          stamped && st.limit(1).count() > 0 &&
             st.agg(max(col("__folded_batch"))).head().getLong(0) >= batchId
         }
         if (!already) {
@@ -118,10 +129,16 @@ object EventStreams {
   /** Read-side adapter: project the [[resampleSink]] state table to the
     * exact (key, bucket, n, sum_cents) shape
     * [[graft.ext.TimeSeries.resample]] produces, so downstream
-    * interpolation/anomaly stages run unchanged over streamed state. */
+    * interpolation/anomaly stages run unchanged over streamed state.
+    * The stored state accumulates sum_cents as decimal(38,0)
+    * (IncrementalAgg's merge-safe width); batch resample emits
+    * decimal(28,0) — cast down here so the shapes are IDENTICAL and a
+    * unionByName of batch and streamed grids neither fails nor widens
+    * silently (ADVICE r6). Exact: a per-bucket cents sum needs 28
+    * digits only past 10²⁶ dollars. */
   def resampleState(state: DataFrame, keyCol: String): DataFrame =
     state.select(col(keyCol), col("bucket"),
-      col("cnt").as("n"), col("sum_cents"))
+      col("cnt").as("n"), col("sum_cents").cast("decimal(28,0)").as("sum_cents"))
 
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time silence, via flatMapGroupsWithState with event-time

@@ -80,8 +80,26 @@ class BloomJoinSpec extends SparkSpec {
   test("sizeHint clamps and never needs a scan") {
     val dim = Seq(1L, 2L, 3L).toDF("k")
     val hint = BloomJoin.sizeHint(dim, None)
-    assert(hint >= 1024L && hint <= (1L << 24))
-    assert(BloomJoin.sizeHint(dim, Some(5L)) == 1024L)        // floor
-    assert(BloomJoin.sizeHint(dim, Some(Long.MaxValue)) == (1L << 24)) // cap
+    assert(hint.exists(h => h >= 1024L && h <= (1L << 24)))
+    assert(BloomJoin.sizeHint(dim, Some(5L)).contains(1024L))  // floor
+    // past the cap the Bloom stops paying — sizing opts out entirely
+    assert(BloomJoin.sizeHint(dim, Some(Long.MaxValue)).isEmpty)
+  }
+
+  test("oversized dim skips the bloom but keeps exact semi-join semantics") {
+    val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    val dim = graft.Tables.load(spark, sf("sf0.001"), "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val skipped = BloomJoin.bloomSemiJoin(orders, dim,
+      "o_custkey", "c_custkey", Some(Long.MaxValue))
+    val plan = skipped.queryExecution.executedPlan.toString()
+    assert(!plan.contains("might_contain"), s"bloom should be skipped:\n$plan")
+    val plain = orders.join(dim, $"o_custkey" === $"c_custkey", "left_semi")
+    assert(skipped.count() == plain.count())
+    // bloomProbe's opt-out is a pass-through, never a filter
+    val kept = Seq(1L, 9L).toDF("fk")
+      .filter(BloomJoin.bloomProbe(Seq(1L).toDF("k"), "k", $"fk", Some(Long.MaxValue)))
+      .count()
+    assert(kept == 2L)
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
+import graft.ext.TimeSeries
 import graft.model.Schemas
 import graft.store.TableStore
 import graft.streaming.EventStreams.{Event, Session}
@@ -382,12 +383,17 @@ class StreamingSpec extends SparkSpec {
 
     val streamed = EventStreams
       .resampleState(store.read("grid").drop("__folded_batch"), "user_id")
-      .select(col("user_id"), col("bucket"), col("n"),
-        col("sum_cents").cast("decimal(38,0)").as("sum_cents"))
+      .select(col("user_id"), col("bucket"), col("n"), col("sum_cents"))
     val batch = graft.ext.TimeSeries
       .resample(rows.toDF(), "user_id", "ts", "value", 3600L)
-      .select(col("user_id"), col("bucket"), col("n"),
-        col("sum_cents").cast("decimal(38,0)").as("sum_cents"))
+      .select(col("user_id"), col("bucket"), col("n"), col("sum_cents"))
+    // shape-identical, not just values-equal: resampleState casts the
+    // stored decimal(38,0) accumulator down to batch resample's
+    // decimal(28,0), so batch ∪ streamed grids union without widening
+    // (names+types compared; nullability always widens through a
+    // parquet store roundtrip)
+    assert(streamed.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      batch.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
     // the 10:00 bucket accumulated across batches: 3 readings, 385 cents
@@ -395,5 +401,47 @@ class StreamingSpec extends SparkSpec {
       col("bucket") === ts("2024-01-01 10:00:00").getTime / 1000).head()
     assert(b10.getLong(2) === 3L)
     assert(b10.getDecimal(3).longValue === 385L)
+  }
+
+  test("stream-fed interpolation equals batch interpolation end to end") {
+    // the full streaming → regularized-series path (VERDICT r6 #6):
+    // micro-batched readings → resampleSink state → resampleState →
+    // interpolateFromGrid must row-equal interpolateLinear over the same
+    // readings in one batch — including an interpolated interior gap
+    // (user 1 has no 11:00 bucket).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("interp-store").toString)
+    val ckpt = Files.createTempDirectory("interp-ckpt").toString
+    val q = EventStreams.resampleSink(input.toDF(), store, "grid",
+      "user_id", "ts", "value", 3600L, ckpt, Trigger.ProcessingTime(0))
+    val rows = Seq(
+      Event(1L, 1L, ts("2024-01-01 10:05:00"), "click", 1.25),
+      Event(2L, 1L, ts("2024-01-01 10:55:00"), "click", 2.50),
+      Event(3L, 2L, ts("2024-01-01 10:10:00"), "view", 0.75),
+      Event(4L, 1L, ts("2024-01-01 12:20:00"), "click", 10.00),
+      Event(5L, 1L, ts("2024-01-01 10:30:00"), "click", 0.10))
+    try {
+      input.addData(rows(0), rows(1), rows(2))
+      q.processAllAvailable()
+      input.addData(rows(3), rows(4))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = TimeSeries.interpolateFromGrid(
+      EventStreams.resampleState(
+        store.read("grid").drop("__folded_batch"), "user_id"),
+      "user_id", 3600L)
+    val batch = TimeSeries.interpolateLinear(
+      rows.toDF(), "user_id", "ts", "value", 3600L)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // the gap really exercised interpolation: user 1's 11:00 grid point
+    // is unobserved (v null) and filled between 10:00 and 12:00 means
+    val gap = streamed.filter(col("user_id") === 1L &&
+      col("bucket") === ts("2024-01-01 11:00:00").getTime / 1000).head()
+    assert(gap.isNullAt(2))
+    assert(!gap.isNullAt(3))
   }
 }
