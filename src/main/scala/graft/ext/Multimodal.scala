@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * BINARY columns with typed metadata, decoded/feature-extracted through
   * a partition-wise batch path.
   *
-  * IMAGES decode for real: `javax.imageio` ships in the JDK (JPEG / PNG /
-  * GIF / BMP readers), so [[imageDims]] reads true geometry from the
-  * payload header and [[resizeImages]] runs an actual
-  * decode→rescale→re-encode on decodable payloads. Payloads no in-JDK
-  * codec accepts (and all audio/video — no codec libraries ship in this
+  * IMAGES and AUDIO decode for real: `javax.imageio` ships in the JDK
+  * (JPEG / PNG / GIF / BMP readers), so [[imageDims]] reads true geometry
+  * from the payload header and [[resizeImages]] runs an actual
+  * decode→rescale→re-encode on decodable payloads; `javax.sound.sampled`
+  * likewise ships WAV / AIFF / AU readers, so [[audioMeta]] reads true
+  * sample rate + duration from the container header. Payloads no in-JDK
+  * codec accepts (and all video — no codec libraries ship in this
   * environment) fall back to [[decodeStub]], a DETERMINISTIC stand-in
   * (pure function of the payload bytes), so the Spark-side contract —
   * schema, binary transport, mapPartitions batching, partition sizing —
@@ -55,6 +57,25 @@ object Multimodal {
       new java.io.ByteArrayInputStream(payload)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** True audio parameters via javax.sound.sampled — HEADER read only
+    * (`AudioSystem.getAudioFileFormat` parses the container header, never
+    * the sample data), the audio twin of [[imageDims]]. The JDK ships
+    * WAV / AIFF / AU readers; (sample_rate, duration_ms) with duration =
+    * frames·1000/rate in exact integer arithmetic. None when no JDK
+    * reader recognizes the bytes or the header omits the frame count. */
+  def audioMeta(payload: Array[Byte]): Option[(Long, Long)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val sr = aff.getFormat.getSampleRate
+      val frames = aff.getFrameLength.toLong
+      if (sr > 0 && frames >= 0)
+        Some((sr.toLong, frames * 1000L / sr.toLong))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -88,19 +109,51 @@ object Multimodal {
         col("path"))
   }
 
-  /** Derive a deterministic media table from `documents` (payload =
-    * UTF-8 bytes of the text; kind cycles image/audio/video). Stands in
-    * for [[readBinaryDir]] over an object store. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** Little-endian unsigned integer → `nBytes` raw bytes, columnar (hex
+    * per byte + one unhex — stays inside codegen, no UDF). */
+  private def leBytes(v: Column, nBytes: Int): Column =
+    unhex(concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0")): _*))
+
+  /** A canonical 44-byte-header PCM WAV wrapping `data` as 8-bit unsigned
+    * mono samples at `sampleRate` — built ENTIRELY from columnar byte ops
+    * so the fixture is reproducible by any engine (the DuckDB oracle
+    * assembles the identical blob). One byte per frame, so frame count =
+    * data length and duration falls out exactly. */
+  def wavPayload(data: Column, sampleRate: Column): Column = {
+    val n = length(data)
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(n + lit(36), 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), leBytes(lit(1), 2),          // PCM, mono
+      leBytes(sampleRate, 4), leBytes(sampleRate, 4),  // rate, byteRate (1 B/frame)
+      leBytes(lit(1), 2), leBytes(lit(8), 2),          // blockAlign, bits
+      lit("data".getBytes("US-ASCII")), leBytes(n, 4), data)
+  }
+
+  /** Derive a deterministic media table from `documents` (kind cycles
+    * image/audio/video by doc_id). Image/video payloads are the raw
+    * UTF-8 text bytes; AUDIO payloads are a real PCM WAV wrapping those
+    * bytes as samples ([[wavPayload]]), so [[decodeMeta]]'s
+    * javax.sound.sampled branch decodes them for REAL and the oracle
+    * independently checks the decoder's output against the parameters
+    * the header embeds. Stands in for [[readBinaryDir]] over an object
+    * store. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val data = encode(col("text"), "UTF-8")
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val sr = lit(8000) + pmod(length(data), lit(3)) * lit(4000)
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
+      kind.as("kind"),
+      when(kind === "audio", wavPayload(data, sr))
+        .otherwise(data).as("payload"))
+  }
 
   /** ===== STUB ===== deterministic fallback decode for payloads no
-    * in-JDK codec accepts (and for audio/video, which have no in-JDK
-    * codec at all): metadata as pure functions of payload length. */
+    * in-JDK codec accepts (and for video, which has no in-JDK codec at
+    * all): metadata as pure functions of payload length. */
   def decodeStub(kind: String, payload: Array[Byte]): (Option[Long], Option[Long], Option[Long], Option[Long]) = {
     val n = payload.length.toLong
     kind match {
@@ -123,11 +176,18 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-          // image payloads a JDK codec recognizes decode for REAL
-          // (header-only geometry read); everything else falls back to
-          // the deterministic stub
-          val (w, h, sr, dur) = (kind, imageDims(payload)) match {
-            case ("image", Some((rw, rh))) => (Some(rw), Some(rh), None, None)
+          // image/audio payloads a JDK codec recognizes decode for REAL
+          // (header-only reads on both paths); everything else — video
+          // and unrecognized bytes — falls back to the deterministic stub
+          val (w, h, sr, dur) = kind match {
+            case "image" => imageDims(payload) match {
+              case Some((rw, rh)) => (Some(rw), Some(rh), None, None)
+              case None => decodeStub(kind, payload)
+            }
+            case "audio" => audioMeta(payload) match {
+              case Some((rate, ms)) => (None, None, Some(rate), Some(ms))
+              case None => decodeStub(kind, payload)
+            }
             case _ => decodeStub(kind, payload)
           }
           Row(id, kind, payload.length.toLong,
@@ -285,10 +345,13 @@ object Multimodal {
 
   /** "Feature extraction" over decoded media — stub embedding = 8 hash
     * floats of the payload digest; the batching/shape contract is what a
-    * real model-inference UDF must satisfy. */
+    * real model-inference UDF must satisfy. The digest runs over the HEX
+    * rendering of the bytes (identical in any engine; VARCHAR-only
+    * digest functions — DuckDB's md5 — can then verify arbitrary binary
+    * payloads, WAV headers included). */
   def extractFeatures(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"),
       transform(sequence(lit(0), lit(7)),
-        i => (Hashing.hexInt(concat(md5(col("payload")), i.cast("string"))) % 1000)
+        i => (Hashing.hexInt(concat(md5(hex(col("payload"))), i.cast("string"))) % 1000)
           .cast("double") / 1000.0).as("features"))
 }

@@ -1461,22 +1461,47 @@ object ExtQueries {
        |      / (a.nv * b.nv), 6) >= 0.4""".stripMargin
   }
 
-  /** media CTE = Multimodal.mediaFromDocuments in SQL (payload = UTF-8
-    * bytes of text; kind cycles by doc_id % 3). */
-  private val mediaCte =
-    """media AS (SELECT doc_id AS media_id,
-      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  encode(text) AS payload FROM documents),
-      |m AS (SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n,
-      |  payload FROM media)""".stripMargin
+  /** Little-endian byte rendering of an int expression — DuckDB twin of
+    * Multimodal.leBytes. */
+  private def leSql(v: String, nBytes: Int): String =
+    "unhex(printf('" + "%02x" * nBytes + "', " +
+      (0 until nBytes).map(i => s"((($v) >> ${8 * i}) & 255)").mkString(", ") +
+      "))"
+
+  /** media CTE = Multimodal.mediaFromDocuments in SQL: payload = UTF-8
+    * text bytes, except AUDIO rows carry a real PCM WAV wrapping those
+    * bytes — the oracle assembles the IDENTICAL 44-byte-header blob from
+    * first principles, so the Spark side's javax.sound.sampled decode is
+    * checked against an independent reconstruction of the container. */
+  private val mediaCte = {
+    val wav = Seq(
+      "'RIFF'::BLOB", leSql("dlen + 36", 4),
+      "'WAVEfmt '::BLOB", leSql("16", 4),
+      leSql("1", 2), leSql("1", 2),
+      leSql("sr", 4), leSql("sr", 4),
+      leSql("1", 2), leSql("8", 2),
+      "'data'::BLOB", leSql("dlen", 4), "data").mkString(" || ")
+    s"""media AS (SELECT doc_id AS media_id,
+       |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |  encode(text) AS data,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+       |  CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS BIGINT) AS sr
+       |  FROM documents),
+       |mp AS (SELECT media_id, kind, dlen, sr,
+       |  CASE WHEN kind = 'audio' THEN $wav ELSE data END AS payload
+       |  FROM media),
+       |m AS (SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n,
+       |  payload, dlen, sr FROM mp)""".stripMargin
+  }
 
   private val mmMetaSql =
     s"""WITH $mediaCte
        |SELECT media_id, kind, n AS n_bytes,
        |  CASE kind WHEN 'image' THEN 64 + n % 512 WHEN 'video' THEN CAST(320 AS BIGINT) END AS width,
        |  CASE kind WHEN 'image' THEN 64 + (n * 7) % 512 WHEN 'video' THEN CAST(240 AS BIGINT) END AS height,
-       |  CASE kind WHEN 'audio' THEN 8000 + (n % 3) * 4000 END AS sample_rate,
-       |  CASE WHEN kind IN ('audio', 'video') THEN n * 13 % 10000 END AS duration_ms
+       |  CASE kind WHEN 'audio' THEN sr END AS sample_rate,
+       |  CASE kind WHEN 'audio' THEN dlen * 1000 // sr
+       |            WHEN 'video' THEN n * 13 % 10000 END AS duration_ms
        |FROM m""".stripMargin
 
   private val mmFramesSql =
@@ -1488,7 +1513,7 @@ object ExtQueries {
 
   private val mmAudioWindowsSql =
     s"""WITH $mediaCte,
-       |a AS (SELECT media_id, 8000 + (n % 3) * 4000 AS sr, n * 13 % 10000 AS dur
+       |a AS (SELECT media_id, sr, dlen * 1000 // sr AS dur
        |  FROM m WHERE kind = 'audio'),
        |w AS (SELECT media_id, sr, dur, unnest(range(0, dur, 100)) AS window_ms
        |  FROM a WHERE dur > 0)
@@ -1498,9 +1523,10 @@ object ExtQueries {
 
   private val mmFeaturesSql: String = {
     val fs = (0 until 8).map(i =>
-      // DuckDB md5 only takes VARCHAR; payload is UTF-8 text bytes, so the
-      // round-trip cast digests the same bytes Spark's md5(binary) sees.
-      s"CAST(${hexIntSql(s"(md5(CAST(payload AS VARCHAR)) || '$i')")} % 1000 AS DOUBLE) / 1000.0 AS f$i")
+      // the digest runs over hex(payload) in BOTH engines: DuckDB md5
+      // only takes VARCHAR, and hex is byte-faithful for arbitrary
+      // binary (WAV headers included) where a VARCHAR cast is not
+      s"CAST(${hexIntSql(s"(md5(hex(payload)) || '$i')")} % 1000 AS DOUBLE) / 1000.0 AS f$i")
       .mkString(",\n  ")
     s"""WITH $mediaCte
        |SELECT media_id, kind,

@@ -13,13 +13,14 @@ class MultimodalSpec extends SparkSpec {
     (2L, "some video payload")) // → video
     .toDF("doc_id", "text")
 
-  test("media derivation: kind cycle and byte payload") {
+  test("media derivation: kind cycle and byte payload (audio = WAV-wrapped)") {
     val m = Multimodal.mediaFromDocuments(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).length)).toSet
-    assert(m === Set((0L, "image", 4), (1L, "audio", 17), (2L, "video", 18)))
+    // audio payload = 44-byte canonical WAV header + the 17 text bytes
+    assert(m === Set((0L, "image", 4), (1L, "audio", 61), (2L, "video", 18)))
   }
 
-  test("decodeMeta applies the deterministic stub per kind") {
+  test("decodeMeta: stub for image/video text bytes, REAL decode for audio WAV") {
     val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs))
       .collect().map(r => r.getLong(0) -> r).toMap
     // image n=4: width 64+4%512=68, height 64+28%512=92
@@ -27,8 +28,11 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(0L).getLong(2) === 4L)
     assert(meta(0L).getLong(3) === 68L && meta(0L).getLong(4) === 92L)
     assert(meta(0L).isNullAt(5) && meta(0L).isNullAt(6))
-    // audio n=17: rate 8000+(17%3)*4000=16000, dur 17*13%10000=221
-    assert(meta(1L).getLong(5) === 16000L && meta(1L).getLong(6) === 221L)
+    // audio: 17 data bytes → header sr = 8000+(17%3)*4000 = 16000 Hz,
+    // javax.sound.sampled reads it back: 17 frames → 17·1000/16000 = 1 ms
+    assert(meta(1L).getLong(2) === 61L)
+    assert(meta(1L).getLong(5) === 16000L && meta(1L).getLong(6) === 1L)
+    assert(meta(1L).isNullAt(3) && meta(1L).isNullAt(4))
     // video n=18: 320x240, dur 18*13%10000=234
     assert(meta(2L).getLong(3) === 320L && meta(2L).getLong(4) === 240L)
   }
@@ -131,6 +135,51 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resampleReal(img, 256, 192)
     assert(r.getLong(5) === out.length.toLong)
     assert(Multimodal.imageDims(out) === Some((256L, 192L)))
+  }
+
+  /** A fixture WAV written by the JDK's OWN encoder (AudioSystem.write),
+    * not our columnar builder — decoding it proves the decode path
+    * against an independent producer. 16-bit stereo to exercise a frame
+    * size ≠ 1 byte. */
+  private def fixtureWav(sampleRate: Float, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 2, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    for (i <- pcm.indices) pcm(i) = (i * 31).toByte
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads decode via javax.sound.sampled: true rate + duration") {
+    val media = Seq(
+      (40L, "audio", fixtureWav(44100f, 22050)),     // 0.5 s stereo
+      (41L, "audio", fixtureWav(8000f, 1000)),       // 125 ms
+      (42L, "audio", "not audio at all".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(meta(40L).getLong(5) === 44100L && meta(40L).getLong(6) === 500L)
+    assert(meta(41L).getLong(5) === 8000L && meta(41L).getLong(6) === 125L)
+    // undecodable bytes keep the deterministic stub (n=16 → rate 12000)
+    assert(meta(42L).getLong(5) === (8000L + (16 % 3) * 4000))
+    assert(meta(42L).getLong(6) === (16L * 13 % 10000))
+  }
+
+  test("columnar WAV builder produces bytes the JDK decoder accepts") {
+    // the builder is columnar SQL; round-trip its output through
+    // audioMeta directly to pin the header layout
+    val built = Multimodal.mediaFromDocuments(
+        Seq((1L, "hello world audio")).toDF("doc_id", "text"))
+      .head().getAs[Array[Byte]](2)
+    assert(Multimodal.audioMeta(built) === Some((16000L, 1L)))
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(built))
+    assert(aff.getFormat.getSampleSizeInBits === 8)
+    assert(aff.getFormat.getChannels === 1)
+    assert(aff.getFrameLength === 17)
   }
 
   test("imageStats: exact luminance stats from lossless PNG pixels") {
