@@ -335,14 +335,36 @@ object ExtQueries {
     graft.ext.KMeans.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
-  /** Persisted residual IVF-PQ: cell-clustered codes + residual codebook
-    * in per-run scratch; hash-matches the recompute path (shares
-    * q_sim_ivfpq_res's oracle). */
+  private def resIndexStore(s: SparkSession, dir: String) =
+    new graft.store.TableStore(s, CoreQueries.scratch(dir, "ivfpqr_index"))
+
+  /** Build + persist the residual IVF-PQ index — the once-per-corpus
+    * job, benched SEPARATELY from the search (VERDICT r6 #4) so the
+    * gate sees search-side regressions, which are what matter at 100×
+    * (the build amortizes; the search runs per request). Emits the
+    * persisted tables' cardinalities read back from the store: coarse =
+    * K centroids, codebook = subspaces·k rows, codes = |corpus|·subspaces
+    * rows — the last is the real assertion (every vector encoded in
+    * every subspace, none dropped by the clustered write). */
+  def qSimIvfPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val store = resIndexStore(s, dir)
+    graft.ext.PqIndex.buildIvfResidual(store, emb(s, dir))
+    import s.implicits._
+    Seq("coarse", "codebook", "codes")
+      .map(p => (p, store.read(s"ivfpqr_$p").count()))
+      .toDF("part", "n_rows")
+  }
+
+  /** Persisted residual IVF-PQ SEARCH over the pre-built index (built by
+    * q_sim_ivfpq_build, which sorts before this query in the bench; when
+    * run standalone the index builds lazily). Hash-matches the recompute
+    * path (shares q_sim_ivfpq_res's oracle) — the persisted state
+    * round-trips exactly. */
   def qSimIvfPqResIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val store = new graft.store.TableStore(s,
-      CoreQueries.scratch(dir, "ivfpqr_index"))
-    graft.ext.PqIndex.buildIvfResidual(store, e)
+    val store = resIndexStore(s, dir)
+    if (!store.exists("ivfpqr_codes"))
+      graft.ext.PqIndex.buildIvfResidual(store, e)
     graft.ext.PqIndex.searchIvfResidual(store, e.filter(col("vec_id") < 8),
       topK = 5)
   }
@@ -443,6 +465,7 @@ object ExtQueries {
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_indexed" -> (qSimIvfPqIndexed _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
+    "q_sim_ivfpq_build" -> (qSimIvfPqBuild _),
     "q_sim_ivfpq_res_indexed" -> (qSimIvfPqResIndexed _),
     "q_sim_pq_stream_twin" -> (qSimPqStreamTwin _),
     "q_emb_quantize" -> (qEmbQuantize _),
@@ -1652,6 +1675,13 @@ object ExtQueries {
     "q_sim_ivfpq_indexed" -> simIvfPqSql,
     "q_sim_ivfpq_res" -> simIvfPqResSql,
     "q_sim_ivfpq_res_indexed" -> simIvfPqResSql,
+    // cardinalities of the persisted index tables: K coarse centroids,
+    // subspaces·k codebook rows, one code row per (vector, subspace)
+    "q_sim_ivfpq_build" ->
+      """SELECT 'coarse' AS part, CAST(8 AS BIGINT) AS n_rows
+        |UNION ALL SELECT 'codebook', CAST(128 AS BIGINT)
+        |UNION ALL SELECT 'codes',
+        |  (SELECT CAST(count(*) * 8 AS BIGINT) FROM embeddings)""".stripMargin,
     "q_emb_quantize" -> embQuantizeSql,
     "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,
