@@ -89,7 +89,12 @@ object PipelineQueries {
         lit("N").as("da_deleted_flag"),
         lit("Y").as("da_current_flag"))
 
-  def qPipelineAnalytics(s: SparkSession, dir: String): DataFrame = {
+  /** Stages 1-3 of the pipeline: SCD2 registry → current-slice gate →
+    * hourly resample of the gated readings. Exposed un-checkpointed so
+    * PlanSpec can assert the scale shape of the REAL query plan (the
+    * broadcast left-semi gate on the events scan, single fact shuffle) —
+    * qPipelineAnalytics checkpoints the result before the stats join. */
+  private[graft] def gatedResample(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     // user universe pinned once — stg and tgt both derive from it
     val u = users(s, dir).localCheckpoint()
@@ -103,11 +108,15 @@ object PipelineQueries {
         col("status") === "B" && col("totalprice") >= 2.0)
       .select(col("nk").as("user_id"))
     // stage 3: hourly resample of the gated readings (one map-side-
-    // combined shuffle); checkpointed — it feeds stats AND the gate scan
-    val res = TimeSeries.resample(
-        ev.join(broadcast(active), Seq("user_id"), "left_semi"),
-        "user_id", "ts", "value", 3600)
-      .localCheckpoint()
+    // combined shuffle)
+    TimeSeries.resample(
+      ev.join(broadcast(active), Seq("user_id"), "left_semi"),
+      "user_id", "ts", "value", 3600)
+  }
+
+  def qPipelineAnalytics(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed — the grid feeds stats AND the z-score join
+    val res = gatedResample(s, dir).localCheckpoint()
     // stage 4: per-device z-score gate on hourly totals. Sufficient
     // statistics accumulate as decimal(38,0) — EXACT for any real-world
     // volume (an hourly cents sum past ~3·10⁹ would overflow an int64

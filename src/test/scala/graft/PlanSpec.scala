@@ -248,6 +248,47 @@ class PlanSpec extends SparkSpec {
     assert(perType >= 20, s"expected ≥20 day-buckets per type, got $perType")
   }
 
+  test("pipeline analytics: broadcast-semi gate on the events scan, one fact shuffle") {
+    // the composition's scale claim (PipelineQueries scaladoc): the SCD2
+    // current slice BROADCASTS into a left-semi on the raw events scan
+    // (no fact shuffle to apply the gate), and the only exchange on the
+    // fact branch is the (user_id, bucket) resample shuffle. A regression
+    // in Historizer output sizing would flip the gate to SortMergeJoin —
+    // that must fail here, not surface as a bench number.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      graft.queries.PipelineQueries.gatedResample(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // fact branch = everything not under a broadcast exchange (the
+    // dimension pipeline hides behind the broadcast boundary)
+    def factBranch(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeExec => Seq.empty
+      case _ => p +: p.children.flatMap(factBranch)
+    }
+    val fact = factBranch(plan)
+    val semi = fact.collect { case j: BroadcastHashJoinExec
+      if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j }
+    assert(semi.nonEmpty, s"gate is not a broadcast left-semi join:\n$plan")
+    val shuffles = fact.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"expected exactly one fact-branch exchange, got ${shuffles.size}:\n$plan")
+    // the bucket key appears pre-alias as _groupingexpression in the
+    // partial-aggregate exchange
+    val part = shuffles.head.outputPartitioning.toString
+    assert(part.contains("user_id") &&
+      (part.contains("bucket") || part.contains("_groupingexpression")),
+      s"fact shuffle is not the resample (user_id, bucket) exchange:\n$plan")
+    // and the branch reads the events parquet directly
+    assert(fact.exists {
+      case f: FileSourceScanExec => f.toString.contains("events")
+      case _ => false
+    }, s"no direct events scan on the fact branch:\n$plan")
+  }
+
   test("ivfpq indexed search: probed-cell IN filter prunes the codes scan") {
     // the q_sim_ivfpq_indexed store lives in per-run scratch; build+search
     // once and inspect the executed plan of the search
