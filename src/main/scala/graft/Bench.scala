@@ -85,12 +85,39 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val longLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(longLine)
+    // mechanical per-query regression gate (VERDICT r6 #1): feed the run
+    // straight into tools/benchgate.py against the committed baseline so
+    // every bench artifact carries the gate's pass/fail verdict
+    val gate: String = {
+      val base = new java.io.File("BENCH_BASELINE.json")
+      val script = new java.io.File("tools/benchgate.py")
+      if (!script.exists()) "absent"
+      else try {
+        val pb = new ProcessBuilder("python3", script.getPath, base.getPath, "-")
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        p.getOutputStream.write(longLine.getBytes("UTF-8"))
+        p.getOutputStream.close()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val code = p.waitFor()
+        out.linesIterator.foreach(l => println(s"[benchgate] $l"))
+        code match {
+          case 0 => "pass"
+          case 1 => "fail"
+          case _ => "no-baseline"
+        }
+      } catch { case scala.util.control.NonFatal(_) => "error" }
+    }
     // the per-query line above has outgrown the driver's tail window (the
     // sbt [success] footer truncates it from the front → BENCH_r1-r4 all
     // record "parsed": null), so ALSO emit a compact summary LAST: the
-    // tail then always ends with one short parseable JSON line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    // tail then always ends with one short parseable JSON line — now
+    // carrying the gate verdict so it reaches the round artifact even if
+    // the [benchgate] lines scroll out of the window
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"gate":"$gate","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,12 +18,18 @@ noise; genuinely slow queries are held to the 2x contract. New queries
 the baseline when the set changes.
 """
 import json
+import os
 import sys
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
+        return 2
+    if not os.path.exists(sys.argv[1]):
+        print(f"benchgate: baseline file '{sys.argv[1]}' does not exist — "
+              "record one (per-query median of 3 restart-enabled Bench runs) "
+              "and commit it; the gate cannot run without it")
         return 2
     baseline = json.load(open(sys.argv[1]))["queries"]
     raw = sys.stdin.read() if sys.argv[2] == "-" else open(sys.argv[2]).read()
