@@ -77,6 +77,27 @@ object Scd2Queries {
     }.toSeq: _*)
   }
 
+  /** Point-in-time read of the historized registry (Historizer
+    * .pointInTime): every fixture key probed at two instants straddling
+    * the 2024-06-01 close-out boundary, so the result exercises the
+    * version switch ('U' keys answer with the OLD version before, the
+    * NEW after), not-yet-known keys ('I' keys are null before, present
+    * after) and never-known keys (%10==5, null at both instants). */
+  def qScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val applied = Historizer.applyScd2(stg(s, dir), tgt(s, dir), conf, now)
+    val probes = graft.Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 <= 5)
+      .select(col("o_orderkey").as("nk"),
+        explode(array(
+          lit(Timestamp.valueOf("2024-03-01 00:00:00")),
+          lit(Timestamp.valueOf("2024-07-01 00:00:00")))).as("as_of"))
+    Historizer.pointInTime(applied, probes, conf, "as_of")
+      .select(probes("nk"), probes("as_of"),
+        applied("hist_key"), applied("totalprice"), applied("status"),
+        date_format(applied("da_valid_from_date"), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_from"))
+  }
+
   /** Fixture tree lives at a STABLE temp path so the DuckDB oracle can
     * `read_json` the very same bytes the pipeline ingested (the driver
     * runs Verify first, which writes this file, then the oracle SQL). */
@@ -115,6 +136,7 @@ object Scd2Queries {
   def queries: Map[String, Q] = Map(
     "q_scd2_delta" -> (qScd2Delta _),
     "q_scd2_apply" -> (qScd2Apply _),
+    "q_scd2_asof" -> (qScd2Asof _),
     "q_pipeline_e2e" -> (qPipelineE2E _))
 
   /** DuckDB equivalents. The hash is only compared within-engine (hash
@@ -153,8 +175,10 @@ object Scd2Queries {
        |FROM tmp CROSS JOIN
        |  (SELECT MAX(hist_ak) AS max_ak, MAX(hist_key) AS max_key FROM ($tgtSql)) max_val""".stripMargin
 
-  private val applySql =
-    s"""WITH stg_h AS (SELECT nk, $hash AS delta_hash FROM ($stgSql)),
+  /** The SCD2-apply CTE chain (through `unioned`, the new target
+    * content) — shared by the apply oracle and the point-in-time oracle. */
+  private val applyCtes =
+    s"""stg_h AS (SELECT nk, $hash AS delta_hash FROM ($stgSql)),
        |tgt_h AS (SELECT hist_key, hist_ak, nk, $hash AS delta_hash
        |          FROM ($tgtSql) WHERE da_current_flag = 'Y'),
        |tmp AS (
@@ -193,7 +217,10 @@ object Scd2Queries {
        |        WHERE s.load_key = 1) rn
        |  JOIN (SELECT nk, hist_ak FROM tmp WHERE upsert_cd IN ('I','U')) e ON rn.nk = e.nk
        |  CROSS JOIN maxv),
-       |unioned AS (SELECT * FROM closed UNION ALL SELECT * FROM ins)
+       |unioned AS (SELECT * FROM closed UNION ALL SELECT * FROM ins)""".stripMargin
+
+  private val applySql =
+    s"""WITH $applyCtes
        |SELECT hist_ak, hist_key, nk, totalprice, status,
        |  strftime(da_updated_datetime, '%Y-%m-%d %H:%M:%S') AS da_updated_datetime,
        |  strftime(da_inserted_datetime, '%Y-%m-%d %H:%M:%S') AS da_inserted_datetime,
@@ -201,6 +228,22 @@ object Scd2Queries {
        |  strftime(da_valid_from_date, '%Y-%m-%d %H:%M:%S') AS da_valid_from_date,
        |  da_deleted_flag, da_current_flag
        |FROM unioned""".stripMargin
+
+  /** Point-in-time oracle: the SAME registry content (applyCtes), range-
+    * probed at two instants straddling the close-out boundary. */
+  private val asofSql =
+    s"""WITH $applyCtes,
+       |probes AS (
+       |  SELECT o_orderkey AS nk, t.as_of
+       |  FROM orders,
+       |    (VALUES (TIMESTAMP '2024-03-01 00:00:00'),
+       |            (TIMESTAMP '2024-07-01 00:00:00')) t(as_of)
+       |  WHERE o_orderkey % 10 <= 5)
+       |SELECT p.nk, p.as_of, u.hist_key, u.totalprice, u.status,
+       |  strftime(u.da_valid_from_date, '%Y-%m-%d %H:%M:%S') AS valid_from
+       |FROM probes p LEFT JOIN unioned u
+       |  ON u.nk = p.nk AND p.as_of >= u.da_valid_from_date
+       |                 AND p.as_of < u.da_valid_to_date""".stripMargin
 
   /** The e2e pipeline as one DuckDB text over the SAME fixture file the
     * Spark run ingested (written to [[fixturePath]] by qPipelineE2E,
@@ -244,5 +287,6 @@ object Scd2Queries {
   def oracleSql: Map[String, String] = Map(
     "q_scd2_delta" -> deltaSql,
     "q_scd2_apply" -> applySql,
+    "q_scd2_asof" -> asofSql,
     "q_pipeline_e2e" -> e2eSql)
 }

@@ -237,6 +237,31 @@ object Historizer {
     closed.unionByName(ins.select(tgt.columns.map(col).toSeq: _*))
   }
 
+  /** Point-in-time read of a historized target — the query shape the
+    * SCD2 table EXISTS for (the reference historizes
+    * `HIST_DHT11_DATA` precisely so consumers can ask "what did this
+    * row look like at instant T", Delta_detection_query_gen.py:287-296).
+    * Each probe row resolves to the version whose validity interval
+    * covers its as-of instant; because [[closeOut]] stamps the closed
+    * version's `da_valid_to_date` with the same `now` the replacement's
+    * `da_valid_from_date` gets, the intervals
+    * [da_valid_from_date, da_valid_to_date) PARTITION time per natural
+    * key — at most one version matches any probe. Probes before a key's
+    * first version, or for keys the registry never saw, keep null
+    * target columns (left join).
+    *
+    * Scale: ONE equi-join shuffle on the natural keys with the validity
+    * test as a post-join filter — never a range-join product; with a
+    * metadata-sized probe set AQE broadcasts it and the target is not
+    * shuffled at all. */
+  def pointInTime(tgt: DataFrame, probes: DataFrame, conf: Scd2Config,
+      asOfCol: String): DataFrame = {
+    val cond = conf.naturalKeys.map(k => probes(k) === tgt(k)).reduce(_ && _) &&
+      probes(asOfCol) >= tgt("da_valid_from_date") &&
+      probes(asOfCol) < tgt("da_valid_to_date")
+    probes.join(tgt, cond, "left")
+  }
+
   /** Natural-key hash bucket — the SCD2 target's partition key. Engine-
     * internal (never oracle-compared), so the fast builtin xxhash64 is
     * fine; deterministic across runs and executors. */

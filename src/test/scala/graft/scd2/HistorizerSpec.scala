@@ -127,6 +127,42 @@ class HistorizerSpec extends SparkSpec {
     assert(cur.filter($"count" =!= 1).count() == 0)
   }
 
+  test("pointInTime resolves exactly the version valid at each probe instant") {
+    val now2 = Timestamp.valueOf("2024-03-10 00:00:00")
+    // version 1 of (DEV01, t0) at `now`, superseded by version 2 at now2
+    val tgt1 = Historizer.applyScd2(
+      intRows(("IST", "62.0", "29.4", t0, "DEV01", 1L)), emptyTarget, conf, now)
+    val tgt2 = Historizer.applyScd2(
+      intRows(("IST", "99.9", "29.4", t0, "DEV01", 2L)),
+      tgt1, conf.copy(loadKey = 2L), now2)
+    def probe(dev: String, at: String): DataFrame =
+      Seq((dev, t0, Timestamp.valueOf(at))).toDF("deviceid", "timestamp", "as_of")
+    def lookup(dev: String, at: String): Array[org.apache.spark.sql.Row] =
+      Historizer.pointInTime(tgt2, probe(dev, at), conf, "as_of")
+        .select("humidity", "dht11_key").collect()
+    // before the first version: known key, but not yet in the registry
+    val before = lookup("DEV01", "2024-03-01 00:00:00")
+    assert(before.length == 1 && before.head.isNullAt(0))
+    // between the loads: version 1 answers (not the current version!)
+    val mid = lookup("DEV01", "2024-03-05 00:00:00")
+    assert(mid.length == 1 && mid.head.getString(0) == "62.0")
+    // the boundary instant itself belongs to the NEW version ([from, to))
+    val atBoundary = lookup("DEV01", "2024-03-10 00:00:00")
+    assert(atBoundary.length == 1 && atBoundary.head.getString(0) == "99.9")
+    // after: version 2
+    val after = lookup("DEV01", "2024-04-01 00:00:00")
+    assert(after.length == 1 && after.head.getString(0) == "99.9")
+    // unknown key: row kept, null payload
+    val unknown = lookup("DEV99", "2024-04-01 00:00:00")
+    assert(unknown.length == 1 && unknown.head.isNullAt(0))
+    // at-most-one version matches ANY probe (intervals partition time)
+    val all = Historizer.pointInTime(tgt2,
+      probe("DEV01", "2024-03-05 00:00:00")
+        .unionByName(probe("DEV01", "2024-04-01 00:00:00")), conf, "as_of")
+      .groupBy("as_of").count()
+    assert(all.filter($"count" =!= 1).count() == 0)
+  }
+
   test("applyScd2 re-run of identical batch is a no-op (all NC)") {
     val batch = intRows(("IST", "62.0", "29.4", t0, "DEV01", 1L))
     val tgt1 = Historizer.applyScd2(batch, emptyTarget, conf, now)
