@@ -289,6 +289,16 @@ class PlanSpec extends SparkSpec {
     }, s"no direct events scan on the fact branch:\n$plan")
   }
 
+  test("scd2 point-in-time: equi-join on the natural key, never a range product") {
+    // the validity test must ride as a post-join filter on an equi-join;
+    // a planner that only sees the range predicates would fall back to
+    // BroadcastNestedLoopJoin / CartesianProduct — quadratic at scale
+    val p = plan("q_scd2_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"point-in-time lookup degraded to a product:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("ivfpq indexed search: probed-cell IN filter prunes the codes scan") {
     // the q_sim_ivfpq_indexed store lives in per-run scratch; build+search
     // once and inspect the executed plan of the search
