@@ -136,6 +136,43 @@ object TextAnalysis {
           coalesce(col("n_ngrams"), lit(0L))).as("top_gram_frac"))
   }
 
+  /** Corpus trigram-typicality score — the statistical shape of a
+    * CCNet-style LM quality filter with the transcendental parts
+    * removed: each document's DISTINCT character trigrams look up their
+    * corpus DOCUMENT FREQUENCY, and the score is the mean df over the
+    * doc's distinct trigrams. Gibberish, wrong-charset and
+    * random-key documents score LOW (their trigrams are rare across the
+    * corpus); typical prose scores high. Emitted as exact integer
+    * sufficient statistics (n_tris, df_sum) plus ONE final double
+    * division — no logs, so the score is bit-identical in any engine
+    * (an actual log-perplexity would hash-flake on last-ulp `ln`
+    * differences between engines).
+    *
+    * Plan shape (100 TB): explode positions (codegen Generate) → one
+    * (doc, tri) DISTINCT shuffle → map-side-combined df counts → one
+    * tri-keyed equi-join back → one per-doc aggregate. Every exchange is
+    * key-partitioned; nothing quadratic, no driver state. The distinct
+    * trigram set is pinned once (it feeds both the df aggregate and the
+    * join). Docs shorter than 3 chars have no trigrams and drop — keep
+    * them with a left join from the corpus if needed. */
+  def trigramTypicality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tris = docs
+      .filter(length(col(textCol)) >= 3)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - 2)).as("p"),
+        col(textCol))
+      .select(col(idCol), col(textCol).substr(col("p"), lit(3)).as("tri"))
+      .distinct()
+      .localCheckpoint()
+    val dfCounts = tris.groupBy(col("tri")).agg(count(lit(1)).as("df"))
+    tris.join(dfCounts, Seq("tri"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tris"), sum(col("df")).as("df_sum"))
+      .select(col(idCol), col("n_tris"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_tris")).as("typicality"))
+  }
+
   /** Rolling-hash document fingerprint: minimum 32-bit hash over char
     * 5-grams (winnowing with window = whole doc), plus the distinct
     * 5-gram count. Content-defined ⇒ robust to whitespace-preserving

@@ -400,6 +400,10 @@ object ExtQueries {
   def qCurationDomaincap(s: SparkSession, dir: String): DataFrame =
     Curation.capPerGroup(docs(s, dir), col("source"), cap = 60)
 
+  /** Corpus trigram-typicality quality score (gibberish detector). */
+  def qTextTypicality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trigramTypicality(docs(s, dir))
+
   // ----------------------------------------------------- multimodal
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -473,6 +477,7 @@ object ExtQueries {
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
+    "q_text_typicality" -> (qTextTypicality _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
@@ -1484,6 +1489,19 @@ object ExtQueries {
        |      / (a.nv * b.nv), 6) >= 0.4""".stripMargin
   }
 
+  /** Typicality oracle: identical chain — per-doc distinct char
+    * trigrams, corpus df, mean df as one final double division. */
+  private val textTypicalitySql =
+    """WITH tris AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 3) AS tri
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS p
+      |        FROM documents WHERE length(text) >= 3)),
+      |dfc AS (SELECT tri, CAST(count(*) AS BIGINT) AS df FROM tris GROUP BY tri)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
+      |  CAST(sum(df) AS BIGINT) AS df_sum,
+      |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS typicality
+      |FROM tris JOIN dfc USING (tri) GROUP BY doc_id""".stripMargin
+
   /** Little-endian byte rendering of an int expression — DuckDB twin of
     * Multimodal.leBytes. */
   private def leSql(v: String, nBytes: Int): String =
@@ -1687,6 +1705,7 @@ object ExtQueries {
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,
+    "q_text_typicality" -> textTypicalitySql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,

@@ -110,4 +110,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L)(4) === 0L)                             // f_dup_words trips
     assert(out.filterKeys(_ != 1L).values.forall(_.last == 0L))
   }
+
+  test("trigram typicality: gibberish scores below prose, stats are exact") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "the bat sat on the mat"),
+      (4L, "qzxjvkwpfyqzxjvkwpfy"),   // gibberish: trigrams unique to it
+      (5L, "no")                      // < 3 chars: drops
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramTypicality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(5L))
+    // prose docs share most trigrams (df 2-3); the gibberish doc's
+    // trigrams appear nowhere else (df 1, plus maybe a stray overlap)
+    val prose = Seq(1L, 2L, 3L).map(out(_).getDouble(3))
+    val junk = out(4L).getDouble(3)
+    assert(prose.forall(_ > junk * 1.5), s"prose $prose vs junk $junk")
+    // exact sufficient statistics: n_tris = distinct trigrams, df_sum ≥ n_tris
+    out.values.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-12)
+    }
+    // determinism across invocations (distinct + checkpoint don't drift)
+    val again = TextAnalysis.trigramTypicality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.view.mapValues(_.getDouble(3)).toMap === again)
+  }
 }
