@@ -43,10 +43,14 @@ class Scd2PropertiesSpec extends SparkSpec {
       (nonEmpty.nonEmpty: Prop) ==> {
         var tgt = emptyTarget
         var now = Timestamp.valueOf("2024-06-01 00:00:00")
+        var snaps = List.empty[(Timestamp, Map[Int, (Int, Int)])]
+        var model = Map.empty[Int, (Int, Int)]
         nonEmpty.zipWithIndex.foreach { case (b, i) =>
           tgt = Historizer.applyScd2(toDf(b, i + 1L), tgt,
             conf.copy(loadKey = i + 1L), now).cache()
           tgt.count() // settle the plan before the next round builds on it
+          model ++= b
+          snaps = snaps :+ (now, model)
           now = new Timestamp(now.getTime + 86400000L)
         }
         val rows = tgt.collect()
@@ -77,7 +81,30 @@ class Scd2PropertiesSpec extends SparkSpec {
           byKey(ts).find(_.getAs[String]("da_current_flag") == "Y")
             .exists(_.getAs[String]("humidity") == s"$h.0")
         }
-        val ok = oneCurrent && ordered && gapless && stable && payloadRight
+        // 6: point-in-time resolves the model AS OF any probe instant —
+        // before the first load (null), 12h after each load (that load's
+        // model), never more than one version per probe
+        val probeInstants: List[Timestamp] =
+          Timestamp.valueOf("2024-05-01 00:00:00") ::
+            snaps.map { case (t, _) => new Timestamp(t.getTime + 43200000L) }
+        val probeRows = for { k <- (0 until 6).toList; at <- probeInstants }
+          yield (new Timestamp(t0.getTime + k * 300000L), "DEV01", at)
+        val probeDf = probeRows.toDF("timestamp", "deviceid", "as_of")
+        val pit = Historizer.pointInTime(tgt, probeDf, conf, "as_of")
+        val got = pit.select(probeDf("timestamp"), probeDf("as_of"),
+            tgt("humidity")).collect()
+        val atMostOne = got.length == probeRows.length
+        val byProbe = got
+          .map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> Option(r.getString(2)))
+          .toMap
+        val pitRight = atMostOne && probeRows.forall { case (ts, _, at) =>
+          val k = ((ts.getTime - t0.getTime) / 300000L).toInt
+          val expected = snaps.takeWhile(_._1.getTime <= at.getTime)
+            .lastOption.flatMap(_._2.get(k)).map { case (h, _) => s"$h.0" }
+          byProbe((ts, at)) == expected
+        }
+        val ok = oneCurrent && ordered && gapless && stable &&
+          payloadRight && pitRight
         tgt.unpersist()
         ok: Prop
       }
