@@ -111,7 +111,13 @@ object Scd2Queries {
     * the target byte-identical). Oracle-checked since r7: the DuckDB
     * text below recomputes the same chain from the fixture JSON. */
   def qPipelineE2E(s: SparkSession, dir: String): DataFrame = {
-    Files.writeString(fixturePath, fixtureTree)
+    // atomic publish: concurrent Verify/Bench processes share the stable
+    // path, and a reader (the DuckDB oracle) must never see a torn write
+    val stage = Files.createTempFile(fixturePath.getParent, "graft_e2e_", ".tmp")
+    Files.writeString(stage, fixtureTree)
+    Files.move(stage, fixturePath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val tmp = Files.createTempDirectory("graft-e2e")
     val treePath = tmp.resolve("tree.json")
     Files.writeString(treePath, fixtureTree)
