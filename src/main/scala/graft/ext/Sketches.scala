@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates for corpus-scale profiling (engine capability
@@ -40,4 +41,55 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(valueCol))
       .limit(k)
+
+  /** Domain of [[Hashing.hexLong]]: 15 md5 hex digits = 60 uniform bits. */
+  val kmvHashDomain: Long = 1L << 60
+
+  /** KMV (k-minimum-values) distinct sketch per group — the DETERMINISTIC
+    * sibling of [[approxDistinctProfile]]. HLL internals differ across
+    * engines, so that profile can only be spec-tested against error
+    * bounds; KMV over a portable hash is reproducible bit-for-bit in any
+    * engine, which makes the estimate itself oracle-checkable AND makes
+    * repeated profile runs of the same corpus byte-stable (a property a
+    * training-data audit trail wants from its cardinality numbers).
+    *
+    * Estimator (Bar-Yossef et al. 2002): hash each value uniformly into
+    * [0, 2⁶⁰), keep the k smallest DISTINCT hashes; with U(k) the k-th
+    * smallest, estimate = (k−1)·2⁶⁰/U(k). Fewer than k distinct hashes
+    * means the sketch saw the whole set — the count is exact. The sketch
+    * is mergeable (union = k smallest of the union of keeps), so partial
+    * sketches from corpus shards combine without rescanning.
+    *
+    * Fixed-point arithmetic: (k−1)·2⁶⁰·10⁴ overflows int64, so the
+    * estimate runs in decimal(38,0) (HUGEINT in the oracle) with the
+    * engine-portable ⌊·⌋ spelling `(x − x mod d)/d`; the one
+    * decimal→double cast of the ≤10⁴-scaled exact quotient is lossless.
+    *
+    * Scale shape: one map-side-combined distinct on (group, hash), then a
+    * rank-filter window that Spark rewrites to a WindowGroupLimit — each
+    * map task forwards at most k rows per group BEFORE the exchange, so
+    * the shuffle carries O(groups·k), not the distinct-hash volume. The
+    * final per-group agg is k rows each. Nothing global, no collect. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val dec = "decimal(38,0)"
+    val hashes = df
+      .select(col(groupCol), Hashing.hexLong(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    val kept = hashes.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val scaled = lit(k - 1).cast(dec) * lit(kmvHashDomain).cast(dec) *
+      lit(10000L).cast(dec)
+    val kth = col("kth_hash").cast(dec)
+    kept.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+      .select(col(groupCol), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k || col("kth_hash") === 0L,
+            col("n_kept").cast("double"))
+          .otherwise(((scaled - pmod(scaled, kth)) / kth).cast("double") /
+            10000.0)
+          .as("est_distinct"))
+  }
 }

@@ -341,6 +341,47 @@ object ScaleQueries {
       |JOIN (SELECT event_type, count(*) AS type_cnt FROM events GROUP BY 1) d
       |  USING (event_type)""".stripMargin
 
+  // -------------------------------------------------- KMV distinct sketch
+  /** Deterministic cardinality profile: KMV(64) estimate of distinct
+    * event values (exact integer cents) per event type, next to the exact
+    * count it approximates. Unlike the HLL profile (spec-tested only —
+    * sketch internals aren't portable), every column here hash-matches a
+    * DuckDB oracle computing the same k-minimum-values estimator. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketches
+    val cents = col("value_cents")
+    val ev = t(s, dir, "events").select(col("event_type"),
+      round(col("value") * 100).cast("decimal(18,0)").cast("long")
+        .as("value_cents"))
+    val sk = Sketches.kmvDistinct(ev, "event_type", "value_cents", k = 64)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(cents).as("n_exact"))
+    sk.join(exact, "event_type")
+      .select(col("event_type"), col("n_kept"), col("kth_hash"),
+        col("est_distinct"), col("n_exact"))
+  }
+
+  private val kmvDistinctOracle = {
+    import graft.ext.{Hashing, Sketches}
+    val centsStr =
+      "CAST(CAST(CAST(round(value * 100) AS DECIMAL(18,0)) AS BIGINT) AS VARCHAR)"
+    s"""WITH d AS (SELECT DISTINCT event_type,
+       |    ${Hashing.hexLongSql(centsStr)} AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk FROM d),
+       |k AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash
+       |      FROM r WHERE rnk <= 64 GROUP BY 1),
+       |ex AS (SELECT event_type,
+       |    count(DISTINCT CAST(CAST(round(value * 100) AS DECIMAL(18,0)) AS BIGINT))
+       |      AS n_exact FROM events GROUP BY 1)
+       |SELECT event_type, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 64 OR kth_hash = 0 THEN CAST(n_kept AS DOUBLE)
+       |       ELSE CAST((CAST(63 AS HUGEINT) * ${Sketches.kmvHashDomain} * 10000)
+       |              // kth_hash AS DOUBLE) / 10000.0 END AS est_distinct,
+       |  n_exact
+       |FROM k JOIN ex USING (event_type)""".stripMargin
+  }
+
   // -------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_ts_resample" -> (qTsResample _),
@@ -352,7 +393,8 @@ object ScaleQueries {
     "q_w_rolling_corr" -> (qWRollingCorr _),
     "q_skew_join" -> (qSkewJoin _),
     "q_map_funcs" -> (qMapFuncs _),
-    "q_ts_anomaly" -> (qTsAnomaly _))
+    "q_ts_anomaly" -> (qTsAnomaly _),
+    "q_kmv_distinct" -> (qKmvDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_resample" -> tsResampleOracle,
@@ -364,5 +406,6 @@ object ScaleQueries {
     "q_w_rolling_corr" -> rollingCorrOracle,
     "q_skew_join" -> skewJoinOracle,
     "q_map_funcs" -> mapFuncsOracle,
-    "q_ts_anomaly" -> tsAnomalyOracle)
+    "q_ts_anomaly" -> tsAnomalyOracle,
+    "q_kmv_distinct" -> kmvDistinctOracle)
 }

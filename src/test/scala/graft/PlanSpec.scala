@@ -299,6 +299,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("kmv sketch: rank filter becomes a map-side WindowGroupLimit") {
+    // the k-smallest-per-group filter must run BEFORE the exchange (each
+    // map task forwards ≤ k rows per group); losing the rewrite means the
+    // shuffle carries every distinct hash instead of O(groups·k)
+    val p = plan("q_kmv_distinct")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank filter not rewritten to a partial group limit:\n${p.take(3000)}")
+  }
+
   test("ivfpq indexed search: probed-cell IN filter prunes the codes scan") {
     // the q_sim_ivfpq_indexed store lives in per-run scratch; build+search
     // once and inspect the executed plan of the search

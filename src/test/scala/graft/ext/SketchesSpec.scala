@@ -28,6 +28,44 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(qs.head - exact) <= 2.0, s"median ${qs.head} vs $exact")
   }
 
+  test("KMV estimate lands within 3/sqrt(k) of exact, and is exact under k") {
+    val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
+      .select($"event_type", $"user_id")
+    val est = Sketches.kmvDistinct(ev, "event_type", "user_id", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, ex) =>
+      val rel = math.abs(est(g) - ex) / ex
+      assert(rel < 3.0 / math.sqrt(64), s"$g: est ${est(g)} vs exact $ex")
+    }
+    // fewer distinct values than k: the sketch degrades to an exact count
+    val tiny = Sketches.kmvDistinct(ev, "event_type", "event_type", k = 64)
+      .collect()
+    tiny.foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"under-k sketch not exact: $r")
+    }
+  }
+
+  test("KMV sketches merge: union of shard keeps = keep of the union") {
+    val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
+      .select($"event_type", $"user_id")
+    val whole = Sketches.kmvDistinct(ev, "event_type", "user_id", k = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // shard by user parity, merge the kept hash sets, re-derive (n_kept, kth)
+    val shards = Seq(0, 1).map { p =>
+      val sh = ev.filter($"user_id" % 2 === p)
+      sh.select($"event_type", Hashing.hexLong($"user_id".cast("string")).as("h"))
+        .distinct().collect().map(r => r.getString(0) -> r.getLong(1))
+    }
+    val merged = shards.flatten.groupBy(_._1).map { case (g, hs) =>
+      val keep = hs.map(_._2).distinct.sorted.take(32)
+      (g, keep.size.toLong, keep.last)
+    }.toSet
+    assert(merged === whole)
+  }
+
   test("heavy hitters finds the true top groups with exact counts") {
     val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
     val top = Sketches.heavyHitters(ev, "event_type", 3)
