@@ -1129,6 +1129,41 @@ object CoreQueries {
   def qFunnelSteps(s: SparkSession, dir: String): DataFrame =
     sql(s, dir, sqlFunnelStepsText)
 
+  /** Cohort retention matrix: users bucketed by first-seen day, counted
+    * once per (cohort, day-offset) they return on — the standard "did
+    * day-N users come back?" triangle. Scale shape: the first-seen agg is
+    * map-side combined on user_id; the fact re-joins the |users|-row
+    * cohort dim on the SAME key (AQE broadcasts it at small SF, and at
+    * fact scale the join co-partitions with the agg's exchange); the
+    * distinct on (cohort, offset, user) is the one wide shuffle and the
+    * final count combines map-side. No window, no global funnel. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort"), datediff(col("d"), col("cohort")).as("offset_days"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days").cast("long").as("offset_days"), col("n_users"))
+  }
+
+  private val cohortRetentionOracle =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT f.cohort,
+      |        datediff('day', f.cohort, CAST(e.ts AS DATE)) AS offset_days,
+      |        e.user_id
+      |      FROM events e JOIN f USING (user_id))
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |  CAST(offset_days AS BIGINT) AS offset_days,
+      |  count(*) AS n_users
+      |FROM a GROUP BY 1, 2""".stripMargin
+
   /** Forward-fill (gap-fill) window: carry the last non-null value
     * down a per-user timeline — the time-series imputation operator.
     * Nulls are minted deterministically (error events have no value);
@@ -1487,6 +1522,7 @@ object CoreQueries {
     "q_w_fill_forward" -> (qWFillForward _),
     "q_try_funcs" -> (qTryFuncs _),
     "q_funnel_steps" -> (qFunnelSteps _),
+    "q_cohort_retention" -> (qCohortRetention _),
     "q_a6_quantiles" -> (qA6Quantiles _),
     "q_regexp_funcs" -> (qRegexpFuncs _),
     "q_w_distinct_running" -> (qWDistinctRunning _),
@@ -1807,6 +1843,7 @@ object CoreQueries {
     "q_w_fill_forward" -> fillForwardOracle,
     "q_try_funcs" -> tryFuncsOracle,
     "q_funnel_steps" -> sqlFunnelStepsText,
+    "q_cohort_retention" -> cohortRetentionOracle,
     "q_a6_quantiles" -> sqlQuantilesText,
     "q_regexp_funcs" -> regexpFuncsOracle,
     "q_w_distinct_running" -> wDistinctRunningOracle,
