@@ -70,6 +70,78 @@ object Curation {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** BM25-shaped retrieval: top-k documents per query, scored with
+    * Okapi's tf-saturation and length normalization at k1 = 6/5 and
+    * b = 3/4, on the EXACT rational lattice.
+    *
+    * Per matched query term,
+    *   score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with avgdl = T/N (T total tokens, N docs). With the rational k1/b
+    * this collapses to one integer fraction:
+    *   44·tf·T·(2N − 2df + 1)
+    *   ───────────────────────────────── ,
+    *   (2df + 1)·(20·tf·T + 6·T + 18·dl·N)
+    * where the idf is the Robertson–Sparck-Jones ratio
+    * (N − df + ½)/(df + ½) WITHOUT the log — the same log-free choice as
+    * [[tfidfTopTerms]], since `ln()` is not identically rounded across
+    * engines. The linear idf keeps the logged form's exact df-monotonicity
+    * (single-term rankings are identical); multi-term scores weight rare
+    * terms more sharply, which this engine pins as the operator's
+    * contract. Each term's fraction is floored onto a 10⁻⁶ grid and the
+    * per-document score is the integer SUM of those fixed-point terms —
+    * order-independent, hence identical under any shuffle and in any
+    * engine. Numerators run in decimal(38,0) (HUGEINT in the oracle):
+    * 44·tf·T·2N·10⁶ passes int64 already at millions of docs.
+    *
+    * Scale shape: tf is one map-side-combined shuffle on (doc, term) with
+    * dl riding along (no per-doc re-join); df aggregates off tf (small)
+    * and the ≤|vocab∩queries|-row result broadcasts back, as do the query
+    * terms and the 1-row totals; the per-(query, doc) sum combines
+    * map-side; the final top-k is a rank filter that compiles to a
+    * map-side WindowGroupLimit. Nothing global, no product with the
+    * corpus. */
+  def bm25TopDocs(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "empty query set")
+    val dec = "decimal(38,0)"
+    val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    val terms = base.select(col(idCol), size(col("ws")).cast("long").as("dl"),
+      explode(col("ws")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(size(col("ws")).cast("long")).as("t"))
+    val spark = docs.sparkSession
+    val qTerms = spark.createDataFrame(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) })
+      .toDF("query_id", "term")
+    def d(x: Column): Column = x.cast(dec)
+    val num = d(lit(44)) * d(col("tf")) * d(col("t")) *
+      (d(lit(2)) * d(col("n")) - d(lit(2)) * d(col("df")) + d(lit(1))) *
+      d(lit(1000000L))
+    val den = (d(lit(2)) * d(col("df")) + d(lit(1))) *
+      (d(lit(20)) * d(col("tf")) * d(col("t")) + d(lit(6)) * d(col("t")) +
+        d(lit(18)) * d(col("dl")) * d(col("n")))
+    // df over the FULL vocabulary is too wide to broadcast at corpus
+    // scale — semi-join it down to the ≤|query terms| rows that matter
+    val qDf = df.join(broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val perTerm = tf.join(broadcast(qTerms), "term")
+      .join(broadcast(qDf), "term")
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col(idCol),
+        ((num - pmod(num, den)) / den).cast("long").as("s_q6"))
+    val perDoc = perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("s_q6")).as("s_q6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_q6").desc, col(idCol))
+    perDoc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col(idCol),
+        (col("s_q6").cast("double") / 1000000.0).as("bm25"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Deterministic k-per-group sample: md5-hash-order row_number within
     * each stratum — the reproducible "k examples per language" pull.
     * One shuffle on the stratum; the window is partitioned, so no global

@@ -404,6 +404,18 @@ object ExtQueries {
   def qTextTypicality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.trigramTypicality(docs(s, dir))
 
+  /** The three retrieval probes for BM25 top-10 (corpus-vocabulary terms
+    * with distinct df profiles, so saturation, length-norm and idf all
+    * genuinely move the ranking). Shared with the oracle text. */
+  private[queries] val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("fast", "table", "scan"),
+    1L -> Seq("window", "agg", "batch"),
+    2L -> Seq("customer", "query", "join"))
+
+  /** BM25-shaped retrieval: top-10 docs for each probe query. */
+  def qTextBm25(s: SparkSession, dir: String): DataFrame =
+    Curation.bm25TopDocs(docs(s, dir), bm25Queries, k = 10)
+
   // ----------------------------------------------------- multimodal
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -478,6 +490,7 @@ object ExtQueries {
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
     "q_text_typicality" -> (qTextTypicality _),
+    "q_text_bm25" -> (qTextBm25 _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
@@ -1502,6 +1515,34 @@ object ExtQueries {
       |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS typicality
       |FROM tris JOIN dfc USING (tri) GROUP BY doc_id""".stripMargin
 
+  /** BM25 oracle mirroring Curation.bm25TopDocs: same rational-lattice
+    * per-term fraction (HUGEINT for decimal(38,0)), same 10⁻⁶ floor grid,
+    * same integer sum and (score desc, doc_id) ranking. The probe terms
+    * come from [[bm25Queries]] so the two texts cannot drift. */
+  private val textBm25Sql = {
+    val values = bm25Queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    s"""WITH base AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents),
+       |terms AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM base),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM terms GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, sum(len(ws)) AS t FROM base),
+       |probes(query_id, term) AS (VALUES $values),
+       |sc AS (SELECT query_id, doc_id,
+       |  (CAST(44 AS HUGEINT) * tf * t * (2 * n - 2 * df + 1) * 1000000)
+       |  // ((CAST(2 AS HUGEINT) * df + 1) *
+       |      (CAST(20 AS HUGEINT) * tf * t + 6 * t + 18 * dl * n)) AS s_q6
+       |  FROM tf JOIN probes USING (term) JOIN idf USING (term) CROSS JOIN tot),
+       |agg AS (SELECT query_id, doc_id, sum(s_q6) AS s_q6 FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, s_q6, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rnk
+       |      FROM agg)
+       |SELECT query_id, doc_id, CAST(s_q6 AS DOUBLE) / 1000000.0 AS bm25, rnk
+       |FROM r WHERE rnk <= 10""".stripMargin
+  }
+
   /** Little-endian byte rendering of an int expression — DuckDB twin of
     * Multimodal.leBytes. */
   private def leSql(v: String, nBytes: Int): String =
@@ -1706,6 +1747,7 @@ object ExtQueries {
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,
     "q_text_typicality" -> textTypicalitySql,
+    "q_text_bm25" -> textBm25Sql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,

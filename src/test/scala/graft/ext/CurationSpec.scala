@@ -32,6 +32,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bm25: tf saturates, length normalizes, non-matches drop out") {
+    val docs = Seq(
+      (1L, "apple pad"),                                  // tf 1, dl 2
+      (2L, "apple apple apple pad"),                      // tf 3, dl 4
+      (3L, "apple pad pad pad"),                          // tf 1, dl 4
+      (4L, "apple f1 f2 f3 f4 f5 f6 f7 f8 f9"),           // tf 1, dl 10
+      (5L, "durian durian durian")                        // no query term
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25TopDocs(docs, Seq(0L -> Seq("apple")), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(!out.contains(5L), "non-matching doc must not be scored")
+    assert(out(2L) > out(3L), s"higher tf at equal length must win: $out")
+    assert(out(2L) < 3 * out(3L), s"tf gain must saturate below linear: $out")
+    assert(out(1L) > out(4L), s"shorter doc at equal tf must win: $out")
+  }
+
+  test("bm25: rarer term contributes more at equal tf and length") {
+    // 'rare' in 1 doc, 'common' in all 4; probe docs have identical
+    // length and tf for their respective terms
+    val docs = Seq(
+      (1L, "rare common x"),
+      (2L, "cc common y"),
+      (3L, "dd common z"),
+      (4L, "ee common w")
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25TopDocs(docs, Seq(0L -> Seq("rare", "common")), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L), s"rare+common doc must outrank common-only: $out")
+    val commonOnly = Seq(out(2L), out(3L), out(4L))
+    assert(commonOnly.distinct.size == 1,
+      s"equal tf/dl/df docs must tie exactly: $out")
+  }
+
   test("PII redaction replaces emails and phones and counts them") {
     val docs = Seq(
       (1L, "mail me at a.b+c@x-mail.example.org today"),
