@@ -71,15 +71,31 @@ object Sketches {
     * the shuffle carries O(groups·k), not the distinct-hash volume. The
     * final per-group agg is k rows each. Nothing global, no collect. */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 64): DataFrame = {
+      k: Int = 64): DataFrame =
+    kmvProfile(kmvKeep(kmvHashes(df, groupCol, valueCol), groupCol, k),
+      groupCol, k)
+
+  /** The sketch's hash projection: (group, 60-bit portable hash). */
+  def kmvHashes(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol), Hashing.hexLong(col(valueCol).cast("string")).as("h"))
+
+  /** Keep the k smallest distinct hashes per group — the sketch's whole
+    * state, and its merge: `kmvKeep(keepA ∪ keepB)` IS the sketch of the
+    * union (k-min of union = k-min of union of k-mins). The rank filter
+    * compiles to a map-side WindowGroupLimit. */
+  def kmvKeep(hashes: DataFrame, groupCol: String, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val dec = "decimal(38,0)"
-    val hashes = df
-      .select(col(groupCol), Hashing.hexLong(col(valueCol).cast("string")).as("h"))
-      .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    val kept = hashes.withColumn("rnk", row_number().over(w))
+    hashes.select(col(groupCol), col("h")).distinct()
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Collapse a [[kmvKeep]] state to the profile row
+    * (group, n_kept, kth_hash, est_distinct). */
+  def kmvProfile(kept: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     val scaled = lit(k - 1).cast(dec) * lit(kmvHashDomain).cast(dec) *
       lit(10000L).cast(dec)
     val kth = col("kth_hash").cast(dec)

@@ -140,6 +140,49 @@ object EventStreams {
     state.select(col(keyCol), col("bucket"),
       col("cnt").as("n"), col("sum_cents").cast("decimal(28,0)").as("sum_cents"))
 
+  /** Streaming KMV cardinality sketch: the streaming face of
+    * [[graft.ext.Sketches.kmvDistinct]]. Each micro-batch's (group, hash)
+    * projection unions with the persisted keep-set and re-takes the k
+    * smallest per group — the sketch's merge law (k-min of union = k-min
+    * of union of k-mins) makes the fold associative and idempotent for
+    * re-delivered values, so state stays ≤ k rows per group FOREVER while
+    * counting distincts over the unbounded stream. Same atomic
+    * `__folded_batch` stamp as [[rollupSink]] for effectively-once under
+    * micro-batch replay. Read the live estimate at any point via
+    * [[graft.ext.Sketches.kmvProfile]] over the state table. */
+  def kmvSink(values: DataFrame, store: graft.store.TableStore,
+      name: String, groupCol: String, valueCol: String, k: Int,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.Sketches
+        // unlike rollupSink, adopting an UNSTAMPED (batch-built) state
+        // table is unconditionally safe here: the fold is idempotent —
+        // re-folding values already in the keep-set cannot change the
+        // k-min of the union — so "no stamp" simply means "fold"
+        val already = store.exists(name) && {
+          val st = store.read(name)
+          st.columns.contains("__folded_batch") && st.limit(1).count() > 0 &&
+            st.agg(max(col("__folded_batch"))).head().getLong(0) >= batchId
+        }
+        if (!already) {
+          val inc = Sketches.kmvHashes(batch, groupCol, valueCol)
+          val merged =
+            if (store.exists(name))
+              store.read(name).select(col(groupCol), col("h")).union(inc)
+            else inc
+          store.overwrite(name,
+            Sketches.kmvKeep(merged, groupCol, k)
+              .withColumn("__folded_batch", lit(batchId)))
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time silence, via flatMapGroupsWithState with event-time
     * timeout. State per user is O(1) — counts and bounds, never the
