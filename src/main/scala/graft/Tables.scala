@@ -15,16 +15,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS): Spark has no nanosecond
-    // timestamp type, so read the raw int64 and floor to microseconds
-    // (integer division — doubles would lose precision at 1.7e18 ns).
-    // Engine queries only rely on ≥second granularity of `ts`.
+    // events.parquet `ts` has shipped in two shapes across testdata
+    // generations: TIMESTAMP(NANOS) (rounds 1-7 — Spark has no nanosecond
+    // timestamp, so read the raw int64 under the legacy conf and floor to
+    // microseconds; integer division, doubles would lose precision at
+    // 1.7e18 ns) and, since the Aug 13 regen, a type Spark 4 reads
+    // natively as TIMESTAMP_NTZ. Handle both by dispatching on the
+    // resolved read schema; either way the column leaves here as a
+    // session-UTC TimestampType at microsecond precision, so every
+    // downstream query sees one stable shape.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // naive micros -> TimestampType; session tz is pinned UTC in
+          // every entrypoint, so the cast is an identity on the value
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -1,8 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robustness against a mid-run kill (round 8 lost 65/164 queries to one):
+  * oracle_sql.json is written FIRST — the driver can then grade whatever
+  * parquet subset landed before the kill — and queries run a few at a
+  * time on a worker pool so the whole dump finishes in a fraction of the
+  * sequential wall time. Each worker gets its own `spark.newSession()`
+  * (shared SparkContext, private temp-view catalog + conf), so the
+  * `Tables.registerAll` views and per-session confs never race; on-disk
+  * side effects are already per-query-unique (fresh temp dirs, per-tag
+  * scratch spools, atomic e2e fixture publish).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // driver passes exactly (sfDir, outDir); extra args select a query
@@ -11,24 +25,21 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // normally set per-session inside Tables.load, but parquet schema
+      // conversion resolves conf via the thread-local active session and
+      // worker threads can race past it (observed: events.ts inferred as
+      // TIMESTAMP_NTZ on one of 4 workers) — setting it in the builder
+      // makes every newSession() inherit it deterministically
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +55,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1)
+    val pool = Executors.newFixedThreadPool(math.max(1, workers))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = selected.map { case (name, fn) =>
+      Future {
+        val session = spark.newSession()
+        // parquet schema conversion (and anything else that calls
+        // SQLConf.get) resolves conf through the THREAD-LOCAL active
+        // session — without this, a worker thread falls back to the
+        // default session and per-session confs (the events
+        // nanosAsLong handling in Tables.load) silently don't apply.
+        SparkSession.setActiveSession(session)
+        try fn(session, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), Duration.Inf)
+    pool.shutdown()
     spark.stop()
   }
 }
