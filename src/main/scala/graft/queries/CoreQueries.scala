@@ -1131,7 +1131,11 @@ object CoreQueries {
 
   /** Cohort retention matrix: users bucketed by first-seen day, counted
     * once per (cohort, day-offset) they return on — the standard "did
-    * day-N users come back?" triangle. Scale shape: the first-seen agg is
+    * day-N users come back?" triangle. Scale shape: the (user_id, day)
+    * projection is localCheckpointed ONCE (two int-sized columns — far
+    * cheaper than scanning the wide fact twice), so the first-seen agg
+    * and the fact side both read the same materialized blocks instead of
+    * issuing two parquet scans (VERDICT r7 #4); the first-seen agg is
     * map-side combined on user_id; the fact re-joins the |users|-row
     * cohort dim on the SAME key (AQE broadcasts it at small SF, and at
     * fact scale the join co-partitions with the agg's exchange); the
@@ -1140,6 +1144,7 @@ object CoreQueries {
   def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"))
+      .localCheckpoint()
     val cohorts = ev.groupBy(col("user_id"))
       .agg(min(col("d")).as("cohort"))
     ev.join(cohorts, "user_id")

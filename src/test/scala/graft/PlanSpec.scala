@@ -316,4 +316,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(cell"),
       s"probed-cells filter not pushed:\n$p")
   }
+
+  test("bm25: probe-term semi-join sinks below the vocabulary aggregates") {
+    // bm25TopDocs writes the probe-term prune ABOVE the full-vocabulary
+    // df groupBy; the whole design depends on Catalyst's
+    // PushDownLeftSemiAntiJoin sinking it below the aggregate so the
+    // shuffle never carries the corpus vocabulary (VERDICT r7 #3). Pin
+    // the sunk shape: a LeftSemi broadcast join whose build side is the
+    // probe terms and whose STREAMED side has no aggregate under it —
+    // i.e. the prune runs on raw exploded terms, before any groupBy.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE wraps the tree in an AdaptiveSparkPlanExec leaf that collect()
+    // cannot descend into — inspect the static physical plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val phys = try
+      SparkEntry.queries("q_text_bm25")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val semis = phys.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no LeftSemi broadcast join in:\n$phys")
+    assert(semis.exists(j =>
+      j.left.collect { case a: HashAggregateExec => a }.isEmpty),
+      s"semi-join stayed above the df aggregate (streamed side contains " +
+        s"an aggregate in every candidate):\n$phys")
+  }
+
+  test("cohort retention reads events once (checkpointed projection)") {
+    // the (user_id, day) projection is localCheckpointed and feeds BOTH
+    // the first-seen aggregate and the fact side — losing that means two
+    // full parquet scans of the fact table (VERDICT r7 #4)
+    val df = SparkEntry.queries("q_cohort_retention")(spark, sf("sf0.001"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Scan parquet"),
+      s"final plan still scans parquet (checkpoint not reused):\n${p.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"expected both branches to read the checkpointed blocks:\n${p.take(3000)}")
+  }
 }
