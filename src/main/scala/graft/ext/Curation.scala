@@ -142,6 +142,48 @@ object Curation {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Reciprocal-rank fusion of N ranked retrieval lists — the standard
+    * hybrid-retrieval combiner (Cormack/Clarke/Buettcher, SIGIR'09):
+    * score(d) = Σ_lists 1/(rrfK + rank_list(d)). Each input carries
+    * (query_id, id, rnk); a document absent from a list simply
+    * contributes nothing (no imputation), and `n_lists` reports how many
+    * lists surfaced it.
+    *
+    * Exactness: each reciprocal is floored onto the 10⁻⁶ grid by INTEGER
+    * division (`1000000 div (rrfK + rnk)` — DuckDB `//`), and the fused
+    * score is the integer SUM of those fixed-point terms —
+    * order-independent, so identical under any shuffle and in any
+    * engine; `ln`/float division never enters.
+    *
+    * Scale shape: the inputs are already per-query top-k funnels
+    * (O(queries·k) rows — metadata-sized no matter the corpus), so the
+    * union + one (query_id, id) combine + per-query WindowGroupLimit
+    * re-rank are all trivially small; ALL the heavy lifting stays in the
+    * upstream retrieval operators. */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int = 10, rrfK: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    val contribs = ranked.map { df =>
+      // exact floor division on the integer lattice (the bm25TopDocs
+      // pattern): (n - n mod d) is divisible by d and ≤ 10⁶, so the
+      // double quotient is exact and the cast back to long is the floor
+      val d = lit(rrfK.toLong) + col("rnk")
+      df.select(col("query_id"), col(idCol),
+        ((lit(1000000L) - pmod(lit(1000000L), d)) / d).cast("long").as("c_q6"))
+    }
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("c_q6")).as("rrf_q6"),
+        count(lit(1)).cast("long").as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q6").desc, col(idCol))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col(idCol),
+        (col("rrf_q6").cast("double") / 1000000.0).as("rrf"),
+        col("n_lists"), col("rnk"))
+  }
+
   /** Deterministic k-per-group sample: md5-hash-order row_number within
     * each stratum — the reproducible "k examples per language" pull.
     * One shuffle on the stratum; the window is partitioned, so no global

@@ -416,6 +416,22 @@ object ExtQueries {
   def qTextBm25(s: SparkSession, dir: String): DataFrame =
     Curation.bm25TopDocs(docs(s, dir), bm25Queries, k = 10)
 
+  /** Hybrid retrieval: the engine's two retrieval halves — lexical BM25
+    * top-20 and exact embedding-cosine top-20 (query vectors = the bm25
+    * query ids, doc_id ≡ vec_id as in cross-modal dedup) — fused by
+    * reciprocal-rank fusion on the exact integer lattice (VERDICT r7 #5).
+    * Docs that both views agree on rise; either list alone can still
+    * surface a doc. */
+  def qRetrievalHybrid(s: SparkSession, dir: String): DataFrame = {
+    val text = Curation.bm25TopDocs(docs(s, dir), bm25Queries, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val e = emb(s, dir)
+    val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rnk"))
+    Curation.rrfFuse(Seq(text, vec), k = 10)
+  }
+
   // ----------------------------------------------------- multimodal
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -491,6 +507,7 @@ object ExtQueries {
     "q_curation_funnel2" -> (qCurationFunnel2 _),
     "q_text_typicality" -> (qTextTypicality _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_retrieval_hybrid" -> (qRetrievalHybrid _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
@@ -1515,15 +1532,17 @@ object ExtQueries {
       |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS typicality
       |FROM tris JOIN dfc USING (tri) GROUP BY doc_id""".stripMargin
 
-  /** BM25 oracle mirroring Curation.bm25TopDocs: same rational-lattice
-    * per-term fraction (HUGEINT for decimal(38,0)), same 10⁻⁶ floor grid,
-    * same integer sum and (score desc, doc_id) ranking. The probe terms
-    * come from [[bm25Queries]] so the two texts cannot drift. */
-  private val textBm25Sql = {
+  /** BM25 ranking CTE chain mirroring Curation.bm25TopDocs: same
+    * rational-lattice per-term fraction (HUGEINT for decimal(38,0)), same
+    * 10⁻⁶ floor grid, same integer sum and (score desc, doc_id) ranking
+    * in CTE `r`. The probe terms come from [[bm25Queries]] so the texts
+    * cannot drift. Shared by the standalone BM25 oracle and the hybrid
+    * RRF fusion oracle. */
+  private val bm25RankedCtes = {
     val values = bm25Queries.flatMap { case (qid, ts) =>
       ts.distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
     }.mkString(", ")
-    s"""WITH base AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents),
+    s"""base AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents),
        |terms AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM base),
        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
        |       FROM terms GROUP BY 1, 2),
@@ -1538,10 +1557,40 @@ object ExtQueries {
        |agg AS (SELECT query_id, doc_id, sum(s_q6) AS s_q6 FROM sc GROUP BY 1, 2),
        |r AS (SELECT query_id, doc_id, s_q6, row_number() OVER
        |        (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rnk
-       |      FROM agg)
+       |      FROM agg)""".stripMargin
+  }
+
+  private val textBm25Sql =
+    s"""WITH $bm25RankedCtes
        |SELECT query_id, doc_id, CAST(s_q6 AS DOUBLE) / 1000000.0 AS bm25, rnk
        |FROM r WHERE rnk <= 10""".stripMargin
-  }
+
+  /** Hybrid-retrieval oracle: BM25 top-20 (CTE chain above) and exact
+    * cosine top-20 (the q_sim_topk CTEs, probes = vec_id < 3 to match the
+    * bm25 query ids) fused by reciprocal rank — each list contributes
+    * `1000000 // (60 + rnk)` (the 10⁻⁶-grid floor of 1/(60+rank)), summed
+    * as integers, re-ranked per query. Twin of Curation.rrfFuse. */
+  private val retrievalHybridSql =
+    s"""WITH $bm25RankedCtes,
+       |tr AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 20),
+       |$simCtes,
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM cn CROSS JOIN qn WHERE neighbor_id <> query_id AND query_id < 3),
+       |vranked AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS vrnk
+       |  FROM scored),
+       |vr AS (SELECT query_id, neighbor_id AS doc_id, vrnk AS rnk
+       |       FROM vranked WHERE vrnk <= 20),
+       |u AS (SELECT * FROM tr UNION ALL SELECT * FROM vr),
+       |f AS (SELECT query_id, doc_id,
+       |  sum(1000000 // (60 + rnk)) AS rrf_q6,
+       |  CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM u GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_q6, n_lists, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY rrf_q6 DESC, doc_id) AS rnk FROM f)
+       |SELECT query_id, doc_id, CAST(rrf_q6 AS DOUBLE) / 1000000.0 AS rrf,
+       |  n_lists, rnk FROM fr WHERE rnk <= 10""".stripMargin
 
   /** Little-endian byte rendering of an int expression — DuckDB twin of
     * Multimodal.leBytes. */
@@ -1748,6 +1797,7 @@ object ExtQueries {
     "q_curation_funnel2" -> curationFunnel2Sql,
     "q_text_typicality" -> textTypicalitySql,
     "q_text_bm25" -> textBm25Sql,
+    "q_retrieval_hybrid" -> retrievalHybridSql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,

@@ -65,6 +65,28 @@ class CurationSpec extends SparkSpec {
       s"equal tf/dl/df docs must tie exactly: $out")
   }
 
+  test("rrf fusion: consensus docs outrank single-list docs; scores are exact") {
+    // list A ranks docs 10,11,12; list B ranks 11,12,13 — doc 11 (rank 2+1)
+    // must beat every single-list doc, and each score must equal the
+    // integer-lattice sum floor(1e6/(60+r))/1e6
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L), (0L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val out = Curation.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    def rr(r: Long): Double = (1000000L / (60L + r)).toDouble / 1e6
+    assert(out(11L)._1 === rr(2) + rr(1))
+    assert(out(12L)._1 === rr(3) + rr(2))
+    assert(out(10L)._1 === rr(1))
+    assert(out(13L)._1 === rr(3))
+    assert(out(11L)._2 === 2L && out(10L)._2 === 1L, "n_lists must count sources")
+    // consensus beats the best single-list rank-1 doc
+    assert(out(11L)._1 > out(10L)._1)
+    val ranks = out.map { case (d, (_, _, rnk)) => d -> rnk }
+    assert(ranks(11L) === 1L && ranks(12L) === 2L, s"fused order wrong: $out")
+  }
+
   test("PII redaction replaces emails and phones and counts them") {
     val docs = Seq(
       (1L, "mail me at a.b+c@x-mail.example.org today"),
