@@ -485,6 +485,42 @@ object Curation {
           .as("mean_quality"))
   }
 
+  /** Corpus profile with KMV-estimated distinct content per rollup level
+    * (VERDICT r7 #7): the deterministic-cardinality sibling of
+    * [[corpusReport]]'s exact `countDistinct`. The output mirrors the
+    * ROLLUP's three levels — (source, lang) leaves, per-source subtotals
+    * (lang NULL), and the grand total (both NULL) — but only the LEAF
+    * sketches ever touch the corpus: the per-source and grand-total
+    * sketches are derived from the leaf keep-states by re-keeping
+    * (k-min of a union = k-min of the union of k-mins — the
+    * [[Sketches.kmvKeep]] merge law), which is exactly how a 100 TB
+    * profile combines shard sketches without rescanning. Shuffle shape:
+    * one map-side WindowGroupLimit funnel on (source, lang) carrying
+    * O(groups·k); everything above it operates on kept states. */
+  def corpusReportKmv(docs: DataFrame, k: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    import graft.ext.Sketches._
+    val hashes = kmvHashes(
+      docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        col(textCol).as("v")),
+      Seq("source", "lang"), "v")
+    val leafKeep = kmvKeep(hashes, Seq("source", "lang"), k)
+    val srcKeep = kmvKeep(leafKeep.select(col("source"), col("h")),
+      Seq("source"), k)
+    val totKeep = kmvKeep(srcKeep.select(col("h")), Seq.empty, k)
+    val leaf = kmvProfile(leafKeep, Seq("source", "lang"), k)
+    val src = kmvProfile(srcKeep, Seq("source"), k)
+      .withColumn("lang", lit(null).cast("string"))
+    val tot = kmvProfile(totKeep, Seq.empty, k)
+      .withColumn("source", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+    val cols = Seq(col("source"), col("lang"), col("n_kept"),
+      col("kth_hash"), col("est_distinct"))
+    leaf.select(cols: _*).unionByName(src.select(cols: _*))
+      .unionByName(tot.select(cols: _*))
+  }
+
   /** PII patterns kept to the syntax subset Java regex and RE2 (DuckDB)
     * interpret identically: explicit classes, no lookaround, `[0-9]`
     * over `\d`. */

@@ -77,35 +77,52 @@ object Sketches {
 
   /** The sketch's hash projection: (group, 60-bit portable hash). */
   def kmvHashes(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    df.select(col(groupCol), Hashing.hexLong(col(valueCol).cast("string")).as("h"))
+    kmvHashes(df, Seq(groupCol), valueCol)
+
+  /** Multi-column-group variant (a rollup profile sketches on
+    * (source, lang) leaves). */
+  def kmvHashes(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+      Hashing.hexLong(col(valueCol).cast("string")).as("h"): _*)
 
   /** Keep the k smallest distinct hashes per group — the sketch's whole
     * state, and its merge: `kmvKeep(keepA ∪ keepB)` IS the sketch of the
     * union (k-min of union = k-min of union of k-mins). The rank filter
     * compiles to a map-side WindowGroupLimit. */
-  def kmvKeep(hashes: DataFrame, groupCol: String, k: Int): DataFrame = {
+  def kmvKeep(hashes: DataFrame, groupCol: String, k: Int): DataFrame =
+    kmvKeep(hashes, Seq(groupCol), k)
+
+  /** Multi-column-group variant. An EMPTY groupCols is the grand-total
+    * sketch: the window goes global — safe only when the input is already
+    * a kept-state union (O(groups·k) rows), which is exactly the merge
+    * use-case that needs it. */
+  def kmvKeep(hashes: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    hashes.select(col(groupCol), col("h")).distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    hashes.select((groupCols.map(col) :+ col("h")): _*).distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col(groupCol), col("h"))
+      .select((groupCols.map(col) :+ col("h")): _*)
   }
 
   /** Collapse a [[kmvKeep]] state to the profile row
     * (group, n_kept, kth_hash, est_distinct). */
-  def kmvProfile(kept: DataFrame, groupCol: String, k: Int): DataFrame = {
+  def kmvProfile(kept: DataFrame, groupCol: String, k: Int): DataFrame =
+    kmvProfile(kept, Seq(groupCol), k)
+
+  /** Multi-column-group variant (empty groupCols = the grand total). */
+  def kmvProfile(kept: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val dec = "decimal(38,0)"
     val scaled = lit(k - 1).cast(dec) * lit(kmvHashDomain).cast(dec) *
       lit(10000L).cast(dec)
     val kth = col("kth_hash").cast(dec)
-    kept.groupBy(col(groupCol))
+    kept.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
-      .select(col(groupCol), col("n_kept"), col("kth_hash"),
+      .select(groupCols.map(col) ++ Seq(col("n_kept"), col("kth_hash"),
         when(col("n_kept") < k || col("kth_hash") === 0L,
             col("n_kept").cast("double"))
           .otherwise(((scaled - pmod(scaled, kth)) / kth).cast("double") /
             10000.0)
-          .as("est_distinct"))
+          .as("est_distinct")): _*)
   }
 }

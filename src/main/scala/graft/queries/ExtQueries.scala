@@ -248,6 +248,12 @@ object ExtQueries {
   def qCorpusReport(s: SparkSession, dir: String): DataFrame =
     Curation.corpusReport(docs(s, dir))
 
+  /** KMV(64) distinct-content estimates at every rollup level, with the
+    * per-source and grand-total sketches DERIVED from the leaf keeps
+    * (merge law) — never rescanning the corpus. */
+  def qCorpusReportKmv(s: SparkSession, dir: String): DataFrame =
+    Curation.corpusReportKmv(docs(s, dir))
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -477,6 +483,7 @@ object ExtQueries {
     "q_dedup_best" -> (qDedupBest _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_corpus_report_kmv" -> (qCorpusReportKmv _),
     "q_sample_topq" -> (qSampleTopQuality _),
     "q_vocab_top" -> (qVocabTop _),
     "q_dedup_spans" -> (qDedupSpans _),
@@ -903,6 +910,40 @@ object ExtQueries {
        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
        |  CAST(sum(q4) // count(*) AS DOUBLE) / 10000.0 AS mean_quality
        |FROM base GROUP BY ROLLUP (source, lang)""".stripMargin
+
+  /** KMV corpus-profile oracle mirroring Curation.corpusReportKmv: leaf
+    * keeps from the corpus, per-source and grand-total keeps RE-KEPT from
+    * the level below (the merge law, verbatim), same HUGEINT floor
+    * estimator as the q_kmv_distinct oracle. */
+  private val corpusReportKmvSql = {
+    import graft.ext.{Hashing, Sketches}
+    s"""WITH d AS (SELECT DISTINCT source, lang,
+       |    ${Hashing.hexLongSql("text")} AS h FROM documents),
+       |lr AS (SELECT source, lang, h, row_number() OVER
+       |    (PARTITION BY source, lang ORDER BY h) AS rnk FROM d),
+       |lk AS (SELECT source, lang, h FROM lr WHERE rnk <= 64),
+       |sd AS (SELECT DISTINCT source, h FROM lk),
+       |sr AS (SELECT source, h, row_number() OVER
+       |    (PARTITION BY source ORDER BY h) AS rnk FROM sd),
+       |sk AS (SELECT source, h FROM sr WHERE rnk <= 64),
+       |td AS (SELECT DISTINCT h FROM sk),
+       |tr2 AS (SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM td),
+       |tk AS (SELECT h FROM tr2 WHERE rnk <= 64),
+       |u AS (
+       |  SELECT source, lang, count(*) AS n_kept, max(h) AS kth_hash
+       |  FROM lk GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT source, CAST(NULL AS VARCHAR), count(*), max(h)
+       |  FROM sk GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count(*), max(h)
+       |  FROM tk)
+       |SELECT source, lang, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 64 OR kth_hash = 0 THEN CAST(n_kept AS DOUBLE)
+       |       ELSE CAST((CAST(63 AS HUGEINT) * ${Sketches.kmvHashDomain} * 10000)
+       |              // kth_hash AS DOUBLE) / 10000.0 END AS est_distinct
+       |FROM u""".stripMargin
+  }
 
   /** Full funnel oracle: same normalize → quality/lang gates (rounded
     * quality BEFORE the threshold, en-priority tie rule) → min-id per
@@ -1756,6 +1797,7 @@ object ExtQueries {
     "q_dedup_best" -> dedupBestSql,
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_corpus_report" -> corpusReportSql,
+    "q_corpus_report_kmv" -> corpusReportKmvSql,
     "q_sample_topq" -> sampleTopQualitySql,
     "q_vocab_top" -> vocabTopSql,
     "q_dedup_spans" -> dedupSpansSql,

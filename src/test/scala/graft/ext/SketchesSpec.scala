@@ -66,6 +66,34 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("rollup KMV profile: derived levels obey the 3/sqrt(k) bound vs exact") {
+    // the composed path (VERDICT r7 #7): per-source and grand-total rows
+    // are DERIVED from leaf keeps, so this checks the estimator's error
+    // bound survives the merge chain, not just the direct sketch
+    val docs = graft.Tables.load(spark, sf("sf0.01"), "documents")
+    val prof = Curation.corpusReportKmv(docs, k = 64)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    def exact(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(countDistinct($"text")).collect()(0).getLong(0)
+    val bound = 3.0 / math.sqrt(64)
+    // grand total
+    val exTot = exact(docs)
+    val (nkTot, estTot) = prof((None, None))
+    if (nkTot < 64) assert(estTot === exTot.toDouble)
+    else assert(math.abs(estTot - exTot) / exTot < bound,
+      s"total: est $estTot vs exact $exTot")
+    // every per-source subtotal
+    docs.select($"source").distinct().collect().map(_.getString(0)).foreach { s =>
+      val ex = exact(docs.filter($"source" === s))
+      val (nk, est) = prof((Some(s), None))
+      if (nk < 64) assert(est === ex.toDouble, s"source $s under-k")
+      else assert(math.abs(est - ex) / ex < bound,
+        s"source $s: est $est vs exact $ex")
+    }
+  }
+
   test("heavy hitters finds the true top groups with exact counts") {
     val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
     val top = Sketches.heavyHitters(ev, "event_type", 3)
