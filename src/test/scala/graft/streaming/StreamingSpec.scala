@@ -164,6 +164,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment resolves late events against their event-time version") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Scd2Config, Schemas}
+    val conf = Scd2Config(naturalKeys = Seq("user_id"))
+    // user 7: bronze until Jan 10, gold after; user 8: basic from Jan 5
+    val hist = Seq(
+      (7L, "bronze", ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")),
+      (7L, "gold", ts("2024-01-10 00:00:00"), Schemas.openEndedValidTo),
+      (8L, "basic", ts("2024-01-05 00:00:00"), Schemas.openEndedValidTo)
+    ).toDF("user_id", "tier", "da_valid_from_date", "da_valid_to_date")
+    val events = MemoryStream[Event]
+    val q = EventStreams.enrichAsOfStream(events.toDF(), hist, conf, "ts")
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        Event(1L, 7L, ts("2024-01-05 12:00:00"), "click", 1.0), // late: bronze era
+        Event(2L, 7L, ts("2024-01-15 12:00:00"), "click", 2.0), // gold era
+        Event(3L, 8L, ts("2024-01-01 12:00:00"), "view", 3.0),  // before first version
+        Event(4L, 9L, ts("2024-01-15 12:00:00"), "view", 4.0))  // unknown key
+      events.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+        .toSet
+      // the LATE event sees bronze — the version valid at its event time,
+      // not the current (gold) slice enrichStream would have joined
+      assert(got === Set(1L -> "bronze", 2L -> "gold", 3L -> null, 4L -> null))
+      // stream ≡ batch pointInTime on the same rows
+      val batch = graft.scd2.Historizer
+        .pointInTime(hist, rows.toDF(), conf, "ts")
+        .select(col("event_id"), col("tier")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+        .toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("curation projections are stream-safe and agree with their batch forms") {
     // normalize/quality/langId/stratified-keep are pure projections, so
     // the SAME Column expressions run unchanged on a stream — this pins
