@@ -49,6 +49,45 @@ object Decontamination {
         when(c > 0, 1L).otherwise(0L).as("is_contaminated"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC sibling of
+    * [[overlapStats]]: flags training items whose embedding is
+    * cosine-close to ANY eval-set embedding, catching the
+    * paraphrase/translation contamination that lexical n-gram overlap
+    * cannot see. Output per training item: the closest eval item, the
+    * max cosine, and the threshold flag.
+    *
+    * Scale shape mirrors the lexical pass: the eval side is small by
+    * construction, so its vectors BROADCAST and the corpus is touched
+    * ONCE by a broadcast scoring pass (O(|eval|·dim) per corpus row —
+    * no shuffle of the corpus, never an all-pairs product); the per-item
+    * argmax is a map-side-combined struct max, not a window. An eval set
+    * past broadcast size composes with the IVF/PQ index instead (probe
+    * the eval vectors' cells only). The threshold compares the ROUNDED
+    * 6-dp cosine, and ties pick the smallest eval id — both
+    * engine-portable, so the flag itself is oracle-checkable. */
+  def semanticOverlap(emb: DataFrame, evalEmb: DataFrame,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import Similarity.{cosine, dot, norm, toDouble}
+    val c = emb.select(col(idCol), toDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val q = evalEmb.select(col(idCol).as("eval_id"),
+        toDouble(col(embCol)).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col(idCol),
+        cosine(dot(col("c_emb"), col("q_emb")),
+          col("c_norm"), col("q_norm")).as("cos"),
+        col("eval_id"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col(idCol),
+        (-col("best.neg")).as("best_eval_id"),
+        col("best.cos").as("max_cos"),
+        when(col("best.cos") >= threshold, 1L).otherwise(0L)
+          .as("is_contaminated"))
+  }
+
   /** The gate itself: training docs that survive decontamination at
     * `maxFrac` (strictly-greater rejects; 0.0 = any shared gram rejects).
     * Gated on the EXACT rational `n_contaminated ≤ maxFrac · n_grams` —

@@ -161,6 +161,16 @@ object ExtQueries {
       d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
   }
 
+  /** Semantic decontamination vs the same simulated eval slice
+    * (vec_id % 97 ≡ doc_id % 97): embedding-cosine flags the paraphrase
+    * proximity lexical n-gram overlap can't see. */
+  def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Decontamination.semanticOverlap(
+      e.filter(col("vec_id") % 97 =!= 0), e.filter(col("vec_id") % 97 === 0),
+      threshold = 0.4)
+  }
+
   /** Gopher-style repetition battery over word bigrams. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), n = 2)
@@ -474,6 +484,7 @@ object ExtQueries {
     "q_text_chunks" -> (qTextChunks _),
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_gopher" -> (qTextGopher _),
     "q_text_hashvec" -> (qTextHashvec _),
@@ -1027,6 +1038,32 @@ object ExtQueries {
       |  FROM embeddings WHERE vec_id < 8),
       |qn AS (SELECT query_id, qe,
       |  sqrt(list_sum(list_transform(qe, x -> x * x))) AS qnorm FROM q)""".stripMargin
+
+  /** Semantic-decontamination oracle mirroring
+    * Decontamination.semanticOverlap: same eval split, rounded-6dp
+    * cosine, argmax with the (cos desc, eval_id asc) tie rule, flag on
+    * the rounded value. (Placed after dotSql — object vals initialize in
+    * declaration order.) */
+  private val decontaminateSemanticSql =
+    s"""WITH c AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id % 97 <> 0),
+       |cn AS (SELECT vec_id, ce,
+       |  sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnorm FROM c),
+       |q AS (SELECT vec_id AS eval_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |qn AS (SELECT eval_id, qe,
+       |  sqrt(list_sum(list_transform(qe, x -> x * x))) AS qnorm FROM q),
+       |scored AS (SELECT vec_id, eval_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM cn CROSS JOIN qn),
+       |r AS (SELECT vec_id, eval_id, cos, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM scored)
+       |SELECT vec_id, eval_id AS best_eval_id, cos AS max_cos,
+       |  CAST(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_contaminated
+       |FROM r WHERE rn = 1""".stripMargin
 
   private val simTopKSql =
     s"""WITH $simCtes,
@@ -1791,6 +1828,7 @@ object ExtQueries {
     "q_text_chunks" -> textChunksSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_semantic" -> decontaminateSemanticSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_sample_mix" -> sampleMixSql,
     "q_text_pack" -> textPackSql,

@@ -56,4 +56,33 @@ class DecontaminationSpec extends SparkSpec {
     val r = Decontamination.overlapStats(docs, dupEval, n = 3).collect()
     assert(r.head.getLong(2) === 1L) // one shared gram, counted once
   }
+
+  test("semantic overlap flags embedding proximity lexical grams can't see") {
+    // eval vector e1 = (1,0,0,0); train 1 = same direction scaled (a
+    // "paraphrase": cos 1), train 2 = near-orthogonal, train 3 closest to
+    // eval e2 — checks flag, argmax target, and threshold behavior
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val evalE = Seq((100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(2, 0, 0, 0)),          // cos 1.0 with e100
+      (2L, v(0.01, 0, 0, 1)),       // ~0.01 with e100, 0 with e101
+      (3L, v(0.1, 0.9, 0, 0)))      // closest to e101
+      .toDF("vec_id", "embedding")
+    val r = Decontamination.semanticOverlap(train, evalE, threshold = 0.4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getLong(3))).toMap
+    assert(r(1L)._1 === 100L && r(1L)._2 === 1.0 && r(1L)._3 === 1L)
+    assert(r(2L)._3 === 0L, s"orthogonal vector must stay clean: $r")
+    assert(r(3L)._1 === 101L && r(3L)._3 === 1L, s"argmax must pick e101: $r")
+  }
+
+  test("semantic overlap argmax tie picks the smallest eval id") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two eval vectors IDENTICAL in direction: cos ties exactly
+    val evalE = Seq((200L, v(1, 0)), (100L, v(2, 0))).toDF("vec_id", "embedding")
+    val train = Seq((1L, v(3, 0))).toDF("vec_id", "embedding")
+    val r = Decontamination.semanticOverlap(train, evalE).collect()(0)
+    assert(r.getLong(1) === 100L, s"tie must resolve to the smaller id: $r")
+  }
 }
