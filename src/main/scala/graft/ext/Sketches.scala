@@ -125,4 +125,60 @@ object Sketches {
             10000.0)
           .as("est_distinct")): _*)
   }
+
+  /** Exact MERGEABLE quantile profile over a lattice-quantized value
+    * column — the quantile sibling of the KMV sketch, and the
+    * deterministic alternative to [[quantileProfile]]'s t-digest-style
+    * sketch (whose internals aren't cross-engine portable). Works
+    * whenever the value domain is lattice-quantized (money cents, sensor
+    * ticks, token counts — most profile targets): the sketch STATE is
+    * the exact per-(group, lattice-unit) count histogram, so
+    *  - state size is bounded by the VALUE DOMAIN, not the row count;
+    *  - merge is count addition (commutative monoid) — shard profiles
+    *    and micro-batches fold without rescanning (the streaming face is
+    *    [[graft.streaming.EventStreams.rollupSink]] keyed by
+    *    (group, unit): its state already carries `cnt`);
+    *  - the extracted quantile is a TRUE corpus value (smallest unit
+    *    whose cumulative count reaches ⌈q·n⌉) — no interpolation, no
+    *    floats, hash-identical in any engine.
+    * Contrast with the order-statistics battery (`q_a6_quantiles`),
+    * which sorts RAW rows per group: this form sorts only distinct
+    * lattice units and is the shape that survives 100 TB and streams. */
+  def latticeHistogram(df: DataFrame, groupCol: String,
+      valueUnits: Column): DataFrame =
+    df.select(col(groupCol), valueUnits.as("unit"))
+      .groupBy(col(groupCol), col("unit"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The merge law: histograms add. Union + re-reduce — the shuffle
+    * moves state rows only, never history. */
+  def mergeLatticeHistograms(hists: Seq[DataFrame],
+      groupCol: String): DataFrame =
+    hists.reduce(_.unionByName(_))
+      .groupBy(col(groupCol), col("unit"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile extraction from a [[latticeHistogram]] state: for each
+    * (name, q-in-ppm), the smallest unit with cum·10⁶ ≥ q_ppm·n — the
+    * ceil(q·n) rank test spelled as a pure integer comparison
+    * (decimal(38,0), so no division ever happens and no product can
+    * overflow below 10³² rows). One per-group running-sum window over
+    * DISTINCT units + one aggregate. */
+  def latticeQuantiles(hist: DataFrame, groupCol: String,
+      qsPpm: Seq[(String, Long)]): DataFrame = {
+    require(qsPpm.nonEmpty, "need at least one quantile")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("unit"))
+    val withCum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(hist.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n")),
+        groupCol)
+    val aggs = qsPpm.map { case (name, ppm) =>
+      min(when(col("cum").cast(dec) * lit(1000000L).cast(dec) >=
+        lit(ppm).cast(dec) * col("n").cast(dec), col("unit"))).as(name)
+    }
+    withCum.groupBy(col(groupCol), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("n", "n_rows")
+  }
 }

@@ -382,6 +382,46 @@ object ScaleQueries {
        |FROM k JOIN ex USING (event_type)""".stripMargin
   }
 
+  // ------------------------------------------ lattice-histogram quantiles
+  /** Deterministic mergeable quantile profile: p25/p50/p75/p99 of event
+    * value per type, extracted from the exact (type, integer-cents)
+    * count histogram — state bounded by the value domain, merge = count
+    * addition, quantiles are true corpus values. The portable sibling of
+    * the spec-only t-digest profile, and the bounded-state form of the
+    * raw-row order-statistics battery (`q_a6_quantiles`). */
+  def qQuantileProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketches
+    val ev = t(s, dir, "events").select(col("event_type"),
+      round(col("value") * 100).cast("decimal(18,0)").cast("long").as("cents"))
+    val hist = Sketches.latticeHistogram(ev, "event_type", col("cents"))
+    Sketches.latticeQuantiles(hist, "event_type",
+      Seq("p25" -> 250000L, "p50" -> 500000L,
+        "p75" -> 750000L, "p99" -> 990000L))
+      .select(col("event_type"), col("n_rows"),
+        (col("p25").cast("double") / 100.0).as("p25"),
+        (col("p50").cast("double") / 100.0).as("p50"),
+        (col("p75").cast("double") / 100.0).as("p75"),
+        (col("p99").cast("double") / 100.0).as("p99"))
+  }
+
+  private val quantileProfileOracle = {
+    def q(name: String, ppm: Long) =
+      s"""CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000 >=
+         |  $ppm * CAST(n AS HUGEINT) THEN unit END) AS DOUBLE) / 100.0
+         |  AS $name""".stripMargin
+    s"""WITH h AS (SELECT event_type,
+       |    CAST(CAST(round(value * 100) AS DECIMAL(18,0)) AS BIGINT) AS unit,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |c AS (SELECT event_type, unit, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY unit) AS cum FROM h),
+       |n AS (SELECT event_type, sum(cnt) AS n FROM h GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       |  ${q("p25", 250000L)}, ${q("p50", 500000L)},
+       |  ${q("p75", 750000L)}, ${q("p99", 990000L)}
+       |FROM c JOIN n USING (event_type)
+       |GROUP BY event_type, n""".stripMargin
+  }
+
   // -------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_ts_resample" -> (qTsResample _),
@@ -394,7 +434,8 @@ object ScaleQueries {
     "q_skew_join" -> (qSkewJoin _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_ts_anomaly" -> (qTsAnomaly _),
-    "q_kmv_distinct" -> (qKmvDistinct _))
+    "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_quantile_profile" -> (qQuantileProfile _))
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_resample" -> tsResampleOracle,
@@ -407,5 +448,6 @@ object ScaleQueries {
     "q_skew_join" -> skewJoinOracle,
     "q_map_funcs" -> mapFuncsOracle,
     "q_ts_anomaly" -> tsAnomalyOracle,
-    "q_kmv_distinct" -> kmvDistinctOracle)
+    "q_kmv_distinct" -> kmvDistinctOracle,
+    "q_quantile_profile" -> quantileProfileOracle)
 }

@@ -94,6 +94,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("lattice quantiles are true corpus values at ceil ranks; shards merge") {
+    // group a: units 1..10 — p50 = 5th smallest = 5, p90 = 9th = 9,
+    // p100 = 10 (the ceil contract at exactly-integral q·n); group b:
+    // all mass on one unit — every quantile is that unit
+    val rows = (1L to 10L).map(u => ("a", u)) ++ Seq.fill(3)(("b", 7L))
+    val df = rows.toDF("g", "u")
+    val qs = Seq("p50" -> 500000L, "p90" -> 900000L, "p100" -> 1000000L)
+    val hist = Sketches.latticeHistogram(df, "g", $"u")
+    def profile(h: org.apache.spark.sql.DataFrame) =
+      Sketches.latticeQuantiles(h, "g", qs).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val p = profile(hist)
+    assert(p("a") === ((10L, 5L, 9L, 10L)), s"wrong ranks: $p")
+    assert(p("b") === ((3L, 7L, 7L, 7L)), s"point mass must dominate: $p")
+    // merge law: histograms from disjoint shards fold to the same profile
+    val s1 = Sketches.latticeHistogram(df.filter($"u" % 2 === 0), "g", $"u")
+    val s2 = Sketches.latticeHistogram(df.filter($"u" % 2 =!= 0), "g", $"u")
+    assert(profile(Sketches.mergeLatticeHistograms(Seq(s1, s2), "g")) === p)
+    // overlapping shards also merge (counts ADD, they don't dedup)
+    val h1 = Sketches.latticeHistogram(df, "g", $"u")
+    val doubled = profile(Sketches.mergeLatticeHistograms(Seq(h1, h1), "g"))
+    assert(doubled("a")._1 === 20L && doubled("a")._2 === 5L,
+      s"doubling mass must double n and keep quantiles: $doubled")
+  }
+
   test("heavy hitters finds the true top groups with exact counts") {
     val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
     val top = Sketches.heavyHitters(ev, "event_type", 3)

@@ -398,6 +398,46 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("state").columns.contains("__folded_batch"))
   }
 
+  test("streamed (group, unit) rollup state yields batch-identical lattice quantiles") {
+    // the streaming face of the lattice-histogram quantile profile is
+    // rollupSink keyed by (group, unit): its state already carries cnt,
+    // so quantile extraction over streamed state must equal the batch
+    // histogram path on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Sketches
+    val input = MemoryStream[Event]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("latq-store").toString)
+    val ckpt = Files.createTempDirectory("latq-ckpt").toString
+    val withUnit = (df: org.apache.spark.sql.DataFrame) => df.withColumn(
+      "unit", round(col("value") * 100).cast("decimal(18,0)").cast("long"))
+    val q = EventStreams.rollupSink(withUnit(input.toDF()), store, "latq",
+      Seq("event_type", "unit"), "value", ckpt, Trigger.ProcessingTime(0))
+    val rows = Seq(
+      Event(1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.25),
+      Event(2L, 2L, ts("2024-01-01 10:01:00"), "click", 2.50),
+      Event(3L, 1L, ts("2024-01-01 10:02:00"), "click", 0.25),
+      Event(4L, 3L, ts("2024-01-01 10:03:00"), "view", 10.00),
+      Event(5L, 3L, ts("2024-01-01 10:04:00"), "click", 2.50))
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val qs = Seq("p50" -> 500000L, "p99" -> 990000L)
+    val streamed = Sketches.latticeQuantiles(
+      store.read("latq").select(col("event_type"), col("unit"), col("cnt")),
+      "event_type", qs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Sketches.latticeQuantiles(
+      Sketches.latticeHistogram(withUnit(rows.toDF()), "event_type", col("unit")),
+      "event_type", qs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._1 == "click"))
+  }
+
   test("streaming resample folds micro-batches into batch-identical grid state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
