@@ -116,6 +116,40 @@ class CurationPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("rrf fusion: list-order invariant, scores exactly reproducible, ranks total") {
+    // arbitrary per-query ranked lists (rank 1..m per list, distinct docs)
+    val genList: Gen[List[(Long, Long, Long)]] = for {
+      q <- Gen.choose(0L, 1L)
+      m <- Gen.choose(1, 8)
+      ds <- Gen.pick(m, 0L to 20L)
+    } yield ds.toList.zipWithIndex.map { case (d, i) => (q, d, i + 1L) }
+    val genLists: Gen[List[List[(Long, Long, Long)]]] =
+      Gen.choose(1, 3).flatMap(Gen.listOfN(_, genList))
+    check(Prop.forAll(genLists) { lists =>
+      val dfs = lists.map(_.toDF("query_id", "doc_id", "rnk"))
+      val out = Curation.rrfFuse(dfs, k = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+      val reversed = Curation.rrfFuse(dfs.reverse, k = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+      // reference scores: integer floor sums over the contributing lists
+      val expected = lists.flatten.groupBy(t => (t._1, t._2)).map {
+        case (key, rows) =>
+          key -> (rows.map(t => 1000000L / (60L + t._3)).sum.toDouble / 1e6,
+            rows.size.toLong)
+      }
+      out == reversed &&
+        out.forall { case (key, (score, nLists, _)) =>
+          expected(key) == ((score, nLists)) } &&
+        // per query, ranks form a 1..n prefix (total order, no gaps)
+        out.keys.groupBy(_._1).forall { case (q, keys) =>
+          val rnks = keys.map(k => out(k)._3).toSeq.sorted
+          rnks == (1L to rnks.size.toLong)
+        }
+    })
+  }
+
   test("decontamination: overlap counts are monotone in the eval set") {
     check(Prop.forAll(genCorpus, genCorpus) { (train, evalA) =>
       val docs = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -67,4 +67,49 @@ class SketchesPropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  // ------------------------------------- lattice-histogram quantiles
+
+  private val latticeQs = Seq("p25" -> 250000L, "p50" -> 500000L,
+    "p90" -> 900000L, "p100" -> 1000000L)
+
+  /** Reference semantics, computed directly: smallest value whose
+    * 1-based rank in the sorted multiset reaches ceil(q·n). */
+  private def refQuantiles(values: Seq[Long]): Seq[Long] = {
+    val sorted = values.sorted
+    val n = sorted.size.toLong
+    latticeQs.map { case (_, ppm) =>
+      val rank = (ppm * n + 999999L) / 1000000L
+      sorted((rank - 1).toInt)
+    }
+  }
+
+  private def latticeProfile(rows: Seq[(String, Long)]): Map[String, (Long, Seq[Long])] =
+    Sketches.latticeQuantiles(
+      Sketches.latticeHistogram(rows.toDF("g", "v"), "g", $"v"),
+      "g", latticeQs)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), (2 to 5).map(r.getLong).toSeq))
+      .toMap
+
+  test("lattice quantiles equal direct order statistics for ANY multiset; shards merge") {
+    check(Prop.forAll(genRows, Gen.choose(0, 3)) { (rows, pivot) =>
+      val whole = latticeProfile(rows)
+      val direct = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> (rs.size.toLong, refQuantiles(rs.map(_._2)))
+      }
+      // merging arbitrary shard histograms reproduces the whole profile
+      val (s1, s2) = rows.partition(r => r._2 % 4 <= pivot)
+      val shardHists = Seq(s1, s2).filter(_.nonEmpty).map(sh =>
+        Sketches.latticeHistogram(sh.toDF("g", "v"), "g", $"v"))
+      val merged = Sketches.latticeQuantiles(
+        Sketches.mergeLatticeHistograms(shardHists, "g"), "g", latticeQs)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), (2 to 5).map(r.getLong).toSeq))
+        .toMap
+      whole == direct && merged == whole
+    })
+  }
 }
