@@ -168,11 +168,15 @@ object Sketches {
       qsPpm: Seq[(String, Long)]): DataFrame = {
     require(qsPpm.nonEmpty, "need at least one quantile")
     val dec = "decimal(38,0)"
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("unit"))
+    // n via an UNORDERED window over the same partition as the running
+    // sum — both windows share one exchange, so the histogram (and
+    // whatever scan feeds it) is computed ONCE; a groupBy+join spelling
+    // would evaluate the input twice (plan-audited)
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("unit"))
+    val wAll = Window.partitionBy(col(groupCol))
     val withCum = hist
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .join(hist.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n")),
-        groupCol)
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
     val aggs = qsPpm.map { case (name, ppm) =>
       min(when(col("cum").cast(dec) * lit(1000000L).cast(dec) >=
         lit(ppm).cast(dec) * col("n").cast(dec), col("unit"))).as(name)

@@ -344,6 +344,17 @@ class PlanSpec extends SparkSpec {
         s"an aggregate in every candidate):\n$phys")
   }
 
+  test("lattice quantile profile scans events once (shared window exchange)") {
+    // cum and n are windows over the SAME partition — one exchange, one
+    // histogram, one scan; a groupBy+join spelling of n would read the
+    // fact twice
+    val p = plan("q_quantile_profile")
+    // formatted mode repeats tree nodes in the detail section — count
+    // ReadSchema lines (one per scan detail block) instead
+    assert(p.linesIterator.count(_.contains("ReadSchema")) == 1,
+      s"histogram input evaluated more than once:\n${p.take(3000)}")
+  }
+
   test("cohort retention reads events once (checkpointed projection)") {
     // the (user_id, day) projection is localCheckpointed and feeds BOTH
     // the first-seen aggregate and the fact side — losing that means two
