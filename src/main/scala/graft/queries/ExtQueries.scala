@@ -264,6 +264,23 @@ object ExtQueries {
   def qCorpusReportKmv(s: SparkSession, dir: String): DataFrame =
     Curation.corpusReportKmv(docs(s, dir))
 
+  /** Per-source quality DISTRIBUTION (not just the mean the corpus
+    * report carries): exact p25/p50/p75 of the 0..10⁴-lattice quality
+    * score from the mergeable (source, q4) histogram — quality is
+    * already fixed-point, so the lattice profile applies verbatim. */
+  def qCorpusQualityQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketches
+    val d = docs(s, dir).select(col("source"),
+      TextAnalysis.qualityScoreQ4(col("text")).as("q4"))
+    Sketches.latticeQuantiles(
+      Sketches.latticeHistogram(d, "source", col("q4")), "source",
+      Seq("p25" -> 250000L, "p50" -> 500000L, "p75" -> 750000L))
+      .select(col("source"), col("n_rows"),
+        (col("p25").cast("double") / 10000.0).as("p25_quality"),
+        (col("p50").cast("double") / 10000.0).as("p50_quality"),
+        (col("p75").cast("double") / 10000.0).as("p75_quality"))
+  }
+
   // ----------------------------------------------------- similarity
   /** Query set = vec_id < 8 (broadcast side); corpus = all embeddings. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
@@ -495,6 +512,7 @@ object ExtQueries {
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_corpus_report_kmv" -> (qCorpusReportKmv _),
+    "q_corpus_quality_quantiles" -> (qCorpusQualityQuantiles _),
     "q_sample_topq" -> (qSampleTopQuality _),
     "q_vocab_top" -> (qVocabTop _),
     "q_dedup_spans" -> (qDedupSpans _),
@@ -921,6 +939,29 @@ object ExtQueries {
        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
        |  CAST(sum(q4) // count(*) AS DOUBLE) / 10000.0 AS mean_quality
        |FROM base GROUP BY ROLLUP (source, lang)""".stripMargin
+
+  /** Quality-quantile oracle mirroring qCorpusQualityQuantiles: same q4
+    * lattice, same (source, unit) histogram, same cum·10⁶ ≥ q_ppm·n
+    * integer rank test. */
+  private val corpusQualityQuantilesSql = {
+    def q(name: String, ppm: Long) =
+      s"""CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000 >=
+         |  $ppm * CAST(n AS HUGEINT) THEN unit END) AS DOUBLE) / 10000.0
+         |  AS $name""".stripMargin
+    s"""WITH base AS (SELECT source, ${qualityQ4Sql("text", "ws", "h_en")} AS unit
+       |  FROM (SELECT source, text, ws,
+       |    len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |    FROM (SELECT source, text, ${wordsSqlOf("text")} AS ws,
+       |      ${wordsSqlOf("lower(text)")} AS wl FROM documents))),
+       |h AS (SELECT source, unit, count(*) AS cnt FROM base GROUP BY 1, 2),
+       |c AS (SELECT source, unit, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY unit) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n FROM h)
+       |SELECT source, CAST(n AS BIGINT) AS n_rows,
+       |  ${q("p25_quality", 250000L)}, ${q("p50_quality", 500000L)},
+       |  ${q("p75_quality", 750000L)}
+       |FROM c GROUP BY source, n""".stripMargin
+  }
 
   /** KMV corpus-profile oracle mirroring Curation.corpusReportKmv: leaf
     * keeps from the corpus, per-source and grand-total keeps RE-KEPT from
@@ -1836,6 +1877,7 @@ object ExtQueries {
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_corpus_report" -> corpusReportSql,
     "q_corpus_report_kmv" -> corpusReportKmvSql,
+    "q_corpus_quality_quantiles" -> corpusQualityQuantilesSql,
     "q_sample_topq" -> sampleTopQualitySql,
     "q_vocab_top" -> vocabTopSql,
     "q_dedup_spans" -> dedupSpansSql,
