@@ -88,6 +88,45 @@ object Decontamination {
           .as("is_contaminated"))
   }
 
+  /** Literal-baked twin of [[semanticOverlap]] — the STREAMING face: the
+    * eval matrix collects to the driver ONCE (metadata-sized by the same
+    * contract that lets the batch side broadcast it) and bakes into the
+    * plan as literal arrays, turning the whole gate into a PURE
+    * PROJECTION — a `greatest(struct(cos, -eval_id))` fold over |eval|
+    * codegen'd cosine expressions. No join, no aggregation, no state: it
+    * runs unchanged on an unbounded stream (stateless append, same
+    * pattern as [[graft.streaming.EventStreams.assignStream]]), and a
+    * row's verdict is identical whether it arrived by stream or by
+    * backfill — the SAME rounded-cosine and smallest-eval-id-tie rule,
+    * spec-asserted equal to the batch operator. Works unchanged on batch
+    * frames. Empty eval set → every row clean with null best/cos. */
+  def semanticOverlapLiteral(emb: DataFrame, evalEmb: DataFrame,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import Similarity.{cosine, dot, norm, toDouble}
+    val evals = evalEmb
+      .select(col(idCol), toDouble(col(embCol)).as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    if (evals.isEmpty)
+      emb.select(col(idCol), lit(null).cast("long").as("best_eval_id"),
+        lit(null).cast("double").as("max_cos"), lit(0L).as("is_contaminated"))
+    else {
+      val withNorm = emb.select(col(idCol),
+        toDouble(col(embCol)).as("__v"), norm(toDouble(col(embCol))).as("__n"))
+      val best = evals.map { case (eid, v) =>
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        struct(
+          cosine(dot(col("__v"), typedlit(v)), col("__n"), lit(nv)).as("cos"),
+          lit(-eid).as("neg"))
+      }.reduceLeft(greatest(_, _))
+      withNorm.select(col(idCol),
+        (-best.getField("neg")).as("best_eval_id"),
+        best.getField("cos").as("max_cos"),
+        when(best.getField("cos") >= threshold, 1L).otherwise(0L)
+          .as("is_contaminated"))
+    }
+  }
+
   /** The gate itself: training docs that survive decontamination at
     * `maxFrac` (strictly-greater rejects; 0.0 = any shared gram rejects).
     * Gated on the EXACT rational `n_contaminated ≤ maxFrac · n_grams` —

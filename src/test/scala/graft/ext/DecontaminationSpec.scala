@@ -77,6 +77,18 @@ class DecontaminationSpec extends SparkSpec {
     assert(r(3L)._1 === 101L && r(3L)._3 === 1L, s"argmax must pick e101: $r")
   }
 
+  test("literal-baked semantic gate equals the batch operator on real embeddings") {
+    val e = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val train = e.filter($"vec_id" % 97 =!= 0)
+    val evalE = e.filter($"vec_id" % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = rows(Decontamination.semanticOverlap(train, evalE, 0.4))
+    val literal = rows(Decontamination.semanticOverlapLiteral(train, evalE, 0.4))
+    assert(literal === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("semantic overlap argmax tie picks the smallest eval id") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     // two eval vectors IDENTICAL in direction: cos ties exactly

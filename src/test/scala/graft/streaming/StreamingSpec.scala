@@ -255,6 +255,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic-decontamination gate equals the batch operator") {
+    // the literal-baked gate is a pure projection — it must run on an
+    // unbounded stream with no state and verdict-match the batch path
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Decontamination
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val evalE = Seq((100L, v(1, 0, 0)), (101L, v(0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val rows = Seq(
+      (1L, v(2, 0, 0)),      // paraphrase of e100 → flagged
+      (2L, v(0, 0, 1)),      // orthogonal → clean
+      (3L, v(0.1, 0.9, 0)))  // close to e101 → flagged
+    val vecs = MemoryStream[(Long, Seq[Float])]
+    val q = Decontamination.semanticOverlapLiteral(
+        vecs.toDF().toDF("vec_id", "embedding"), evalE, threshold = 0.4)
+      .writeStream.format("memory").queryName("semgate_out")
+      .outputMode("append").start()
+    try {
+      vecs.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val got = shape(spark.table("semgate_out"))
+      val batch = shape(Decontamination.semanticOverlap(
+        rows.toDF("vec_id", "embedding"), evalE, threshold = 0.4))
+      assert(got === batch)
+      val flags = got.map(t => t._1 -> t._4).toMap
+      assert(flags === Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming centroid assignment routes vectors to the batch path's cells") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
