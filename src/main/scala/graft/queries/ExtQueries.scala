@@ -145,6 +145,26 @@ object ExtQueries {
     Curation.capPerGroup(train, col("source"), cap = 40)
   }
 
+  /** Entity-resolution fuzzy join over the DISTINCT part-name dictionary
+    * (entity resolution's natural input is the key dictionary, not the
+    * fact — part re-uses 64 names across thousands of rows, and running
+    * the pairing on the fact would just enumerate exact-duplicate pairs
+    * quadratically). Each name keys by its smallest part id; every 7th
+    * such entity re-enters with its 5th character dropped (edit distance
+    * exactly 1, ids at +10,000,000), and segment-blocked levenshtein
+    * pairs typos back up alongside any naturally-close names. */
+  def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val names = graft.Tables.load(s, dir, "part")
+      .groupBy(col("p_name").as("nm"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+      .select(col("id"), col("nm"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val dirty = names.filter(col("id") % 7 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        concat(substring(col("nm"), 1, 4), expr("substring(nm, 6)")).as("nm"))
+    Dedup.editDistancePairs(names.unionByName(dirty), maxDist = 1, "id", "nm")
+  }
+
   /** Text near-dup pairs cross-checked by embedding cosine. */
   def qDedupCrossmodal(s: SparkSession, dir: String): DataFrame =
     Dedup.crossModalNearDups(docs(s, dir), emb(s, dir), threshold = 0.5)
@@ -492,6 +512,7 @@ object ExtQueries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_fingerprint" -> (qDedupFingerprint _),
+    "q_dedup_fuzzy" -> (qDedupFuzzy _),
     "q_text_stats" -> (qTextStats _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -819,6 +840,41 @@ object ExtQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
        |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
   }
+
+  /** Fuzzy-join oracle mirroring Dedup.editDistancePairs at d=1: same
+    * typo enrichment, same 2-segment index / length-windowed substring
+    * probe blocking, same exact levenshtein filter and (least, greatest)
+    * canonicalization. */
+  private val dedupFuzzySql =
+    s"""WITH nm AS (SELECT p_name AS s, CAST(min(p_partkey) AS BIGINT) AS id
+       |  FROM part GROUP BY p_name),
+       |base AS (
+       |  SELECT id, s FROM nm
+       |  UNION ALL
+       |  SELECT id + 10000000, substring(s, 1, 4) || substring(s, 6)
+       |  FROM nm WHERE id % 7 = 0),
+       |b AS (SELECT id, s, length(s) AS n FROM base),
+       |si AS (SELECT id, s, n, unnest([0, 1]) AS i FROM b),
+       |segs AS (SELECT id AS id_a, s AS s_a, n AS n_a,
+       |    substring(s, CAST((i * n) // 2 + 1 AS INT),
+       |      CAST(((i + 1) * n) // 2 - (i * n) // 2 AS INT)) AS seg
+       |  FROM si WHERE ((i + 1) * n) // 2 - (i * n) // 2 >= 1),
+       |pl AS (SELECT id, s, n,
+       |    unnest(range(greatest(1, (n - 1) // 2), (n + 2) // 2 + 1)) AS L
+       |  FROM b),
+       |pp AS (SELECT id, s, n, L, unnest(range(1, n - L + 2)) AS p
+       |  FROM pl WHERE n - L + 1 >= 1),
+       |probes AS (SELECT id AS id_b, s AS s_b, n AS n_b,
+       |    substring(s, CAST(p AS INT), CAST(L AS INT)) AS seg FROM pp),
+       |cand AS (SELECT DISTINCT
+       |    least(id_a, id_b) AS ida, greatest(id_a, id_b) AS idb,
+       |    CASE WHEN id_a < id_b THEN s_a ELSE s_b END AS sa,
+       |    CASE WHEN id_a < id_b THEN s_b ELSE s_a END AS sb
+       |  FROM segs JOIN probes USING (seg)
+       |  WHERE id_a <> id_b AND abs(n_a - n_b) <= 1)
+       |SELECT ida AS id_a, idb AS id_b,
+       |  CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin
 
   /** Repetition-battery oracle mirroring TextAnalysis.repetitionStats
     * (word bigrams, cnt-desc/gram-asc tiebreak). */
@@ -1870,6 +1926,7 @@ object ExtQueries {
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_semantic" -> decontaminateSemanticSql,
+    "q_dedup_fuzzy" -> dedupFuzzySql,
     "q_text_repetition" -> textRepetitionSql,
     "q_sample_mix" -> sampleMixSql,
     "q_text_pack" -> textPackSql,

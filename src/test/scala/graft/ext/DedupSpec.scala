@@ -117,6 +117,27 @@ class DedupSpec extends SparkSpec {
     assert(out.sorted.sameElements(Array(1L)))
   }
 
+  test("edit-distance pairs: substitutions, deletions, and the d boundary") {
+    val rows = Seq(
+      (1L, "abcdef"),    // base
+      (2L, "abXdef"),    // substitution at pos 3 → dist 1 from base
+      (3L, "abdef"),     // deletion of c → dist 1 from base AND from 2
+      (4L, "zzzzzz"),    // unrelated — no pairs
+      (5L, "abcdefgh")   // dist 2 from base — found only at maxDist 2
+    ).toDF("id", "s")
+    def pairs(d: Int) = Dedup.editDistancePairs(rows, d, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d1 = pairs(1)
+    assert(d1 === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), d1)
+    val d2 = pairs(2)
+    assert(d2((1L, 5L)) === 2L, s"pigeonhole must find the 2-edit pair: $d2")
+    assert(!d2.contains((2L, 5L)), "ed(abXdef, abcdefgh) = 3 — out of range")
+    assert(!d2.exists(_._1._1 == 4L) && !d2.exists(_._1._2 == 4L))
+    // edit in the FIRST segment: the shared segment is the second half
+    val tail = Seq((1L, "Xbcdef"), (2L, "abcdef")).toDF("id", "s")
+    assert(Dedup.editDistancePairs(tail, 1, "id", "s").count() === 1L)
+  }
+
   test("best-of-cluster picks the member with the highest quality score") {
     // chain 10-11-12 clusters together (same fixture as duplicateClusters);
     // 99 is a singleton and picks itself
