@@ -442,9 +442,11 @@ object Dedup {
     * substring. Index side emits its d+1 segments; probe side emits all
     * substrings of the lengths those segments can take (lengths of
     * strings within ±d); the equi-join on segment content yields a
-    * candidate SUPERSET with no false negatives, and the exact
-    * `levenshtein` filter (built-in, codegen, identical in DuckDB)
-    * keeps correctness exact.
+    * candidate SUPERSET with no false negatives for strings of length
+    * >= d+1, a supplemental bounded block covers the shorter ones (see
+    * inline note), and the exact `levenshtein` filter (built-in,
+    * codegen, identical in DuckDB) keeps correctness exact — the recall
+    * guarantee is property-tested over random edit scripts.
     *
     * Scale shape: explode factor is O(len·d) per row — intended for KEY
     * strings of tens of characters, not documents (the gram/hash
@@ -480,7 +482,22 @@ object Dedup {
       .withColumn("seg", expr("substring(s, p, L)"))
       .select(col("id").as("id_b"), col("s").as("s_b"),
         col("n").as("n_b"), col("seg"))
-    val cand = segs.join(probes, "seg")
+    // Pigeonhole needs d+1 NONEMPTY segments, i.e. length >= d+1 — two
+    // strings of length <= d can be fully rewritten by d edits and share
+    // no segment. Supplemental exact block: a string of length <= d is
+    // within distance d of t only if |t| <= 2d (ed >= ||s|-|t||), so
+    // crossing the <= d-length strings with the <= 2d-length ones covers
+    // every pair either pigeonhole direction misses. Both sides are
+    // bounded-length (and in key data, bounded-cardinality) — the tiny
+    // side broadcasts.
+    val tiny = base.filter(col("n") <= d)
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("n").as("n_a"))
+    val shortish = base.filter(col("n") <= 2 * d)
+      .select(col("id").as("id_b"), col("s").as("s_b"), col("n").as("n_b"))
+    val segPairs = segs.join(probes, "seg")
+      .select(col("id_a"), col("s_a"), col("n_a"),
+        col("id_b"), col("s_b"), col("n_b"))
+    val cand = segPairs.unionByName(broadcast(tiny).crossJoin(shortish))
       .filter(col("id_a") =!= col("id_b") &&
         abs(col("n_a") - col("n_b")) <= d)
       .select(

@@ -866,11 +866,18 @@ object ExtQueries {
        |  FROM pl WHERE n - L + 1 >= 1),
        |probes AS (SELECT id AS id_b, s AS s_b, n AS n_b,
        |    substring(s, CAST(p AS INT), CAST(L AS INT)) AS seg FROM pp),
+       |raw AS (
+       |  SELECT id_a, s_a, n_a, id_b, s_b, n_b
+       |  FROM segs JOIN probes USING (seg)
+       |  UNION ALL
+       |  SELECT a.id, a.s, a.n, t.id, t.s, t.n
+       |  FROM (SELECT * FROM b WHERE n <= 1) a,
+       |       (SELECT * FROM b WHERE n <= 2) t),
        |cand AS (SELECT DISTINCT
        |    least(id_a, id_b) AS ida, greatest(id_a, id_b) AS idb,
        |    CASE WHEN id_a < id_b THEN s_a ELSE s_b END AS sa,
        |    CASE WHEN id_a < id_b THEN s_b ELSE s_a END AS sb
-       |  FROM segs JOIN probes USING (seg)
+       |  FROM raw
        |  WHERE id_a <> id_b AND abs(n_a - n_b) <= 1)
        |SELECT ida AS id_a, idb AS id_b,
        |  CAST(levenshtein(sa, sb) AS BIGINT) AS dist
