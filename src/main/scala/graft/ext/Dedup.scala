@@ -355,6 +355,60 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** Substring-level dedup EXCISION — the rewrite half of
+    * [[repeatedSpans]]: Lee et al. (2022) remove repeated SUBSTRINGS
+    * rather than documents, keeping one occurrence. Contract here: among
+    * all instances of a distinct maximal-span content (md5 of the span
+    * text), the FIRST — smallest (doc_id, span_start) — survives; every
+    * other document is rewritten with its later instances cut out.
+    * Documents with no repeated spans pass through byte-identical.
+    *
+    * Output: (id, clean_text, n_dropped_spans, dropped_chars).
+    *
+    * Plan shape: the span scan is [[repeatedSpans]] (O(chars) gram
+    * index, one count shuffle, per-doc islands window); the keep-first
+    * rank is a window over span-content digests (groups = duplicate
+    * clusters, a few rows each); the rewrite itself is a single
+    * `aggregate` higher-order fold over each doc's sorted drop list —
+    * pure codegen projection, one pass over the text, NO per-character
+    * explode (the oracle spells the same semantics per-char; the engine
+    * must not). Spans within a doc are disjoint by construction
+    * (gaps-and-islands), so the fold's cursor never moves backwards. */
+  def exciseSpans(docs: DataFrame, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol).as("t"))
+    val spans = repeatedSpans(docs, k, 1, idCol, textCol)
+    val withDigest = spans.join(d, idCol)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        md5(col("t").substr(col("span_start").cast("int"),
+          (col("span_end") - col("span_start") + 1L).cast("int"))).as("dg"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+      .orderBy(col(idCol), col("span_start"))
+    val drops = withDigest.withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col(idCol), col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e"))
+    val perDoc = drops.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"),
+        count(lit(1)).as("n_dropped_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dropped_chars"))
+    val rebuilt = aggregate(col("sp"),
+      struct(lit(1).as("cur"), lit("").as("out")),
+      (acc, span) => struct(
+        (span.getField("e") + 1).as("cur"),
+        concat(acc.getField("out"),
+          col("t").substr(acc.getField("cur"),
+            span.getField("s") - acc.getField("cur"))).as("out")),
+      acc => concat(acc.getField("out"),
+        col("t").substr(acc.getField("cur"),
+          length(col("t")) - acc.getField("cur") + 1)))
+    d.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("sp").isNull, col("t")).otherwise(rebuilt).as("clean_text"),
+        coalesce(col("n_dropped_spans"), lit(0L)).as("n_dropped_spans"),
+        coalesce(col("dropped_chars"), lit(0L)).as("dropped_chars"))
+  }
+
   /** Approximate novelty gate: [[novelAgainst]]'s scale path when the
     * known corpus is too large to sit on one side of a join every run. A
     * Bloom filter of the known set's 64-bit content hashes is built ONCE

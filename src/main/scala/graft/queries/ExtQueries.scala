@@ -258,6 +258,13 @@ object ExtQueries {
   def qDedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.repeatedSpans(docs(s, dir), k = 20)
 
+  /** Substring-dedup excision: rewrite documents with all but the first
+    * instance of each repeated maximal span cut out (the Lee et al. 2022
+    * remove-repeated-substrings pass, completing q_dedup_spans'
+    * detection). */
+  def qDedupExcise(s: SparkSession, dir: String): DataFrame =
+    Dedup.exciseSpans(docs(s, dir), k = 20)
+
   /** Corpus vocabulary head: top-40 words by exact count (tokenizer-vocab
     * induction's first pass; heavyHitters = one map-side-combined count +
     * TakeOrdered, no global sort). */
@@ -537,6 +544,7 @@ object ExtQueries {
     "q_sample_topq" -> (qSampleTopQuality _),
     "q_vocab_top" -> (qVocabTop _),
     "q_dedup_spans" -> (qDedupSpans _),
+    "q_dedup_excise" -> (qDedupExcise _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -1869,6 +1877,53 @@ object ExtQueries {
        |FROM s GROUP BY doc_id, isl""".stripMargin
   }
 
+  /** Excision oracle mirroring Dedup.exciseSpans: the q_dedup_spans CTE
+    * chain, span-content digests, keep-first rank, and a per-character
+    * rebuild (the oracle may spell the rewrite per-char; the engine uses
+    * a one-pass fold). */
+  private val dedupExciseSql = {
+    val h = Hashing.hexLongSql("substr(text, CAST(p AS INT), 20)")
+    s"""WITH px AS (SELECT doc_id, unnest(range(1, length(text) - 18)) AS p, text
+       |  FROM documents WHERE length(text) >= 20),
+       |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, $h AS h FROM px),
+       |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM rep)),
+       |i AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+       |       THEN 1 ELSE 0 END AS ni FROM m),
+       |sl AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS UNBOUNDED PRECEDING) AS isl FROM i),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+       |  FROM sl GROUP BY doc_id, isl),
+       |dgs AS (SELECT sp.doc_id, s, e,
+       |    md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS dg
+       |  FROM sp JOIN documents USING (doc_id)),
+       |dr AS (SELECT doc_id, s, e FROM (
+       |    SELECT doc_id, s, e, row_number() OVER
+       |      (PARTITION BY dg ORDER BY doc_id, s) AS rk FROM dgs)
+       |  WHERE rk > 1),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped_spans,
+       |    CAST(sum(e - s + 1) AS BIGINT) AS dropped_chars
+       |  FROM dr GROUP BY 1),
+       |chars AS (SELECT d.doc_id, unnest(range(1, length(d.text) + 1)) AS p,
+       |    d.text FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM dr)),
+       |keepc AS (SELECT c.doc_id, c.p, c.text FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM dr
+       |    WHERE dr.doc_id = c.doc_id AND c.p BETWEEN dr.s AND dr.e)),
+       |rebuilt AS (SELECT doc_id,
+       |    string_agg(substr(text, CAST(p AS INT), 1), '' ORDER BY p) AS ct
+       |  FROM keepc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(r.ct, '') END
+       |    AS clean_text,
+       |  coalesce(a.n_dropped_spans, 0) AS n_dropped_spans,
+       |  coalesce(a.dropped_chars, 0) AS dropped_chars
+       |FROM documents d
+       |LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+  }
+
   /** Vocabulary-head oracle: exact word counts, (count desc, term) order,
     * top 40. */
   private val vocabTopSql =
@@ -1945,6 +2000,7 @@ object ExtQueries {
     "q_sample_topq" -> sampleTopQualitySql,
     "q_vocab_top" -> vocabTopSql,
     "q_dedup_spans" -> dedupSpansSql,
+    "q_dedup_excise" -> dedupExciseSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

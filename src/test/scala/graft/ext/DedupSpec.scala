@@ -138,6 +138,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(tail, 1, "id", "s").count() === 1L)
   }
 
+  test("span excision: first instance survives, later ones cut, clean docs intact") {
+    val passage = "0123456789ABCDEFGHIJKLMNOPQRS" // 29 chars — 10 repeated 20-grams
+    // the shared MAXIMAL span is " <passage> " (31 chars): the
+    // space-bracketed grams repeat across all three carriers, so the
+    // islands extend one char each side and carry identical content
+    val docs = Seq(
+      (1L, s"alpha $passage omega"),   // first instance (smallest doc_id) — kept
+      (2L, s"start $passage end"),     // cross-doc second instance — excised
+      (3L, "totally unique content that repeats nothing at all here"),
+      (4L, s"zz $passage zz tail")     // third instance — excised too
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(docs, k = 20).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size === 4)
+    // doc 1 holds the canonical instance: byte-identical, zero drops
+    assert(out(1L) === ((s"alpha $passage omega", 0L, 0L)))
+    // doc 3 has no repeats at all
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L)
+    // docs 2 and 4 each lost exactly the 31-char " passage " span
+    assert(out(2L) === (("startend", 1L, 31L)), out(2L))
+    assert(out(4L) === (("zzzz tail", 1L, 31L)), out(4L))
+  }
+
   test("best-of-cluster picks the member with the highest quality score") {
     // chain 10-11-12 clusters together (same fixture as duplicateClusters);
     // 99 is a singleton and picks itself
