@@ -162,6 +162,17 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === (("zzzz tail", 1L, 31L)), out(4L))
   }
 
+  test("span excision: a full-document duplicate collapses to empty text") {
+    val t1 = "alpha 0123456789ABCDEFGHIJKLMNOPQRS omega"
+    val docs = Seq((1L, t1), (5L, t1)).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(docs, k = 20).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((t1, 0L, 0L)))
+    assert(out(5L) === (("", 1L, t1.length.toLong)),
+      s"exact copy must excise entirely: ${out(5L)}")
+  }
+
   test("best-of-cluster picks the member with the highest quality score") {
     // chain 10-11-12 clusters together (same fixture as duplicateClusters);
     // 99 is a singleton and picks itself
