@@ -77,11 +77,20 @@ object Bench {
     elapsed
   }
 
-  private def longLine(results: Seq[(String, Double)], sfDir: String): String = {
+  /** The long artifact line. `rerun` (ADVICE r9: don't silently mix
+    * sampling policies) records the adjudication's SECOND sample for every
+    * re-run query, so a published per-query value can be told apart as
+    * min(first, second) vs single-sample — and a future baseline recorded
+    * from such a line can account for it. */
+  private def longLine(results: Seq[(String, Double)], sfDir: String,
+      rerun: Map[String, Double] = Map.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rr = rerun.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"sf":"$sfDir"}"""
   }
 
   /** Feed a bench line to tools/benchgate.py; returns (verdict, names that
@@ -102,10 +111,15 @@ object Bench {
       val failed = out.linesIterator.collect {
         case l if l.startsWith("FAIL ") => l.drop(5).takeWhile(_ != ':')
       }.toSeq
+      // exit-code taxonomy (ADVICE r7 #2): 3 = baseline file missing is
+      // the ONLY code that means no-baseline; 2 (usage/input) and 4
+      // (traceback) surface as "error" so a crashed gate can't
+      // masquerade as an un-gated run
       (code match {
         case 0 => "pass"
         case 1 => "fail"
-        case _ => "no-baseline"
+        case 3 => "no-baseline"
+        case _ => "error"
       }, failed)
     } catch { case scala.util.control.NonFatal(_) => ("error", Nil) }
   }
@@ -150,18 +164,19 @@ object Bench {
     // only. A query that is genuinely slower fails twice and still fails
     // the gate; a contention artifact does not.
     var (gate, breached) = runGate(longLine(results, sfDir))
+    var second = Map.empty[String, Double]
     if (gate == "fail" && breached.nonEmpty && !noRerun) {
       println(s"[benchgate] re-running ${breached.size} breaching " +
         "queries on a fresh session for a second sample")
       restart()
-      val second = breached.map(n => n -> runOne(spark, n, sfDir, explain)).toMap
+      second = breached.map(n => n -> runOne(spark, n, sfDir, explain)).toMap
       results = results.map { case (n, t) =>
         n -> math.min(t, second.getOrElse(n, t))
       }
-      val g2 = runGate(longLine(results, sfDir))
+      val g2 = runGate(longLine(results, sfDir, second))
       gate = g2._1
     }
-    println(longLine(results, sfDir))
+    println(longLine(results, sfDir, second))
     // the per-query line above has outgrown the driver's tail window (the
     // sbt [success] footer truncates it from the front → BENCH_r1-r4 all
     // record "parsed": null), so ALSO emit a compact summary LAST: the

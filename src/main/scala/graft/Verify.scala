@@ -74,6 +74,15 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // reap this query's localCheckpoint blocks (ADVICE r9): they
+        // register as persistent RDDs and would otherwise accumulate
+        // across all queries. Bench.runOne unpersists them directly, but
+        // that is only safe SEQUENTIALLY — here a blanket unpersist could
+        // kill a concurrent worker's in-flight checkpoint, whose
+        // truncated lineage cannot recompute. GC-driven cleanup is the
+        // concurrent-safe form: the query's frames just went out of
+        // scope, so the ContextCleaner reaps exactly its blocks.
+        finally System.gc()
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)

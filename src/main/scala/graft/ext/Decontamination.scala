@@ -79,8 +79,14 @@ object Decontamination {
         cosine(dot(col("c_emb"), col("q_emb")),
           col("c_norm"), col("q_norm")).as("cos"),
         col("eval_id"))
-    scored.groupBy(col(idCol))
+    val best = scored.groupBy(col(idCol))
       .agg(max(struct(col("cos"), (-col("eval_id")).as("neg"))).as("best"))
+    // left-join the argmax back onto the corpus (ADVICE r9): an EMPTY
+    // eval set leaves `best` empty, and a bare groupBy would then drop
+    // every training item — the literal twin's contract (all rows clean,
+    // null best/cos) must hold on this face too
+    emb.select(col(idCol))
+      .join(best, Seq(idCol), "left")
       .select(col(idCol),
         (-col("best.neg")).as("best_eval_id"),
         col("best.cos").as("max_cos"),

@@ -364,16 +364,25 @@ object Dedup {
     * Documents with no repeated spans pass through byte-identical.
     *
     * Output: (id, clean_text, n_dropped_spans, dropped_chars).
+    * `n_dropped_spans` counts excised span INSTANCES; `dropped_chars`
+    * counts chars actually REMOVED (= length(text) − length(clean_text))
+    * — two islands whose gram positions sit closer than k overlap by up
+    * to k−1 chars in char space, and those chars are removed once, not
+    * once per span (ADVICE r9).
     *
     * Plan shape: the span scan is [[repeatedSpans]] (O(chars) gram
     * index, one count shuffle, per-doc islands window); the keep-first
-    * rank is a window over span-content digests (groups = duplicate
-    * clusters, a few rows each); the rewrite itself is a single
-    * `aggregate` higher-order fold over each doc's sorted drop list —
-    * pure codegen projection, one pass over the text, NO per-character
-    * explode (the oracle spells the same semantics per-char; the engine
-    * must not). Spans within a doc are disjoint by construction
-    * (gaps-and-islands), so the fold's cursor never moves backwards. */
+    * choice is a map-side-combined min-aggregate over span-content
+    * digests joined back on the digest — NOT a window: a corpus-wide
+    * boilerplate span makes its digest a hot key, and a window must
+    * colocate every instance in one task, while the aggregate reduces
+    * each map partition to one row per digest before the exchange and
+    * the join back is AQE-skew-splittable (VERDICT r9 #3). The rewrite
+    * itself is a single `aggregate` higher-order fold over each doc's
+    * sorted drop list — pure codegen projection, one pass over the text,
+    * NO per-character explode (the oracle spells the same semantics
+    * per-char; the engine must not). The fold's cursor is clamped
+    * monotone, so char-overlapping drop spans excise their union. */
   def exciseSpans(docs: DataFrame, k: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val d = docs.select(col(idCol), col(textCol).as("t"))
@@ -382,20 +391,20 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         md5(col("t").substr(col("span_start").cast("int"),
           (col("span_end") - col("span_start") + 1L).cast("int"))).as("dg"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
-      .orderBy(col(idCol), col("span_start"))
-    val drops = withDigest.withColumn("rk", row_number().over(w))
-      .filter(col("rk") > 1)
+    val keeper = withDigest.groupBy(col("dg"))
+      .agg(min(struct(col(idCol), col("span_start"))).as("keep"))
+    val drops = withDigest.join(keeper, Seq("dg"))
+      .filter(!(col(idCol) === col("keep").getField(idCol) &&
+        col("span_start") === col("keep").getField("span_start")))
       .select(col(idCol), col("span_start").cast("int").as("s"),
         col("span_end").cast("int").as("e"))
     val perDoc = drops.groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"),
-        count(lit(1)).as("n_dropped_spans"),
-        sum(col("e") - col("s") + 1).cast("long").as("dropped_chars"))
+        count(lit(1)).as("n_dropped_spans"))
     val rebuilt = aggregate(col("sp"),
       struct(lit(1).as("cur"), lit("").as("out")),
       (acc, span) => struct(
-        (span.getField("e") + 1).as("cur"),
+        greatest(span.getField("e") + 1, acc.getField("cur")).as("cur"),
         concat(acc.getField("out"),
           col("t").substr(acc.getField("cur"),
             span.getField("s") - acc.getField("cur"))).as("out")),
@@ -403,10 +412,12 @@ object Dedup {
         col("t").substr(acc.getField("cur"),
           length(col("t")) - acc.getField("cur") + 1)))
     d.join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
+      .select(col(idCol), col("t"),
         when(col("sp").isNull, col("t")).otherwise(rebuilt).as("clean_text"),
-        coalesce(col("n_dropped_spans"), lit(0L)).as("n_dropped_spans"),
-        coalesce(col("dropped_chars"), lit(0L)).as("dropped_chars"))
+        coalesce(col("n_dropped_spans"), lit(0L)).as("n_dropped_spans"))
+      .select(col(idCol), col("clean_text"), col("n_dropped_spans"),
+        (length(col("t")) - length(col("clean_text"))).cast("long")
+          .as("dropped_chars"))
   }
 
   /** Approximate novelty gate: [[novelAgainst]]'s scale path when the

@@ -83,10 +83,41 @@ object PqIndex {
     *
     * [[searchIvf]] = [[KMeans.ivfPqSearchFrom]] over these tables with
     * the probed cells additionally pushed into the codes scan. */
+  /** Has a build of `name` run to completion in this store? The marker
+    * table is dropped FIRST and re-written LAST by every build (ADVICE
+    * r7 #3): a build that dies between the three table writes leaves no
+    * marker, so a lazily-rebuilding reader can tell a partial index from
+    * a finished one — gating on any single table cannot. */
+  def isComplete(store: TableStore, name: String): Boolean =
+    store.exists(s"${name}_complete")
+
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Build the residual index at most ONCE per (process, store), skipping
+    * when a completed build is already on disk. Concurrent callers — the
+    * build benchmark and a lazily-rebuilding searcher can share one store
+    * and run on parallel workers — serialize on a per-store lock, so a
+    * search can never race a mid-build table swap, and a partial index
+    * (no completion marker) is always rebuilt before anyone reads it. */
+  def ensureIvfResidual(store: TableStore, emb: DataFrame,
+      name: String = "ivfpqr"): Unit = {
+    val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
+    lock.synchronized {
+      if (!isComplete(store, name)) buildIvfResidual(store, emb, name)
+    }
+  }
+
+  private def markComplete(store: TableStore, emb: DataFrame,
+      name: String): Unit =
+    store.overwrite(s"${name}_complete",
+      emb.sparkSession.range(1).toDF("ok"))
+
   def buildIvf(store: TableStore, emb: DataFrame, name: String = "ivfpq",
       coarseK: Int = 8, subspaces: Int = 8, subDim: Int = 8, pqK: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
       embCol: String = "embedding", codesFiles: Int = 0): Unit = {
+    store.drop(s"${name}_complete")
     val (coarse, pqCents, codes) = KMeans.ivfPqBuild(
       emb, coarseK, subspaces, subDim, pqK, iters, idCol, embCol)
     store.overwrite(s"${name}_coarse", coarse)
@@ -95,6 +126,7 @@ object PqIndex {
     // to ~128 MB/file; 0 lets range partitioning/AQE decide)
     store.overwriteClustered(s"${name}_codes", codes, Seq("cell", "id"),
       codesFiles)
+    markComplete(store, emb, name)
   }
 
   /** Search the persisted IVF-PQ index. Hash-identical to a fresh
@@ -124,12 +156,14 @@ object PqIndex {
       subDim: Int = 8, pqK: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding",
       codesFiles: Int = 0): Unit = {
+    store.drop(s"${name}_complete")
     val (coarse, pqCents, codes) = KMeans.ivfPqResidualBuild(
       emb, coarseK, subspaces, subDim, pqK, iters, idCol, embCol)
     store.overwrite(s"${name}_coarse", coarse)
     store.overwrite(s"${name}_codebook", pqCents)
     store.overwriteClustered(s"${name}_codes", codes, Seq("cell", "id"),
       codesFiles)
+    markComplete(store, emb, name)
   }
 
   /** Search the persisted residual index — the per-cell residual dtab

@@ -80,10 +80,17 @@ object Sketches {
     kmvHashes(df, Seq(groupCol), valueCol)
 
   /** Multi-column-group variant (a rollup profile sketches on
-    * (source, lang) leaves). */
+    * (source, lang) leaves).
+    *
+    * Null values are EXCLUDED from the sketch (matching `countDistinct`,
+    * which never counts nulls). Without the filter a null value hashes to
+    * a null `h`, and Spark's rank window (ORDER BY h ASC) sorts nulls
+    * FIRST while DuckDB's sorts them LAST — the kept states, and thus the
+    * estimates, would silently diverge on any nullable column. */
   def kmvHashes(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
-    df.select(groupCols.map(col) :+
-      Hashing.hexLong(col(valueCol).cast("string")).as("h"): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        Hashing.hexLong(col(valueCol).cast("string")).as("h"): _*)
 
   /** Keep the k smallest distinct hashes per group — the sketch's whole
     * state, and its merge: `kmvKeep(keepA ∪ keepB)` IS the sketch of the

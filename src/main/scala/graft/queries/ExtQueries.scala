@@ -29,13 +29,18 @@ object ExtQueries {
     * These operators are compute-bound per row (md5 per shingle/gram, 64-d
     * dot products), so spreading the narrow stage across cores is worth
     * one small shuffle — the same call a cluster job makes when input
-    * splits are fewer than cores. */
+    * splits are fewer than cores. CONDITIONAL (VERDICT r9 #4): a real
+    * multi-split corpus already covers the cores, and an unconditional
+    * repartition would insert a gratuitous full-text round-robin Exchange
+    * before every scan-bound operator. */
+  private def widen(df: DataFrame, s: SparkSession): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    widen(graft.Tables.load(s, dir, "documents"), s)
   private def emb(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    widen(graft.Tables.load(s, dir, "embeddings"), s)
 
   // ------------------------------------------------------------- dedup
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -408,7 +413,10 @@ object ExtQueries {
     * every subspace, none dropped by the clustered write). */
   def qSimIvfPqBuild(s: SparkSession, dir: String): DataFrame = {
     val store = resIndexStore(s, dir)
-    graft.ext.PqIndex.buildIvfResidual(store, emb(s, dir))
+    // ensure, not a bare build: the lazily-rebuilding search shares this
+    // store, and a concurrent Verify worker racing two builds tears the
+    // swap dirs — the per-store lock serializes them (build runs once)
+    graft.ext.PqIndex.ensureIvfResidual(store, emb(s, dir))
     import s.implicits._
     Seq("coarse", "codebook", "codes")
       .map(p => (p, store.read(s"ivfpqr_$p").count()))
@@ -423,8 +431,9 @@ object ExtQueries {
   def qSimIvfPqResIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val store = resIndexStore(s, dir)
-    if (!store.exists("ivfpqr_codes"))
-      graft.ext.PqIndex.buildIvfResidual(store, e)
+    // gated on the build-completion marker, not any single table: a build
+    // that died between the three writes must rebuild, not be read
+    graft.ext.PqIndex.ensureIvfResidual(store, e)
     graft.ext.PqIndex.searchIvfResidual(store, e.filter(col("vec_id") < 8),
       topK = 5)
   }
@@ -1041,7 +1050,8 @@ object ExtQueries {
   private val corpusReportKmvSql = {
     import graft.ext.{Hashing, Sketches}
     s"""WITH d AS (SELECT DISTINCT source, lang,
-       |    ${Hashing.hexLongSql("text")} AS h FROM documents),
+       |    ${Hashing.hexLongSql("text")} AS h FROM documents
+       |    WHERE text IS NOT NULL),
        |lr AS (SELECT source, lang, h, row_number() OVER
        |    (PARTITION BY source, lang ORDER BY h) AS rnk FROM d),
        |lk AS (SELECT source, lang, h FROM lr WHERE rnk <= 64),
@@ -1903,8 +1913,7 @@ object ExtQueries {
        |    SELECT doc_id, s, e, row_number() OVER
        |      (PARTITION BY dg ORDER BY doc_id, s) AS rk FROM dgs)
        |  WHERE rk > 1),
-       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped_spans,
-       |    CAST(sum(e - s + 1) AS BIGINT) AS dropped_chars
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped_spans
        |  FROM dr GROUP BY 1),
        |chars AS (SELECT d.doc_id, unnest(range(1, length(d.text) + 1)) AS p,
        |    d.text FROM documents d
@@ -1919,7 +1928,8 @@ object ExtQueries {
        |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(r.ct, '') END
        |    AS clean_text,
        |  coalesce(a.n_dropped_spans, 0) AS n_dropped_spans,
-       |  coalesce(a.dropped_chars, 0) AS dropped_chars
+       |  CAST(length(d.text) - length(CASE WHEN a.doc_id IS NULL THEN d.text
+       |    ELSE coalesce(r.ct, '') END) AS BIGINT) AS dropped_chars
        |FROM documents d
        |LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
   }

@@ -366,7 +366,8 @@ object ScaleQueries {
     val centsStr =
       "CAST(CAST(CAST(round(value * 100) AS DECIMAL(18,0)) AS BIGINT) AS VARCHAR)"
     s"""WITH d AS (SELECT DISTINCT event_type,
-       |    ${Hashing.hexLongSql(centsStr)} AS h FROM events),
+       |    ${Hashing.hexLongSql(centsStr)} AS h FROM events
+       |    WHERE value IS NOT NULL),
        |r AS (SELECT event_type, h,
        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk FROM d),
        |k AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash

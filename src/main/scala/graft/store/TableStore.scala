@@ -170,6 +170,11 @@ class TableStore(spark: SparkSession, baseDir: String) {
     overwrite(name, ranged)
   }
 
+  /** Drop one table (and its swap leftovers). No-op if absent. */
+  def drop(name: String): Unit =
+    Seq(name, s"$name.tmp", s"$name.old")
+      .foreach(n => deleteRecursively(Paths.get(path(n))))
+
   /** Remove the whole store from disk — for temp stores whose results
     * have been materialized (e.g. layout demos). Callers must not read
     * through this store afterwards. */

@@ -355,6 +355,30 @@ class PlanSpec extends SparkSpec {
       s"histogram input evaluated more than once:\n${p.take(3000)}")
   }
 
+  test("pre-split corpus: ext queries add no round-robin exchange (VERDICT r9 #4)") {
+    // docs()/emb() widen a single-split fixture across cores, but on a
+    // corpus whose input splits already cover the cores the repartition
+    // must be a no-op — an unconditional call would insert a full-text
+    // round-robin Exchange before every scan-bound operator
+    val tmp = java.nio.file.Files.createTempDirectory("graft-presplit").toString
+    val cores = spark.sparkContext.defaultParallelism
+    Tables.load(spark, sf("sf0.001"), "documents")
+      .repartition(cores * 2)
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(spark.read.parquet(s"$tmp/documents.parquet")
+      .rdd.getNumPartitions >= cores, "fixture not actually pre-split")
+    val df = SparkEntry.queries("q_dedup_exact")(spark, tmp)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("RoundRobinPartitioning") && !p.contains("REPARTITION_BY_NUM"),
+      s"gratuitous round-robin exchange on a pre-split corpus:\n${p.take(3000)}")
+    // the single-split shipped fixture still widens (the compute-bound
+    // narrow stages must not run single-threaded)
+    val single = SparkEntry.queries("q_dedup_exact")(spark, sf("sf0.001"))
+      .queryExecution.explainString(FormattedMode)
+    assert(single.contains("RoundRobinPartitioning"),
+      s"single-split fixture no longer widens:\n${single.take(3000)}")
+  }
+
   test("cohort retention reads events once (checkpointed projection)") {
     // the (user_id, day) projection is localCheckpointed and feeds BOTH
     // the first-seen aggregate and the fact side — losing that means two

@@ -89,6 +89,19 @@ class DecontaminationSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("empty eval set: both semantic faces return every row clean (ADVICE r9)") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val train = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding")
+    val evalE = train.filter($"vec_id" < 0) // empty, same schema
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2), r.getLong(3))).toSet
+    val batch = rows(Decontamination.semanticOverlap(train, evalE, 0.4))
+    val literal = rows(Decontamination.semanticOverlapLiteral(train, evalE, 0.4))
+    val expect = Set((1L, true, true, 0L), (2L, true, true, 0L))
+    assert(batch === expect, s"batch face dropped/flagged rows: $batch")
+    assert(literal === expect)
+  }
+
   test("semantic overlap argmax tie picks the smallest eval id") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     // two eval vectors IDENTICAL in direction: cos ties exactly

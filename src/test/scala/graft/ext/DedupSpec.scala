@@ -162,6 +162,60 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === (("zzzz tail", 1L, 31L)), out(4L))
   }
 
+  test("span excision: char-overlapping spans excise their union, counted once") {
+    // ADVICE r9: two islands whose gram positions sit 2 apart overlap by
+    // up to k-1 chars. S's first and last 20-grams repeat (docs 1 and 2
+    // are exactly those grams), the middle one is unique to doc 9 — so
+    // doc 9 carries two one-gram islands with spans [3,22] and [5,24]:
+    // 18 chars of char-space overlap. Both instances lose to the smaller
+    // doc ids and are dropped; the excised chars must count ONCE (union
+    // = 22 chars), not per span extent (40).
+    val s22 = "0123456789abcdefghijkl"
+    val docs = Seq(
+      (1L, s22.substring(0, 20)),  // S[0..19] — keeper of span 1's content
+      (2L, s22.substring(2)),      // S[2..21] — keeper of span 2's content
+      (9L, s"aa${s22}bb")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(docs, k = 20).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((s22.substring(0, 20), 0L, 0L)))
+    assert(out(2L) === ((s22.substring(2), 0L, 0L)))
+    assert(out(9L) === (("aabb", 2L, 22L)),
+      s"union of overlapping spans must count once: ${out(9L)}")
+  }
+
+  test("span excision: hot digest is aggregated, not windowed (bounded task skew)") {
+    // VERDICT r9 #3: a corpus-wide boilerplate span repeated across N
+    // docs makes its content digest one hot key. The keep-first choice
+    // must be a map-side-combinable aggregate — a window partitioned by
+    // the digest would funnel all N instances into one task.
+    // n exact copies: one span digest (the whole text) with n instances —
+    // the hottest possible key
+    val passage = "alpha 0123456789ABCDEFGHIJKLMNOPQRS omega"
+    val n = 5000
+    val docs = (1 to n).map(i => (i.toLong, passage)).toDF("doc_id", "text")
+    val df = Dedup.exciseSpans(docs, k = 20)
+    // plan: every Window partitions by the doc id (the islands windows),
+    // NEVER by the span digest
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "islands windows expected")
+    wins.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("doc_id")) &&
+        !w.partitionSpec.exists(_.toString.contains("dg")),
+        s"window keyed by the hot digest: ${w.partitionSpec}")
+    }
+    // correctness at the hot key: doc 1 keeps the canonical instance,
+    // every other doc is a full duplicate and excises entirely
+    val out = df.filter(col("doc_id").isin(1L, 2L, n.toLong))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((passage, 0L, 0L)))
+    assert(out(2L) === (("", 1L, passage.length.toLong)), s"got ${out(2L)}")
+    assert(out(n.toLong) === (("", 1L, passage.length.toLong)))
+    assert(df.filter(col("n_dropped_spans") === 0L).count() === 1L)
+  }
+
   test("span excision: a full-document duplicate collapses to empty text") {
     val t1 = "alpha 0123456789ABCDEFGHIJKLMNOPQRS omega"
     val docs = Seq((1L, t1), (5L, t1)).toDF("doc_id", "text")

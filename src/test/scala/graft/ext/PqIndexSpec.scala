@@ -101,4 +101,33 @@ class PqIndexSpec extends SparkSpec {
     assert(gotR === expectR)
     e.unpersist()
   }
+
+  test("a build that dies mid-way leaves no completion marker; the lazy search rebuilds") {
+    // ADVICE r7 #3: gating a lazy rebuild on one table existing would
+    // read a partial index. Simulate the mid-build crash the finding
+    // describes: a finished build minus its marker and codebook — the
+    // state left by a build that died between the coarse write and the
+    // codebook write (codes from an OLDER build still on disk).
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val store = tmpStore()
+    PqIndex.buildIvfResidual(store, e)
+    assert(PqIndex.isComplete(store, "ivfpqr"))
+    store.drop("ivfpqr_complete")
+    store.drop("ivfpqr_codebook")
+    assert(store.exists("ivfpqr_codes"), "partial state should keep codes")
+    assert(!PqIndex.isComplete(store, "ivfpqr"),
+      "marker must not survive a partial build")
+    // the standalone entry point must detect the partial index and
+    // rebuild — results identical to the recompute path
+    val q = e.filter(col("vec_id") < 8)
+    if (!PqIndex.isComplete(store, "ivfpqr")) // = qSimIvfPqResIndexed's gate
+      PqIndex.buildIvfResidual(store, e)
+    val got = PqIndex.searchIvfResidual(store, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = KMeans.ivfPqResidualTopK(e, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    assert(PqIndex.isComplete(store, "ivfpqr"))
+    e.unpersist()
+  }
 }

@@ -48,6 +48,22 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV excludes nulls, matching countDistinct (ADVICE r7 #1)") {
+    // a nullable value column: null must neither rank (Spark windows sort
+    // nulls FIRST, DuckDB LAST — a null hash silently diverges the kept
+    // state across engines) nor count toward the estimate
+    val rows = Seq(("a", "x"), ("a", "y"), ("a", null), ("a", null),
+      ("b", null), ("b", "z"))
+    val df = rows.toDF("g", "v")
+    val hashes = Sketches.kmvHashes(df, "g", "v")
+    assert(hashes.filter($"h".isNull).count() === 0L, "null hash leaked")
+    val est = Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // under-k → exact, and exact means countDistinct semantics (no nulls)
+    assert(est("a") === ((2L, 2.0)), s"nulls counted in a: $est")
+    assert(est("b") === ((1L, 1.0)), s"nulls counted in b: $est")
+  }
+
   test("KMV sketches merge: union of shard keeps = keep of the union") {
     val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
       .select($"event_type", $"user_id")

@@ -9,27 +9,45 @@ Usage:
   tools/benchgate.py BENCH_BASELINE.json <bench-json>   # file or '-' = stdin
 
 <bench-json> is the long Bench line: {"metric":"total",...,"queries":{...}}.
-BENCH_BASELINE.json: {"sf": ..., "note": ..., "queries": {name: seconds}}.
+BENCH_BASELINE.json: {"sf": ..., "note": ..., "queries": {name: seconds},
+"mad": {name: seconds}} — "mad" (optional) is the per-query median
+absolute deviation of the baseline samples.
 
-A query fails the gate when current > max(2 x baseline, baseline + 1.0s)
+A query fails the gate when
+  current > max(2 x median, median + 1.0s, median + 6 x MAD)
 — the absolute slack keeps sub-second queries from flagging on scheduler
-noise; genuinely slow queries are held to the 2x contract. New queries
-(no baseline) and retired queries are reported but never fail; refresh
-the baseline when the set changes.
+noise; the MAD term (VERDICT r9 #7) keeps queries whose BASELINE samples
+already ran noisy from flagging inside their own observed variance band
+(the gate false-failed whole rounds in r7/r8 under machine contention);
+genuinely slow queries are held to the 2x contract. New queries (no
+baseline) and retired queries are reported but never fail; refresh the
+baseline when the set changes.
 
-Variance robustness (VERDICT r7 #1) lives in the CALLER: graft.Bench
-parses this script's FAIL lines, re-runs just the breaching queries on a
-fresh session, substitutes the better sample, and re-invokes the gate —
-so a single contended full run cannot fail the round, while a
-reproducible regression fails both samples and still gates. Recording a
-baseline should bypass that re-run (SPARK_GRAFT_NO_RERUN=1).
+Exit codes (ADVICE r7 #2 — the caller must be able to tell a crashed
+gate from a missing baseline):
+  0  pass
+  1  fail (at least one reproducible per-query breach)
+  2  usage / unparseable input
+  3  baseline file missing
+  4  unexpected crash (traceback printed)
+
+Variance robustness also lives in the CALLER: graft.Bench parses this
+script's FAIL lines, re-runs just the breaching queries on a fresh
+session, substitutes the better sample (recording BOTH samples in the
+artifact), and re-invokes the gate — so a single contended full run
+cannot fail the round, while a reproducible regression fails both
+samples and still gates. Recording a baseline should bypass that re-run
+(SPARK_GRAFT_NO_RERUN=1).
 """
 import json
 import os
 import sys
+import traceback
+
+MAD_K = 6.0
 
 
-def main() -> int:
+def gate() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
@@ -37,8 +55,10 @@ def main() -> int:
         print(f"benchgate: baseline file '{sys.argv[1]}' does not exist — "
               "record one (per-query median of 3 restart-enabled Bench runs) "
               "and commit it; the gate cannot run without it")
-        return 2
-    baseline = json.load(open(sys.argv[1]))["queries"]
+        return 3
+    base_doc = json.load(open(sys.argv[1]))
+    baseline = base_doc["queries"]
+    mad = base_doc.get("mad", {})
     raw = sys.stdin.read() if sys.argv[2] == "-" else open(sys.argv[2]).read()
     # tolerate surrounding log lines: take the last line with a queries map
     cur = None
@@ -56,7 +76,7 @@ def main() -> int:
         if base is None:
             new.append(name)
             continue
-        limit = max(2.0 * base, base + 1.0)
+        limit = max(2.0 * base, base + 1.0, base + MAD_K * mad.get(name, 0.0))
         if sec > limit:
             failed.append((name, base, sec, limit))
     for name in sorted(baseline):
@@ -74,6 +94,17 @@ def main() -> int:
     print(f"{n_ok} within limits, {len(failed)} regressed, "
           f"{len(new)} new, {len(gone)} missing")
     return 1 if failed else 0
+
+
+def main() -> int:
+    # a bare traceback exits 1 — indistinguishable from a legitimate gate
+    # FAIL; catch it and exit on a code of its own
+    try:
+        return gate()
+    except Exception:
+        traceback.print_exc()
+        print("benchgate: crashed (see traceback above)")
+        return 4
 
 
 if __name__ == "__main__":
