@@ -260,7 +260,26 @@ object Curation {
     * division of exact small ints, identically rounded in both engines
     * (ceil-free on purpose). Empty docs yield no chunks. */
   def chunkTokens(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    chunkArray(docs, words(col(textCol)), " ", chunkSize, stride, idCol)
+
+  /** [[chunkTokens]] in SUBWORD units: windows over the committed-BPE
+    * token sequence (VERDICT r9 #5 — the unit a training pipeline's
+    * context budget is actually denominated in). Chunk text re-joins the
+    * subwords with the empty string (original inter-word spacing is a
+    * pre-tokenizer casualty, as in any id-space pipeline). */
+  def chunkBpe(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    chunkArray(docs, Bpe.tokens(col(textCol)), "", chunkSize, stride, idCol)
+
+  /** The tokenizer-generic chunker: windows of `chunkSize` entries of
+    * `tokensArr` advancing by `stride`. One Generate (explode) — no
+    * shuffle; 100 TB chunks at scan speed. Chunk count uses
+    * floor((n - C + S - 1)/S) + 1 — double division of exact small ints,
+    * identically rounded in both engines (ceil-free on purpose). Empty
+    * docs yield no chunks. */
+  private def chunkArray(docs: DataFrame, tokensArr: Column, sep: String,
+      chunkSize: Int, stride: Int, idCol: String): DataFrame = {
     require(stride > 0 && chunkSize >= stride,
       s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
     val n = col("n")
@@ -270,14 +289,14 @@ object Curation {
     val start = (col("chunk_id") * stride).cast("int") + 1
     val len = least(lit(chunkSize), n - col("chunk_id") * stride).cast("int")
     docs
-      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), tokensArr.as("ws"))
       .select(col(idCol), col("ws"), size(col("ws")).cast("long").as("n"))
       .filter(n > 0)
       .select(col(idCol), n, col("ws"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id"),
         len.cast("long").as("chunk_tokens"),
-        concat_ws(" ", slice(col("ws"), start, len)).as("chunk_text"))
+        concat_ws(sep, slice(col("ws"), start, len)).as("chunk_text"))
   }
 
   /** Deterministic sequence packing: assign whole documents to
@@ -297,12 +316,16 @@ object Curation {
     * independently. Zero-token docs carry nothing packable and drop. */
   def packSequences(docs: DataFrame, budgetTokens: Int = 2048,
       buckets: Int = 32, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      // the budgeting unit is pluggable (VERDICT r9 #5): default
+      // whitespace tokens; pass Bpe.tokenCount to pack in the subword
+      // units a training pipeline actually budgets
+      tokensOf: Column => Column = c => size(words(c)).cast("long")): DataFrame = {
     require(budgetTokens > 0 && buckets > 0,
       s"need positive budget/buckets, got $budgetTokens/$buckets")
     val idStr = col(idCol).cast("string")
     val d = docs.select(col(idCol),
-        size(words(col(textCol))).cast("long").as("tokens"),
+        tokensOf(col(textCol)).as("tokens"),
         (hexInt(idStr) % buckets).as("bucket"))
       .filter(col("tokens") > 0)
     val w = Window.partitionBy(col("bucket"))

@@ -104,6 +104,25 @@ object ExtQueries {
   def qTextChunks(s: SparkSession, dir: String): DataFrame =
     Curation.chunkTokens(docs(s, dir), chunkSize = 64, stride = 48)
 
+  /** Committed-BPE tokenization: per-doc subword count plus an
+    * order-sensitive digest of the full token sequence, so the oracle
+    * pins the exact tokenization, not just the count. */
+  def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    docs(s, dir).select(col("doc_id"),
+      Bpe.tokenCount(col("text")).as("n_tokens"),
+      Bpe.tokenDigest(col("text")).as("tok_digest"))
+  }
+
+  /** [[qTextChunks]] denominated in committed-BPE subwords. */
+  def qTextChunksBpe(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkBpe(docs(s, dir), chunkSize = 64, stride = 48)
+
+  /** [[qTextPack]] budgeted in committed-BPE subwords. */
+  def qTextPackBpe(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(s, dir), budgetTokens = 256, buckets = 8,
+      tokensOf = graft.ext.Bpe.tokenCount)
+
   /** Incremental "what's new" gate: docs whose content digest is absent
     * from the simulated known corpus (doc_id < 100 stands in for the
     * previously-trained set; exact copies of known docs drop out). */
@@ -536,6 +555,9 @@ object ExtQueries {
     "q_text_redact" -> (qTextRedact _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
+    "q_text_bpe" -> (qTextBpe _),
+    "q_text_chunks_bpe" -> (qTextChunksBpe _),
+    "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
@@ -1131,6 +1153,52 @@ object ExtQueries {
        |    ws[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(least(chunk_id * 48 + 64, n) AS BIGINT)],
        |    ' ') AS chunk_text
        |FROM c""".stripMargin
+
+  /** Committed-BPE oracle: replays the same merges table (generated
+    * from graft.ext.Bpe — single source of truth) and digests the token
+    * sequence with the same separator. */
+  private val textBpeSql = {
+    import graft.ext.Bpe
+    s"""SELECT doc_id,
+       |  ${Bpe.tokenCountSqlOf("text")} AS n_tokens,
+       |  md5(array_to_string(${Bpe.tokensSqlOf("text")}, '${Bpe.sep}'))
+       |    AS tok_digest
+       |FROM documents""".stripMargin
+  }
+
+  /** textChunksSql in BPE units: same window arithmetic over the replayed
+    * subword list, chunk text re-joined with the empty string. */
+  private val textChunksBpeSql =
+    s"""WITH w AS (SELECT doc_id, ${graft.ext.Bpe.tokensSqlOf("text")} AS ws
+       |  FROM documents),
+       |m AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+       |k AS (SELECT doc_id, ws, n,
+       |  CASE WHEN n <= 64 THEN 1
+       |       ELSE CAST(floor(CAST(n - 64 + 47 AS DOUBLE) / 48) AS BIGINT) + 1 END AS n_chunks
+       |  FROM m),
+       |c AS (SELECT doc_id, n, ws, unnest(range(0, n_chunks)) AS chunk_id FROM k)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(
+       |    ws[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(least(chunk_id * 48 + 64, n) AS BIGINT)],
+       |    '') AS chunk_text
+       |FROM c""".stripMargin
+
+  /** textPackSql in BPE units: same hash spread, order and binning; only
+    * the token counter changes. */
+  private val textPackBpeSql = {
+    val h = hexIntSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id,
+       |  ${graft.ext.Bpe.tokenCountSqlOf("text")} AS tokens,
+       |  $h % 8 AS bucket FROM documents),
+       |f AS (SELECT * FROM d WHERE tokens > 0),
+       |c AS (SELECT doc_id, bucket, tokens,
+       |  CAST(sum(tokens) OVER (PARTITION BY bucket
+       |    ORDER BY $h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    - tokens AS start FROM f)
+       |SELECT doc_id, bucket, tokens,
+       |  start // 256 AS seq_id, start % 256 AS seq_offset FROM c""".stripMargin
+  }
 
   /** Connected components over the MinHash near-dup pairs: recursive
     * transitive closure, component label = min reachable doc id — the
@@ -1995,6 +2063,9 @@ object ExtQueries {
     "q_text_redact" -> textRedactSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
+    "q_text_bpe" -> textBpeSql,
+    "q_text_chunks_bpe" -> textChunksBpeSql,
+    "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_semantic" -> decontaminateSemanticSql,

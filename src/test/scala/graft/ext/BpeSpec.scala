@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference PRIORITY-QUEUE BPE apply (Sennrich et al.): repeatedly
+    * find the lowest-RANK merge whose pair is adjacent anywhere in the
+    * token list, merge all its occurrences left-to-right, repeat. The
+    * engine applies each rule once, globally, in rank order — this
+    * reference validates the equivalence argument for well-formed
+    * tables, not just the outputs. */
+  private def referenceBpe(word: String): Seq[String] = {
+    var toks: Vector[String] = word.map(_.toString).toVector
+    val rank = Bpe.merges.zipWithIndex.toMap
+    var done = false
+    while (!done) {
+      val present = toks.indices.dropRight(1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1))))
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = Bpe.merges(present.min)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+    }
+    toks
+  }
+
+  private def pieces(text: String): Seq[String] =
+    TextAnalysis.bpeTokenRegex.r.findAllIn(text.toLowerCase).toSeq
+
+  private def engineTokens(texts: Seq[String]): Map[String, Seq[String]] =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"t", Bpe.tokens($"t").as("toks"), Bpe.tokenCount($"t").as("n"))
+      .collect()
+      .map(r => r.getString(0) -> {
+        val toks = r.getSeq[String](1)
+        assert(r.getLong(2) === toks.length.toLong,
+          s"count/tokens disagree for '${r.getString(0)}'")
+        toks
+      }).toMap
+
+  test("hand-traced merges: common words collapse, rare ones stay chars") {
+    val got = engineTokens(Seq("the", "thin", "other", "zzzz", "a1,b", ""))
+    assert(got("the") === Seq("the"))
+    assert(got("thin") === Seq("th", "in"))
+    assert(got("other") === Seq("o", "ther"))
+    assert(got("zzzz") === Seq("z", "z", "z", "z"))
+    assert(got("a1,b") === Seq("a", "1", ",", "b"))
+    assert(got("") === Seq.empty)
+  }
+
+  test("engine tokenization equals the reference priority-queue BPE") {
+    val wordGen = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.oneOf("etaoinshr".toSeq)))
+        .map(_.mkString))
+    val textGen = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val samples = Gen.listOfN(200, textGen).sample.get.distinct
+    val got = engineTokens(samples)
+    samples.foreach { t =>
+      val expect = pieces(t).flatMap(referenceBpe)
+      assert(got(t) === expect, s"text '$t'")
+      // lossless within pieces: tokens re-concatenate to the pieces
+      assert(got(t).mkString === pieces(t).mkString, s"lossy for '$t'")
+    }
+  }
+
+  test("mixed digits and punctuation: digits single, punct isolated") {
+    val got = engineTokens(Seq("It costs $12.50, really!"))
+    assert(got("It costs $12.50, really!") ===
+      Seq("it", "co", "st", "s", "$", "1", "2", ".", "5", "0", ",",
+        "re", "ally", "!"))
+  }
+}
