@@ -123,6 +123,27 @@ object ExtQueries {
     Curation.packSequences(docs(s, dir), budgetTokens = 256, buckets = 8,
       tokensOf = graft.ext.Bpe.tokenCount)
 
+  /** Incremental decontamination e2e (VERDICT r9 #6): index the eval
+    * gram state once, gate two OVERLAPPING training increments against
+    * it (the replayed ids are first-write-wins no-ops), and return the
+    * standing verdict table — which must hash-match the one-shot full
+    * recompute's oracle exactly: per-doc verdicts against a fixed eval
+    * state compose over any increment partition. */
+  def qDecontamIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "decontam_incr"))
+    store.drop("decontam_grams")
+    store.drop("decontam_verdicts")
+    Decontamination.indexEval(store, "decontam",
+      d.filter(col("doc_id") % 97 === 0))
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    Decontamination.decontaminateIncrement(store, "decontam",
+      train.filter(col("doc_id") < 250))
+    Decontamination.decontaminateIncrement(store, "decontam", train)
+    Decontamination.decontaminationState(store, "decontam")
+  }
+
   /** Incremental "what's new" gate: docs whose content digest is absent
     * from the simulated known corpus (doc_id < 100 stands in for the
     * previously-trained set; exact copies of known docs drop out). */
@@ -560,6 +581,7 @@ object ExtQueries {
     "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontam_incr" -> (qDecontamIncr _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_gopher" -> (qTextGopher _),
@@ -2068,6 +2090,8 @@ object ExtQueries {
     "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
+    // the incremental path must reproduce the one-shot recompute exactly
+    "q_decontam_incr" -> decontaminateSql,
     "q_decontaminate_semantic" -> decontaminateSemanticSql,
     "q_dedup_fuzzy" -> dedupFuzzySql,
     "q_text_repetition" -> textRepetitionSql,

@@ -89,6 +89,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("incremental decontamination: increments compose to the full recompute") {
+    val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val eval = d.filter($"doc_id" % 97 === 0)
+    val train = d.filter($"doc_id" % 97 =!= 0)
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-decontam").toString)
+    Decontamination.indexEval(store, "dc", eval)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    // two disjoint increments, then a full-replay increment (no-op)
+    val inc1 = Decontamination.decontaminateIncrement(store, "dc",
+      train.filter($"doc_id" < 200))
+    assert(rows(inc1).nonEmpty)
+    Decontamination.decontaminateIncrement(store, "dc",
+      train.filter($"doc_id" >= 200))
+    val replay = Decontamination.decontaminateIncrement(store, "dc", train)
+    assert(replay.count() === 0L, "replayed increment must be a no-op")
+    // the standing state IS the one-shot recompute
+    val state = rows(Decontamination.decontaminationState(store, "dc"))
+    val full = rows(Decontamination.overlapStats(train, eval))
+    assert(state === full)
+    store.destroy()
+  }
+
   test("empty eval set: both semantic faces return every row clean (ADVICE r9)") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     val train = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding")
