@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale checkpoint (VERDICT r9 #2): times the heaviest queries at
+  * sf0.1 and at a synthesized 10× corpus ("sf1"), printing per-query
+  * ratios — a 10× data point under the 100 TB linearity claims in
+  * SCALE.md. A scan-bound operator should land near 10× (local[32] has
+  * spare cores at sf0.1, so <10× is common); anything super-linear
+  * (≳15×) is flagged for a named cause.
+  *
+  * The sf1 corpus is derived, not copied: facts replicate `reps` times
+  * with ids shifted per replica (join keys shifted consistently), and
+  * TEXT columns get a per-replica caesar rotation — 10 byte-identical
+  * copies would turn the whole corpus into exact duplicates and
+  * degenerate every dedup operator into one giant cluster, while rotated
+  * text keeps each replica's internal near-dup/span/vocabulary structure
+  * intact and disjoint from the others (vocabulary grows 10×, the shape
+  * a real corpus has). Embeddings replicate with new ids (same vector
+  * distribution, 10× rows); dims (region/nation/customer/supplier) stay
+  * 1× like real dimensions do.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE_DIR
+  * (output, default target/scale/sf1), SPARK_GRAFT_SCALE_REPS (default
+  * 10), SPARK_GRAFT_CPUS (default 32). Args: query names (default: the
+  * committed heavy set). Generation is cached: a `_done` marker skips it.
+  */
+object ScaleCheck {
+
+  val heavySet: Seq[String] = Seq(
+    "q1_agg", "q_dedup_minhash", "q_dedup_ngram_jaccard", "q_dedup_spans",
+    "q_dedup_excise", "q_dedup_best", "q_dedup_clusters",
+    "q_dedup_fingerprint", "q_sim_pq", "q_sim_ivfpq_indexed",
+    "q_sim_ivfpq_build", "q_sim_ivfpq_res_indexed", "q_retrieval_hybrid",
+    "q_text_bm25", "q_text_bpe", "q_scd2_apply", "q_skew_join",
+    "q_quantile_profile")
+
+  private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
+  private val upperAz = lowerAz.toUpperCase
+
+  /** Per-replica caesar rotation over letters (digits/punct unchanged):
+    * replica 0 is the original text. */
+  private def caesar(c: org.apache.spark.sql.Column, k: Int) =
+    if (k == 0) c
+    else {
+      val lo = lowerAz.drop(k % 26) + lowerAz.take(k % 26)
+      translate(c, lowerAz + upperAz, lo + lo.toUpperCase)
+    }
+
+  private def span(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1L
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      reps: Int): Unit = {
+    def load(n: String) = Tables.load(spark, srcDir, n)
+    def write(n: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+
+    Seq("region", "nation", "customer", "supplier").foreach(n =>
+      write(n, load(n)))
+
+    val docs = load("documents")
+    val dSpan = span(docs, "doc_id")
+    write("documents", (0 until reps).map(k =>
+      docs.select((col("doc_id") + k * dSpan).as("doc_id"),
+        caesar(col("text"), k).as("text"), col("lang"), col("source"),
+        col("n_chars"))).reduce(_.unionByName(_)))
+
+    val emb = load("embeddings")
+    val eSpan = span(emb, "vec_id")
+    write("embeddings", (0 until reps).map(k =>
+      emb.select((col("vec_id") + k * eSpan).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_.unionByName(_)))
+
+    val part = load("part")
+    val pSpan = span(part, "p_partkey")
+    write("part", (0 until reps).map(k =>
+      part.select((col("p_partkey") + k * pSpan).as("p_partkey"),
+        caesar(col("p_name"), k).as("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice")))
+      .reduce(_.unionByName(_)))
+
+    val ev = load("events")
+    val evSpan = span(ev, "event_id")
+    val uSpan = span(ev.select(col("user_id")), "user_id")
+    write("events", (0 until reps).map(k =>
+      ev.select((col("event_id") + k * evSpan).as("event_id"), col("ts"),
+        (col("user_id") + k * uSpan).as("user_id"), col("event_type"),
+        col("value"), col("props"))).reduce(_.unionByName(_)))
+
+    val ord = load("orders")
+    val oSpan = span(ord, "o_orderkey")
+    write("orders", (0 until reps).map(k =>
+      ord.select((col("o_orderkey") + k * oSpan).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority")))
+      .reduce(_.unionByName(_)))
+
+    val li = load("lineitem")
+    write("lineitem", (0 until reps).map(k =>
+      li.select((col("l_orderkey") + k * oSpan).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))).reduce(_.unionByName(_)))
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_done"), s"reps=$reps\n")
+  }
+
+  private def makeSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def runOne(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+    elapsed
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale/sf1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else heavySet
+
+    var spark = makeSession(cpus)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/_done"))) {
+      val t0 = System.nanoTime()
+      generate(spark, srcDir, outDir, reps)
+      System.err.println(f"[scale] generated $outDir (${reps}x) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    def restart(): Unit = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      spark = makeSession(cpus)
+    }
+    // base pass, then scaled pass on a fresh session (heap parity)
+    val base = names.map(n => n -> runOne(spark, n, srcDir)).toMap
+    restart()
+    val scaled = names.map(n => n -> runOne(spark, n, outDir)).toMap
+    val entries = names.map { n =>
+      val r = scaled(n) / math.max(base(n), 1e-9)
+      f"""    "$n": {"sf01_sec": ${base(n)}%.3f, "sf1_sec": ${scaled(n)}%.3f, "ratio": $r%.2f}"""
+    }
+    println(s"""{\n  "reps": $reps,\n  "queries": {\n${entries.mkString(",\n")}\n  }\n}""")
+    spark.stop()
+  }
+}
