@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Scd2Queries.queries ++
     graft.queries.ExtQueries.queries ++
     graft.queries.ScaleQueries.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.PollQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Scd2Queries.oracleSql ++
     graft.queries.ExtQueries.oracleSql ++
     graft.queries.ScaleQueries.oracleSql ++
-    graft.queries.PipelineQueries.oracleSql
+    graft.queries.PipelineQueries.oracleSql ++
+    graft.queries.PollQueries.oracleSql
 }
