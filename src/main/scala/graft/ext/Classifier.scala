@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Model-based document classification — the second-stage filter every
+  * production pre-training pipeline runs after the heuristic gates
+  * ([[TextAnalysis.qualityScore]], Gopher flags): a classifier trained on
+  * the corpus itself routes documents to domains / quality buckets
+  * (fastText-style filtering in CCNet and the LLaMA data pipeline; no
+  * reference equivalent — north-star extension surface).
+  *
+  * The model is a CENTROID (Rocchio) classifier over word unigrams: a
+  * class's profile is its L1-normalized gram-frequency vector, a
+  * document's score for a class is the sum of profile weights over its
+  * gram occurrences, predict = argmax. Chosen over logistic/NB forms
+  * deliberately: training is ONE map-side-combined aggregation (no
+  * gradient loop), and with profile weights on a fixed-point q6 lattice
+  * (integer floor division of exact counts) both training and scoring
+  * are INTEGER arithmetic end-to-end — order-independent, overflow-safe
+  * (score < 10⁶·|doc grams| ≪ 2⁶³) and bit-identical in any engine, so
+  * the DuckDB oracle checks the whole train→predict chain, not a
+  * rounded proxy. A log-space NB twin would hash-diverge on summation
+  * order; argmax parity here is exact.
+  *
+  * Scale shape: training shuffles (label, gram) count pairs — digests,
+  * never text — sized |vocab|·|classes|, map-side combined. Scoring
+  * joins doc gram occurrences to the profile table; profiles are
+  * vocabulary-sized (bounded by training-corpus vocab, not corpus rows)
+  * and broadcast when small; past broadcast size the join degrades to a
+  * hash-partitioned equi-join on the gram — never all-pairs. The argmax
+  * is a map-side-combined struct-min per doc, not a window.
+  */
+object Classifier {
+
+  /** Train: per-class L1-normalized gram frequencies on the q6 lattice.
+    * Output: (label, gram, w_q6: long). */
+  def classProfiles(docs: DataFrame, labelCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(labelCol).as("label"),
+      explode(words(lower(col(textCol)))).as("gram"))
+    val cnt = occ.groupBy(col("label"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = occ.groupBy(col("label")).agg(count(lit(1)).as("tot"))
+    cnt.join(tot, Seq("label"))
+      .select(col("label"), col("gram"),
+        ((col("cnt") * 1000000L - pmod(col("cnt") * 1000000L, col("tot")))
+          / col("tot")).cast("long").as("w_q6"))
+  }
+
+  /** Score + argmax: each document's predicted label and its q6 score.
+    * Ties break to the lexicographically smallest label (struct-min on
+    * (-score, label) — deterministic cross-engine). Docs whose grams all
+    * miss the profile table (empty docs, fully out-of-vocabulary)
+    * predict null. */
+  def predict(docs: DataFrame, profiles: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(idCol),
+      explode(words(lower(col(textCol)))).as("gram"))
+    val perClass = occ.join(profiles, Seq("gram"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("w_q6")).as("score_q6"))
+    val best = perClass.groupBy(col(idCol))
+      .agg(min(struct((-col("score_q6")).as("ns"), col("label"))).as("best"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        col("best.label").as("predicted"),
+        (-col("best.ns")).as("score_q6"))
+  }
+
+  /** Corpus cartography: label each embedding-space k-means cluster with
+    * its most DISTINGUISHING terms — per-cluster relative term frequency
+    * minus the global relative frequency, both on the q6 lattice, top-N
+    * by (score desc, term asc). The standard map-of-the-corpus readout
+    * (what are my clusters about?) composed from two already-green
+    * operators: [[KMeans.fit]]'s deterministic integer-lattice Lloyd and
+    * the gram aggregation discipline above.
+    *
+    * Scale shape: one id-equi-join ships each doc's text to its
+    * cluster id once (co-partition docs and embeddings by id at the
+    * store level to make it shuffle-free); all three frequency
+    * aggregations are map-side-combined counts; the global total is a
+    * 1-row broadcast; the top-N window partitions by cent_id over
+    * vocabulary-sized input with the rank filter pushed (WindowGroupLimit
+    * — never sorts the corpus). */
+  def clusterTopics(docs: DataFrame, emb: DataFrame, k: Int = 8,
+      iters: Int = 2, topN: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = KMeans.fit(emb, k, iters)
+    val memb = KMeans.assignments(emb, cents)
+      .select(col("id").as(idCol), col("cent_id"))
+    val occ = docs.join(memb, Seq(idCol))
+      .select(col("cent_id"), explode(words(lower(col(textCol)))).as("term"))
+    val cCnt = occ.groupBy(col("cent_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val cTot = occ.groupBy(col("cent_id")).agg(count(lit(1)).as("tot"))
+    val gCnt = occ.groupBy(col("term")).agg(count(lit(1)).as("gcnt"))
+    val gTot = occ.agg(count(lit(1)).as("gtot"))
+    def q6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a * 1000000L - pmod(a * 1000000L, b)) / b).cast("long")
+    val sc = cCnt.join(cTot, Seq("cent_id")).join(gCnt, Seq("term"))
+      .crossJoin(broadcast(gTot))
+      .select(col("cent_id"), col("term"),
+        (q6(col("cnt"), col("tot")) - q6(col("gcnt"), col("gtot"))).as("score_q6"))
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(col("score_q6").desc, col("term"))
+    sc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topN)
+      .select(col("cent_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("score_q6"))
+  }
+
+  // ------------------------------------------------------------ oracle
+  /** DuckDB twin of the full train→predict chain over `documents`,
+    * predicting `labelCol`. Same q6 floor-division lattice, same
+    * (-score, label) tie order. */
+  def trainPredictSqlOf(labelCol: String): String = {
+    val w = """list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)"""
+    s"""WITH occ AS (
+       |  SELECT doc_id, $labelCol AS label, unnest($w) AS gram FROM documents),
+       |cnt AS (SELECT label, gram, count(*) AS cnt FROM occ GROUP BY 1, 2),
+       |tot AS (SELECT label, count(*) AS tot FROM occ GROUP BY 1),
+       |prof AS (
+       |  SELECT label, gram,
+       |         CAST((cnt * 1000000 - ((cnt * 1000000) % tot)) / tot AS BIGINT) AS w_q6
+       |  FROM cnt JOIN tot USING (label)),
+       |docc AS (SELECT doc_id, unnest($w) AS gram FROM documents),
+       |per_class AS (
+       |  SELECT d.doc_id, p.label, CAST(SUM(p.w_q6) AS BIGINT) AS score_q6
+       |  FROM docc d JOIN prof p USING (gram) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, label AS predicted, score_q6 FROM (
+       |    SELECT doc_id, label, score_q6,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score_q6 DESC, label) AS rn
+       |    FROM per_class) WHERE rn = 1)
+       |SELECT d.doc_id, b.predicted, b.score_q6
+       |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin
+  }
+}

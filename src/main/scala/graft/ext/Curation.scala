@@ -570,4 +570,40 @@ object Curation {
 
   def phoneCount(text: Column): Column =
     regexp_count(text, lit(phoneRegex)).cast("long")
+
+  /** Temperature-smoothed mixture schedule — the standard multi-domain
+    * rebalancing (exponent-smoothed sampling in multilingual BERT /
+    * GPT-3-style mixtures): a group's sampling mass ∝ n^α with α < 1, so
+    * head domains shrink and tail domains grow relative to natural
+    * proportions. α is FIXED at 1/2 because that is the exponent with an
+    * exact integer form — s = isqrt(n), computed as floor(sqrt) plus a
+    * ±1 integer correction, so the whole schedule (weights on the ppm
+    * lattice, planned counts for a budget) is bit-identical in any
+    * engine; a free-α pow() would hash-flake on libm ulps. One
+    * map-side-combined count per group, a 1-row broadcast total — the
+    * corpus is scanned once regardless of size.
+    *
+    * Output per group: n_docs, s_root = isqrt(n), w_ppm (floor share of
+    * 10⁶), planned (floor share of `budget` samples). Feed `s_root` to
+    * [[resampleToMix]] as the weight map to materialize the mix. */
+  def temperatureSchedule(docs: DataFrame, groupCol: String = "source",
+      budget: Long = 10000L): DataFrame = {
+    val n = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val f = floor(sqrt(col("n_docs").cast("double"))).cast("long")
+    // exact isqrt: double sqrt can land one off at perfect-square
+    // boundaries; the integer correction makes both engines agree exactly
+    val sExact = when((f + 1L) * (f + 1L) <= col("n_docs"), f + 1L)
+      .when(f * f > col("n_docs"), f - 1L)
+      .otherwise(f)
+    val withS = n.withColumn("s_root", sExact)
+    val tot = withS.agg(sum(col("s_root")).as("s_tot"))
+    val dec = "decimal(38,0)"
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    withS.crossJoin(broadcast(tot)).select(
+      col(groupCol), col("n_docs"), col("s_root"),
+      fdiv(col("s_root").cast(dec) * lit(1000000L).cast(dec),
+        col("s_tot").cast(dec)).as("w_ppm"),
+      fdiv(col("s_root").cast(dec) * lit(budget).cast(dec),
+        col("s_tot").cast(dec)).as("planned"))
+  }
 }

@@ -83,6 +83,17 @@ object KMeans {
       struct(dist2(q, typedlit(cq)).as("d2"), lit(cid).as("cent_id"))
     }.reduceLeft(least(_, _))
 
+  /** Hard assignment of every vector to its nearest fitted centroid:
+    * (id, cent_id, d2). The centroids collect to the driver (k·dim
+    * longs — metadata-sized) and the argmin is a zero-shuffle literal
+    * projection over one corpus scan, same kernel as [[clusterStats]]. */
+  def assignments(emb: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    assignLit(e, collectCents(cents))
+      .select(col("id"), col("cent_id"), col("d2"))
+  }
+
   /** Single-space literal assignment over (id, q) rows. */
   private def assignLit(e: DataFrame,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Decontamination, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Curation, Decontamination, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
 
 /** Query + oracle registry for the training-data-pipeline surface
   * (graft.ext): dedup, similarity search, text analysis, multimodal
@@ -291,6 +291,20 @@ object ExtQueries {
     Curation.resampleToMix(docs(s, dir), col("lang"),
       Map("en" -> 60, "es" -> 25, "zh" -> 15))
 
+  /** Temperature-smoothed (α=1/2) mixture schedule per source. */
+  def qMixSchedule(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureSchedule(docs(s, dir), "source", budget = 10000L)
+
+  /** The schedule APPLIED: isqrt weights collected (group-count-sized)
+    * and fed to resampleToMix — the full temperature-rebalance chain. */
+  def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val weights = Curation.temperatureSchedule(d, "source")
+      .select(col("source"), col("s_root")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    Curation.resampleToMix(d, col("source"), weights)
+  }
+
   /** Pack documents into 256-token sequences across 8 hash buckets. */
   def qTextPack(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(s, dir), budgetTokens = 256, buckets = 8)
@@ -557,6 +571,21 @@ object ExtQueries {
   def qMmResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeImages(Multimodal.mediaFromDocuments(docs(s, dir)))
 
+  /** Model-based routing (Classifier): train centroid profiles on the
+    * corpus's own `source` labels, predict every document — the whole
+    * train→predict chain under one oracle. */
+  def qClassifySource(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Classifier.predict(d, Classifier.classProfiles(d, "source"))
+  }
+
+  /** Corpus cartography: k-means the embeddings, label each cluster
+    * with its most distinguishing terms (cluster-vs-global relative
+    * frequency on the q6 lattice). Oracle replays the full chain:
+    * Lloyd sweeps, assignment, and the frequency contrast. */
+  def qClusterTopics(s: SparkSession, dir: String): DataFrame =
+    Classifier.clusterTopics(docs(s, dir), emb(s, dir), k = 8, iters = 2, topN = 5)
+
   def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       .select(Seq(col("media_id"), col("kind")) ++
@@ -588,6 +617,8 @@ object ExtQueries {
     "q_text_hashvec" -> (qTextHashvec _),
     "q_text_hashvec_knn" -> (qTextHashvecKnn _),
     "q_sample_mix" -> (qSampleMix _),
+    "q_mix_schedule" -> (qMixSchedule _),
+    "q_sample_temperature" -> (qSampleTemperature _),
     "q_text_pack" -> (qTextPack _),
     "q_dedup_best" -> (qDedupBest _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
@@ -630,6 +661,8 @@ object ExtQueries {
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
     "q_mm_features" -> (qMmFeatures _),
+    "q_classify_source" -> (qClassifySource _),
+    "q_cluster_topics" -> (qClusterTopics _),
     "q_mm_resize" -> (qMmResize _))
 
   // =================================================== DuckDB oracles
@@ -981,6 +1014,45 @@ object ExtQueries {
        |r AS (SELECT stratum,
        |  CAST((CAST(w AS HUGEINT) * t * 1000000) // (CAST(100 AS HUGEINT) * c)
        |       AS BIGINT) AS keep_ppm
+       |  FROM cap CROSS JOIN tm)
+       |SELECT doc_id, stratum, keep_ppm
+       |FROM d JOIN r USING (stratum)
+       |WHERE ${hexIntSql("stratum || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < keep_ppm""".stripMargin
+
+  /** Shared isqrt CTEs for the temperature-mixture oracles: per-source
+    * counts, floor(sqrt) with the ±1 integer correction. */
+  private val isqrtCtes =
+    s"""nsrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |sroot AS (SELECT source, n_docs,
+       |  CASE WHEN (f + 1) * (f + 1) <= n_docs THEN f + 1
+       |       WHEN f * f > n_docs THEN f - 1 ELSE f END AS s_root
+       |  FROM (SELECT source, n_docs,
+       |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS f
+       |    FROM nsrc))""".stripMargin
+
+  private val mixScheduleSql =
+    s"""WITH $isqrtCtes,
+       |t AS (SELECT CAST(sum(s_root) AS HUGEINT) AS s_tot FROM sroot)
+       |SELECT source, n_docs, s_root,
+       |  CAST((CAST(s_root AS HUGEINT) * 1000000) // s_tot AS BIGINT) AS w_ppm,
+       |  CAST((CAST(s_root AS HUGEINT) * 10000) // s_tot AS BIGINT) AS planned
+       |FROM sroot CROSS JOIN t""".stripMargin
+
+  /** Temperature resample oracle: the sample_mix chain with the CASE
+    * weight table replaced by the isqrt schedule. */
+  private val sampleTemperatureSql =
+    s"""WITH $isqrtCtes,
+       |tw AS (SELECT CAST(sum(s_root) AS HUGEINT) AS total_w FROM sroot),
+       |d AS (SELECT doc_id, source AS stratum, s.s_root AS w
+       |  FROM documents JOIN sroot s USING (source)),
+       |c AS (SELECT stratum, w, count(*) AS c FROM d WHERE w > 0 GROUP BY 1, 2),
+       |cap AS (SELECT stratum, w, c,
+       |  (CAST(c AS HUGEINT) * (SELECT total_w FROM tw)) // w AS cap FROM c),
+       |tm AS (SELECT min(cap) AS t FROM cap),
+       |r AS (SELECT stratum,
+       |  CAST((CAST(w AS HUGEINT) * t * 1000000)
+       |       // ((SELECT total_w FROM tw) * c) AS BIGINT) AS keep_ppm
        |  FROM cap CROSS JOIN tm)
        |SELECT doc_id, stratum, keep_ppm
        |FROM d JOIN r USING (stratum)
@@ -1386,6 +1458,31 @@ object ExtQueries {
        |SELECT st.cent_id, st.n_members, st.inertia,
        |  CAST(list_sum(list_transform(c2.cq, x -> abs(x))) AS BIGINT) AS cent_l1
        |FROM st JOIN c2 USING (cent_id)""".stripMargin
+
+  /** Cluster-topics oracle: full kmeans chain (same CTEs as
+    * q_sim_kmeans), then cluster-vs-global q6 relative-frequency
+    * contrast, top-5 per cluster by (score desc, term). */
+  private val clusterTopicsSql =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |${kmeansAssignSql("af", "c2", "e")},
+       |occ AS (SELECT m.cent_id,
+       |    unnest(${wordsSqlOf("lower(d.text)")}) AS term
+       |  FROM documents d JOIN (SELECT id AS doc_id, cent_id FROM af) m
+       |  USING (doc_id)),
+       |ccnt AS (SELECT cent_id, term, count(*) AS cnt FROM occ GROUP BY 1, 2),
+       |ctot AS (SELECT cent_id, count(*) AS tot FROM occ GROUP BY 1),
+       |gcnt AS (SELECT term, count(*) AS gcnt FROM occ GROUP BY 1),
+       |gtot AS (SELECT count(*) AS gtot FROM occ),
+       |sc AS (SELECT c.cent_id, c.term,
+       |    CAST((c.cnt * 1000000 - ((c.cnt * 1000000) % t.tot)) / t.tot AS BIGINT)
+       |  - CAST((g.gcnt * 1000000 - ((g.gcnt * 1000000) % gt.gtot)) / gt.gtot AS BIGINT)
+       |    AS score_q6
+       |  FROM ccnt c JOIN ctot t USING (cent_id) JOIN gcnt g USING (term)
+       |  CROSS JOIN gtot gt),
+       |rk AS (SELECT cent_id, term, score_q6,
+       |    ROW_NUMBER() OVER (PARTITION BY cent_id
+       |      ORDER BY score_q6 DESC, term) AS rnk FROM sc)
+       |SELECT cent_id, rnk, term, score_q6 FROM rk WHERE rnk <= 5""".stripMargin
 
   /** Gopher battery oracle: same integer inequalities over the same
     * exact counts (mean-word-len tested as 3·T ≤ ΣL ≤ 10·T, no division
@@ -2096,6 +2193,8 @@ object ExtQueries {
     "q_dedup_fuzzy" -> dedupFuzzySql,
     "q_text_repetition" -> textRepetitionSql,
     "q_sample_mix" -> sampleMixSql,
+    "q_mix_schedule" -> mixScheduleSql,
+    "q_sample_temperature" -> sampleTemperatureSql,
     "q_text_pack" -> textPackSql,
     "q_dedup_best" -> dedupBestSql,
     "q_text_boilerplate" -> textBoilerplateSql,
@@ -2149,5 +2248,7 @@ object ExtQueries {
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,
     "q_mm_features" -> mmFeaturesSql,
+    "q_classify_source" -> Classifier.trainPredictSqlOf("source"),
+    "q_cluster_topics" -> clusterTopicsSql,
     "q_mm_resize" -> mmResizeSql)
 }

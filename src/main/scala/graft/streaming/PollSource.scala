@@ -179,12 +179,24 @@ class PollMicroBatchStream(options: Map[String, String])
 
   /** record strictly after `lo` in (watermark, boundary-key) order —
     * i.e. the reference's `ts >= threshold` minus already-emitted
-    * boundary records. */
-  private def inWindowLow(r: PollRecord, lo: PollOffset): Boolean =
-    r.eff > lo.watermark || (r.eff == lo.watermark && !lo.boundary.contains(r.key))
+    * boundary records. The boundary is probed as a Set: a snapshot where
+    * every record shares one timestamp makes the boundary list
+    * snapshot-sized, and a Seq.contains would turn the filter
+    * quadratic. */
+  private def inWindowLow(r: PollRecord, lo: PollOffset): Boolean = {
+    lazy val b = boundarySet(lo)
+    r.eff > lo.watermark || (r.eff == lo.watermark && !b(r.key))
+  }
 
-  private def inWindowHigh(r: PollRecord, hi: PollOffset): Boolean =
-    r.eff < hi.watermark || (r.eff == hi.watermark && hi.boundary.contains(r.key))
+  private def inWindowHigh(r: PollRecord, hi: PollOffset): Boolean = {
+    lazy val b = boundarySet(hi)
+    r.eff < hi.watermark || (r.eff == hi.watermark && b(r.key))
+  }
+
+  // tiny per-offset memo so the snapshot filter probes a Set, not a Seq
+  private val boundaryMemo = TrieMap.empty[(Long, String), Set[String]]
+  private def boundarySet(o: PollOffset): Set[String] =
+    boundaryMemo.getOrElseUpdate((o.poll, o.watermark), o.boundary.toSet)
 
   // --- admission control / AvailableNow ---
   // prepare() runs before the engine reveals the restored start offset,
@@ -231,9 +243,11 @@ class PollMicroBatchStream(options: Map[String, String])
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[PollOffset]
     pending.keys.filter(_ <= e.poll).foreach(pending.remove)
+    // the committed offset itself stays memoized — it is the next delta base
+    boundaryMemo.keys.filter(_._1 < e.poll).foreach(boundaryMemo.remove)
   }
 
-  override def stop(): Unit = pending.clear()
+  override def stop(): Unit = { pending.clear(); boundaryMemo.clear() }
 }
 
 /** Driver-side tree flatten: the Jackson twin of TreeIngest.flatten's

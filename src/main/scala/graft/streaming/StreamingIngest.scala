@@ -51,6 +51,22 @@ object StreamingIngest {
   def landingStream(tree: DataFrame, deviceId: String): DataFrame =
     TreeIngest.toLanding(TreeIngest.flatten(tree), deviceId, Schemas.epoch)
 
+  /** The LIVE tail end-to-end: poll an RTDB-style endpoint through the
+    * DSv2 source (already threshold-filtered and boundary-deduplicated
+    * at the source — see [[PollSource]]) and land with the same
+    * defaulting quirks as the batch path. Plugs straight into
+    * [[scd2Sink]], giving the reference's full live pipeline
+    * (fetch → delta → landing → SCD2) as ONE streaming query. */
+  def pollLandingStream(spark: SparkSession, deviceId: String,
+      options: Map[String, String]): DataFrame = {
+    val reader = spark.readStream.format("graft-poll")
+    val flat = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    // the source emits TreeIngest.flatten's shape; toLanding's threshold
+    // re-filter is an epoch no-op (the offset watermark already did ST1)
+    TreeIngest.toLanding(flat, deviceId, Schemas.epoch)
+  }
+
   /** Continuous SCD2 historization: every micro-batch runs the same
     * Historizer as the batch pipeline, with load_key = batchId + 1
     * (monotone, checkpoint-stable — a replayed batch reuses its id and

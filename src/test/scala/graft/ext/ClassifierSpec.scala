@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "web", "the cat sat on the mat"),
+    (2L, "web", "the dog sat on the rug"),
+    (3L, "code", "def foo return bar end"),
+    (4L, "code", "class foo extends bar end")).toDF("doc_id", "source", "text")
+
+  test("profiles are L1-normalized q6 integer weights per class") {
+    val prof = Classifier.classProfiles(docs, "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // web corpus: 12 gram occurrences, 'the' appears 4x → floor(4e6/12)
+    assert(prof.contains(("web", "the", 333333L)))
+    assert(prof.contains(("web", "sat", 166666L)))
+    // code corpus: 10 occurrences, 'foo' 2x → 200000
+    assert(prof.contains(("code", "foo", 200000L)))
+    // weights within a class sum to ≤ 1e6 (floor division) and > 1e6 - vocab
+    val webSum = prof.toSeq.collect { case ("web", _, w) => w }.sum
+    assert(webSum <= 1000000L && webSum > 1000000L - 20L)
+  }
+
+  test("predict routes held-out docs to the nearest class profile; OOV predicts null") {
+    val prof = Classifier.classProfiles(docs, "source")
+    val test = Seq(
+      (10L, "the cat sat"),            // web vocabulary
+      (11L, "def class foo bar"),      // code vocabulary
+      (12L, "zzz qqq xxx")             // fully out-of-vocabulary
+    ).toDF("doc_id", "text")
+    val got = Classifier.predict(test, prof).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got(10L) === Some("web"))
+    assert(got(11L) === Some("code"))
+    assert(got(12L) === None)
+  }
+
+  test("exact score ties break to the lexicographically smallest label") {
+    val tied = Seq(
+      (1L, "a", "x x y"),
+      (2L, "b", "x x y")).toDF("doc_id", "source", "text")
+    val prof = Classifier.classProfiles(tied, "source")
+    // both classes have identical profiles → every score ties → 'a'
+    val got = Classifier.predict(Seq((9L, "x y")).toDF("doc_id", "text"), prof)
+      .collect().head
+    assert(got.getString(1) === "a")
+  }
+
+  test("scoring is integer-exact: score equals hand-computed sum of q6 weights") {
+    val prof = Classifier.classProfiles(docs, "source")
+    val got = Classifier.predict(Seq((20L, "the the dog")).toDF("doc_id", "text"), prof)
+      .collect().head
+    // web: the=333333 (x2) + dog=83333 = 749999; code: all OOV
+    assert(got.getString(1) === "web")
+    assert(got.getLong(2) === 749999L)
+  }
+}

@@ -369,4 +369,38 @@ class CurationSpec extends SparkSpec {
     assert(heaviest.max <= 2.0 * mean,
       s"skewed task: max=${heaviest.max} mean=$mean tasks=${heaviest.size}")
   }
+
+  test("temperature schedule: exact isqrt, ppm shares, head/tail rebalance") {
+    import spark.implicits._
+    // head: 10000 docs, tail: 100 docs → natural ratio 100×, smoothed 10×
+    val docs = ((1 to 10000).map(i => (i.toLong, "head")) ++
+      (1 to 100).map(i => (10000L + i, "tail")))
+      .toDF("doc_id", "source")
+    val sched = Curation.temperatureSchedule(docs, "source", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nH, sH, wH, pH) = sched("head")
+    val (nT, sT, wT, pT) = sched("tail")
+    assert((nH, sH) === (10000L, 100L)) // perfect square: isqrt exact
+    assert((nT, sT) === (100L, 10L))
+    assert(wH === 909090L && wT === 90909L) // 100/110, 10/110 on ppm lattice
+    assert(pH === 909L && pT === 90L)
+    assert(wH + wT <= 1000000L)
+    // smoothing: head is 100x the docs but only 10x the sampling mass
+    assert(wH / wT === 10L)
+  }
+
+  test("isqrt correction is exact around perfect squares") {
+    import spark.implicits._
+    val ns = Seq(1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L, 101L, 1048576L)
+    val docs = ns.zipWithIndex.flatMap { case (n, g) =>
+      (1L to n).map(i => (g * 10000000L + i, s"g$g"))
+    }.toDF("doc_id", "source")
+    val got = Curation.temperatureSchedule(docs, "source").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    ns.foreach { n =>
+      val s = got(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
 }

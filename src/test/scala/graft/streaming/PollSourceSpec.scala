@@ -130,6 +130,46 @@ class PollSourceSpec extends SparkSpec {
     assert(!anon.buildRequest.headers().map().containsKey("Authorization"))
   }
 
+  test("live poll stream feeds the SCD2 sink end-to-end (the reference's live pipeline)") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    val f = new ScriptedSnapshot(snap1)
+    TreeFetchers.register("spec-e2e", f)
+    try {
+      val dir = Files.createTempDirectory("poll_e2e")
+      val ckpt = dir.resolve("ckpt").toString
+      val store = new graft.store.TableStore(spark, dir.resolve("store").toString)
+      def runOnce(): Unit = {
+        val landing = StreamingIngest.pollLandingStream(spark, "DEV01",
+          Map("transport" -> "spec-e2e", "pollIntervalMs" -> "0"))
+        StreamingIngest.scd2Sink(landing, store, "hist", ckpt,
+          clock = () => Timestamp.valueOf("2024-06-01 00:00:00"),
+          trigger = Trigger.AvailableNow()).awaitTermination()
+      }
+      runOnce()
+      // snap1 lands A@10:00 and B@11:00. The missing-ts record reaches
+      // the landing (null timestamp) but its null natural key drops at
+      // the J4 re-attach equi-join — the same fate Oracle's `SRC.k =
+      // EXT.k` deals it in the reference (null = null is not true), so
+      // the historized count is 2, not 3.
+      val after1 = store.read("hist")
+      assert(after1.count() === 2)
+      assert(after1.filter(col("da_current_flag") === "Y").count() === 2)
+
+      f.snapshot = snap2 // delta = C (B's natural key, changed payload) and D@12:00
+      runOnce()
+      val after2 = store.read("hist")
+      // C shares B's natural key (DEV01, 11:00) with a changed payload →
+      // SCD2 'U': B's version closes, C's opens; D is a plain insert
+      assert(after2.count() === 4)
+      assert(after2.filter(col("da_current_flag") === "Y").count() === 3)
+      val bRow = after2.filter(col("temperature") === "22.0").collect()
+      assert(bRow.length === 1 && bRow.head.getAs[String]("da_current_flag") === "N")
+      assert(after2.filter(col("temperature") === "23.0")
+        .filter(col("da_current_flag") === "Y").count() === 1)
+    } finally TreeFetchers.unregister("spec-e2e")
+  }
+
   test("tree parse tolerates malformed shapes") {
     assert(PollTreeJson.parse("null").isEmpty)
     assert(PollTreeJson.parse("[1,2]").isEmpty)
