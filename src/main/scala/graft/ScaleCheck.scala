@@ -34,7 +34,7 @@ object ScaleCheck {
     "q_dedup_fingerprint", "q_sim_pq", "q_sim_ivfpq_indexed",
     "q_sim_ivfpq_build", "q_sim_ivfpq_res_indexed", "q_retrieval_hybrid",
     "q_text_bm25", "q_text_bpe", "q_scd2_apply", "q_skew_join",
-    "q_quantile_profile")
+    "q_quantile_profile", "q_classify_source", "q_cluster_topics")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

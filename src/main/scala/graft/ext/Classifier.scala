@@ -36,15 +36,35 @@ import Hashing._
 object Classifier {
 
   /** Train: per-class L1-normalized gram frequencies on the q6 lattice.
-    * Output: (label, gram, w_q6: long). */
+    * Output: (label, gram, w_q6: long). One pass: [[trainState]] +
+    * [[profilesFromState]]. */
   def classProfiles(docs: DataFrame, labelCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val occ = docs.select(col(labelCol).as("label"),
-      explode(words(lower(col(textCol)))).as("gram"))
-    val cnt = occ.groupBy(col("label"), col("gram"))
+      textCol: String = "text"): DataFrame =
+    profilesFromState(trainState(docs, labelCol, textCol))
+
+  /** Mergeable training state: per-(label, gram) occurrence counts — a
+    * commutative monoid (merge = addition), the same incremental
+    * discipline as [[IncrementalAgg]]: new labeled docs fold in at
+    * O(increment) cost and profiles re-derive from the state without
+    * ever re-scanning the corpus. State size is bounded by
+    * |vocab|·|classes|, not corpus rows. */
+  def trainState(docs: DataFrame, labelCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(labelCol).as("label"),
+        explode(words(lower(col(textCol)))).as("gram"))
+      .groupBy(col("label"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = occ.groupBy(col("label")).agg(count(lit(1)).as("tot"))
-    cnt.join(tot, Seq("label"))
+
+  /** Fold two training states (shuffles STATE rows, never documents). */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("label"), col("gram"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Profiles from a training state: class totals re-derived by one
+    * state-sized aggregation, weights by exact floor division. */
+  def profilesFromState(state: DataFrame): DataFrame = {
+    val tot = state.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    state.join(tot, Seq("label"))
       .select(col("label"), col("gram"),
         ((col("cnt") * 1000000L - pmod(col("cnt") * 1000000L, col("tot")))
           / col("tot")).cast("long").as("w_q6"))
@@ -112,13 +132,48 @@ object Classifier {
         col("term"), col("score_q6"))
   }
 
+  /** Score a document STREAM against frozen profiles — the
+    * fit-batch/score-stream pattern ([[graft.streaming.EventStreams]]
+    * .assignStream's sibling for vocabulary-sized models): profiles are
+    * too big to bake as plan literals, so each micro-batch runs the
+    * batch [[predict]] (stream-static join + per-doc argmax) inside
+    * foreachBatch and appends verdicts. A doc's verdict is identical
+    * whether it arrived by stream or backfill (spec-asserted); replays
+    * append duplicate rows — route through an id-keyed dedup or
+    * appendStaged-style idempotence if the source replays. */
+  def classifySink(docs: DataFrame, profiles: DataFrame,
+      store: graft.store.TableStore, name: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(name))
+          store.appendStaged(name, predict(batch, profiles, idCol, textCol))
+        else store.overwrite(name, predict(batch, profiles, idCol, textCol))
+        ()
+      }
+      .start()
+
   // ------------------------------------------------------------ oracle
   /** DuckDB twin of the full train→predict chain over `documents`,
     * predicting `labelCol`. Same q6 floor-division lattice, same
     * (-score, label) tie order. */
-  def trainPredictSqlOf(labelCol: String): String = {
+  def trainPredictSqlOf(labelCol: String): String =
+    s"""WITH ${classifierCtes(labelCol)}
+       |SELECT d.doc_id, b.predicted, b.score_q6
+       |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin
+
+  /** The train→predict CTE chain (ending in `best`: doc_id, predicted,
+    * score_q6) as a composable fragment, so funnel oracles can build on
+    * the same text. */
+  def classifierCtes(labelCol: String): String = {
     val w = """list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)"""
-    s"""WITH occ AS (
+    s"""occ AS (
        |  SELECT doc_id, $labelCol AS label, unnest($w) AS gram FROM documents),
        |cnt AS (SELECT label, gram, count(*) AS cnt FROM occ GROUP BY 1, 2),
        |tot AS (SELECT label, count(*) AS tot FROM occ GROUP BY 1),
@@ -135,8 +190,6 @@ object Classifier {
        |    SELECT doc_id, label, score_q6,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id
        |        ORDER BY score_q6 DESC, label) AS rn
-       |    FROM per_class) WHERE rn = 1)
-       |SELECT d.doc_id, b.predicted, b.score_q6
-       |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin
+       |    FROM per_class) WHERE rn = 1)""".stripMargin
   }
 }

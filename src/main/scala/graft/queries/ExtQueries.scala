@@ -305,6 +305,26 @@ object ExtQueries {
     Curation.resampleToMix(d, col("source"), weights)
   }
 
+  /** Curation funnel v3: classifier self-consistency gate → temperature
+    * rebalance. Docs whose predicted class disagrees with their metadata
+    * label drop (the model-based filter slot); the survivors are
+    * rebalanced by the isqrt schedule. `kept` is checkpointed — the
+    * classifier chain feeds both the schedule and the resample, and
+    * without the pin it would run twice. */
+  def qCurationFunnel3(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pred = Classifier.predict(d, Classifier.classProfiles(d, "source"))
+    val kept = d.select(col("doc_id"), col("source"))
+      .join(pred, Seq("doc_id"))
+      .filter(col("predicted") === col("source"))
+      .select(col("doc_id"), col("source"))
+      .localCheckpoint(true)
+    val weights = Curation.temperatureSchedule(kept, "source")
+      .select(col("source"), col("s_root")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    Curation.resampleToMix(kept, col("source"), weights)
+  }
+
   /** Pack documents into 256-token sequences across 8 hash buckets. */
   def qTextPack(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(s, dir), budgetTokens = 256, buckets = 8)
@@ -619,6 +639,7 @@ object ExtQueries {
     "q_sample_mix" -> (qSampleMix _),
     "q_mix_schedule" -> (qMixSchedule _),
     "q_sample_temperature" -> (qSampleTemperature _),
+    "q_curation_funnel3" -> (qCurationFunnel3 _),
     "q_text_pack" -> (qTextPack _),
     "q_dedup_best" -> (qDedupBest _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
@@ -1021,15 +1042,31 @@ object ExtQueries {
        |  < keep_ppm""".stripMargin
 
   /** Shared isqrt CTEs for the temperature-mixture oracles: per-source
-    * counts, floor(sqrt) with the ±1 integer correction. */
-  private val isqrtCtes =
-    s"""nsrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    * counts over `src`, floor(sqrt) with the ±1 integer correction. */
+  private def isqrtCtesOver(src: String): String =
+    s"""nsrc AS (SELECT source, count(*) AS n_docs FROM $src GROUP BY 1),
        |sroot AS (SELECT source, n_docs,
        |  CASE WHEN (f + 1) * (f + 1) <= n_docs THEN f + 1
        |       WHEN f * f > n_docs THEN f - 1 ELSE f END AS s_root
        |  FROM (SELECT source, n_docs,
        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS f
        |    FROM nsrc))""".stripMargin
+  private val isqrtCtes = isqrtCtesOver("documents")
+
+  /** Temperature-resample chain over `src` (needs the isqrt CTEs in
+    * scope): keep_ppm per stratum, hash-bucket keep filter. */
+  private def temperatureTailOver(src: String): String =
+    s"""tw AS (SELECT CAST(sum(s_root) AS HUGEINT) AS total_w FROM sroot),
+       |d AS (SELECT doc_id, source AS stratum, s.s_root AS w
+       |  FROM $src JOIN sroot s USING (source)),
+       |c AS (SELECT stratum, w, count(*) AS c FROM d WHERE w > 0 GROUP BY 1, 2),
+       |cap AS (SELECT stratum, w, c,
+       |  (CAST(c AS HUGEINT) * (SELECT total_w FROM tw)) // w AS cap FROM c),
+       |tm AS (SELECT min(cap) AS t FROM cap),
+       |r AS (SELECT stratum,
+       |  CAST((CAST(w AS HUGEINT) * t * 1000000)
+       |       // ((SELECT total_w FROM tw) * c) AS BIGINT) AS keep_ppm
+       |  FROM cap CROSS JOIN tm)""".stripMargin
 
   private val mixScheduleSql =
     s"""WITH $isqrtCtes,
@@ -1043,17 +1080,23 @@ object ExtQueries {
     * weight table replaced by the isqrt schedule. */
   private val sampleTemperatureSql =
     s"""WITH $isqrtCtes,
-       |tw AS (SELECT CAST(sum(s_root) AS HUGEINT) AS total_w FROM sroot),
-       |d AS (SELECT doc_id, source AS stratum, s.s_root AS w
-       |  FROM documents JOIN sroot s USING (source)),
-       |c AS (SELECT stratum, w, count(*) AS c FROM d WHERE w > 0 GROUP BY 1, 2),
-       |cap AS (SELECT stratum, w, c,
-       |  (CAST(c AS HUGEINT) * (SELECT total_w FROM tw)) // w AS cap FROM c),
-       |tm AS (SELECT min(cap) AS t FROM cap),
-       |r AS (SELECT stratum,
-       |  CAST((CAST(w AS HUGEINT) * t * 1000000)
-       |       // ((SELECT total_w FROM tw) * c) AS BIGINT) AS keep_ppm
-       |  FROM cap CROSS JOIN tm)
+       |${temperatureTailOver("documents")}
+       |SELECT doc_id, stratum, keep_ppm
+       |FROM d JOIN r USING (stratum)
+       |WHERE ${hexIntSql("stratum || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < keep_ppm""".stripMargin
+
+  /** Funnel v3 oracle: classifier self-consistency gate (predicted ==
+    * metadata source) composed with the temperature rebalance over the
+    * surviving docs — the classifier CTEs, the isqrt schedule and the
+    * resample tail are the same fragments the standalone oracles use. */
+  private val curationFunnel3Sql =
+    s"""WITH ${graft.ext.Classifier.classifierCtes("source")},
+       |kept AS (SELECT dd.doc_id, dd.source
+       |  FROM documents dd JOIN best b USING (doc_id)
+       |  WHERE b.predicted = dd.source),
+       |${isqrtCtesOver("kept")},
+       |${temperatureTailOver("kept")}
        |SELECT doc_id, stratum, keep_ppm
        |FROM d JOIN r USING (stratum)
        |WHERE ${hexIntSql("stratum || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
@@ -2195,6 +2238,7 @@ object ExtQueries {
     "q_sample_mix" -> sampleMixSql,
     "q_mix_schedule" -> mixScheduleSql,
     "q_sample_temperature" -> sampleTemperatureSql,
+    "q_curation_funnel3" -> curationFunnel3Sql,
     "q_text_pack" -> textPackSql,
     "q_dedup_best" -> dedupBestSql,
     "q_text_boilerplate" -> textBoilerplateSql,

@@ -114,6 +114,37 @@ class EdgeCasesSpec extends SparkSpec {
         .toDF("doc_id", "text", "source", "lang")).count() === 0)
   }
 
+  test("round-10 operators on empty and degenerate corpora") {
+    import graft.ext.Classifier
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val someDocs = Seq((1L, "a", "x y"), (2L, "b", "y z")).toDF("doc_id", "source", "text")
+
+    // empty training set → empty profiles → every prediction null
+    val emptyProfiles = Classifier.classProfiles(empty, "source")
+    assert(emptyProfiles.count() === 0)
+    val preds = Classifier.predict(someDocs, emptyProfiles).collect()
+    assert(preds.length === 2 && preds.forall(_.isNullAt(1)))
+
+    // empty scoring set → empty verdicts, no exception
+    assert(Classifier.predict(empty, Classifier.classProfiles(someDocs, "source"))
+      .count() === 0)
+
+    // merging with an empty state is the monoid identity
+    val st = Classifier.trainState(someDocs, "source")
+    val merged = Classifier.mergeStates(st, Classifier.trainState(empty, "source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged === st.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+
+    // temperature schedule: empty corpus → empty schedule; single group
+    // takes the whole ppm mass
+    assert(Curation.temperatureSchedule(empty, "source").count() === 0)
+    val solo = Curation.temperatureSchedule(
+      Seq((1L, "only"), (2L, "only")).toDF("doc_id", "source"), "source")
+      .collect().head
+    assert(solo.getLong(3) === 1000000L && solo.getLong(4) === 10000L)
+  }
+
   test("as-of join with an empty right side keeps all left rows with nulls") {
     val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "r1"))
       .toDF("k", "ts", "reading")

@@ -390,4 +390,32 @@ class PlanSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
       s"expected both branches to read the checkpointed blocks:\n${p.take(3000)}")
   }
+
+  test("classifier train→predict: no products, argmax an aggregate not a window") {
+    val p = plan("q_classify_source")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-doc argmax is the struct-min aggregate, not a ranking
+    // window (the final OOV-restoring left join on doc_id is an
+    // ordinary equi-join — fact-fact, shuffle is correct there)
+    assert(!p.contains("WindowExec") && !p.contains("Window ("), p.take(2000))
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(2000))
+  }
+
+  test("cluster topics: the only product is the 1-row global total broadcast") {
+    val p = plan("q_cluster_topics")
+    // the gtot crossJoin(broadcast) is a BroadcastNestedLoopJoin of a
+    // 1-row aggregate (J3 shape); nothing else may be a product
+    val products = "CartesianProduct".r.findAllIn(p).size
+    assert(products === 0, s"cartesian in plan:\n${p.take(2000)}")
+    // top-N per cluster compiles to the rank-filter WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("temperature mixture: schedule broadcasts; the corpus keep-filter is not re-shuffled") {
+    val p = plan("q_sample_temperature")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // rates (stratum-count-sized) reach the corpus through broadcast
+    // joins — the doc side must never sort-merge against them
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

@@ -38,6 +38,30 @@ class ClassifierSpec extends SparkSpec {
     assert(got(12L) === None)
   }
 
+  test("training state is a mergeable monoid: split-fold ≡ one-shot training") {
+    import org.apache.spark.sql.functions.col
+    val d = docs
+    val parts = Seq(
+      d.filter(col("doc_id").isin(1L, 4L)),
+      d.filter(col("doc_id") === 2L),
+      d.filter(col("doc_id") === 3L))
+    val folded = parts.map(p => Classifier.trainState(p, "source"))
+      .reduce(Classifier.mergeStates)
+    val fromState = Classifier.profilesFromState(folded).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = Classifier.classProfiles(d, "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fromState === oneShot)
+    // and predictions from the folded state match the one-shot model
+    val test = Seq((10L, "the cat sat"), (11L, "def class foo bar"))
+      .toDF("doc_id", "text")
+    val a = Classifier.predict(test, Classifier.profilesFromState(folded))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Classifier.predict(test, Classifier.classProfiles(d, "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("exact score ties break to the lexicographically smallest label") {
     val tied = Seq(
       (1L, "a", "x x y"),

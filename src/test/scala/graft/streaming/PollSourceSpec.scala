@@ -170,6 +170,23 @@ class PollSourceSpec extends SparkSpec {
     } finally TreeFetchers.unregister("spec-e2e")
   }
 
+  test("empty and all-late snapshots produce no batch (offset does not advance)") {
+    val f = new ScriptedSnapshot("{}")
+    TreeFetchers.register("edge-empty", f)
+    try {
+      val stream = new PollMicroBatchStream(
+        Map("transport" -> "edge-empty", "pollintervalms" -> "0"))
+      val o0 = stream.initialOffset().asInstanceOf[PollOffset]
+      // empty tree → offset does not advance
+      assert(stream.latestOffset(o0, null) === o0)
+      // snapshot entirely below the restored watermark → still no batch
+      f.snapshot = """{"2024-01-01":{"t1":{"Timestamp":"2024-01-01 00:00:00"}}}"""
+      val restored = PollOffset(5L, "2030-01-01 00:00:00", Seq.empty)
+      assert(stream.latestOffset(restored, null)
+        .asInstanceOf[PollOffset].poll === 5L)
+    } finally TreeFetchers.unregister("edge-empty")
+  }
+
   test("tree parse tolerates malformed shapes") {
     assert(PollTreeJson.parse("null").isEmpty)
     assert(PollTreeJson.parse("[1,2]").isEmpty)

@@ -395,6 +395,36 @@ class StreamingSpec extends SparkSpec {
     assert(current.filter(col("humidity") === "70.0").count() === 1)
   }
 
+  test("streaming classification appends batch-identical verdicts (fit-batch/score-stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "web", "the cat sat on the mat"),
+      (2L, "code", "def foo return bar end")).toDF("doc_id", "source", "text")
+    // frozen model: profiles pinned once (localCheckpoint), scored per batch
+    val profiles = graft.ext.Classifier.classProfiles(train, "source")
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("cls-store").toString)
+    val ckpt = Files.createTempDirectory("cls-ckpt").toString
+    val q = graft.ext.Classifier.classifySink(
+      input.toDF().toDF("doc_id", "text"), profiles, store, "verdicts", ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    val docs = Seq((10L, "the cat"), (11L, "def bar"), (12L, "zzz"))
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = store.read("verdicts").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val batch = graft.ext.Classifier.predict(docs.toDF("doc_id", "text"), profiles)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(streamed === batch)
+    assert(streamed.contains((10L, Some("web"))) && streamed.contains((12L, None)))
+  }
+
   test("streaming rollup sink folds micro-batches into batch-identical state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
