@@ -48,8 +48,11 @@ object ScaleCheck {
       translate(c, lowerAz + upperAz, lo + lo.toUpperCase)
     }
 
-  private def span(df: DataFrame, idCol: String): Long =
-    df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1L
+  private def span(df: DataFrame, idCol: String): Long = {
+    val r = df.agg(max(col(idCol).cast("long"))).head()
+    require(!r.isNullAt(0), s"empty source table (no $idCol) — cannot scale")
+    r.getLong(0) + 1L
+  }
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       reps: Int): Unit = {
@@ -120,19 +123,27 @@ object ScaleCheck {
     s
   }
 
-  private def runOne(spark: SparkSession, name: String, dir: String): Double = {
+  /** (seconds, succeeded). A failure records time-to-crash but is
+    * MARKED — a crashed run's ratio must never read as a measurement
+    * (a fast OOM at 10× would otherwise look like great scaling). */
+  private def runOne(spark: SparkSession, name: String,
+      dir: String): (Double, Boolean) = {
     val t0 = System.nanoTime()
-    try SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable =>
-      System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
-    }
+    val ok =
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+        false
+      }
     val elapsed = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     System.gc()
-    elapsed
+    (elapsed, ok)
   }
 
   def main(args: Array[String]): Unit = {
@@ -161,8 +172,10 @@ object ScaleCheck {
     restart()
     val scaled = names.map(n => n -> runOne(spark, n, outDir)).toMap
     val entries = names.map { n =>
-      val r = scaled(n) / math.max(base(n), 1e-9)
-      f"""    "$n": {"sf01_sec": ${base(n)}%.3f, "sf1_sec": ${scaled(n)}%.3f, "ratio": $r%.2f}"""
+      val ((bT, bOk), (sT, sOk)) = (base(n), scaled(n))
+      val r = sT / math.max(bT, 1e-9)
+      val failed = if (bOk && sOk) "" else """, "failed": true"""
+      f"""    "$n": {"sf01_sec": $bT%.3f, "sf1_sec": $sT%.3f, "ratio": $r%.2f$failed}"""
     }
     println(s"""{\n  "reps": $reps,\n  "queries": {\n${entries.mkString(",\n")}\n  }\n}""")
     spark.stop()

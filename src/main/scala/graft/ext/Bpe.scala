@@ -62,12 +62,17 @@ object Bpe {
     "c" -> "e", "c" -> "o", "d" -> "e", "d" -> "o", "p" -> "e",
     "p" -> "o", "m" -> "e", "n" -> "o", "w" -> "e")
 
-  // well-formedness: each part is a single char or an earlier output
+  // well-formedness: each part is a single char or an earlier output,
+  // and outputs are pairwise DISTINCT — a duplicated output would let a
+  // later rule create token text an earlier-ranked rule's pair matches,
+  // breaking the "no rule can create a pair of any earlier rank"
+  // invariant the one-global-replace-per-merge argument rests on
   locally {
     val seen = scala.collection.mutable.Set.empty[String]
     merges.foreach { case (l, r) =>
       require(l.length == 1 || seen(l), s"merge part '$l' not yet derivable")
       require(r.length == 1 || seen(r), s"merge part '$r' not yet derivable")
+      require(!seen(l + r), s"duplicate merge output '${l + r}'")
       seen += (l + r)
     }
   }
@@ -97,9 +102,14 @@ object Bpe {
       lit(0L), (acc, x) => acc + x), lit(0L))
 
   /** Order-sensitive digest of the token sequence — pins the exact
-    * tokenization cross-engine, not just the count. */
+    * tokenization cross-engine, not just the count. NULL text → NULL
+    * digest: Spark's concat_ws SKIPS null arrays (would yield md5(''))
+    * while the oracle's array_to_string propagates NULL — gate the null
+    * explicitly so both engines agree (same null-divergence class as
+    * the r10 kmvHashes fix). */
   def tokenDigest(text: Column): Column =
-    md5(concat_ws(sep, tokens(text)))
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(sep, tokens(text))))
 
   // ------------------------------------------------------------ oracle
   // DuckDB twins generated from the SAME merges table (single source of

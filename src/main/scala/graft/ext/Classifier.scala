@@ -115,10 +115,15 @@ object Classifier {
       .select(col("id").as(idCol), col("cent_id"))
     val occ = docs.join(memb, Seq(idCol))
       .select(col("cent_id"), explode(words(lower(col(textCol)))).as("term"))
+    // ONE pass over the exploded text: cluster totals, global term
+    // counts and the grand total all re-aggregate the vocabulary-sized
+    // cCnt table — deriving them from occ directly would re-execute the
+    // docs⋈assignment join + explode once per branch (4× the text moved)
     val cCnt = occ.groupBy(col("cent_id"), col("term")).agg(count(lit(1)).as("cnt"))
-    val cTot = occ.groupBy(col("cent_id")).agg(count(lit(1)).as("tot"))
-    val gCnt = occ.groupBy(col("term")).agg(count(lit(1)).as("gcnt"))
-    val gTot = occ.agg(count(lit(1)).as("gtot"))
+      .localCheckpoint(true)
+    val cTot = cCnt.groupBy(col("cent_id")).agg(sum(col("cnt")).as("tot"))
+    val gCnt = cCnt.groupBy(col("term")).agg(sum(col("cnt")).as("gcnt"))
+    val gTot = cCnt.agg(sum(col("cnt")).as("gtot"))
     def q6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ((a * 1000000L - pmod(a * 1000000L, b)) / b).cast("long")
     val sc = cCnt.join(cTot, Seq("cent_id")).join(gCnt, Seq("term"))
@@ -172,7 +177,7 @@ object Classifier {
     * score_q6) as a composable fragment, so funnel oracles can build on
     * the same text. */
   def classifierCtes(labelCol: String): String = {
-    val w = """list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)"""
+    val w = Hashing.wordsSqlOf("lower(text)")
     s"""occ AS (
        |  SELECT doc_id, $labelCol AS label, unnest($w) AS gram FROM documents),
        |cnt AS (SELECT label, gram, count(*) AS cnt FROM occ GROUP BY 1, 2),

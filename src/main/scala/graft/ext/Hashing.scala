@@ -56,6 +56,12 @@ object Hashing {
   val wordsSql: String =
     """list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)"""
 
+  /** Parameterized twin of [[wordsSql]] — THE canonical DuckDB form of
+    * [[words]]; every oracle that tokenizes must build from here so the
+    * engine and SQL tokenizations cannot drift independently. */
+  def wordsSqlOf(expr: String): String =
+    s"""list_filter(string_split_regex($expr, '\\s+'), w -> len(w) > 0)"""
+
   /** Word n-grams (shingles): positions i=0..size-n, space-joined. */
   def ngrams(ws: Column, n: Int): Column =
     when(size(ws) >= n,

@@ -108,6 +108,17 @@ object PqIndex {
     }
   }
 
+  /** Unconditional rebuild under the same per-store lock — the entry the
+    * build BENCHMARK uses: `ensure` would no-op on a warm store, so the
+    * gate's second-sample adjudication of the build query would measure
+    * three count() reads instead of a build, and a reproducible build
+    * regression could never fail twice. Searches still `ensure`. */
+  def rebuildIvfResidual(store: TableStore, emb: DataFrame,
+      name: String = "ivfpqr"): Unit = {
+    val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
+    lock.synchronized { buildIvfResidual(store, emb, name) }
+  }
+
   private def markComplete(store: TableStore, emb: DataFrame,
       name: String): Unit =
     store.overwrite(s"${name}_complete",

@@ -487,10 +487,11 @@ object ExtQueries {
     * every subspace, none dropped by the clustered write). */
   def qSimIvfPqBuild(s: SparkSession, dir: String): DataFrame = {
     val store = resIndexStore(s, dir)
-    // ensure, not a bare build: the lazily-rebuilding search shares this
-    // store, and a concurrent Verify worker racing two builds tears the
-    // swap dirs — the per-store lock serializes them (build runs once)
-    graft.ext.PqIndex.ensureIvfResidual(store, emb(s, dir))
+    // forced rebuild under the per-store lock: a build query must MEASURE
+    // a build every invocation (an `ensure` no-ops on a warm store and
+    // the bench gate's second sample would time three count() reads);
+    // the lock still serializes against lazily-rebuilding searches
+    graft.ext.PqIndex.rebuildIvfResidual(store, emb(s, dir))
     import s.implicits._
     Seq("coarse", "codebook", "codes")
       .map(p => (p, store.read(s"ivfpqr_$p").count()))
@@ -691,8 +692,7 @@ object ExtQueries {
   import Hashing.{bands => nBands, hexIntSql, minhashSql, numHashes, rowsPerBand}
 
   /** words CTE fragment over column `c`. */
-  private def wordsSqlOf(c: String): String =
-    s"""list_filter(string_split_regex($c, '\\s+'), w -> len(w) > 0)"""
+  private def wordsSqlOf(c: String): String = Hashing.wordsSqlOf(c)
 
   /** 3-gram shingles of a word-list column `ws` (DuckDB 1-based slices). */
   private val shinglesSql =

@@ -169,8 +169,14 @@ class PollMicroBatchStream(options: Map[String, String])
     if (fresh.isEmpty) return last
     val newWm = fresh.iterator.map(_.eff).max
     val freshAtWm = fresh.filter(_.eff == newWm).map(_.key)
+    // boundary keys SORTED at construction: PollOffset is a case class,
+    // so its equals compares the Seq element-wise (shadowing the v2
+    // Offset base's json equality) — an unsorted in-memory offset would
+    // spuriously differ from its own checkpoint round-trip (fromJson
+    // yields the sorted form) and fake an offset change on restart
     val newBoundary =
-      if (newWm == last.watermark) last.boundary ++ freshAtWm else freshAtWm.toSeq
+      (if (newWm == last.watermark) last.boundary ++ freshAtWm
+       else freshAtWm.toSeq).sorted
     val next = PollOffset(last.poll + 1L, newWm, newBoundary)
     pending.put(next.poll, fresh)
     last = next
