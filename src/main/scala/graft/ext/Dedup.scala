@@ -420,6 +420,60 @@ object Dedup {
           .as("dropped_chars"))
   }
 
+  /** Paragraph-level dedup — the Gopher/MassiveText middle ground
+    * between document dedup ([[exact]]) and substring excision
+    * ([[exciseSpans]]): split each document into paragraphs on a
+    * separator, keep the FIRST occurrence (smallest (doc_id, position))
+    * of each distinct paragraph corpus-wide, drop every later
+    * occurrence, and reassemble the survivors in original order. The
+    * canonical use is stripping cross-page boilerplate (nav bars,
+    * license footers) that repeats verbatim across millions of pages.
+    *
+    * Output: (id, clean_text, n_paragraphs, n_dropped_paras). A document
+    * whose every paragraph first appeared elsewhere reassembles to the
+    * empty string (the downstream length filter's job, not this one's).
+    *
+    * Scale shape: paragraphs shuffle as (md5 digest, doc, pos) triples
+    * — never the paragraph text (the digest is the groupBy key, text
+    * stays with its source row until reassembly). Keep-first is a
+    * map-side-combinable min-struct aggregate per digest, NOT a window:
+    * a corpus-wide boilerplate paragraph makes its digest a hot key,
+    * and the aggregate reduces each map partition to one row per digest
+    * before the exchange while the join back is AQE-skew-splittable —
+    * the same discipline as [[exciseSpans]]' keeper. Reassembly is one
+    * per-doc sort-in-array (collect_list + array_sort), partitioned by
+    * doc id: no global sort, no window funnel. */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol).as("t"))
+    val paras = d.select(col(idCol),
+        posexplode(split(col("t"), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("para"))
+    val withDg = paras.select(col(idCol), col("pos"), col("para"),
+      md5(col("para")).as("dg"))
+    val keeper = withDg.groupBy(col("dg"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"))
+    val kept = withDg.join(keeper, Seq("dg"))
+      .filter(col(idCol) === col("keep").getField(idCol) &&
+        col("pos") === col("keep").getField("pos"))
+      .select(col(idCol), col("pos"), col("para"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          p => p.getField("para"))).as("clean_text"))
+    val totals = d.select(col(idCol),
+      (size(split(col("t"), java.util.regex.Pattern.quote(sep))))
+        .cast("long").as("n_paragraphs"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paragraphs"),
+        (col("n_paragraphs") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped_paras"))
+  }
+
   /** Approximate novelty gate: [[novelAgainst]]'s scale path when the
     * known corpus is too large to sit on one side of a join every run. A
     * Bloom filter of the known set's 64-bit content hashes is built ONCE

@@ -344,6 +344,21 @@ object ExtQueries {
   def qDedupExcise(s: SparkSession, dir: String): DataFrame =
     Dedup.exciseSpans(docs(s, dir), k = 20)
 
+  /** Paragraph-level dedup over synthetic multi-paragraph pages: five
+    * consecutive docs joined by newlines form one page (the fixture
+    * corpus is single-line, so the page view manufactures the paragraph
+    * structure a web corpus has natively), then corpus-wide keep-first
+    * paragraph dedup + reassembly. The fixture's exact-duplicate docs
+    * become cross-page repeated paragraphs. */
+  def qDedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val pages = docs(s, dir)
+      .groupBy(floor(col("doc_id") / lit(5)).cast("long").as("page_id"))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        p => p.getField("text"))).as("text"))
+    Dedup.paragraphDedup(pages, "\n", "page_id", "text")
+  }
+
   /** Corpus vocabulary head: top-40 words by exact count (tokenizer-vocab
     * induction's first pass; heavyHitters = one map-side-combined count +
     * TakeOrdered, no global sort). */
@@ -651,6 +666,7 @@ object ExtQueries {
     "q_vocab_top" -> (qVocabTop _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_excise" -> (qDedupExcise _),
+    "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_novel" -> (qDedupNovel _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -2164,6 +2180,30 @@ object ExtQueries {
        |LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
   }
 
+  /** Paragraph-dedup oracle mirroring Dedup.paragraphDedup over the
+    * 5-doc page view: keep-first by (page_id, pos) per paragraph md5,
+    * ordered reassembly with chr(10). */
+  private val dedupParagraphSql =
+    s"""WITH pages AS (SELECT doc_id // 5 AS page_id,
+       |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+       |  FROM documents GROUP BY 1),
+       |pl AS (SELECT page_id, string_split(text, chr(10)) AS l FROM pages),
+       |pu AS (SELECT page_id, unnest(range(1, len(l) + 1)) AS i, l FROM pl),
+       |px AS (SELECT page_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    l[CAST(i AS INT)] AS para FROM pu),
+       |rk AS (SELECT page_id, pos, para, row_number() OVER
+       |    (PARTITION BY md5(para) ORDER BY page_id, pos) AS rk FROM px),
+       |reb AS (SELECT page_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(para, chr(10) ORDER BY pos) AS clean_text
+       |  FROM rk WHERE rk = 1 GROUP BY 1),
+       |tot AS (SELECT page_id,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paragraphs
+       |  FROM pages)
+       |SELECT t.page_id, coalesce(r.clean_text, '') AS clean_text,
+       |  t.n_paragraphs,
+       |  t.n_paragraphs - coalesce(r.n_kept, 0) AS n_dropped_paras
+       |FROM tot t LEFT JOIN reb r USING (page_id)""".stripMargin
+
   /** Vocabulary-head oracle: exact word counts, (count desc, term) order,
     * top 40. */
   private val vocabTopSql =
@@ -2249,6 +2289,7 @@ object ExtQueries {
     "q_vocab_top" -> vocabTopSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_excise" -> dedupExciseSql,
+    "q_dedup_paragraph" -> dedupParagraphSql,
     "q_dedup_crossmodal" -> dedupCrossmodalSql,
     "q_dedup_novel" -> dedupNovelSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -227,6 +227,31 @@ class DedupSpec extends SparkSpec {
       s"exact copy must excise entirely: ${out(5L)}")
   }
 
+  test("paragraph dedup: keep-first corpus-wide, ordered reassembly") {
+    val d = docs(
+      1L -> "intro\nboiler\nbody one",
+      2L -> "boiler\nbody two\nboiler",
+      3L -> "boiler",            // every paragraph seen → empties out
+      4L -> "intro\nintro")      // in-document repeat also dedups
+    val out = Dedup.paragraphDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 is first everywhere: byte-identical
+    assert(out(1L) === (("intro\nboiler\nbody one", 3L, 0L)))
+    // doc 2 loses both boiler instances (doc 1 pos 1 owns the digest)
+    assert(out(2L) === (("body two", 3L, 2L)))
+    assert(out(3L) === (("", 1L, 1L)))
+    assert(out(4L) === (("", 2L, 2L)))
+    assert(out.size === 4)
+  }
+
+  test("paragraph dedup: separator-free corpus degrades to exact doc dedup") {
+    val d = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
+    val out = Dedup.paragraphDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "same text", 2L -> "", 3L -> "other"))
+  }
+
   test("best-of-cluster picks the member with the highest quality score") {
     // chain 10-11-12 clusters together (same fixture as duplicateClusters);
     // 99 is a singleton and picks itself
