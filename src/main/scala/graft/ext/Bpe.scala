@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic byte-pair-encoding tokenizer over a COMMITTED merges
@@ -110,6 +110,109 @@ object Bpe {
   def tokenDigest(text: Column): Column =
     when(text.isNull, lit(null).cast("string"))
       .otherwise(md5(concat_ws(sep, tokens(text))))
+
+  // ------------------------------------------------------- training
+  // Sennrich et al. (2016) learn-time: greedily merge the most frequent
+  // adjacent symbol pair, numMerges times. The committed [[merges]]
+  // table stands in for a shipped tokenizer file; [[train]] is how such
+  // a file is PRODUCED from a corpus.
+
+  /** Learn `numMerges` BPE merges from a corpus. Returns (left, right,
+    * pair weight at selection time) in rank order; ties break (weight
+    * desc, left asc, right asc) so training is deterministic.
+    *
+    * Scale shape: BPE statistics only need WORD WEIGHTS, never the
+    * corpus — the one corpus-wide pass is the word-count aggregate
+    * (map-side combined, shuffles (word, count) pairs), and every
+    * iteration after that runs on the cached weighted vocabulary, which
+    * is heavy-tailed-small (≈10⁷ distinct words at 100 TB) and stays
+    * distributed. Per iteration: one pair-count aggregate over the
+    * vocab + a 1-row TakeOrdered collect — the driver round-trip per
+    * merge is inherent to BPE's sequential greedy choice. The working
+    * state is re-derived per iteration as a replace-fold over the
+    * cached vocab (the same sentinel encoding [[folded]] replays), so
+    * nothing but the tiny vocab is ever re-materialized. */
+  def train(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(numMerges > 0, s"need positive numMerges, got $numMerges")
+    val v = docs.select(explode(pieces(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("w"), "(.)", s"$S$$1$E").as("s"), col("c"))
+      .cache()
+    val learned = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+    try {
+      var exhausted = false
+      while (learned.size < numMerges && !exhausted) {
+        val state = learned.foldLeft(col("s")) { case (acc, (l, r, _)) =>
+          replace(acc, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
+        }
+        val toks = split(trim(state, S + E), E + S)
+        // adjacent pairs, weighted by word count; sub-2-token words have
+        // no pairs (the guard matters: sequence(0,-1) would DESCEND)
+        val top = v.select(toks.as("t"), col("c"))
+          .select(col("c"), explode(when(size(col("t")) >= 2,
+            transform(sequence(lit(0), size(col("t")) - 2),
+              j => struct(element_at(col("t"), j + 1).as("l"),
+                element_at(col("t"), j + 2).as("r"))))
+            .otherwise(array())).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else learned +=
+          ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      }
+    } finally v.unpersist()
+    learned.toSeq
+  }
+
+  /** [[tokens]] under an arbitrary (well-formed or learned) merges list —
+    * the apply face of [[train]]: the chain replays the exact per-rank
+    * global replaces training performed, so train→apply round-trips. */
+  def tokensWith(text: Column, m: Seq[(String, String)]): Column =
+    flatten(transform(pieces(text), w => {
+      val init = regexp_replace(w, "(.)", s"$S$$1$E")
+      val f = m.foldLeft(init) { case (acc, (l, r)) =>
+        replace(acc, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
+      }
+      split(trim(f, S + E), E + S)
+    }))
+
+  /** DuckDB twin of [[train]] as one static SELECT: `numMerges` unrolled
+    * CTE steps, each computing the arg-max pair of the previous state
+    * and applying it with a column-valued replace (the merge pattern is
+    * DATA, not a literal — the oracle learns the same table the engine
+    * does). A step with no pairs left carries the state through a
+    * LEFT JOIN ON TRUE, mirroring the engine's early stop. */
+  def trainSqlOf(docsTable: String, textExpr: String, numMerges: Int): String = {
+    val se = s"'$S$E'"   // trim set
+    val es = s"'$E$S'"   // token separator
+    val steps = (1 to numMerges).map { k =>
+      s"""t$k AS (SELECT string_split(trim(s, $se), $es) AS t, c
+         |  FROM s${k - 1}),
+         |u$k AS (SELECT t, c, unnest(range(1, len(t))) AS i FROM t$k),
+         |p$k AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+         |    CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM u$k GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$k AS (SELECT CASE WHEN m.l IS NULL THEN s.s
+         |    ELSE replace(s.s, '$S' || m.l || '$E$S' || m.r || '$E',
+         |      '$S' || m.l || m.r || '$E') END AS s, s.c
+         |  FROM s${k - 1} s LEFT JOIN m$k m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to numMerges).map { k =>
+      s"SELECT CAST(${k - 1} AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+        s"cnt AS pair_count FROM m$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(${piecesSql(textExpr)}) AS w FROM $docsTable)
+       |  GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '$S\\1$E', 'g') AS s, c
+       |  FROM v0),
+       |$steps
+       |$union""".stripMargin
+  }
 
   // ------------------------------------------------------------ oracle
   // DuckDB twins generated from the SAME merges table (single source of

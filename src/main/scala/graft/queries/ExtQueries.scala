@@ -114,6 +114,20 @@ object ExtQueries {
       Bpe.tokenDigest(col("text")).as("tok_digest"))
   }
 
+  /** BPE vocabulary induction: learn 12 merges from the corpus (one
+    * corpus-wide word-count shuffle, then cheap iterations over the
+    * cached weighted vocab). The result is the ranked merges table a
+    * tokenizer file ships — the learn-time face of q_text_bpe's
+    * committed-merges apply. */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    val m = Bpe.train(docs(s, dir), numMerges = 12)
+    import s.implicits._
+    m.zipWithIndex
+      .map { case ((l, r, c), i) => (i.toLong, l, r, c) }
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   /** [[qTextChunks]] denominated in committed-BPE subwords. */
   def qTextChunksBpe(s: SparkSession, dir: String): DataFrame =
     Curation.chunkBpe(docs(s, dir), chunkSize = 64, stride = 48)
@@ -642,6 +656,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_text_chunks_bpe" -> (qTextChunksBpe _),
     "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
@@ -1318,6 +1333,13 @@ object ExtQueries {
        |    AS tok_digest
        |FROM documents""".stripMargin
   }
+
+  /** BPE-training oracle: 12 unrolled learn steps, each picking the
+    * arg-max pair of the previous state and applying it with a
+    * column-valued replace — the oracle LEARNS the table, it is not
+    * handed the answer. */
+  private val bpeTrainSql =
+    graft.ext.Bpe.trainSqlOf("documents", "text", numMerges = 12)
 
   /** textChunksSql in BPE units: same window arithmetic over the replayed
     * subword list, chunk text re-joined with the empty string. */
@@ -2266,6 +2288,7 @@ object ExtQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
     "q_text_bpe" -> textBpeSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_text_chunks_bpe" -> textChunksBpeSql,
     "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,

@@ -79,6 +79,93 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  /** Reference dict-based BPE TRAINER (Sennrich learn-time): weighted
+    * word dict as token lists; each step counts adjacent pairs, merges
+    * the arg-max — (count desc, left asc, right asc), the engine's tie
+    * rule — left-to-right non-overlapping in every word. */
+  private def referenceTrain(texts: Seq[String],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var dict: Map[Vector[String], Long] = texts.flatMap(pieces)
+      .groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+    val learned = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (toks, c) =>
+        toks.indices.dropRight(1).foreach { i =>
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        learned += ((l, r, c))
+        dict = dict.map { case (toks, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.result() -> c
+        }
+        k += 1
+      }
+    }
+    learned.result()
+  }
+
+  test("distributed training matches the reference dict trainer") {
+    val corpus = Seq(
+      "low lower lowest low low", "new newer newest new",
+      "wide wider widest", "low newer new lowest",
+      "es es es est est")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.train(df, numMerges = 10)
+    val expect = referenceTrain(corpus, numMerges = 10)
+    assert(got === expect)
+  }
+
+  test("train → tokensWith round-trips: applying learned merges yields the trained segmentation") {
+    val corpus = Seq("banana bandana ban", "banana banana cabana")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val learned = Bpe.train(df, numMerges = 6).map { case (l, r, _) => (l, r) }
+    // reference: replay the same merges through the dict trainer's apply
+    val applied = df
+      .select($"text", Bpe.tokensWith($"text", learned).as("toks")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def refApply(word: String): Seq[String] = {
+      var toks: Vector[String] = word.map(_.toString).toVector
+      learned.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    corpus.foreach { t =>
+      assert(applied(t) === pieces(t).flatMap(refApply), s"text '$t'")
+    }
+  }
+
+  test("training exhausts gracefully when no pairs remain") {
+    // single-char words only → zero adjacent pairs anywhere
+    val df = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    assert(Bpe.train(df, numMerges = 5) === Seq.empty)
+  }
+
   test("mixed digits and punctuation: digits single, punct isolated") {
     val got = engineTokens(Seq("It costs $12.50, really!"))
     assert(got("It costs $12.50, really!") ===
