@@ -99,6 +99,35 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss sign random projection: compress each
+    * embedding to `dOut` components, component p = dot(v, plane_p) over
+    * the SAME hash-derived ±1 hyperplanes [[signBucket]] thresholds —
+    * sign-LSH is exactly the 1-bit quantization of this projection, so
+    * the two share one plane family (and one oracle derivation). The JL
+    * lemma bounds pairwise-distance distortion at dOut ≈ 8·ln(n)/ε², so
+    * a 64→16 projection cuts every downstream dot product 4× while
+    * keeping neighborhoods approximately intact — the standard
+    * pre-compression in front of brute-force or IVF search.
+    *
+    * Output long-form (id, dim, value): scalar rows, engine-portable
+    * (both engines format a shared double identically; array columns
+    * would compare as engine-specific renderings). Values round to the
+    * 6-dp grid — a binary double can never sit exactly ON a decimal
+    * midpoint, so identical inputs round identically in both engines.
+    *
+    * Scale shape: pure projection — dOut codegen'd dot products against
+    * constant literal arrays per row, zero shuffle, scan speed. */
+  def randomProject(emb: DataFrame, dOut: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dOut > 0 && dOut <= numPlanes * 32,
+      s"dOut must be in 1..${numPlanes * 32}, got $dOut")
+    val v = toDouble(col(embCol))
+    val comps = (0 until dOut).map(p => round(dot(v, planeLit(p)), 6))
+    emb.select(col(idCol), posexplode(array(comps: _*)))
+      .select(col(idCol), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+  }
+
   /** ANN top-k: candidates share the full 8-bit sign bucket; exact cosine
     * + ranking within candidates. Recall < 1 by construction — pair this
     * with [[bruteForceTopK]] to measure it (see AnnRecallSpec). */

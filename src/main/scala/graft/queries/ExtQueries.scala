@@ -451,6 +451,10 @@ object ExtQueries {
   def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8Stats(emb(s, dir))
 
+  /** JL sign random projection 64→16 (long-form components). */
+  def qEmbProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(emb(s, dir), dOut = 16)
+
   /** SQ8 top-5: the int8-code search path quantizeInt8Stats certifies. */
   def qSimTopkSq8(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -703,6 +707,7 @@ object ExtQueries {
     "q_sim_ivfpq_res_indexed" -> (qSimIvfPqResIndexed _),
     "q_sim_pq_stream_twin" -> (qSimPqStreamTwin _),
     "q_emb_quantize" -> (qEmbQuantize _),
+    "q_emb_project" -> (qEmbProject _),
     "q_sim_topk_sq8" -> (qSimTopkSq8 _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -1918,6 +1923,21 @@ object ExtQueries {
       |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1
       |FROM c""".stripMargin
 
+  /** JL-projection oracle: same md5('p,j')-parity ±1 planes, same
+    * in-order double fold, same 6-dp rounding (a binary double never
+    * sits exactly on a decimal midpoint, so both engines round alike). */
+  private val embProjectSql =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |js AS (SELECT unnest(range(0, 16)) AS p)
+       |SELECT vec_id, CAST(p AS BIGINT) AS dim,
+       |  round(list_sum(list_transform(range(1, len(v) + 1), i ->
+       |    (CASE WHEN ${hexIntSql(
+              "(CAST(p AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR))")} % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END) * v[CAST(i AS INT)])), 6) AS value
+       |FROM e CROSS JOIN js""".stripMargin
+
   private val sampleSplitSql =
     s"""SELECT doc_id,
        |  ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
@@ -2345,6 +2365,7 @@ object ExtQueries {
         |UNION ALL SELECT 'codes',
         |  (SELECT CAST(count(*) * 8 AS BIGINT) FROM embeddings)""".stripMargin,
     "q_emb_quantize" -> embQuantizeSql,
+    "q_emb_project" -> embProjectSql,
     "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

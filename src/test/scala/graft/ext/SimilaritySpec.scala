@@ -128,6 +128,67 @@ class SimilaritySpec extends SparkSpec {
     assert(top(0).getLong(1) === 2L && top(0).getDouble(2) === 1.0)
   }
 
+  test("JL projection: components equal hand-computed signed sums") {
+    val t = embTable(1L -> Seq(1f, 2f, -3f, 0.5f))
+    val got = Similarity.randomProject(t, dOut = 3).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    (0 until 3).foreach { p =>
+      val expect = Seq(1.0, 2.0, -3.0, 0.5).zipWithIndex
+        .map { case (v, j) => v * Similarity.planeSignValue(p, j) }
+        .reduceLeft(_ + _)
+      assert(got(p.toLong) === BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"dim $p")
+    }
+  }
+
+  test("JL projection preserves neighborhoods on the fixture embeddings") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // search in the 16-dim projected space: wide-form vectors
+    val proj = Similarity.randomProject(e, dOut = 16)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value").cast("float")).as("embedding"))
+    val pq = proj.filter(col("vec_id") < 8)
+    val pr = Similarity.bruteForceTopK(proj, pq, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // the fixture embeddings are near-isotropic (top-10 cosines sit in a
+    // ~0.25-0.33 band with ~0.01 gaps), so no 4x compression can keep
+    // that ranking sharp — require well ABOVE chance, not a high
+    // absolute: chance overlap of two 10-sets in 500 is 10/499 ≈ 0.02
+    val recalls = bf.keys.toSeq.map(k =>
+      (bf(k) intersect pr(k)).size.toDouble / bf(k).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.06, s"mean projected recall@10 = $mean (chance ≈ 0.02)")
+  }
+
+  test("JL projection keeps well-separated clusters separated") {
+    // three orthogonal-ish clusters in 64-dim: base direction + small
+    // deterministic jitter; cluster structure is what JL promises to keep
+    def vec(cluster: Int, m: Int): Seq[Float] =
+      (0 until 64).map { j =>
+        val base = if (j / 21 == cluster) 1.0f else 0.0f
+        base + 0.05f * (((m * 64 + j) % 7) - 3)
+      }
+    val rows = for (c <- 0 until 3; m <- 0 until 10)
+      yield ((c * 10 + m).toLong, vec(c, m))
+    val t = embTable(rows: _*)
+    val proj = Similarity.randomProject(t, dOut = 16)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value").cast("float")).as("embedding"))
+    val top = Similarity.bruteForceTopK(proj, proj, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every projected top-5 neighbor stays in the query's cluster
+    top.foreach { case (q, n) =>
+      assert(q / 10 === n / 10, s"query $q matched cross-cluster $n")
+    }
+  }
+
   test("int8 quantization: error bounded by scale/127, zero vector safe") {
     val t = embTable(1L -> Seq(1f, -0.5f, 0.25f, 0f), 2L -> Seq(0f, 0f, 0f, 0f))
     val out = Similarity.quantizeInt8Stats(t).collect()
