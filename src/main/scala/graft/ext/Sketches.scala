@@ -42,6 +42,61 @@ object Sketches {
       .orderBy(col("n").desc, col(valueCol))
       .limit(k)
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) in TABLE form:
+    * depth×width counters as (r, bucket, cnt) rows. Like KMV, the hash
+    * family is the portable md5 parity trick, so the sketch — and every
+    * estimate read from it — is bit-reproducible in any engine, making
+    * CMS the oracle-checkable sibling of the spec-only HLL profile.
+    *
+    * Estimate(v) = min over rows r of counter[r][h_r(v) mod width]; the
+    * error is ONE-SIDED (never under the true count, over by ≤ 2N/width
+    * w.p. 1−2^−depth) — the conservative direction for cap/quota
+    * decisions: a term can look at most too hot, never too cold.
+    *
+    * Scale shape: the build explodes each value into `depth` (r, bucket)
+    * pairs and aggregates — map-side combine collapses every partition
+    * to ≤ depth·width rows before the exchange, so the shuffle is sketch-
+    * sized, not corpus-sized, regardless of input volume. Shard sketches
+    * merge by (r, bucket) sum ([[cmsMerge]]), the standard distributed
+    * accumulation. */
+  val cmsDepth = 4
+  val cmsWidth = 1024
+
+  /** Row-r bucket of a value: portable md5 hash, seeded by row index. */
+  def cmsBucket(value: Column, r: Int, width: Int): Column =
+    Hashing.hexInt(concat(lit(s"cms$r:"), value)) % width
+
+  /** Build the (r, bucket, cnt) counter table over `valueCol`. */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int = cmsDepth,
+      width: Int = cmsWidth): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"), cmsBucket(col(valueCol), r, width).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb").getField("r").as("r"),
+        col("rb").getField("bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge shard sketches built with the same depth/width. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for `candidates`: min over depth rows; a bucket the
+    * sketch never touched reads 0 (candidate absent from the build). */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
+      valueCol: String, depth: Int = cmsDepth,
+      width: Int = cmsWidth): DataFrame =
+    candidates
+      .select(col("*"), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"), cmsBucket(col(valueCol), r, width).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col(valueCol), col("rb").getField("r").as("r"),
+        col("rb").getField("bucket").as("bucket"))
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+
   /** Domain of [[Hashing.hexLong]]: 15 md5 hex digits = 60 uniform bits. */
   val kmvHashDomain: Long = 1L << 60
 

@@ -383,6 +383,48 @@ object ScaleQueries {
        |FROM k JOIN ex USING (event_type)""".stripMargin
   }
 
+  // ------------------------------------------------- count-min sketch
+  /** CMS frequency estimates next to exact counts for the corpus's
+    * top-20 words: the one-sided overestimate (cms_n ≥ n always) is
+    * visible in the `over` column. The build shuffle is sketch-sized
+    * (≤ depth·width rows per partition after map-side combine), not
+    * corpus-sized. */
+  def qSketchCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Hashing, Sketches}
+    val terms = t(s, dir, "documents")
+      .select(explode(Hashing.words(col("text"))).as("term"))
+    val sketch = Sketches.cmsBuild(terms, "term")
+    val top = Sketches.heavyHitters(terms, "term", k = 20)
+    Sketches.cmsEstimate(sketch, top, "term")
+      .join(top, "term")
+      .select(col("term"), col("n"), col("cms_n"),
+        (col("cms_n") - col("n")).as("overcount"))
+  }
+
+  private val sketchCmsOracle = {
+    import graft.ext.{Hashing, Sketches}
+    val w = Sketches.cmsWidth
+    def bucket(r: Int, e: String) =
+      s"${Hashing.hexIntSql(s"('cms$r:' || $e)")} % $w"
+    val rows = (0 until Sketches.cmsDepth).map { r =>
+      s"SELECT $r AS r, ${bucket(r, "term")} AS bucket, term FROM terms"
+    }.mkString("\nUNION ALL ")
+    s"""WITH terms AS (SELECT unnest(${Hashing.wordsSqlOf("text")}) AS term
+       |  FROM documents),
+       |rb AS ($rows),
+       |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM rb GROUP BY 1, 2),
+       |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms
+       |  GROUP BY term ORDER BY n DESC, term LIMIT 20),
+       |est AS (SELECT t.term, min(coalesce(sk.cnt, 0)) AS cms_n
+       |  FROM (${(0 until Sketches.cmsDepth).map(r =>
+            s"SELECT term, $r AS r, ${bucket(r, "term")} AS bucket FROM top")
+            .mkString(" UNION ALL ")}) t
+       |  LEFT JOIN sk USING (r, bucket) GROUP BY t.term)
+       |SELECT top.term, top.n, est.cms_n, est.cms_n - top.n AS overcount
+       |FROM top JOIN est USING (term)""".stripMargin
+  }
+
   // ------------------------------------------ lattice-histogram quantiles
   /** Deterministic mergeable quantile profile: p25/p50/p75/p99 of event
     * value per type, extracted from the exact (type, integer-cents)
@@ -436,6 +478,7 @@ object ScaleQueries {
     "q_map_funcs" -> (qMapFuncs _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_sketch_cms" -> (qSketchCms _),
     "q_quantile_profile" -> (qQuantileProfile _))
 
   val oracleSql: Map[String, String] = Map(
@@ -450,5 +493,6 @@ object ScaleQueries {
     "q_map_funcs" -> mapFuncsOracle,
     "q_ts_anomaly" -> tsAnomalyOracle,
     "q_kmv_distinct" -> kmvDistinctOracle,
+    "q_sketch_cms" -> sketchCmsOracle,
     "q_quantile_profile" -> quantileProfileOracle)
 }

@@ -136,6 +136,42 @@ class SketchesSpec extends SparkSpec {
       s"doubling mass must double n and keep quantiles: $doubled")
   }
 
+  test("CMS estimates are one-sided: never below exact, tight when uncrowded") {
+    val vals = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++
+      (0 until 30).map(i => s"cold$i"))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // width 4 forces collisions: estimates must still never undercount
+    val narrow = Sketches.cmsBuild(df, "v", depth = 3, width = 4)
+    val cand = df.select($"v").distinct()
+    val estN = Sketches.cmsEstimate(narrow, cand, "v", depth = 3, width = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, n) =>
+      assert(estN(v) >= n, s"undercount for $v: ${estN(v)} < $n")
+    }
+    // default width (1024) on 32 distinct values: no collisions, exact
+    val wide = Sketches.cmsBuild(df, "v")
+    val estW = Sketches.cmsEstimate(wide, cand, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW === exact)
+    // absent candidate reads 0 through all-null joins
+    val est0 = Sketches.cmsEstimate(wide, Seq("nope").toDF("v"), "v")
+      .collect()
+    assert(est0.length === 1 && est0(0).getLong(1) === 0L)
+  }
+
+  test("CMS shard sketches merge to the whole-corpus build") {
+    val df = (0 until 200).map(i => (i.toLong, s"t${i % 13}")).toDF("id", "v")
+    val shards = (0 until 4).map(k => Sketches.cmsBuild(
+      df.filter($"id" % 4 === k), "v"))
+    val merged = Sketches.cmsMerge(shards)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsBuild(df, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
   test("heavy hitters finds the true top groups with exact counts") {
     val ev = graft.Tables.load(spark, sf("sf0.01"), "events")
     val top = Sketches.heavyHitters(ev, "event_type", 3)
