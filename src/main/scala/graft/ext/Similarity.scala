@@ -99,6 +99,82 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** Maximal-marginal-relevance (Carbonell & Goldstein 1998) diversified
+    * top-k: greedily pick candidates maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — relevance traded against
+    * redundancy with what's already picked. For training-data curation
+    * this is the retrieval that does NOT return five near-duplicates of
+    * the best hit.
+    *
+    * Two distributed stages + one per-group fold: (1) candidate pool =
+    * exact top-`poolSize` per query ([[bruteForceTopK]] — corpus scan,
+    * broadcast queries); (2) pairwise candidate cosines WITHIN each pool
+    * (pool² per query, pool ≪ corpus — never corpus²); (3) the greedy
+    * selection itself runs per query group over arrays, k unrolled
+    * argmax folds inside one codegen projection — groups are
+    * independent, so a million queries parallelize while each selection
+    * stays the sequential algorithm MMR requires. Determinism: rounded
+    * 6-dp cosines, ties pick the smallest candidate id (the fold scans
+    * candidates in id order and replaces only on strictly-better).
+    * Empty selection contributes redundancy 0 (first pick = λ·rel). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      poolSize: Int = 20, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got $k/$poolSize")
+    val pool = bruteForceTopK(corpus, queries, poolSize)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cos").as("rel"))
+    val e = corpus.select(col("vec_id").as("cand_id"),
+      toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val pe = pool.join(e, "cand_id")
+    // both directions + self pairs (self is never picked twice, but the
+    // lookup must be total: ANSI element_at errors on a missing key)
+    val sims = pe.as("l").join(pe.as("r"), Seq("query_id"))
+      .select(col("query_id"),
+        col("l.cand_id").as("a"), col("r.cand_id").as("b"),
+        cosine(dot(col("l.v"), col("r.v")),
+          col("l.nv"), col("r.nv")).as("sim"))
+    val cand = pool.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("cand_id"), col("rel"))))
+        .as("cand"))
+    val sm = sims.groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct(concat_ws(":", col("a"), col("b")), col("sim")))).as("sm"))
+    val base = cand.join(sm, "query_id")
+    def pick(sel: Column): Column = aggregate(col("cand"),
+      struct(lit(-1L).as("id"), lit(-1e18).as("score")),
+      (acc, c) => {
+        val cid = c.getField("cand_id")
+        val already = exists(sel, s => s.getField("id") === cid)
+        val msim = when(size(sel) === 0, lit(0.0)).otherwise(
+          aggregate(sel, lit(-2.0), (m, s) => greatest(m,
+            element_at(col("sm"),
+              concat_ws(":", cid, s.getField("id"))))))
+        val score = lit(lambda) * c.getField("rel") - lit(1 - lambda) * msim
+        when(already, acc).otherwise(
+          when(score > acc.getField("score"),
+            struct(cid.as("id"), score.as("score"))).otherwise(acc))
+      })
+    val selInit = array().cast("array<struct<id:bigint,score:double>>")
+    // one projection PER STEP, each referencing the previous selection as
+    // a bound attribute: pick() uses its argument several times, and a
+    // single folded expression would re-embed the whole prior selection
+    // subtree at every use — exponential expression growth that stalls
+    // analysis/codegen by k=5. CollapseProject keeps non-cheap
+    // expressions un-inlined, so the chain stays linear and the steps
+    // still fuse into one codegen stage.
+    val folded = (1 to k).foldLeft(
+      base.withColumn("sel0", selInit)) { (df, t) =>
+      df.withColumn(s"sel$t",
+        array_append(col(s"sel${t - 1}"), pick(col(s"sel${t - 1}"))))
+    }
+    folded.select(col("query_id"),
+        posexplode(filter(col(s"sel$k"), p => p.getField("id") =!= -1L)))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("id").as("neighbor_id"),
+        col("col").getField("score").as("score"))
+  }
+
   /** Johnson–Lindenstrauss sign random projection: compress each
     * embedding to `dOut` components, component p = dot(v, plane_p) over
     * the SAME hash-derived ±1 hyperplanes [[signBucket]] thresholds —

@@ -599,6 +599,14 @@ object ExtQueries {
     * reciprocal-rank fusion on the exact integer lattice (VERDICT r7 #5).
     * Docs that both views agree on rise; either list alone can still
     * surface a doc. */
+  /** MMR-diversified top-5 from a 20-candidate pool, λ=0.5 — retrieval
+    * that refuses to return five near-duplicates of the best hit. */
+  def qRetrievalMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.mmrTopK(e, e.filter(col("vec_id") < 8), k = 5,
+      poolSize = 20, lambda = 0.5)
+  }
+
   def qRetrievalHybrid(s: SparkSession, dir: String): DataFrame = {
     val text = Curation.bm25TopDocs(docs(s, dir), bm25Queries, k = 20)
       .select(col("query_id"), col("doc_id"), col("rnk"))
@@ -715,6 +723,7 @@ object ExtQueries {
     "q_text_typicality" -> (qTextTypicality _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_retrieval_hybrid" -> (qRetrievalHybrid _),
+    "q_retrieval_mmr" -> (qRetrievalMmr _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_audio_windows" -> (qMmAudioWindows _),
@@ -1444,6 +1453,54 @@ object ExtQueries {
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  /** MMR oracle: same 20-candidate pool, then 5 unrolled greedy steps —
+    * each step's arg-max of 0.5·rel − 0.5·max-sim-to-selected with the
+    * (score desc, cand_id) tie rule, selection accumulated across CTEs.
+    * Mirrors Similarity.mmrTopK's per-group fold exactly. */
+  private val retrievalMmrSql = {
+    val steps = (1 to 5).map { t =>
+      s"""sc$t AS (SELECT p.query_id, p.cand_id, p.rel,
+         |    CASE WHEN (SELECT count(*) FROM sel${t - 1} x
+         |        WHERE x.query_id = p.query_id) = 0 THEN 0.0
+         |      ELSE (SELECT max(s.sim) FROM sims s
+         |        JOIN sel${t - 1} x
+         |          ON x.query_id = s.query_id AND x.cand_id = s.b
+         |        WHERE s.query_id = p.query_id AND s.a = p.cand_id) END AS msim
+         |  FROM pool p WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |    WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id)),
+         |pk$t AS (SELECT query_id, cand_id,
+         |    0.5 * rel - 0.5 * msim AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.5 * rel - 0.5 * msim DESC, cand_id) AS rn
+         |  FROM sc$t),
+         |sel$t AS (SELECT query_id, cand_id FROM sel${t - 1}
+         |  UNION ALL SELECT query_id, cand_id FROM pk$t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { t =>
+      s"""SELECT query_id, CAST($t AS BIGINT) AS "rank",
+         |  cand_id AS neighbor_id, score FROM pk$t WHERE rn = 1""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $simCtes,
+       |scored AS (SELECT query_id, neighbor_id,
+       |  round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM cn CROSS JOIN qn WHERE neighbor_id <> query_id),
+       |pool AS (SELECT query_id, neighbor_id AS cand_id, cos AS rel FROM (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored) t WHERE rn <= 20),
+       |pe AS (SELECT p.query_id, p.cand_id, p.rel, cn.ce AS v,
+       |    cn.cnorm AS nv
+       |  FROM pool p JOIN cn ON cn.neighbor_id = p.cand_id),
+       |sims AS (SELECT l.query_id, l.cand_id AS a, r.cand_id AS b,
+       |  round(list_sum(list_transform(range(1, len(l.v) + 1),
+       |    i -> l.v[i] * r.v[i])) / (l.nv * r.nv), 6) AS sim
+       |  FROM pe l JOIN pe r USING (query_id)),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+       |  CAST(NULL AS BIGINT) AS cand_id WHERE FALSE),
+       |$steps
+       |$out""".stripMargin
+  }
 
   /** Sign-bucket of an embedding list column `e` — replicates
     * Similarity.signBucket: bit p set iff sum_j e[j]*sign(p,j) > 0, where
@@ -2373,6 +2430,7 @@ object ExtQueries {
     "q_text_typicality" -> textTypicalitySql,
     "q_text_bm25" -> textBm25Sql,
     "q_retrieval_hybrid" -> retrievalHybridSql,
+    "q_retrieval_mmr" -> retrievalMmrSql,
     "q_mm_meta" -> mmMetaSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_audio_windows" -> mmAudioWindowsSql,

@@ -128,6 +128,51 @@ class SimilaritySpec extends SparkSpec {
     assert(top(0).getLong(1) === 2L && top(0).getDouble(2) === 1.0)
   }
 
+  test("MMR diversifies: near-duplicate pool spreads across clusters") {
+    // two tight clusters; the relevant cluster (near the query) has 3
+    // near-identical members, the other is distinct but still relevant
+    val t = embTable(
+      0L -> Seq(1f, 0f, 0f, 0f),        // query
+      1L -> Seq(0.99f, 0.1f, 0f, 0f),   // dup cluster
+      2L -> Seq(0.99f, 0.11f, 0f, 0f),
+      3L -> Seq(0.99f, 0.12f, 0f, 0f),
+      4L -> Seq(0.6f, 0.8f, 0f, 0f))    // distinct direction
+    val q = t.filter(col("vec_id") === 0L)
+    val plain = Similarity.bruteForceTopK(t, q, k = 2).collect()
+      .map(_.getLong(1)).toSet
+    // pure relevance: both picks come from the duplicate cluster
+    assert(plain.subsetOf(Set(1L, 2L, 3L)), s"plain $plain")
+    // λ=0.3 weights redundancy enough to beat the dup cluster's ~0.99
+    // relevance edge (at λ=0.5 the dup's 0.994 rel − 0.99995 sim still
+    // nets above the distinct vector's 0.6 rel − 0.677 sim)
+    val mmr = Similarity.mmrTopK(t, q, k = 2, poolSize = 4, lambda = 0.3)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(2))
+    // MMR keeps the best duplicate, then jumps to the distinct vector
+    assert(mmr.length === 2)
+    assert(Set(1L, 2L, 3L).contains(mmr(0)), s"first pick ${mmr(0)}")
+    assert(mmr(1) === 4L, s"second pick must diversify, got ${mmr(1)}")
+  }
+
+  test("MMR at λ=1 reduces to relevance ranking") {
+    val t = embTable(0L -> Seq(1f, 0f, 0f, 0f), 1L -> e1b, 2L -> e2,
+      3L -> Seq(0.5f, 0.5f, 0f, 0f))
+    val q = t.filter(col("vec_id") === 0L)
+    val plain = Similarity.bruteForceTopK(t, q, k = 3).collect()
+      .map(r => (r.getLong(3), r.getLong(1)))
+    val mmr = Similarity.mmrTopK(t, q, k = 3, poolSize = 3, lambda = 1.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(mmr.sortBy(_._1) === plain.sortBy(_._1))
+  }
+
+  test("MMR truncates when the pool is smaller than k") {
+    val t = embTable(0L -> e1, 1L -> e1b, 2L -> e2)
+    val q = t.filter(col("vec_id") === 0L)
+    val mmr = Similarity.mmrTopK(t, q, k = 2, poolSize = 2).collect()
+    assert(mmr.length === 2)
+    // only 2 non-self candidates exist; both get picked, ranks 1..2
+    assert(mmr.map(_.getLong(1)).sorted === Array(1L, 2L))
+  }
+
   test("JL projection: components equal hand-computed signed sums") {
     val t = embTable(1L -> Seq(1f, 2f, -3f, 0.5f))
     val got = Similarity.randomProject(t, dOut = 3).collect()
