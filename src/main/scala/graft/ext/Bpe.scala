@@ -185,7 +185,12 @@ object Bpe {
     * DATA, not a literal — the oracle learns the same table the engine
     * does). A step with no pairs left carries the state through a
     * LEFT JOIN ON TRUE, mirroring the engine's early stop. */
-  def trainSqlOf(docsTable: String, textExpr: String, numMerges: Int): String = {
+  /** The learn-step CTE block shared by [[trainSqlOf]] and
+    * [[tokenizeTrainedSqlOf]]: v0/s0 (weighted vocab, char state) then
+    * per step k the pair count (p k), arg-max (m k) and updated state
+    * (s k). */
+  private def trainStepsSql(docsTable: String, textExpr: String,
+      numMerges: Int): String = {
     val se = s"'$S$E'"   // trim set
     val es = s"'$E$S'"   // token separator
     val steps = (1 to numMerges).map { k =>
@@ -201,17 +206,43 @@ object Bpe {
          |      '$S' || m.l || m.r || '$E') END AS s, s.c
          |  FROM s${k - 1} s LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to numMerges).map { k =>
-      s"SELECT CAST(${k - 1} AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
-        s"cnt AS pair_count FROM m$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+    s"""v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT unnest(${piecesSql(textExpr)}) AS w FROM $docsTable)
        |  GROUP BY w),
        |s0 AS (SELECT regexp_replace(w, '(.)', '$S\\1$E', 'g') AS s, c
        |  FROM v0),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def trainSqlOf(docsTable: String, textExpr: String, numMerges: Int): String = {
+    val union = (1 to numMerges).map { k =>
+      s"SELECT CAST(${k - 1} AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+        s"cnt AS pair_count FROM m$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${trainStepsSql(docsTable, textExpr, numMerges)},
        |$union""".stripMargin
+  }
+
+  /** Corpus tokenization under the table the learn steps just produced:
+    * the merges are scalar subquery VALUES (one 1-row CTE cross-joined
+    * in), so the oracle learns and applies in a single statement. */
+  def tokenizeTrainedSqlOf(docsTable: String, idCol: String,
+      textExpr: String, numMerges: Int): String = {
+    val mmCols = (1 to numMerges)
+      .map(k => s"m$k.l AS l$k, m$k.r AS r$k").mkString(", ")
+    val mmFrom = (1 to numMerges).map(k => s"m$k").mkString(", ")
+    val foldedLearned = (1 to numMerges).foldLeft(
+      s"regexp_replace(w, '(.)', '$S\\1$E', 'g')") { (acc, k) =>
+      s"replace($acc, '$S' || l$k || '$E$S' || r$k || '$E', " +
+        s"'$S' || l$k || r$k || '$E')"
+    }
+    val toks = s"flatten(list_transform(${piecesSql(textExpr)}, " +
+      s"w -> string_split(trim($foldedLearned, '$S$E'), '$E$S')))"
+    s"""WITH ${trainStepsSql(docsTable, textExpr, numMerges)},
+       |mm AS (SELECT $mmCols FROM $mmFrom)
+       |SELECT $idCol, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string($toks, '$sep')) AS tok_digest
+       |FROM $docsTable CROSS JOIN mm""".stripMargin
   }
 
   // ------------------------------------------------------------ oracle

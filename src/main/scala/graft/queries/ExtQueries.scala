@@ -128,6 +128,21 @@ object ExtQueries {
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** End-to-end learned tokenizer: train 12 merges on the corpus, then
+    * tokenize the same corpus under them — the full vocab-induction →
+    * corpus-tokenization pipeline in one query. The oracle learns AND
+    * applies in a single statement. */
+  def qTextBpeTrained(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    val d = docs(s, dir)
+    val learned = Bpe.train(d, numMerges = 12).map { case (l, r, _) => (l, r) }
+    val toks = Bpe.tokensWith(col("text"), learned)
+    d.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .otherwise(md5(concat_ws(Bpe.sep, toks))).as("tok_digest"))
+  }
+
   /** [[qTextChunks]] denominated in committed-BPE subwords. */
   def qTextChunksBpe(s: SparkSession, dir: String): DataFrame =
     Curation.chunkBpe(docs(s, dir), chunkSize = 64, stride = 48)
@@ -669,6 +684,7 @@ object ExtQueries {
     "q_text_chunks" -> (qTextChunks _),
     "q_text_bpe" -> (qTextBpe _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_text_bpe_trained" -> (qTextBpeTrained _),
     "q_text_chunks_bpe" -> (qTextChunksBpe _),
     "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
@@ -1354,6 +1370,10 @@ object ExtQueries {
     * handed the answer. */
   private val bpeTrainSql =
     graft.ext.Bpe.trainSqlOf("documents", "text", numMerges = 12)
+
+  private val textBpeTrainedSql =
+    graft.ext.Bpe.tokenizeTrainedSqlOf("documents", "doc_id", "text",
+      numMerges = 12)
 
   /** textChunksSql in BPE units: same window arithmetic over the replayed
     * subword list, chunk text re-joined with the empty string. */
@@ -2366,6 +2386,7 @@ object ExtQueries {
     "q_text_chunks" -> textChunksSql,
     "q_text_bpe" -> textBpeSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_text_bpe_trained" -> textBpeTrainedSql,
     "q_text_chunks_bpe" -> textChunksBpeSql,
     "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,
