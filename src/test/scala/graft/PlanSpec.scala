@@ -418,4 +418,42 @@ class PlanSpec extends SparkSpec {
     // joins — the doc side must never sort-merge against them
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("paragraph dedup: keep-first is an aggregate, not a digest window") {
+    val p = plan("q_dedup_paragraph")
+    // a corpus-wide boilerplate paragraph makes its digest a hot key; a
+    // window over dg would funnel every instance into one task, while
+    // the min-struct aggregate combines map-side (partial+final pairs)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val windows = p.linesIterator.count(l =>
+      l.trim.startsWith("Window") || l.contains("(Window"))
+    assert(windows === 0, s"digest window in plan:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("CMS build aggregates partial+final: the shuffle is sketch-sized") {
+    val p = plan("q_sketch_cms")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // explode(depth entries) then partial HashAggregate before the
+    // exchange — ≤ depth·width rows leave each map partition
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("JL projection is a pure scan: no shuffle, no join") {
+    val p = plan("q_emb_project")
+    assert(!p.contains("Join"), p.take(2000))
+    // the only exchange tolerated is the fixture-widening round robin
+    // (formatted mode puts the partitioning in the detail section)
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"keyed shuffle in projection plan:\n${p.take(2000)}")
+  }
+
+  test("MMR: candidate-pool products only, never corpus x corpus") {
+    val df = SparkEntry.queries("q_retrieval_mmr")(spark, sf("sf0.001"))
+    df.collect() // materialize through AQE so join strategies are final
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the corpus meets only the broadcast 8-query side; pool-pool sims
+    // and the greedy fold must never trigger a corpus-sized product
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
