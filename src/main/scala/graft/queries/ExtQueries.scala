@@ -470,6 +470,14 @@ object ExtQueries {
   def qEmbProject(s: SparkSession, dir: String): DataFrame =
     Similarity.randomProject(emb(s, dir), dOut = 16)
 
+  /** Coarse-to-fine: candidate pool from projected-space cosine (16-dim
+    * dots), exact full-dimension re-rank of the pool. */
+  def qSimTopkProj(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.projectedTopK(e, e.filter(col("vec_id") < 8), k = 5,
+      dOut = 16, poolSize = 20)
+  }
+
   /** SQ8 top-5: the int8-code search path quantizeInt8Stats certifies. */
   def qSimTopkSq8(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -732,6 +740,7 @@ object ExtQueries {
     "q_sim_pq_stream_twin" -> (qSimPqStreamTwin _),
     "q_emb_quantize" -> (qEmbQuantize _),
     "q_emb_project" -> (qEmbProject _),
+    "q_sim_topk_proj" -> (qSimTopkProj _),
     "q_sim_topk_sq8" -> (qSimTopkSq8 _),
     "q_sample_split" -> (qSampleSplit _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -2015,6 +2024,48 @@ object ExtQueries {
        |      THEN 1.0 ELSE -1.0 END) * v[CAST(i AS INT)])), 6) AS value
        |FROM e CROSS JOIN js""".stripMargin
 
+  /** Coarse-to-fine oracle: projected vectors re-derived in SQL (nested
+    * lambdas over the md5-parity planes), projected-space top-20 pool,
+    * exact full-dim re-rank — same rounding, same tie rules. */
+  private val simTopkProjSql = {
+    val sign = s"(CASE WHEN ${hexIntSql(
+      "(CAST(p AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR))")} % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
+    s"""WITH ev AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pj AS (SELECT vec_id, list_transform(range(0, 16), p ->
+       |    round(list_sum(list_transform(range(1, len(v) + 1), i ->
+       |      $sign * v[CAST(i AS INT)])), 6)) AS pv
+       |  FROM ev),
+       |pc AS (SELECT vec_id AS neighbor_id, pv,
+       |    sqrt(list_sum(list_transform(pv, x -> x * x))) AS pn FROM pj),
+       |pq AS (SELECT vec_id AS query_id, pv AS qv,
+       |    sqrt(list_sum(list_transform(pv, x -> x * x))) AS qn
+       |  FROM pj WHERE vec_id < 8),
+       |coarse AS (SELECT query_id, neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(pv) + 1), i ->
+       |      pv[i] * qv[i])) / (pn * qn), 6) AS pcos
+       |  FROM pc CROSS JOIN pq WHERE neighbor_id <> query_id),
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rn
+       |  FROM coarse) t WHERE rn <= 20),
+       |c2 AS (SELECT vec_id AS neighbor_id, v AS ce,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS cnorm FROM ev),
+       |q2 AS (SELECT vec_id AS query_id, v AS qe,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+       |  FROM ev WHERE vec_id < 8),
+       |ex AS (SELECT p.query_id, p.neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(ce) + 1), i ->
+       |      ce[i] * qe[i])) / (cnorm * qnorm), 6) AS cos
+       |  FROM pool p JOIN c2 USING (neighbor_id) JOIN q2 USING (query_id))
+       |SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS "rank"
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rn FROM ex) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   private val sampleSplitSql =
     s"""SELECT doc_id,
        |  ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
@@ -2444,6 +2495,7 @@ object ExtQueries {
         |  (SELECT CAST(count(*) * 8 AS BIGINT) FROM embeddings)""".stripMargin,
     "q_emb_quantize" -> embQuantizeSql,
     "q_emb_project" -> embProjectSql,
+    "q_sim_topk_proj" -> simTopkProjSql,
     "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,
     "q_curation_domaincap" -> curationDomaincapSql,

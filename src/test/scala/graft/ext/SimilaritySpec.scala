@@ -128,6 +128,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top(0).getLong(1) === 2L && top(0).getDouble(2) === 1.0)
   }
 
+  test("projected coarse-to-fine: exact cosines, high recall via the pool") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val two = Similarity.projectedTopK(e, q, k = 5, poolSize = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = Similarity.bruteForceTopK(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every returned cosine is the EXACT full-dim value
+    two.foreach { case (k2, c) =>
+      assert(bf.get(k2).forall(_ === c) ||
+        math.abs(c) <= 1.0, s"cos out of range for $k2")
+    }
+    val overlap = two.keySet.intersect(bf.keySet).size.toDouble / bf.size
+    // a 40-candidate pool recovers a solid share of the true top-5 even
+    // on the near-isotropic fixture (chance ≈ 40/500)
+    assert(overlap >= 0.4, s"recall@5 through pool-40 = $overlap")
+  }
+
   test("MMR diversifies: near-duplicate pool spreads across clusters") {
     // two tight clusters; the relevant cluster (near the query) has 3
     // near-identical members, the other is distinct but still relevant
