@@ -219,7 +219,7 @@ object Bpe {
       s"SELECT CAST(${k - 1} AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
         s"cnt AS pair_count FROM m$k"
     }.mkString("\nUNION ALL ")
-    s"""WITH ${trainStepsSql(docsTable, textExpr, numMerges)},
+    s"""WITH ${trainStepsSql(docsTable, textExpr, numMerges)}
        |$union""".stripMargin
   }
 
