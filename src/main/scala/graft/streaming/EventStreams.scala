@@ -183,6 +183,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming count-min sketch: the streaming face of
+    * [[graft.ext.Sketches.cmsBuild]]. Each micro-batch builds its own
+    * sketch-sized (r, bucket, cnt) increment (map-side combined before
+    * anything leaves the batch) and folds it into the persisted counter
+    * table by [[graft.ext.Sketches.cmsMerge]] — counts are a commutative
+    * monoid, so late values fold whenever they arrive and per-trigger
+    * work is O(batch) + O(depth·width). Unlike the KMV fold this is NOT
+    * idempotent (re-folded counts double), so the fold watermark rides
+    * inside the atomic state swap exactly as [[rollupSink]]: a replayed
+    * batch sees itself folded and no-ops. */
+  def cmsSink(values: DataFrame, store: graft.store.TableStore,
+      name: String, valueCol: String, checkpointDir: String,
+      depth: Int = graft.ext.Sketches.cmsDepth,
+      width: Int = graft.ext.Sketches.cmsWidth,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.Sketches
+        val already = store.exists(name) && {
+          val st = store.read(name)
+          st.columns.contains("__folded_batch") && st.limit(1).count() > 0 &&
+            st.agg(max(col("__folded_batch"))).head().getLong(0) >= batchId
+        }
+        if (!already) {
+          val inc = Sketches.cmsBuild(batch, valueCol, depth, width)
+          val merged =
+            if (store.exists(name))
+              Sketches.cmsMerge(Seq(
+                store.read(name).drop("__folded_batch"), inc))
+            else inc
+          store.overwrite(name,
+            merged.withColumn("__folded_batch", lit(batchId)))
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * event-time silence, via flatMapGroupsWithState with event-time
     * timeout. State per user is O(1) — counts and bounds, never the

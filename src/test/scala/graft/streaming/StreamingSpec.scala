@@ -574,6 +574,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming CMS state equals the batch sketch; estimates agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("cms-store").toString)
+    val ckpt = Files.createTempDirectory("cms-ckpt").toString
+    val rows = (1L to 80L).map(i =>
+      Event(i, i % 7, ts("2024-01-01 10:00:00"),
+        if (i % 3 == 0) "click" else "view", 1.0))
+    val q = EventStreams.cmsSink(input.toDF(), store, "cms",
+      "event_type", ckpt, trigger = Trigger.ProcessingTime(0))
+    try {
+      input.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = store.read("cms").drop("__folded_batch")
+    val whole = graft.ext.Sketches.cmsBuild(rows.toDF(), "event_type")
+    assert(state.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(state).count() === 0)
+    // estimates from the streamed state match exact counts (uncrowded)
+    val cand = Seq("click", "view").toDF("event_type")
+    val est = graft.ext.Sketches
+      .cmsEstimate(state, cand, "event_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("click" -> 26L, "view" -> 54L))
+  }
+
   test("stream-fed interpolation equals batch interpolation end to end") {
     // the full streaming → regularized-series path (VERDICT r6 #6):
     // micro-batched readings → resampleSink state → resampleState →
