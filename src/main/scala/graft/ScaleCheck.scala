@@ -34,7 +34,10 @@ object ScaleCheck {
     "q_dedup_fingerprint", "q_sim_pq", "q_sim_ivfpq_indexed",
     "q_sim_ivfpq_build", "q_sim_ivfpq_res_indexed", "q_retrieval_hybrid",
     "q_text_bm25", "q_text_bpe", "q_scd2_apply", "q_skew_join",
-    "q_quantile_profile", "q_classify_source", "q_cluster_topics")
+    "q_quantile_profile", "q_classify_source", "q_cluster_topics",
+    // r10 additions: the new dedup/tokenizer/sketch/retrieval surface
+    "q_dedup_paragraph", "q_bpe_train", "q_text_bpe_trained",
+    "q_sketch_cms", "q_emb_project", "q_sim_topk_proj", "q_retrieval_mmr")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase
