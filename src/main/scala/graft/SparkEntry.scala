@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.ExtQueries.queries ++
     graft.queries.ScaleQueries.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.PollQueries.queries
+    graft.queries.PollQueries.queries ++
+    graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.ExtQueries.oracleSql ++
     graft.queries.ScaleQueries.oracleSql ++
     graft.queries.PipelineQueries.oracleSql ++
-    graft.queries.PollQueries.oracleSql
+    graft.queries.PollQueries.oracleSql ++
+    graft.queries.QualityQueries.oracleSql
 }

@@ -184,6 +184,81 @@ object Curation {
         col("n_lists"), col("rnk"))
   }
 
+  /** q6 fixed-point nDCG rank discounts ⌊10⁶ / log₂(r+1)⌋ for ranks
+    * 1..k. Computed ONCE here and baked as literals into BOTH the Spark
+    * plan and the DuckDB oracle (the literal-baked pattern the streaming
+    * faces use), so the irrational log₂ never has to agree across
+    * engines — only these integers do. */
+  def ndcgDiscountsQ6(k: Int): Seq[(Int, Long)] =
+    (1 to k).map { r =>
+      r -> math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0))).toLong
+    }
+
+  /** Graded relevance by query-term overlap: rel(q, d) = number of
+    * DISTINCT terms of query q present in document d — the deterministic
+    * stand-in for human labels that makes retrieval evaluation
+    * oracle-checkable. Only rel > 0 rows are emitted (the sparse shape
+    * real judgment sets have). One explode + broadcast join + map-side
+    * combined count; document text never shuffles. */
+  def termOverlapRelevance(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val qTerms = spark.createDataFrame(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) })
+      .toDF("query_id", "term")
+    docs.select(col(idCol),
+        explode(array_distinct(words(col(textCol)))).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("rel"))
+  }
+
+  /** nDCG@k of a ranked retrieval result against graded relevance
+    * labels — the metric a retrieval/training pipeline gates index and
+    * ranker changes on. `ranked` carries (query_id, id, rnk) (any
+    * retrieval operator's output); `rels` carries (query_id, id, rel).
+    * Per query: DCG = Σ rel·disc(rnk), IDCG = the same sum over the
+    * ideal (rel-descending) ordering's top k, nDCG = DCG/IDCG.
+    *
+    * Exactness: discounts are the [[ndcgDiscountsQ6]] integer lattice,
+    * DCG/IDCG are integer sums (order-independent), and the final ratio
+    * is a 4-dp fixed-point floor — bit-identical across engines.
+    *
+    * Scale: `ranked` is already a per-query top-k funnel
+    * (O(queries·k)); the ideal ranking windows over labeled (rel > 0)
+    * docs only, partitioned per query — judgment sets are thousands of
+    * rows per query at most, so no global funnel. A query with no
+    * relevant docs reports ndcg 0. */
+  def ndcgAtK(ranked: DataFrame, rels: DataFrame, k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    val discs = ndcgDiscountsQ6(k)
+    def disc(r: Column): Column =
+      discs.tail.foldLeft(when(r === discs.head._1, lit(discs.head._2))) {
+        case (acc, (rk, d)) => acc.when(r === rk, lit(d))
+      }.otherwise(lit(0L))
+    val rel = coalesce(col("rel"), lit(0L))
+    val dcg = ranked.filter(col("rnk") <= k)
+      .join(rels, Seq("query_id", idCol), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(rel * disc(col("rnk"))).as("dcg_q6"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col(idCol))
+    val idcg = rels.filter(col("rel") > 0)
+      .withColumn("irnk", row_number().over(wIdeal))
+      .filter(col("irnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * disc(col("irnk"))).as("idcg_q6"))
+    val d6 = coalesce(col("dcg_q6"), lit(0L))
+    val i6 = coalesce(col("idcg_q6"), lit(0L))
+    val scaled = d6 * lit(10000L)
+    dcg.join(idcg, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        (d6.cast("double") / 1000000.0).as("dcg"),
+        (i6.cast("double") / 1000000.0).as("idcg"),
+        when(i6 > 0, ((scaled - pmod(scaled, i6)) / i6).cast("double") / 10000.0)
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   /** Deterministic k-per-group sample: md5-hash-order row_number within
     * each stratum — the reproducible "k examples per language" pull.
     * One shuffle on the stratum; the window is partitioned, so no global
@@ -605,5 +680,120 @@ object Curation {
         col("s_tot").cast(dec)).as("w_ppm"),
       fdiv(col("s_root").cast(dec) * lit(budget).cast(dec),
         col("s_tot").cast(dec)).as("planned"))
+  }
+
+  /** Weight-proportional sampling WITHOUT replacement, deterministic:
+    * systematic (fixed-interval) sampling over the cumulative-weight
+    * axis. Rows are laid end-to-end in `idCol` order, each covering a
+    * weight interval [cw−w, cw); k equally spaced pointers
+    * (0, step, 2·step, …, step = ⌊total/k⌋) each select the row whose
+    * interval they land in. Long documents (big weights) are
+    * proportionally more likely to be hit — the exact
+    * sample-by-token-count draw a training mix wants — and a row heavier
+    * than `step` is hit multiple times (`n_picks` > 1, the without-
+    * replacement analog of expected multiplicity). No randomness: the
+    * draw is a pure function of (ids, weights, k), reproducible across
+    * engines, runs and retries. Standard systematic-sampling caveat: if
+    * the weight sequence is PERIODIC in id order with period ≈ total/k,
+    * the fixed stride aliases with it (all pointers land on one phase) —
+    * pick k coprime to any known periodicity, or pre-shuffle ids by
+    * hash.
+    *
+    * Scale: the cumulative sum never funnels into a single-task global
+    * window. Rows bucket by id range (`buckets` monotone id slices);
+    * intra-bucket prefix sums run as `buckets` parallel window
+    * partitions, and bucket offsets come from a #buckets-row aggregate —
+    * metadata-sized — cum-summed on the driver-side-free tiny window.
+    * Two shuffles of (id, w) pairs total; text never moves. Zero-weight
+    * rows can never be selected and are dropped up front. */
+  def weightedSystematicSample(docs: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id", buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val base = docs.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val bounds = base.agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+      sum(col("w")).as("total"))
+    // exact floor division on the decimal lattice: long `/` in Spark is
+    // double division, which goes inexact past 2^53 — a planet-scale
+    // cumulative token count
+    val dec = "decimal(38,0)"
+    def fdiv(a: Column, b: Column): Column = {
+      val ad = a.cast(dec); val bd = b.cast(dec)
+      ((ad - pmod(ad, bd)) / bd).cast("long")
+    }
+    val withB = base.crossJoin(broadcast(bounds))
+      .withColumn("span",
+        greatest(fdiv(col("hi") - col("lo") + lit(buckets.toLong),
+          lit(buckets.toLong)), lit(1L)))
+      .withColumn("bucket", fdiv(col("id") - col("lo"), col("span")))
+    // intra-bucket inclusive prefix sum: parallel across buckets
+    val wIntra = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bucket offsets: exclusive prefix over the tiny per-bucket totals
+    val wBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
+      .withColumn("offset", coalesce(sum(col("bw")).over(wBuckets), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val cum = withB.withColumn("cw_local", sum(col("w")).over(wIntra))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cw", col("offset") + col("cw_local"))
+      .withColumn("step", greatest(fdiv(col("total"), lit(k.toLong)), lit(1L)))
+    // pointers j·step (j = 0..k−1) strictly below y, capped at k
+    def pointersBelow(y: Column): Column = {
+      val up = y + col("step") - 1L
+      least(fdiv(up, col("step")), lit(k.toLong))
+    }
+    cum.withColumn("n_picks",
+        pointersBelow(col("cw")) - pointersBelow(col("cw") - col("w")))
+      .filter(col("n_picks") >= 1)
+      .select(col("id").as(idCol), col("w"), col("cw"), col("n_picks"))
+  }
+
+  /** Preference-pair construction (the DPO/RLHF data-prep step): within
+    * every stratum, pair the highest-quality document (chosen) against
+    * the lowest-quality one (rejected), with the quality gap as the
+    * pair's margin. Ties are deterministic: equal-quality chosen picks
+    * the smaller id, equal-quality rejected the larger, so the two ends
+    * never collide unless the stratum has a single document. Pairs with
+    * zero margin (stratum quality is flat) are dropped — they carry no
+    * preference signal.
+    *
+    * Scale: two struct-max aggregates per stratum — map-side combined,
+    * one shuffle of (stratum, q4, id) triples, no window funnel, text
+    * never shuffles. */
+  def preferencePairs(docs: DataFrame, strata: Seq[String] = Seq("source", "lang"),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gCols = strata.map(col)
+    val scored = docs.select(gCols ++ Seq(col(idCol).as("id"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4")): _*)
+    scored.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q4"), (-col("id")).as("neg"))).as("ch"),
+        min(struct(col("q4"), (-col("id")).as("neg"))).as("rj"))
+      .filter(col("n_docs") > 1 && col("ch.q4") > col("rj.q4"))
+      .select(gCols ++ Seq(
+        (-col("ch.neg")).as("chosen_id"), (-col("rj.neg")).as("rejected_id"),
+        (col("ch.q4").cast("double") / 10000.0).as("chosen_quality"),
+        (col("rj.q4").cast("double") / 10000.0).as("rejected_quality"),
+        ((col("ch.q4") - col("rj.q4")).cast("double") / 10000.0).as("margin")): _*)
+  }
+
+  /** Group-aware (leakage-safe) split: like [[hashSplit]], but the
+    * bucket is hashed from a GROUP column (domain, source, author…), so
+    * every document of a group lands in the same split — near-duplicates
+    * within a crawl domain can't straddle train/test and leak. Same
+    * zero-shuffle projection shape as hashSplit. */
+  def hashSplitByGroup(docs: DataFrame, groupCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "gsplit",
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    val bucket = hexInt(concat(lit(s"$salt:"), col(groupCol).cast("string"))) % 100
+    docs.select(col(idCol), col(groupCol), bucket.as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
   }
 }

@@ -149,6 +149,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** DIRECTIONAL containment c(a→b) = |S(a)∩S(b)| / |S(a)|: flags
+    * documents SUBSUMED by another (quotes, excerpts, prefix-crawl
+    * re-fetches) that symmetric Jaccard misses — a short doc fully
+    * contained in a long one has i/u ≈ |a|/|b| ≪ 1 but containment 1.0.
+    * Emits ordered pairs (id, container_id, containment ≥ threshold);
+    * both directions of every intersecting pair are scored, so mutual
+    * near-copies appear twice with their own denominators.
+    *
+    * Same inverted-index + df-cap shape as [[ngramJaccardPairs]] (one
+    * self-join on kept shingles, m² fan-out bounded by `maxDocFreq`),
+    * and the same caveat: at corpus scale run it over LSH candidates;
+    * this form is the exact oracle with the hazard bounded. Containment
+    * is computed over the capped shingle space consistently on both
+    * sides. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 64): DataFrame = {
+    val sh0 = shingles(docs, n).localCheckpoint(true)
+    val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select(col("shingle"))
+    val sh = sh0.join(kept, Seq("shingle"), "left_semi").localCheckpoint(true)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val l = sh.select(col("id").as("id_a"), col("shingle"))
+    val r = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = l.join(r, Seq("shingle")).filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .select(col("id_a").as("id"), col("id_b").as("container_id"),
+        jaccard4(col("inter"), col("sz_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SimHash bits (32): per-token ±1 votes per bit position — a pure
     * projection, no explode/shuffle. The word-hash array is materialized
     * once and folded by the codegen'd [[graft.functions.SimHash32]] (one

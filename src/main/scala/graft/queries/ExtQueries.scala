@@ -596,6 +596,26 @@ object ExtQueries {
   def qSampleSplit(s: SparkSession, dir: String): DataFrame =
     Curation.hashSplit(docs(s, dir))
 
+  /** Leakage-safe split: hash the SOURCE, so a crawl domain's docs (and
+    * their near-duplicates) never straddle train/test. */
+  def qSampleSplitGroup(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplitByGroup(docs(s, dir), "source")
+
+  /** Length-proportional systematic sample: 100 deterministic draws over
+    * the cumulative n_chars axis — the sample-by-token-mass pull. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSystematicSample(docs(s, dir), "n_chars", k = 100)
+
+  /** DPO-style preference pairs: per (source, lang) stratum, best-vs-
+    * worst quality with the gap as margin. */
+  def qPrefPairs(s: SparkSession, dir: String): DataFrame =
+    Curation.preferencePairs(docs(s, dir))
+
+  /** Subset-document detection: directional 3-gram containment ≥ 0.8
+    * (df-capped inverted index). */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.8)
+
   /** Domain cap: at most 60 docs per source, preferring quality. */
   def qCurationDomaincap(s: SparkSession, dir: String): DataFrame =
     Curation.capPerGroup(docs(s, dir), col("source"), cap = 60)
@@ -628,6 +648,16 @@ object ExtQueries {
     val e = emb(s, dir)
     Similarity.mmrTopK(e, e.filter(col("vec_id") < 8), k = 5,
       poolSize = 20, lambda = 0.5)
+  }
+
+  /** Retrieval evaluation: nDCG@10 of the BM25 ranking against
+    * term-overlap graded relevance — ranker changes gate on this. */
+  def qRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.ndcgAtK(
+      Curation.bm25TopDocs(d, bm25Queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk")),
+      Curation.termOverlapRelevance(d, bm25Queries), k = 10)
   }
 
   def qRetrievalHybrid(s: SparkSession, dir: String): DataFrame = {
@@ -743,6 +773,11 @@ object ExtQueries {
     "q_sim_topk_proj" -> (qSimTopkProj _),
     "q_sim_topk_sq8" -> (qSimTopkSq8 _),
     "q_sample_split" -> (qSampleSplit _),
+    "q_sample_split_group" -> (qSampleSplitGroup _),
+    "q_sample_weighted" -> (qSampleWeighted _),
+    "q_pref_pairs" -> (qPrefPairs _),
+    "q_dedup_containment" -> (qDedupContainment _),
+    "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
     "q_text_typicality" -> (qTextTypicality _),
@@ -2074,6 +2109,102 @@ object ExtQueries {
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  private val sampleSplitGroupSql =
+    s"""SELECT doc_id, source,
+       |  ${hexIntSql("('gsplit:' || source)")} % 100 AS bucket,
+       |  CASE WHEN ${hexIntSql("('gsplit:' || source)")} % 100 < 80 THEN 'train'
+       |       WHEN ${hexIntSql("('gsplit:' || source)")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Systematic weighted sampling twin of
+    * Curation.weightedSystematicSample: the oracle's cumulative sum is a
+    * plain global window (DuckDB is single-node); the engine side
+    * reproduces the identical cw via bucketed prefix sums. */
+  private val sampleWeightedSql =
+    """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+      |  FROM documents WHERE n_chars > 0),
+      |tot AS (SELECT sum(w) AS total FROM base),
+      |st AS (SELECT greatest(total // 100, 1) AS step FROM tot),
+      |cum AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM base)
+      |SELECT doc_id, w, cw, CAST(n_picks AS BIGINT) AS n_picks FROM (
+      |  SELECT doc_id, w, cw,
+      |    least((cw + step - 1) // step, 100)
+      |      - least((cw - w + step - 1) // step, 100) AS n_picks
+      |  FROM cum CROSS JOIN st) t
+      |WHERE n_picks >= 1""".stripMargin
+
+  private val prefPairsSql =
+    s"""WITH base AS (SELECT doc_id, source, lang, text,
+       |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
+       |  FROM documents),
+       |h AS (SELECT doc_id, source, lang, text, ws,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |  FROM base),
+       |sc AS (SELECT doc_id, source, lang,
+       |  ${qualityQ4Sql("text", "ws", "h_en")} AS q4 FROM h),
+       |r AS (SELECT source, lang, doc_id, q4,
+       |  row_number() OVER (PARTITION BY source, lang ORDER BY q4 DESC, doc_id ASC) AS rc,
+       |  row_number() OVER (PARTITION BY source, lang ORDER BY q4 ASC, doc_id DESC) AS rr,
+       |  count(*) OVER (PARTITION BY source, lang) AS n FROM sc),
+       |ch AS (SELECT source, lang, doc_id AS chosen_id, q4 AS cq4, n
+       |       FROM r WHERE rc = 1),
+       |rj AS (SELECT source, lang, doc_id AS rejected_id, q4 AS rq4
+       |       FROM r WHERE rr = 1)
+       |SELECT ch.source, ch.lang, chosen_id, rejected_id,
+       |  CAST(cq4 AS DOUBLE) / 10000.0 AS chosen_quality,
+       |  CAST(rq4 AS DOUBLE) / 10000.0 AS rejected_quality,
+       |  CAST(cq4 - rq4 AS DOUBLE) / 10000.0 AS margin
+       |FROM ch JOIN rj USING (source, lang)
+       |WHERE n > 1 AND cq4 > rq4""".stripMargin
+
+  private val dedupContainmentSql =
+    s"""WITH $shingleCtes,
+       |kept AS (SELECT shingle FROM
+       |  (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) t
+       |  WHERE df <= 64),
+       |shk AS (SELECT id, shingle FROM sh JOIN kept USING (shingle)),
+       |szk AS (SELECT id, count(*) AS sz FROM shk GROUP BY id),
+       |inter AS (SELECT a.id AS id, b.id AS container_id, count(*) AS i
+       |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.id <> b.id
+       |  GROUP BY 1, 2)
+       |SELECT id, container_id, containment FROM (
+       |  SELECT inter.id, container_id,
+       |    CAST((i * 10000) // sz AS DOUBLE) / 10000.0 AS containment
+       |  FROM inter JOIN szk ON szk.id = inter.id) t
+       |WHERE containment >= 0.8""".stripMargin
+
+  // lazy: depends on bm25RankedCtes, declared further down the file
+  private lazy val retrievalNdcgSql = {
+    def discCase(rankCol: String): String =
+      "CASE " + rankCol + " " + graft.ext.Curation.ndcgDiscountsQ6(10)
+        .map { case (r, d) => s"WHEN $r THEN $d" }.mkString(" ") +
+        " ELSE 0 END"
+    s"""WITH $bm25RankedCtes,
+       |rk AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+       |dst AS (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM base),
+       |relc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS rel
+       |  FROM dst JOIN probes USING (term) GROUP BY 1, 2),
+       |dcg AS (SELECT query_id,
+       |  sum(coalesce(rel, 0) * ${discCase("rnk")}) AS dcg_q6
+       |  FROM rk LEFT JOIN relc USING (query_id, doc_id) GROUP BY 1),
+       |ideal AS (SELECT query_id, rel, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irnk
+       |  FROM relc WHERE rel > 0),
+       |idcg AS (SELECT query_id, sum(rel * ${discCase("irnk")}) AS idcg_q6
+       |  FROM ideal WHERE irnk <= 10 GROUP BY 1)
+       |SELECT query_id,
+       |  CAST(coalesce(dcg_q6, 0) AS DOUBLE) / 1000000.0 AS dcg,
+       |  CAST(coalesce(idcg_q6, 0) AS DOUBLE) / 1000000.0 AS idcg,
+       |  CASE WHEN coalesce(idcg_q6, 0) > 0
+       |    THEN CAST((coalesce(dcg_q6, 0) * 10000
+       |          - (coalesce(dcg_q6, 0) * 10000) % idcg_q6) // idcg_q6
+       |        AS DOUBLE) / 10000.0
+       |    ELSE 0.0 END AS ndcg
+       |FROM dcg FULL OUTER JOIN idcg USING (query_id)""".stripMargin
+  }
+
   private val curationDomaincapSql =
     s"""WITH base AS (SELECT doc_id, source, text,
        |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
@@ -2498,6 +2629,11 @@ object ExtQueries {
     "q_sim_topk_proj" -> simTopkProjSql,
     "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,
+    "q_sample_split_group" -> sampleSplitGroupSql,
+    "q_sample_weighted" -> sampleWeightedSql,
+    "q_pref_pairs" -> prefPairsSql,
+    "q_dedup_containment" -> dedupContainmentSql,
+    "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,
     "q_text_typicality" -> textTypicalitySql,

@@ -456,4 +456,46 @@ class PlanSpec extends SparkSpec {
     // and the greedy fold must never trigger a corpus-sized product
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("dq report: row-level checks fold into one aggregate pass") {
+    val p = plan("q_dq_report")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // 7 row-level checks over lineitem must NOT mean 7 scans: one scan
+    // feeds the shared aggregate; the extra scans are the unique-key
+    // pass and the referential branches (keys + shared total)
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans <= 5, s"expected <=5 lineitem scans, got $liScans")
+    assert(!p.contains("SortMergeJoin"),
+      "referential anti-join degraded to SMJ at dim scale")
+  }
+
+  test("weighted sample: prefix sums bucket-partitioned, offsets broadcast") {
+    val p = plan("q_sample_weighted")
+    // the data-sized window must partition by bucket — the only
+    // unpartitioned window tolerated is over the per-bucket totals
+    // (metadata-sized); offsets re-attach via broadcast, never SMJ
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition")).toList
+    assert(dataWindows.exists(_.contains("bucket#")),
+      s"no bucket-partitioned window:\n${dataWindows.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("preference pairs: argmax/argmin are aggregates, not windows") {
+    val p = plan("q_pref_pairs")
+    val windows = p.linesIterator.count(l =>
+      l.trim.startsWith("Window") || l.contains("(Window"))
+    assert(windows === 0, s"stratum window in plan:\n${p.take(2000)}")
+    // struct-typed min/max compile to SortAggregate — still partial
+    // (pre-exchange) + final, i.e. map-side combined
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Join"), "pairing should be one aggregate, no join")
+  }
+
+  test("containment: inverted-index equi-join, never a product") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
