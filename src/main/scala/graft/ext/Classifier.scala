@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import Hashing._
@@ -89,6 +89,54 @@ object Classifier {
       .select(col(idCol),
         col("best.label").as("predicted"),
         (-col("best.ns")).as("score_q6"))
+  }
+
+  /** Classifier evaluation against gold labels: per-class counts,
+    * true positives, and fixed-point precision / recall / F1 — the
+    * readout that gates a router/filter model before it touches the
+    * corpus. `predicted` is [[predict]]'s output (id, predicted);
+    * `truth` carries (id, label). An unpredicted document (null
+    * prediction — no vocabulary overlap) counts against recall of its
+    * actual class and against no class's precision.
+    *
+    * Exactness: precision = ⌊tp·10⁴/n_predicted⌋, recall =
+    * ⌊tp·10⁴/n_actual⌋, F1 = ⌊2·tp·10⁴/(n_actual+n_predicted)⌋ — the
+    * exact rational form (2tp+fp+fn = n_actual+n_predicted), never a
+    * float composition of already-floored P and R.
+    *
+    * Scale: ONE corpus-sized pass builds the (actual, predicted) count
+    * matrix — map-side combined, ≤ classes² rows out; every metric
+    * derives from that tiny matrix (eagerly checkpointed so the three
+    * readouts don't re-run the join). */
+  def evaluate(predicted: DataFrame, truth: DataFrame,
+      idCol: String = "doc_id", predCol: String = "predicted",
+      labelCol: String = "label"): DataFrame = {
+    val j = truth.select(col(idCol), col(labelCol).as("actual"))
+      .join(predicted.select(col(idCol), col(predCol).as("pred")),
+        Seq(idCol), "left")
+    val conf = j.groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val per = conf.groupBy(col("actual").as("label"))
+      .agg(sum(col("n")).as("n_actual"),
+        coalesce(sum(when(col("pred") === col("actual"), col("n"))
+          .otherwise(0L)), lit(0L)).as("tp"))
+    val pt = conf.filter(col("pred").isNotNull)
+      .groupBy(col("pred").as("label"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val nA = coalesce(col("n_actual"), lit(0L))
+    val nP = coalesce(col("n_predicted"), lit(0L))
+    val tp = coalesce(col("tp"), lit(0L))
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0, ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    per.join(pt, Seq("label"), "full_outer")
+      .select(col("label"), nA.as("n_actual"), nP.as("n_predicted"),
+        tp.as("tp"),
+        frac4(tp, nP).as("precision"),
+        frac4(tp, nA).as("recall"),
+        frac4(tp * 2L, nA + nP).as("f1"))
   }
 
   /** Corpus cartography: label each embedding-space k-means cluster with

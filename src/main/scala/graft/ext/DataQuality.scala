@@ -105,20 +105,12 @@ object DataQuality {
     lazy val totalDf = df.agg(count(lit(1)).as("n"))
 
     if (rowLevel.nonEmpty) {
-      // one scan: count(*) + one conditional sum per row-level check,
-      // then explode the 1-row aggregate into long-format report rows
-      val aggs = count(lit(1)).as("n") +: rowLevel.zipWithIndex.map {
-        case (c, i) => // coalesce: sum over an empty table is null
-          coalesce(sum(when(violated(c), 1L).otherwise(0L)), lit(0L)).as(s"v$i")
-      }
-      val one = df.agg(aggs.head, aggs.tail: _*)
-      val rows = one.select(explode(array(rowLevel.zipWithIndex.map {
-        case (c, i) => struct(
-          lit(c.name).as("check"), lit(c.target).as("target"),
-          col("n").as("n_rows"), col(s"v$i").as("n_violations"))
-      }: _*)).as("r"))
-      parts += rows.select(reportRow(col("r.check"), col("r.target"),
-        col("r.n_rows"), col("r.n_violations")): _*)
+      // one scan: count(*) + one conditional sum per row-level check
+      // (the same pass partialRowState exposes for sharded runs), then
+      // finalize the long-format rows
+      parts += partialRowState(df, rowLevel)
+        .select(reportRow(col("check"), col("target"),
+          col("n_rows"), col("n_violations")): _*)
     }
 
     checks.collect { case u: Unique => u }.foreach { u =>
@@ -149,6 +141,44 @@ object DataQuality {
     }
 
     parts.result().reduce(_ unionByName _)
+  }
+
+  /** Mergeable partial state for ROW-LEVEL checks: the same single
+    * aggregate pass as [[report]], emitted as raw (check, target,
+    * n_rows, n_violations) counts for one shard / micro-batch. States
+    * merge by ADDITION — sum counts per (check, target) — so a 100 TB
+    * validation runs per-shard (or per-micro-batch via a foreachBatch
+    * sink keyed the same way, the rollup-sink shape) and folds without
+    * rescanning history. [[reportFromStates]] finalizes pass fractions
+    * over any union of states. */
+  def partialRowState(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowLevel = checks.collect {
+      case c @ (_: Complete | _: InRange | _: InSet | _: MatchesRegex) => c
+    }
+    require(rowLevel.nonEmpty, "partialRowState needs row-level checks")
+    val aggs = count(lit(1)).as("n") +: rowLevel.zipWithIndex.map {
+      case (c, i) =>
+        coalesce(sum(when(violated(c), 1L).otherwise(0L)), lit(0L)).as(s"v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(rowLevel.zipWithIndex.map {
+      case (c, i) => struct(
+        lit(c.name).as("check"), lit(c.target).as("target"),
+        col("n").as("n_rows"), col(s"v$i").as("n_violations"))
+    }: _*)).as("r"))
+      .select(col("r.check").as("check"), col("r.target").as("target"),
+        col("r.n_rows").as("n_rows"), col("r.n_violations").as("n_violations"))
+  }
+
+  /** Fold any number of partial states into the final report (same
+    * schema as [[report]]). Merge = count addition per (check, target) —
+    * O(states · checks) rows, metadata-sized at any corpus scale. */
+  def reportFromStates(states: DataFrame*): DataFrame = {
+    val merged = states.reduce(_ unionByName _)
+      .groupBy(col("check"), col("target"))
+      .agg(sum(col("n_rows")).as("n"), sum(col("n_violations")).as("viol"))
+    merged.select(reportRow(col("check"), col("target"),
+      col("n"), col("viol")): _*)
   }
 
   /** Generic column profiler, long format: one row per (column, metric)

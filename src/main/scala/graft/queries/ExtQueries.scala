@@ -601,6 +601,24 @@ object ExtQueries {
   def qSampleSplitGroup(s: SparkSession, dir: String): DataFrame =
     Curation.hashSplitByGroup(docs(s, dir), "source")
 
+  /** Near-dup-aware leakage-safe split: the strongest form — group by
+    * the MEASURED duplicate cluster (MinHash connected components), not
+    * a domain proxy, so near-copies can never straddle train/test
+    * regardless of where they were crawled. */
+  def qSampleSplitCluster(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSplitByGroup(
+      graft.ext.Dedup.duplicateClusters(docs(s, dir)),
+      "cluster_id", salt = "csplit")
+
+  /** Classifier evaluation: the trained source-router scored against the
+    * gold `source` labels — per-class precision/recall/F1. */
+  def qClassifyEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Classifier.evaluate(
+      Classifier.predict(d, Classifier.classProfiles(d, "source")),
+      d.select(col("doc_id"), col("source").as("label")))
+  }
+
   /** Length-proportional systematic sample: 100 deterministic draws over
     * the cumulative n_chars axis — the sample-by-token-mass pull. */
   def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
@@ -774,6 +792,8 @@ object ExtQueries {
     "q_sim_topk_sq8" -> (qSimTopkSq8 _),
     "q_sample_split" -> (qSampleSplit _),
     "q_sample_split_group" -> (qSampleSplitGroup _),
+    "q_sample_split_cluster" -> (qSampleSplitCluster _),
+    "q_classify_eval" -> (qClassifyEval _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -2205,6 +2225,49 @@ object ExtQueries {
        |FROM dcg FULL OUTER JOIN idcg USING (query_id)""".stripMargin
   }
 
+  /** Cluster-aware split oracle: the recursive-closure cluster CTE (the
+    * q_dedup_clusters text) + the hash-bucket split on cluster_id. */
+  // lazy: embeds dedupClustersSql, declared later in this object
+  private lazy val sampleSplitClusterSql = {
+    val h = hexIntSql("('csplit:' || CAST(cluster_id AS VARCHAR))")
+    s"""WITH c AS (SELECT * FROM ($dedupClustersSql))
+       |SELECT doc_id, cluster_id, $h % 100 AS bucket,
+       |  CASE WHEN $h % 100 < 80 THEN 'train'
+       |       WHEN $h % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM c""".stripMargin
+  }
+
+  /** Classifier-eval oracle: the train→predict CTE chain joined to the
+    * gold labels; per-class P/R/F1 on the exact rational lattice
+    * (F1 = 2tp/(n_actual+n_predicted), never a composition of floored
+    * P and R). */
+  private val classifyEvalSql = {
+    def frac4(num: String, den: String): String =
+      s"""CASE WHEN $den > 0
+         | THEN CAST(($num * 10000 - (($num * 10000) % $den)) // $den AS DOUBLE) / 10000.0
+         | ELSE 0.0 END""".stripMargin
+    s"""WITH ${graft.ext.Classifier.classifierCtes("source")},
+       |j AS (SELECT d.doc_id, d.source AS actual, b.predicted AS pred
+       |  FROM documents d LEFT JOIN best b USING (doc_id)),
+       |conf AS (SELECT actual, pred, count(*) AS n FROM j GROUP BY 1, 2),
+       |per AS (SELECT actual AS label, CAST(sum(n) AS BIGINT) AS n_actual,
+       |    CAST(coalesce(sum(CASE WHEN pred = actual THEN n ELSE 0 END), 0)
+       |      AS BIGINT) AS tp
+       |  FROM conf GROUP BY 1),
+       |pt AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_predicted
+       |  FROM conf WHERE pred IS NOT NULL GROUP BY 1)
+       |SELECT label,
+       |  coalesce(n_actual, 0) AS n_actual,
+       |  coalesce(n_predicted, 0) AS n_predicted,
+       |  coalesce(tp, 0) AS tp,
+       |  ${frac4("coalesce(tp, 0)", "coalesce(n_predicted, 0)")} AS precision,
+       |  ${frac4("coalesce(tp, 0)", "coalesce(n_actual, 0)")} AS recall,
+       |  ${frac4("coalesce(tp, 0) * 2",
+             "coalesce(n_actual, 0) + coalesce(n_predicted, 0)")} AS f1
+       |FROM per FULL OUTER JOIN pt USING (label)""".stripMargin
+  }
+
   private val curationDomaincapSql =
     s"""WITH base AS (SELECT doc_id, source, text,
        |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
@@ -2630,6 +2693,8 @@ object ExtQueries {
     "q_sim_topk_sq8" -> simTopkSq8Sql,
     "q_sample_split" -> sampleSplitSql,
     "q_sample_split_group" -> sampleSplitGroupSql,
+    "q_sample_split_cluster" -> sampleSplitClusterSql,
+    "q_classify_eval" -> classifyEvalSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_pref_pairs" -> prefPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,

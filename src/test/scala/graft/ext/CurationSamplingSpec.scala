@@ -89,6 +89,23 @@ class CurationSamplingSpec extends SparkSpec {
     assert(out(1L) === 0.0) // relevant but never ranked → dcg 0
   }
 
+  test("cluster-aware split keeps near-duplicates in one split") {
+    val text = "the quick brown fox jumps over the lazy dog every single day"
+    val docs = Seq(
+      (1L, text), (2L, text + " extra"), // near-dups → one cluster
+      (3L, "completely different content about spark query engines here"))
+      .toDF("doc_id", "text")
+    val c = Dedup.duplicateClusters(docs)
+    val s = Curation.hashSplitByGroup(c, "cluster_id", salt = "csplit")
+    val perCluster = s.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perCluster.forall(_.getAs[Long]("n") === 1L))
+    // the near-dup pair landed in the same cluster, hence same split
+    val splits = s.filter(col("doc_id") <= 2)
+      .select(col("split")).distinct().count()
+    assert(splits === 1)
+  }
+
   test("containmentPairs flags a subsumed document that Jaccard misses") {
     val long = (1 to 40).map(i => s"tok$i").mkString(" ")
     val short = (1 to 10).map(i => s"tok$i").mkString(" ")

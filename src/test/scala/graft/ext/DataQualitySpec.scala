@@ -67,6 +67,46 @@ class DataQualitySpec extends SparkSpec {
     assert(repE.filter(col("n_rows") =!= 0L).count() === 0)
   }
 
+  test("partial row states merge by addition: shards == full recompute") {
+    val checks = Seq[Check](Complete("flag"), InRange("v", 0.0, 50.0),
+      InSet("flag", Seq("A", "N")))
+    val half1 = facts.filter(col("k") <= 2)
+    val half2 = facts.filter(col("k") > 2)
+    val merged = DataQuality.reportFromStates(
+      DataQuality.partialRowState(half1, checks),
+      DataQuality.partialRowState(half2, checks))
+    val full = DataQuality.report(facts, checks)
+    assert(merged.collect().toSet === full.collect().toSet)
+  }
+
+  test("classifier evaluate: perfect predictions score 1.0, misses split P/R") {
+    import graft.ext.Classifier
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "label")
+    val perfect = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "predicted")
+    val e1 = Classifier.evaluate(perfect, truth).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(e1("a").getAs[Double]("precision") === 1.0)
+    assert(e1("a").getAs[Double]("recall") === 1.0)
+    assert(e1("b").getAs[Double]("f1") === 1.0)
+
+    // doc 2 mispredicted b, doc 4 unpredicted (null)
+    val partial = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("b")),
+      (4L, None: Option[String])).toDF("doc_id", "predicted")
+    val e2 = Classifier.evaluate(partial, truth).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(e2("a").getAs[Long]("tp") === 1)
+    assert(e2("a").getAs[Long]("n_predicted") === 1)
+    assert(e2("a").getAs[Double]("precision") === 1.0)
+    assert(e2("a").getAs[Double]("recall") === 0.5)
+    assert(e2("b").getAs[Long]("n_predicted") === 2)
+    assert(e2("b").getAs[Double]("precision") === 0.5)
+    assert(e2("b").getAs[Double]("recall") === 0.5)
+    // f1 exact rational: 2*1/(2+2) = 0.5, not a float composition
+    assert(e2("b").getAs[Double]("f1") === 0.5)
+  }
+
   test("profileColumns emits n/n_null/n_distinct/min/max per column") {
     val p = DataQuality.profileColumns(facts, Seq("k", "flag"))
     assert(p.count() === 10)
