@@ -47,6 +47,34 @@ object Bench {
     spark
   }
 
+  /** Machine-health calibration probe (VERDICT r10 #8): a fixed, timed
+    * CPU-bound job run AFTER the untimed warmup, so its wall time
+    * measures the machine, not JIT. Compared against the committed
+    * envelope in BENCH_BASELINE.json ("probe": median seconds recorded
+    * by tools/record_baseline.py); a probe far outside it stamps the
+    * artifact `"env":"contended"` — the r10 driver window was contended
+    * end-to-end and the gate had no machine-distinguishable signal. */
+  private def calibrationProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(4000000L)
+      .selectExpr("id", "concat('probe ', id % 9973) as s")
+      .selectExpr("id", "sha2(s, 256) as h")
+      .selectExpr("substr(h, 1, 4) as k", "id")
+      .groupBy("k").count()
+      .orderBy("k")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The committed probe envelope, if the baseline records one. */
+  private def probeEnvelope(): Option[Double] = {
+    val f = new java.io.File("BENCH_BASELINE.json")
+    if (!f.exists()) return None
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    """"probe"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+  }
+
   /** Run one query through the noop sink; returns wall seconds. Drops
     * per-query persisted intermediates (shingle indexes, SCD2 deltas) so
     * queries are measured independently: clearCache only covers
@@ -83,14 +111,15 @@ object Bench {
     * min(first, second) vs single-sample — and a future baseline recorded
     * from such a line can account for it. */
   private def longLine(results: Seq[(String, Double)], sfDir: String,
-      rerun: Map[String, Double] = Map.empty): String = {
+      rerun: Map[String, Double] = Map.empty,
+      probe: Double = -1.0, env: String = "unknown"): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = rerun.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"probe":$probe,"env":"$env","sf":"$sfDir"}"""
   }
 
   /** Feed a bench line to tools/benchgate.py; returns (verdict, names that
@@ -147,8 +176,19 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted // stable cross-round order
+    // calibration probe: timed fixed job vs the committed envelope; the
+    // WORST probe across session restarts stamps the artifact (a window
+    // contended only in its second half must still read as contended)
+    var probeMax = calibrationProbe(spark)
+    def envOf(p: Double): String = probeEnvelope() match {
+      case None => "unknown"
+      case Some(e) => if (p > math.max(2.0 * e, e + 0.5)) "contended" else "ok"
+    }
     var results = names.zipWithIndex.map { case (name, i) =>
-      if (i > 0 && restartEvery > 0 && i % restartEvery == 0) restart()
+      if (i > 0 && restartEvery > 0 && i % restartEvery == 0) {
+        restart()
+        probeMax = math.max(probeMax, calibrationProbe(spark))
+      }
       name -> runOne(spark, name, sfDir, explain)
     }
     // mechanical per-query regression gate (VERDICT r6 #1) with a built-in
@@ -169,6 +209,7 @@ object Bench {
       println(s"[benchgate] re-running ${breached.size} breaching " +
         "queries on a fresh session for a second sample")
       restart()
+      probeMax = math.max(probeMax, calibrationProbe(spark))
       second = breached.map(n => n -> runOne(spark, n, sfDir, explain)).toMap
       results = results.map { case (n, t) =>
         n -> math.min(t, second.getOrElse(n, t))
@@ -176,7 +217,12 @@ object Bench {
       val g2 = runGate(longLine(results, sfDir, second))
       gate = g2._1
     }
-    println(longLine(results, sfDir, second))
+    val env = envOf(probeMax)
+    if (gate == "fail" && env == "contended")
+      println(s"[benchgate] NOTE probe ${f"$probeMax%.2f"}s exceeds the " +
+        "committed envelope: this window is CONTENDED — treat the FAIL " +
+        "as machine noise unless it reproduces on an ok-probe run")
+    println(longLine(results, sfDir, second, probeMax, env))
     // the per-query line above has outgrown the driver's tail window (the
     // sbt [success] footer truncates it from the front → BENCH_r1-r4 all
     // record "parsed": null), so ALSO emit a compact summary LAST: the
@@ -184,7 +230,7 @@ object Bench {
     // carrying the gate verdict so it reaches the round artifact even if
     // the [benchgate] lines scroll out of the window
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"gate":"$gate","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"gate":"$gate","probe":$probeMax,"env":"$env","sf":"$sfDir"}""")
     spark.stop()
   }
 }

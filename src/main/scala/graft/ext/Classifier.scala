@@ -223,18 +223,22 @@ object Classifier {
 
   /** The train→predict CTE chain (ending in `best`: doc_id, predicted,
     * score_q6) as a composable fragment, so funnel oracles can build on
-    * the same text. */
-  def classifierCtes(labelCol: String): String = {
+    * the same text. `trainRel` / `predictRel` parameterize which
+    * relation trains the profiles vs which gets scored (defaults: the
+    * resubstitution form over `documents`; the split-eval oracle passes
+    * the train/test bucket CTEs). */
+  def classifierCtes(labelCol: String, trainRel: String = "documents",
+      predictRel: String = "documents"): String = {
     val w = Hashing.wordsSqlOf("lower(text)")
     s"""occ AS (
-       |  SELECT doc_id, $labelCol AS label, unnest($w) AS gram FROM documents),
+       |  SELECT doc_id, $labelCol AS label, unnest($w) AS gram FROM $trainRel),
        |cnt AS (SELECT label, gram, count(*) AS cnt FROM occ GROUP BY 1, 2),
        |tot AS (SELECT label, count(*) AS tot FROM occ GROUP BY 1),
        |prof AS (
        |  SELECT label, gram,
        |         CAST((cnt * 1000000 - ((cnt * 1000000) % tot)) / tot AS BIGINT) AS w_q6
        |  FROM cnt JOIN tot USING (label)),
-       |docc AS (SELECT doc_id, unnest($w) AS gram FROM documents),
+       |docc AS (SELECT doc_id, unnest($w) AS gram FROM $predictRel),
        |per_class AS (
        |  SELECT d.doc_id, p.label, CAST(SUM(p.w_q6) AS BIGINT) AS score_q6
        |  FROM docc d JOIN prof p USING (gram) GROUP BY 1, 2),

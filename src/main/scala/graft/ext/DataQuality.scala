@@ -96,6 +96,8 @@ object DataQuality {
     * shuffle beyond the final 1-row reduce); each Unique/RefIntegrity
     * check adds its own narrow-column pass as documented above. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty,
+      "DataQuality.report needs at least one Check (got an empty list)")
     val rowLevel = checks.collect {
       case c @ (_: Complete | _: InRange | _: InSet | _: MatchesRegex) => c
     }

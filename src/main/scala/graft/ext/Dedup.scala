@@ -164,8 +164,19 @@ object Dedup {
     * is computed over the capped shingle space consistently on both
     * sides. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 64): DataFrame =
+    containmentFromPostings(shingles(docs, n).localCheckpoint(true),
+      threshold, maxDocFreq)
+
+  /** [[containmentPairs]] starting from an already-materialized shingle
+    * postings list (id, shingle) — the face [[IncrementalDedup
+    * .containmentState]] reads: a standing index accumulates postings
+    * once per document (text is shingled exactly once, ever) and this
+    * readout scores pairs over digests alone, with the df cap computed
+    * over the GLOBAL accumulated postings so the verdicts are identical
+    * to a full recompute. */
+  def containmentFromPostings(sh0: DataFrame, threshold: Double = 0.8,
       maxDocFreq: Int = 64): DataFrame = {
-    val sh0 = shingles(docs, n).localCheckpoint(true)
     val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select(col("shingle"))
     val sh = sh0.join(kept, Seq("shingle"), "left_semi").localCheckpoint(true)

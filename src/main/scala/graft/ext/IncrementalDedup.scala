@@ -98,4 +98,114 @@ object IncrementalDedup {
     store.append(sigsName(name), sigs)
     pairs
   }
+
+  // ------------------------------------------- paragraph dedup (r10 #6)
+
+  private def paraDigestsName(name: String) = s"${name}_paradigests"
+  private def paraDocsName(name: String) = s"${name}_paradocs"
+
+  private def paraDigestsSchema = StructType(Seq(
+    StructField("dg", StringType)))
+  private def paraDocsSchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType)))
+
+  /** Incremental face of [[Dedup.paragraphDedup]]: a standing set of
+    * already-kept paragraph digests makes each increment's dedup
+    * O(increment) — the corpus is never re-split, and a paragraph first
+    * seen in ANY earlier increment is dropped from every later one.
+    *
+    * Equivalence: when increments arrive in ascending id order (the
+    * natural shape — ids are minted monotonically by ingestion), the
+    * union of the increments' outputs is EXACTLY the full-corpus
+    * [[Dedup.paragraphDedup]]: the global keep-first winner of a digest
+    * lives in the earliest increment containing it, which is the one
+    * that appends it to the state. Re-ingested ids are first-write-wins
+    * (anti-join on the doc-id table), so replaying an increment is a
+    * no-op.
+    *
+    * Scale shape: the state is corpus-paragraph-sized and is NEVER
+    * shuffled — the increment's distinct digests broadcast into a
+    * semi-join that extracts only the hit rows (one digest-column
+    * pruned scan of the state), and the increment anti-joins those
+    * hits, again broadcast. Keep-first within the increment is the same
+    * min-struct aggregate as the batch operator. */
+  def paragraphDedupIncrement(store: TableStore, name: String,
+      newDocs: DataFrame, sep: String = "\n", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val oldDg = store.readOrEmpty(paraDigestsName(name), paraDigestsSchema)
+    val seenIds = store.readOrEmpty(paraDocsName(name), paraDocsSchema(idCol))
+    val fresh = newDocs.select(col(idCol), col(textCol).as("t"))
+      .join(seenIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // consumed by paras, totals, and the id append
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val withDg = fresh.select(col(idCol),
+        posexplode(split(col("t"), quoted)))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("para"), md5(col("col")).as("dg"))
+      .localCheckpoint(true)
+    // digests already kept by earlier increments: increment digests
+    // broadcast against the standing state — state streams map-side
+    val hits = oldDg.join(
+      broadcast(withDg.select(col("dg")).distinct()), Seq("dg"), "left_semi")
+    val survivors = withDg.join(broadcast(hits), Seq("dg"), "left_anti")
+    val keeper = survivors.groupBy(col("dg"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"))
+    val kept = survivors.join(keeper, Seq("dg"))
+      .filter(col(idCol) === col("keep").getField(idCol) &&
+        col("pos") === col("keep").getField("pos"))
+      .localCheckpoint(true) // feeds both the rebuild and the state append
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          p => p.getField("para"))).as("clean_text"))
+    val totals = fresh.select(col(idCol),
+      size(split(col("t"), quoted)).cast("long").as("n_paragraphs"))
+    val out = totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paragraphs"),
+        (col("n_paragraphs") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped_paras"))
+      .localCheckpoint(true) // pin results BEFORE the state mutates
+    store.append(paraDigestsName(name), kept.select(col("dg")))
+    store.append(paraDocsName(name), fresh.select(col(idCol)))
+    out
+  }
+
+  // ---------------------------------------- containment index (r10 #6)
+
+  private def contShName(name: String) = s"${name}_contsh"
+
+  private def contShSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("shingle", StringType)))
+
+  /** Ingest one increment into the standing containment shingle index:
+    * each document's text is shingled exactly ONCE, ever (first-write-
+    * wins by id), and the postings append. Cost: O(increment) — one scan
+    * of the new docs plus a one-column id pass over the index. Returns
+    * the increment's per-doc posting counts. */
+  def containmentIncrement(store: TableStore, name: String,
+      newDocs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val old = store.readOrEmpty(contShName(name), contShSchema)
+    val fresh = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(old.select(col("id")), Seq("id"), "left_anti")
+    val sh = Dedup.shingles(fresh, n, "id", "text").localCheckpoint(true)
+    store.append(contShName(name), sh)
+    sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+  }
+
+  /** Containment verdicts over EVERYTHING ingested so far — identical to
+    * a full-corpus [[Dedup.containmentPairs]] recompute (the df cap is
+    * computed over the global accumulated postings), but reading digest
+    * postings only: document text is never re-scanned. At 100 TB the
+    * readout runs over an id-clustered postings table and restricts to
+    * LSH candidate buckets; here it is the exact form. */
+  def containmentState(store: TableStore, name: String,
+      threshold: Double = 0.8, maxDocFreq: Int = 64): DataFrame =
+    Dedup.containmentFromPostings(
+      store.readOrEmpty(contShName(name), contShSchema), threshold,
+      maxDocFreq)
 }

@@ -611,12 +611,32 @@ object ExtQueries {
       "cluster_id", salt = "csplit")
 
   /** Classifier evaluation: the trained source-router scored against the
-    * gold `source` labels — per-class precision/recall/F1. */
+    * gold `source` labels — per-class precision/recall/F1. NOTE these
+    * are RESUBSTITUTION metrics (train corpus = eval corpus) — kept as
+    * the operator/oracle self-consistency check; the honest
+    * generalization readout is [[qClassifyEvalSplit]]. */
   def qClassifyEval(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Classifier.evaluate(
       Classifier.predict(d, Classifier.classProfiles(d, "source")),
       d.select(col("doc_id"), col("source").as("label")))
+  }
+
+  /** Held-out classifier evaluation (VERDICT r10 #7): compose
+    * [[Curation.hashSplit]] into the eval — train centroid profiles on
+    * the 80% train bucket ONLY, score the 10% test bucket, and report
+    * per-class P/R/F1 on that held-out bucket. Same one-pass confusion
+    * matrix; the split is the deterministic salted id-hash, so both
+    * engines carve identical buckets. */
+  def qClassifyEvalSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val withSplit = d.join(
+      Curation.hashSplit(d).select(col("doc_id"), col("split")), Seq("doc_id"))
+    val train = withSplit.filter(col("split") === "train")
+    val held = withSplit.filter(col("split") === "test")
+    Classifier.evaluate(
+      Classifier.predict(held, Classifier.classProfiles(train, "source")),
+      held.select(col("doc_id"), col("source").as("label")))
   }
 
   /** Length-proportional systematic sample: 100 deterministic draws over
@@ -633,6 +653,44 @@ object ExtQueries {
     * (df-capped inverted index). */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.8)
+
+  /** Incremental containment (VERDICT r10 #6): the corpus arrives as two
+    * increments, each shingled exactly once into the standing postings
+    * index; the state readout's verdicts are identical to the batch
+    * recompute (same oracle as q_dedup_containment). */
+  def qDedupContainmentIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "containment_incr"))
+    store.drop("cont_contsh")
+    graft.ext.IncrementalDedup.containmentIncrement(store, "cont",
+      d.filter(col("doc_id") < 250))
+    graft.ext.IncrementalDedup.containmentIncrement(store, "cont", d)
+    graft.ext.IncrementalDedup.containmentState(store, "cont",
+      threshold = 0.8)
+  }
+
+  /** Incremental paragraph dedup (VERDICT r10 #6): the page corpus
+    * arrives as two ascending-id increments against a standing kept-
+    * digest state; the union of the increments' outputs is identical to
+    * the batch recompute (same oracle as q_dedup_paragraph). */
+  def qDedupParagraphIncr(s: SparkSession, dir: String): DataFrame = {
+    val pages = docs(s, dir)
+      .groupBy(floor(col("doc_id") / lit(5)).cast("long").as("page_id"))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        p => p.getField("text"))).as("text"))
+      .localCheckpoint(true) // two increment scans + both store reads
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "para_incr"))
+    store.drop("para_paradigests")
+    store.drop("para_paradocs")
+    val inc1 = graft.ext.IncrementalDedup.paragraphDedupIncrement(store,
+      "para", pages.filter(col("page_id") < 50), "\n", "page_id")
+    val inc2 = graft.ext.IncrementalDedup.paragraphDedupIncrement(store,
+      "para", pages, "\n", "page_id")
+    inc1.unionByName(inc2)
+  }
 
   /** Domain cap: at most 60 docs per source, preferring quality. */
   def qCurationDomaincap(s: SparkSession, dir: String): DataFrame =
@@ -794,9 +852,12 @@ object ExtQueries {
     "q_sample_split_group" -> (qSampleSplitGroup _),
     "q_sample_split_cluster" -> (qSampleSplitCluster _),
     "q_classify_eval" -> (qClassifyEval _),
+    "q_classify_eval_split" -> (qClassifyEvalSplit _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_containment_incr" -> (qDedupContainmentIncr _),
+    "q_dedup_paragraph_incr" -> (qDedupParagraphIncr _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -2242,14 +2303,19 @@ object ExtQueries {
     * gold labels; per-class P/R/F1 on the exact rational lattice
     * (F1 = 2tp/(n_actual+n_predicted), never a composition of floored
     * P and R). */
-  private val classifyEvalSql = {
+  /** The confusion-matrix→P/R/F1 tail after `best`, parameterized by
+    * the truth relation (the docs whose gold labels gate the metrics —
+    * `documents` for the resubstitution check, the held-out bucket for
+    * the split eval). Denominators are PARENTHESIZED into `%`/`//`
+    * (ADVICE r10 high: DuckDB parses `x % a + b` as `(x % a) + b`, so
+    * the unwrapped composite F1 denominator floored wrongly). */
+  private def classifyEvalTailSql(truthRel: String): String = {
     def frac4(num: String, den: String): String =
-      s"""CASE WHEN $den > 0
-         | THEN CAST(($num * 10000 - (($num * 10000) % $den)) // $den AS DOUBLE) / 10000.0
+      s"""CASE WHEN ($den) > 0
+         | THEN CAST(($num * 10000 - (($num * 10000) % ($den))) // ($den) AS DOUBLE) / 10000.0
          | ELSE 0.0 END""".stripMargin
-    s"""WITH ${graft.ext.Classifier.classifierCtes("source")},
-       |j AS (SELECT d.doc_id, d.source AS actual, b.predicted AS pred
-       |  FROM documents d LEFT JOIN best b USING (doc_id)),
+    s"""j AS (SELECT d.doc_id, d.source AS actual, b.predicted AS pred
+       |  FROM $truthRel d LEFT JOIN best b USING (doc_id)),
        |conf AS (SELECT actual, pred, count(*) AS n FROM j GROUP BY 1, 2),
        |per AS (SELECT actual AS label, CAST(sum(n) AS BIGINT) AS n_actual,
        |    CAST(coalesce(sum(CASE WHEN pred = actual THEN n ELSE 0 END), 0)
@@ -2267,6 +2333,21 @@ object ExtQueries {
              "coalesce(n_actual, 0) + coalesce(n_predicted, 0)")} AS f1
        |FROM per FULL OUTER JOIN pt USING (label)""".stripMargin
   }
+
+  private val classifyEvalSql =
+    s"""WITH ${graft.ext.Classifier.classifierCtes("source")},
+       |${classifyEvalTailSql("documents")}""".stripMargin
+
+  /** Held-out eval oracle: hash-split the corpus, train profiles on the
+    * train bucket only, score + grade the test bucket only. */
+  private val classifyEvalSplitSql =
+    s"""WITH sd AS (SELECT *,
+       |    ${hexIntSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS bkt
+       |  FROM documents),
+       |tr AS (SELECT * FROM sd WHERE bkt < 80),
+       |te AS (SELECT * FROM sd WHERE bkt >= 90),
+       |${graft.ext.Classifier.classifierCtes("source", "tr", "te")},
+       |${classifyEvalTailSql("te")}""".stripMargin
 
   private val curationDomaincapSql =
     s"""WITH base AS (SELECT doc_id, source, text,
@@ -2695,9 +2776,12 @@ object ExtQueries {
     "q_sample_split_group" -> sampleSplitGroupSql,
     "q_sample_split_cluster" -> sampleSplitClusterSql,
     "q_classify_eval" -> classifyEvalSql,
+    "q_classify_eval_split" -> classifyEvalSplitSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_pref_pairs" -> prefPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_dedup_containment_incr" -> dedupContainmentSql,
+    "q_dedup_paragraph_incr" -> dedupParagraphSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

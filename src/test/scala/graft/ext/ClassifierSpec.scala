@@ -73,6 +73,28 @@ class ClassifierSpec extends SparkSpec {
     assert(got.getString(1) === "a")
   }
 
+  test("evaluate F1 is exact on a composite denominator (ADVICE r10: precedence guard)") {
+    // a class where tp > 0 and n_actual + n_predicted is small and
+    // UNEQUAL — the composite-denominator case where an unparenthesized
+    // '% den' / '// den' in the oracle floors wrongly (x % a + b parses
+    // as (x % a) + b). Fixture: label 'a' has n_actual=1, n_predicted=2,
+    // tp=1 → F1 = floor(2·1·10⁴ / 3)/10⁴ = 0.6666 exactly; the buggy
+    // parse would yield ((2·10⁴) % 1) + 2 = 2 → garbage.
+    import org.apache.spark.sql.functions.col
+    val truth = Seq((1L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "label")
+    val predicted = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "predicted")
+    val got = Classifier.evaluate(predicted, truth).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // label a: n_actual=1, n_predicted=2, tp=1
+    assert(got("a") === ((1L, 2L, 1L, 0.5, 1.0, 0.6666)))
+    // label b: n_actual=2, n_predicted=1, tp=1 → P=1, R=0.5, F1=0.6666
+    assert(got("b") === ((2L, 1L, 1L, 1.0, 0.5, 0.6666)))
+  }
+
   test("scoring is integer-exact: score equals hand-computed sum of q6 weights") {
     val prof = Classifier.classProfiles(docs, "source")
     val got = Classifier.predict(Seq((20L, "the the dog")).toDF("doc_id", "text"), prof)

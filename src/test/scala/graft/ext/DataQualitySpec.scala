@@ -67,6 +67,14 @@ class DataQualitySpec extends SparkSpec {
     assert(repE.filter(col("n_rows") =!= 0L).count() === 0)
   }
 
+  test("an empty check list is rejected with a clear message (ADVICE r10)") {
+    val clean = Seq((1L, 10.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.report(clean, Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one Check"))
+  }
+
   test("partial row states merge by addition: shards == full recompute") {
     val checks = Seq[Check](Complete("flag"), InRange("v", 0.0, 50.0),
       InSet("flag", Seq("A", "N")))

@@ -64,4 +64,62 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(day3.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
     assert(day3.length === 1) // exactly one row — no sig-row multiplication
   }
+
+  // shared fixture for the r10 #6 incremental faces: repeated boilerplate
+  // paragraphs across docs, one doc fully contained in another
+  private def paraDocs = Seq(
+    (1L, "alpha beta gamma\nshared footer text\nunique one"),
+    (2L, "delta epsilon zeta\nshared footer text\nunique two"),
+    (3L, "shared footer text\nunique three\nalpha beta gamma"),
+    (4L, "totally fresh paragraph\nanother fresh one"))
+    .toDF("doc_id", "text")
+
+  test("paragraphDedupIncrement: ascending increments ∪ ≡ batch recompute") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-inc").toString)
+    val inc1 = IncrementalDedup.paragraphDedupIncrement(store, "p",
+      paraDocs.filter($"doc_id" <= 2))
+    val inc2 = IncrementalDedup.paragraphDedupIncrement(store, "p",
+      paraDocs) // re-delivers 1-2 (no-op) plus new 3-4
+    val got = inc1.unionByName(inc2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val full = Dedup.paragraphDedup(paraDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === full)
+    // O(increment): replaying an increment emits nothing and the digest
+    // state holds exactly the distinct kept paragraphs
+    val redo = IncrementalDedup.paragraphDedupIncrement(store, "p", paraDocs)
+    assert(redo.count() === 0)
+    val nDistinctParas = paraDocs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", "\n")).as("p"))
+      .distinct().count()
+    assert(store.read("p_paradigests").count() === nDistinctParas)
+  }
+
+  test("containmentIncrement + state ≡ batch containmentPairs; text shingled once") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-inc").toString)
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "zero one two three four five six seven eight nine ten more"),
+      (3L, "completely different content in this document here"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.containmentIncrement(store, "c",
+      docs.filter($"doc_id" <= 1))
+    IncrementalDedup.containmentIncrement(store, "c", docs)
+    val got = IncrementalDedup.containmentState(store, "c", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.containmentPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === full)
+    assert(got.exists { case (id, container, c) =>
+      id == 1L && container == 2L && c == 1.0 })
+    // first-write-wins: postings count equals a single shingling pass
+    val expected = Dedup.shingles(docs, 3).count()
+    assert(store.read("c_contsh").count() === expected)
+    // replay: no growth
+    IncrementalDedup.containmentIncrement(store, "c", docs)
+    assert(store.read("c_contsh").count() === expected)
+  }
 }

@@ -61,11 +61,12 @@ def gate() -> int:
     mad = base_doc.get("mad", {})
     raw = sys.stdin.read() if sys.argv[2] == "-" else open(sys.argv[2]).read()
     # tolerate surrounding log lines: take the last line with a queries map
-    cur = None
+    cur, cur_doc = None, {}
     for line in raw.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            cur = json.loads(line)["queries"]
+            cur_doc = json.loads(line)
+            cur = cur_doc["queries"]
     if cur is None:
         print("benchgate: no bench JSON line with a queries map found")
         return 2
@@ -93,6 +94,11 @@ def gate() -> int:
     n_ok = len([n for n in cur if n in baseline]) - len(failed)
     print(f"{n_ok} within limits, {len(failed)} regressed, "
           f"{len(new)} new, {len(gone)} missing")
+    # machine-health stamp (VERDICT r10 #8): a FAIL on a contended window
+    # must be distinguishable from a regression in the artifact itself
+    if failed and cur_doc.get("env"):
+        print(f"env: {cur_doc['env']} (probe {cur_doc.get('probe')}s vs "
+              f"envelope {base_doc.get('probe')}s)")
     return 1 if failed else 0
 
 

@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables, compare to the Verify parquet dumps
-(columns sorted by name, rows sorted, values hashed)."""
-import sys, json, glob, os
+(columns sorted by name, rows sorted, values hashed).
+
+Optional 3rd arg: path to write a JSON summary (per-query status +
+totals) — committed as CORRECTNESS_LOCAL.json so a round always carries
+a hard, non-empty correctness record even if the driver's own artifact
+lands empty (VERDICT r10 #2)."""
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+summary_path = sys.argv[3] if len(sys.argv) > 3 else None
+status = {}
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -30,30 +37,36 @@ def frame_hash(df):
     return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
 
 n_pass = n_fail = 0
+def fail(name, why):
+    global n_fail
+    status[name] = {"pass": False, "why": why}
+    print(f"FAIL {name}: {why}"); n_fail += 1
+
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
-        print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        fail(name, "no spark output"); continue
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchdf()
         exp = con.execute(sql).fetchdf()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        fail(name, str(e)); continue
     if sorted(got.columns) != sorted(exp.columns):
-        print(f"FAIL {name}: cols spark={sorted(got.columns)} duck={sorted(exp.columns)}")
-        n_fail += 1; continue
+        fail(name, f"cols spark={sorted(got.columns)} duck={sorted(exp.columns)}")
+        continue
     g, e = canon(got), canon(exp)
     if len(g) != len(e):
-        print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}"); n_fail += 1; continue
+        fail(name, f"rows spark={len(g)} duck={len(e)}"); continue
     gh, eh = frame_hash(g), frame_hash(e)
     if gh != eh:
         bad = [i for i, (a, b) in enumerate(zip(gh, eh)) if a != b][:3]
-        print(f"FAIL {name}: value mismatch at rows {bad}")
+        fail(name, f"value mismatch at rows {bad}")
         for i in bad[:2]:
             print(f"   spark={gh[i]}")
             print(f"   duck ={eh[i]}")
-        n_fail += 1; continue
+        continue
+    status[name] = {"pass": True, "rows": len(g)}
     print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
 
 # queries without oracle → rows-only check
@@ -67,4 +80,11 @@ for p in sorted(glob.glob(f"{out_dir}/*")):
         print(f"ROWS {name}: unreadable: {ex}")
 
 print(f"\n{n_pass} pass, {n_fail} fail")
+if summary_path:
+    with open(summary_path, "w") as f:
+        json.dump({"sf": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                   "queries": status}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {summary_path}")
 sys.exit(1 if n_fail else 0)

@@ -22,28 +22,32 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def one_run(i: int) -> dict:
+def one_run(i: int) -> tuple:
     env = dict(os.environ, SPARK_GRAFT_NO_RERUN="1")
     t0 = time.time()
     p = subprocess.run([os.path.join(ROOT, "tools/run.sh"), "graft.Bench"],
                        env=env, capture_output=True, text=True, cwd=ROOT)
-    qs = None
+    qs, probe = None, None
     for line in p.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            qs = json.loads(line)["queries"]
+            doc = json.loads(line)
+            qs = doc["queries"]
+            probe = doc.get("probe")
     if qs is None:
         sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-2000:] + "\n")
         raise SystemExit(f"run {i}: no bench line found")
     print(f"run {i}: {sum(qs.values()):.1f} s over {len(qs)} queries "
-          f"({time.time() - t0:.0f} s wall)")
-    return qs
+          f"(probe {probe}, {time.time() - t0:.0f} s wall)")
+    return qs, probe
 
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     note_extra = " ".join(sys.argv[2:])
-    samples = [one_run(i + 1) for i in range(runs)]
+    pairs = [one_run(i + 1) for i in range(runs)]
+    samples = [qs for qs, _ in pairs]
+    probes = [p for _, p in pairs if p is not None and p > 0]
     names = sorted(set().union(*[set(s) for s in samples]))
     queries, mad = {}, {}
     for n in names:
@@ -56,6 +60,10 @@ def main() -> None:
             f"(SPARK_GRAFT_NO_RERUN=1, local[32]) over {len(names)} queries; "
             f"refresh with tools/record_baseline.py. {note_extra}").strip()
     doc = {"sf": sf, "note": note, "queries": queries, "mad": mad}
+    if probes:
+        # calibration-probe envelope: a future Bench run whose probe
+        # exceeds max(2x, +0.5s) of this stamps itself "env":"contended"
+        doc["probe"] = round(statistics.median(probes), 3)
     out = os.path.join(ROOT, "BENCH_BASELINE.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
