@@ -497,6 +497,48 @@ object Curation {
     * corpus-sized shuffle keys change from stratum to (stratum, salt);
     * the phase-2 shuffle carries ≤ saltFactor·cap rows per stratum —
     * bounded regardless of corpus size. */
+  /** Token/char-BUDGET greedy fill per stratum — the knob a mixture
+    * schedule actually hands to ingestion ("8B tokens of web, 2B of
+    * code"), complementing [[capPerGroup]]'s count cap: keep documents
+    * in (quality desc, id) order until the stratum's cumulative `units`
+    * (chars here; BPE token counts in a tokenized pipeline) reach
+    * `budget`. Greedy-prefix rule: a doc is kept iff the units BEFORE
+    * it are < budget — so the fill always overshoots by at most one
+    * document and never undershoots while eligible docs remain.
+    *
+    * Same skew-guarded two-phase as [[capPerGroup]], and the phase-1
+    * prune is exact by the same subset argument: a doc kept globally
+    * has cum-before < budget over the WHOLE stratum, hence over the
+    * subset in its salt slice — so phase 1 (per-slice budget-prefix,
+    * spread over saltFactor tasks) never drops a winner, and phase 2
+    * runs the exact window over ≤ saltFactor·(budget + 1 doc) units
+    * per stratum. */
+  def fillByBudget(docs: DataFrame, stratum: Column, budget: Long,
+      unitCol: String = "n_chars", idCol: String = "doc_id",
+      textCol: String = "text", saltFactor: Int = 16): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val scored = docs.select(stratum.as("stratum"), col(idCol),
+      col(unitCol).cast("long").as("units"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"))
+    val w1 = Window.partitionBy(col("stratum"), col("__salt"))
+      .orderBy(col("q4").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survivors = scored
+      .withColumn("__salt",
+        pmod(xxhash64(col(idCol)), lit(saltFactor.toLong)).cast("int"))
+      .withColumn("__cum", sum(col("units")).over(w1))
+      .filter(col("__cum") - col("units") < budget)
+      .drop("__salt", "__cum")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("q4").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors.withColumn("cum_units", sum(col("units")).over(w))
+      .filter(col("cum_units") - col("units") < budget)
+      .select(col("stratum"), col(idCol),
+        (col("q4").cast("double") / 10000.0).as("quality"),
+        col("units"), col("cum_units"))
+  }
+
   def capPerGroup(docs: DataFrame, stratum: Column, cap: Int,
       idCol: String = "doc_id", textCol: String = "text",
       saltFactor: Int = 16): DataFrame = {

@@ -64,6 +64,51 @@ object Decontamination {
         when(c > 0, 1L).otherwise(0L).as("is_contaminated"))
   }
 
+  /** Contamination MATRIX: overlap of a training corpus against SEVERAL
+    * benchmark sets at once, rolled up per (eval_set, stratum) — the
+    * release-gate readout ("which sources leak which benchmarks?") that
+    * decides whether a source is dropped or re-filtered before a
+    * training run. A document is contaminated w.r.t. a set when it
+    * shares ≥ 1 word n-gram with that set ([[overlapStats]]' flag).
+    *
+    * Scale shape: the corpus is exploded ONCE for all sets — the tagged
+    * union of the (metadata-sized) eval gram states broadcasts into a
+    * single hash join, and everything after operates on (set, doc) /
+    * (set, stratum) counts, map-side combined. Cost is one corpus gram
+    * pass regardless of how many benchmarks gate the release. */
+  def contaminationMatrix(docs: DataFrame, stratum: Column,
+      evals: Seq[(String, DataFrame)], n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(evals.nonEmpty, "contaminationMatrix needs at least one eval set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tagged = evals.map { case (nm, e) =>
+      evalGrams(e, n, textCol).select(lit(nm).as("eval_set"), col("gram"))
+    }.reduce(_ unionByName _)
+    val d = docs.select(col(idCol), stratum.as("stratum"),
+      col(textCol).as("__text")).localCheckpoint(true)
+    val docGrams = d.select(col(idCol),
+      explode(array_distinct(ngrams(words(col("__text")), n))).as("gram"))
+    val contaminated = docGrams.join(broadcast(tagged), Seq("gram"))
+      .select(col("eval_set"), col(idCol)).distinct()
+    val totals = d.groupBy(col("stratum")).agg(count(lit(1)).as("n_docs"))
+    val sets = evals.map(_._1).toDF("eval_set")
+    val hits = contaminated.join(d.select(col(idCol), col("stratum")),
+        Seq(idCol))
+      .groupBy(col("eval_set"), col("stratum"))
+      .agg(count(lit(1)).as("n_hit"))
+    val h = coalesce(col("n_hit"), lit(0L))
+    val scaled = h * lit(10000L)
+    broadcast(sets).crossJoin(totals)
+      .join(hits, Seq("eval_set", "stratum"), "left")
+      .select(col("eval_set"), col("stratum"), col("n_docs"),
+        h.as("n_contaminated_docs"),
+        when(col("n_docs") > 0,
+          ((scaled - pmod(scaled, col("n_docs"))) / col("n_docs"))
+            .cast("double") / 10000.0)
+          .otherwise(lit(0.0)).as("contaminated_frac"))
+  }
+
   /** Embedding-space decontamination — the SEMANTIC sibling of
     * [[overlapStats]]: flags training items whose embedding is
     * cosine-close to ANY eval-set embedding, catching the

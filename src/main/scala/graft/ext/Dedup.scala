@@ -566,6 +566,95 @@ object Dedup {
           (col("na") * col("nb")), 6).as("cos"))
   }
 
+  /** Dedup IMPACT report: what exact deduplication would remove, per
+    * stratum — the datasheet row ("source X is 40% verbatim copies")
+    * that decides whether a crawl slice is worth re-fetching. Keeper =
+    * smallest id per content digest (the [[exact]] rule); every other
+    * row is a removable duplicate. Null-text docs are counted in
+    * `n_docs` but never as duplicates (no content to collide on —
+    * matching [[exact]]'s null semantics).
+    *
+    * Scale shape: one digest groupBy (map-side combined, digests not
+    * text on the wire) + one broadcast-joinable keeper lookup; the
+    * rollup is a stratum-keyed count/sum aggregate. No windows, no
+    * all-pairs. */
+  def dedupImpact(docs: DataFrame, stratum: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), stratum.as("stratum"),
+      col(textCol).as("__t"), length(col(textCol)).cast("long").as("__len"))
+    val keeper = d.filter(col("__t").isNotNull)
+      .groupBy(md5(col("__t")).as("dg"))
+      .agg(min(col(idCol)).as("keep_id"))
+    val flagged = d.withColumn("dg",
+        when(col("__t").isNotNull, md5(col("__t"))))
+      .join(keeper, Seq("dg"), "left")
+      .select(col("stratum"), col("__len"),
+        when(col("keep_id").isNotNull && col("keep_id") =!= col(idCol), 1L)
+          .otherwise(0L).as("is_dup"))
+    val dupChars = coalesce(col("dup_chars"), lit(0L))
+    flagged.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        coalesce(sum(col("__len")), lit(0L)).as("total_chars"),
+        coalesce(sum(when(col("is_dup") === 1L, col("__len"))
+          .otherwise(0L)), lit(0L)).as("dup_chars"))
+      .select(col("stratum"), col("n_docs"), col("n_dup_docs"),
+        col("total_chars"), dupChars.as("dup_chars"), {
+          val scaled = col("n_dup_docs") * lit(10000L)
+          when(col("n_docs") > 0,
+            ((scaled - pmod(scaled, col("n_docs"))) / col("n_docs"))
+              .cast("double") / 10000.0)
+            .otherwise(lit(0.0)).as("dup_frac")
+        })
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then drop documents whose cosine to ANOTHER
+    * member of the SAME cluster exceeds `threshold` — semantic
+    * duplicates (paraphrases, templated rewrites, translations) that no
+    * lexical dedup can see. Keep policy is the deterministic
+    * ordered-scan greedy: a document is dropped iff some SMALLER-id
+    * member of its cluster is within threshold (so the smallest id of
+    * every semantic group survives; a dropped doc's `dup_of` names the
+    * smallest such witness).
+    *
+    * Output: (vec_id, cent_id, dup_of, n_dups_smaller, keep).
+    *
+    * Scale shape — the reason SemDeDup beats all-pairs at 100 TB: the
+    * all-pairs cosine is confined WITHIN clusters, and k grows with the
+    * corpus (the paper uses k ≈ √n · c) so expected cluster size stays
+    * bounded; cost is Σ|cluster|² ≈ n²/k, tunable to n·√n or below. The
+    * k-means fit is [[KMeans.fit]]'s integer-lattice Lloyd (centroids
+    * collect driver-side, assignment is a zero-shuffle literal
+    * projection); the pair join shuffles each cluster's members to one
+    * task — AQE skew-split handles a fat cluster, and a quality-first
+    * variant would pre-cap cluster size. */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cents = KMeans.fit(emb, k, iters, 1, idCol, embCol)
+    val asg = KMeans.assignments(emb, cents, idCol, embCol)
+      .select(col("id"), col("cent_id")).localCheckpoint(true)
+    val v = emb.select(col(idCol).as("id"),
+        Similarity.toDouble(col(embCol)).as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val m = asg.join(v, Seq("id"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nv") * col("b.nv")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    val dups = pairs.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"),
+        count(lit(1)).as("n_dups_smaller"))
+    asg.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cent_id"), col("dup_of"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidates via
     * 8-bit band equality (any of 4 bands equal ⇒ candidate — guarantees
     * recall for distance ≤ 3 by pigeonhole). */

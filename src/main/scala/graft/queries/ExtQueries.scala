@@ -639,6 +639,48 @@ object ExtQueries {
       held.select(col("doc_id"), col("source").as("label")))
   }
 
+  /** ROC threshold sweep: the q4 quality score as a predictor of
+    * lang = 'en' (the score's stopword term genuinely tracks English) —
+    * one point per distinct score with exact cumulative counts. */
+  def qEvalRoc(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Eval.rocPoints(docs(s, dir).select(
+      TextAnalysis.qualityScoreQ4(col("text")).as("q4"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      "q4", "is_en")
+
+  /** Exact trapezoid AUC of the same sweep — the one-number ranker
+    * readout that calibrates a filter threshold. */
+  def qEvalAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Eval.auc(docs(s, dir).select(
+      TextAnalysis.qualityScoreQ4(col("text")).as("q4"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      "q4", "is_en")
+
+  /** SemDeDup: k-means the embedding space, drop within-cluster cosine
+    * near-dups keeping the smallest id per semantic group. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(emb(s, dir), k = 8, iters = 2, threshold = 0.4)
+
+  /** Char-budget greedy fill per source (quality-first): the mixture
+    * schedule's per-stratum budget knob realized as a kept-docs list. */
+  def qMixBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.fillByBudget(docs(s, dir), col("source"), budget = 2000L)
+
+  /** Contamination matrix: the training split against TWO simulated
+    * benchmark slices at once, per (eval_set, source). */
+  def qDecontamMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val train = d.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+    Decontamination.contaminationMatrix(train, col("source"), Seq(
+      "eval_a" -> d.filter(col("doc_id") % 97 === 0),
+      "eval_b" -> d.filter(col("doc_id") % 89 === 0)))
+  }
+
+  /** Exact-dedup impact datasheet: per-source removable-duplicate counts
+    * and character mass. */
+  def qDedupImpact(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupImpact(docs(s, dir), col("source"))
+
   /** Length-proportional systematic sample: 100 deterministic draws over
     * the cumulative n_chars axis — the sample-by-token-mass pull. */
   def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
@@ -853,6 +895,12 @@ object ExtQueries {
     "q_sample_split_cluster" -> (qSampleSplitCluster _),
     "q_classify_eval" -> (qClassifyEval _),
     "q_classify_eval_split" -> (qClassifyEvalSplit _),
+    "q_eval_roc" -> (qEvalRoc _),
+    "q_eval_auc" -> (qEvalAuc _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_mix_budget" -> (qMixBudget _),
+    "q_decontam_matrix" -> (qDecontamMatrix _),
+    "q_dedup_impact" -> (qDedupImpact _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -2349,6 +2397,157 @@ object ExtQueries {
        |${graft.ext.Classifier.classifierCtes("source", "tr", "te")},
        |${classifyEvalTailSql("te")}""".stripMargin
 
+  /** Shared quality-score CTE chain: documents → (doc_id, lang, source,
+    * n_chars, q4) on the exact lattice — the same base the domain-cap /
+    * funnel oracles build by hand. */
+  private val qualityScoredCtes =
+    s"""qbase AS (SELECT doc_id, lang, source, n_chars, text,
+       |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
+       |  FROM documents),
+       |qh AS (SELECT doc_id, lang, source, n_chars, text, ws,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |  FROM qbase),
+       |qsc AS (SELECT doc_id, lang, source, n_chars,
+       |  CAST(${qualityQ4Sql("text", "ws", "h_en")} AS BIGINT) AS q4 FROM qh)""".stripMargin
+
+  private def frac6Sql(num: String, den: String): String =
+    s"""CASE WHEN coalesce($den, 0) > 0
+       | THEN CAST((coalesce($num, 0) * 1000000) // ($den) AS DOUBLE) / 1000000.0
+       | ELSE 0.0 END""".stripMargin
+
+  /** ROC-sweep CTEs shared by the points and AUC oracles: per-distinct-
+    * score (pos, neg) then cumulative (tp, fp) descending. */
+  private val rocCtes =
+    s"""$qualityScoredCtes,
+       |rsc AS (SELECT q4 AS score,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM qsc),
+       |rps AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+       |  CAST(count(*) - sum(y) AS BIGINT) AS neg FROM rsc GROUP BY 1),
+       |rcum AS (SELECT score,
+       |  CAST(sum(pos) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |  CAST(sum(neg) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+       |  FROM rps),
+       |rtot AS (SELECT CAST(sum(y) AS BIGINT) AS p_tot,
+       |  CAST(count(*) - sum(y) AS BIGINT) AS n_tot FROM rsc)""".stripMargin
+
+  private val evalRocSql =
+    s"""WITH $rocCtes
+       |SELECT score, tp, fp,
+       |  p_tot - tp AS fn, n_tot - fp AS tn,
+       |  ${frac6Sql("tp", "p_tot")} AS tpr,
+       |  ${frac6Sql("fp", "n_tot")} AS fpr
+       |FROM rcum CROSS JOIN rtot""".stripMargin
+
+  private val evalAucSql =
+    s"""WITH $rocCtes,
+       |rdl AS (SELECT
+       |  fp - coalesce(lag(fp) OVER (ORDER BY score DESC), 0) AS dfp,
+       |  tp + coalesce(lag(tp) OVER (ORDER BY score DESC), 0) AS tpsum
+       |  FROM rcum),
+       |rnum AS (SELECT CAST(coalesce(sum(dfp * tpsum), 0) AS BIGINT) AS auc_num
+       |  FROM rdl)
+       |SELECT p_tot AS n_pos, n_tot AS n_neg,
+       |  ${frac6Sql("auc_num", "2 * p_tot * n_tot")} AS auc
+       |FROM rtot CROSS JOIN rnum""".stripMargin
+
+  /** SemDeDup oracle: the shared k-means chain (k=8, 2 sweeps) assigns
+    * clusters; within-cluster pairwise rounded-6dp cosine over the
+    * ORIGINAL double embeddings flags smaller-id witnesses. */
+  private val dedupSemanticSql =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |${kmeansAssignSql("af", "c2", "e")},
+       |sv AS (SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+       |  FROM embeddings),
+       |svn AS (SELECT id, dv,
+       |  sqrt(list_sum(list_transform(dv, x -> x * x))) AS nv FROM sv),
+       |sm AS (SELECT af.id, af.cent_id, svn.dv, svn.nv
+       |  FROM af JOIN svn USING (id)),
+       |sp AS (SELECT id_a, id_b FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    round(list_sum(list_transform(range(1, len(a.dv) + 1),
+       |      i -> a.dv[i] * b.dv[i])) / (a.nv * b.nv), 6) AS cos
+       |  FROM sm a JOIN sm b ON a.cent_id = b.cent_id AND a.id < b.id)
+       |  WHERE cos >= 0.4),
+       |sd AS (SELECT id_b AS id, CAST(min(id_a) AS BIGINT) AS dup_of,
+       |  CAST(count(*) AS BIGINT) AS n_dups_smaller FROM sp GROUP BY 1)
+       |SELECT af.id AS vec_id, af.cent_id, sd.dup_of,
+       |  coalesce(sd.n_dups_smaller, 0) AS n_dups_smaller,
+       |  CAST(CASE WHEN sd.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM af LEFT JOIN sd USING (id)""".stripMargin
+
+  /** Budget-fill oracle: greedy quality-first prefix per source until
+    * 2000 chars (kept iff cumulative-before < budget). */
+  private val mixBudgetSql =
+    s"""WITH $qualityScoredCtes,
+       |bc AS (SELECT source AS stratum, doc_id,
+       |  CAST(q4 AS BIGINT) AS q4, CAST(n_chars AS BIGINT) AS units FROM qsc),
+       |bcum AS (SELECT stratum, doc_id, q4, units,
+       |  CAST(sum(units) OVER (PARTITION BY stratum
+       |    ORDER BY q4 DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_units
+       |  FROM bc)
+       |SELECT stratum, doc_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
+       |  units, cum_units
+       |FROM bcum WHERE cum_units - units < 2000""".stripMargin
+
+  /** Contamination-matrix oracle: train = docs in neither slice, eval_a =
+    * doc_id %% 97 = 0, eval_b = %% 89 = 0; 3-gram any-overlap doc flags
+    * rolled up per (eval_set, source). */
+  private val decontamMatrixSql = {
+    def grams(pred: String) =
+      s"""SELECT doc_id, list_distinct(${Hashing.ngramsSql("ws", 3)}) AS gs
+         |FROM (SELECT doc_id, ${wordsSqlOf("text")} AS ws FROM documents
+         |      WHERE $pred)""".stripMargin
+    val trainPred = "doc_id % 97 <> 0 AND doc_id % 89 <> 0"
+    s"""WITH mtr AS (${grams(trainPred)}),
+       |mdg AS (SELECT doc_id, unnest(gs) AS gram FROM mtr),
+       |mega AS (SELECT DISTINCT unnest(gs) AS gram
+       |  FROM (${grams("doc_id % 97 = 0")})),
+       |megb AS (SELECT DISTINCT unnest(gs) AS gram
+       |  FROM (${grams("doc_id % 89 = 0")})),
+       |meg AS (SELECT 'eval_a' AS eval_set, gram FROM mega
+       |  UNION ALL SELECT 'eval_b' AS eval_set, gram FROM megb),
+       |mcont AS (SELECT DISTINCT eval_set, doc_id
+       |  FROM mdg JOIN meg USING (gram)),
+       |mstr AS (SELECT doc_id, source FROM documents WHERE $trainPred),
+       |mtot AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM mstr GROUP BY 1),
+       |mhit AS (SELECT eval_set, source AS stratum,
+       |  CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM mcont JOIN mstr USING (doc_id) GROUP BY 1, 2),
+       |msets AS (SELECT unnest(['eval_a', 'eval_b']) AS eval_set)
+       |SELECT s.eval_set, t.stratum, t.n_docs,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated_docs,
+       |  ${frac4Sql("h.n_hit", "t.n_docs")} AS contaminated_frac
+       |FROM msets s CROSS JOIN mtot t
+       |LEFT JOIN mhit h ON h.eval_set = s.eval_set AND h.stratum = t.stratum""".stripMargin
+  }
+
+  /** Dedup-impact oracle: keeper = min doc_id per md5(text); null-text
+    * docs count but never as duplicates. */
+  private val dedupImpactSql =
+    s"""WITH id_d AS (SELECT doc_id, source AS stratum, text,
+       |  CAST(length(text) AS BIGINT) AS len FROM documents),
+       |id_k AS (SELECT md5(text) AS dg, min(doc_id) AS keep_id
+       |  FROM id_d WHERE text IS NOT NULL GROUP BY 1),
+       |id_f AS (SELECT stratum, len,
+       |  CASE WHEN id_d.text IS NOT NULL AND id_k.keep_id <> id_d.doc_id
+       |    THEN 1 ELSE 0 END AS is_dup
+       |  FROM id_d LEFT JOIN id_k ON md5(id_d.text) = id_k.dg)
+       |SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       |  CAST(coalesce(sum(len), 0) AS BIGINT) AS total_chars,
+       |  CAST(coalesce(sum(CASE WHEN is_dup = 1 THEN len ELSE 0 END), 0)
+       |    AS BIGINT) AS dup_chars,
+       |  CASE WHEN count(*) > 0
+       |    THEN CAST((sum(is_dup) * 10000) // count(*) AS DOUBLE) / 10000.0
+       |    ELSE 0.0 END AS dup_frac
+       |FROM id_f GROUP BY stratum""".stripMargin
+
   private val curationDomaincapSql =
     s"""WITH base AS (SELECT doc_id, source, text,
        |  ${wordsSqlOf("text")} AS ws, ${wordsSqlOf("lower(text)")} AS wl
@@ -2777,6 +2976,12 @@ object ExtQueries {
     "q_sample_split_cluster" -> sampleSplitClusterSql,
     "q_classify_eval" -> classifyEvalSql,
     "q_classify_eval_split" -> classifyEvalSplitSql,
+    "q_eval_roc" -> evalRocSql,
+    "q_eval_auc" -> evalAucSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
+    "q_mix_budget" -> mixBudgetSql,
+    "q_decontam_matrix" -> decontamMatrixSql,
+    "q_dedup_impact" -> dedupImpactSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_pref_pairs" -> prefPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,

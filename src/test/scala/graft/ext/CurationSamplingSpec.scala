@@ -121,4 +121,36 @@ class CurationSamplingSpec extends SparkSpec {
       .collect()
     assert(j.isEmpty || j.head.getAs[Double]("jaccard") < 0.3)
   }
+
+  test("fillByBudget keeps exactly the greedy quality-prefix until the unit budget") {
+    val rows = Seq(
+      (1L, "a", 60L, "the of and to in is it was for on as are this that by"),
+      (2L, "a", 60L, "zx qv jk wp mn bb cc dd ee ff gg hh ii jj kk"),
+      (3L, "a", 60L, "the cat sat on the mat and then the dog came along too"),
+      (4L, "a", 60L, "one two three four five six seven eight nine ten more"),
+      (5L, "b", 90L, "the of and to in is good clean english text here now"),
+      (6L, "b", 90L, "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd"))
+    val d = rows.toDF("doc_id", "source", "n_chars", "text")
+    val got = Curation.fillByBudget(d, col("source"), budget = 120L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // reference: per stratum, order by (q4 desc, id), keep while
+    // cum-before < 120 — derived from the operator's own score column
+    val q = d.select(col("source"), col("doc_id"), col("n_chars"),
+        TextAnalysis.qualityScoreQ4(col("text")).as("q4")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = q.groupBy(_._1).toSeq.flatMap { case (s, xs) =>
+      var cum = 0L
+      xs.sortBy { case (_, id, _, q4) => (-q4, id) }.toSeq.flatMap {
+        case (_, id, units, _) =>
+          val keep = cum < 120L
+          cum += units
+          if (keep) Some((s, id)) else None
+      }
+    }.toSet
+    assert(got === expect)
+    // stratum a: 60-char docs → exactly 2 survive (cum-before 120 stops
+    // the third); stratum b: 90-char docs → 2 survive (90 < 120)
+    assert(got.count(_._1 == "a") === 2)
+    assert(got.count(_._1 == "b") === 2)
+  }
 }

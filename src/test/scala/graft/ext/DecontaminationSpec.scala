@@ -135,4 +135,26 @@ class DecontaminationSpec extends SparkSpec {
     val r = Decontamination.semanticOverlap(train, evalE).collect()(0)
     assert(r.getLong(1) === 100L, s"tie must resolve to the smaller id: $r")
   }
+
+  test("contaminationMatrix rolls any-overlap flags up per (eval_set, stratum)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val train = Seq(
+      (1L, "web", "alpha beta gamma delta extra"),   // overlaps set A
+      (2L, "web", "nothing shared here at all"),
+      (3L, "code", "foo bar baz qux quux filler"),   // overlaps set B
+      (4L, "code", "alpha beta gamma words more"),   // overlaps set A
+      (5L, "code", "clean content only right here"))
+      .toDF("doc_id", "source", "text")
+    val setA = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val setB = Seq((200L, "foo bar baz qux")).toDF("doc_id", "text")
+    val got = Decontamination.contaminationMatrix(train, col("source"),
+        Seq("A" -> setA, "B" -> setB)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size === 4) // 2 sets × 2 strata, zero rows included
+    assert(got(("A", "web")) === ((2L, 1L, 0.5)))
+    assert(got(("A", "code")) === ((3L, 1L, 0.3333)))
+    assert(got(("B", "web")) === ((2L, 0L, 0.0)))
+    assert(got(("B", "code")) === ((3L, 1L, 0.3333)))
+  }
 }

@@ -271,4 +271,43 @@ class DedupSpec extends SparkSpec {
     assert(out(99L) === ((99L, quality(99L), 1L)))
     assert(out.size === 2)
   }
+
+  test("semanticDedup drops within-cluster cosine twins, keeps smallest id") {
+    // k = 1 pins the partition (all vectors share the cluster) so the
+    // test isolates the pair/keep logic; which twins a k>1 fit can see
+    // is the algorithm's recall knob, exercised by the oracle query
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),   // near-copy of 1
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.01f, 0.99f, 0.0f)),   // near-copy of 3
+      (5L, Array(0.0f, 0.0f, 0.98f, -0.2f)))   // near 3 and 4
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(e, k = 1, iters = 2, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    assert(got(1L) === ((None, 1L)))
+    assert(got(2L) === ((Some(1L), 0L)))
+    assert(got(3L) === ((None, 1L)))
+    assert(got(4L) === ((Some(3L), 0L)))
+    assert(got(5L)._1 === Some(3L)) // smallest witness, even though 4 also matches
+    assert(got(5L)._2 === 0L)
+  }
+
+  test("dedupImpact counts removable duplicates and their chars per stratum") {
+    val d = Seq(
+      (1L, "web", "same text"), (2L, "web", "same text"),
+      (3L, "web", "other"), (4L, "code", "same text"),
+      (5L, "code", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dedupImpact(d, col("source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    // web: 3 docs; doc 2 duplicates doc 1 (9 chars); 9+9+5=23 total
+    assert(got("web") === ((3L, 1L, 23L, 9L, 0.3333)))
+    // code: doc 4 duplicates doc 1 (cross-stratum keeper!); null-text doc
+    // counts in n_docs but never as a dup
+    assert(got("code") === ((2L, 1L, 9L, 9L, 0.5)))
+  }
 }
