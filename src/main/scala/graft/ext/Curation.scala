@@ -539,6 +539,41 @@ object Curation {
         col("units"), col("cum_units"))
   }
 
+  /** Cross-source quality CALIBRATION: restate each document's quality
+    * as the fraction of its OWN stratum scoring strictly below it —
+    * rank-normalization, the standard fix for 'keep top X%' gates when
+    * raw score distributions differ per domain (a mediocre doc in a
+    * high-quality source must not outrank a great doc in a noisy one).
+    * pct = ⌊(#strictly-below)·10⁶ / n_stratum⌋ — exact, ties share a
+    * percentile.
+    *
+    * Scale shape — the reason this is NOT a per-stratum percent_rank
+    * window over the corpus: quality lives on the 10⁴-point q4 lattice,
+    * so per-(stratum, score) counts are aggregated first (map-side
+    * combined, output ≤ strata·10⁴ rows), the cumulative below-count
+    * sweeps that lattice-sized frame, and the corpus is mapped by one
+    * broadcastable equi-join on (stratum, score). The corpus is scanned
+    * twice and never windowed. */
+  def calibrateQuality(docs: DataFrame, stratum: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = docs.select(col(idCol), stratum.as("stratum"),
+      TextAnalysis.qualityScoreQ4(col(textCol)).as("q4"))
+    val counts = scored.groupBy(col("stratum"), col("q4"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("q4"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+      .withColumn("n_stratum",
+        sum(col("cnt")).over(Window.partitionBy(col("stratum"))))
+    val s6 = col("below") * lit(1000000L)
+    scored.join(broadcast(cum), Seq("stratum", "q4"))
+      .select(col(idCol), col("stratum"),
+        (col("q4").cast("double") / 10000.0).as("quality"),
+        ((s6 - pmod(s6, col("n_stratum"))) / col("n_stratum"))
+          .cast("double").divide(lit(1000000.0)).as("pct"))
+  }
+
   def capPerGroup(docs: DataFrame, stratum: Column, cap: Int,
       idCol: String = "doc_id", textCol: String = "text",
       saltFactor: Int = 16): DataFrame = {

@@ -639,6 +639,25 @@ object ExtQueries {
       held.select(col("doc_id"), col("source").as("label")))
   }
 
+  /** Language-ID eval: the n-gram/stopword langId heuristic graded
+    * against the gold `lang` column — per-class P/R/F1 through the same
+    * one-pass confusion matrix as the classifier evals ('zh' has no
+    * stoplist, so its recall exposes the heuristic's blind spot
+    * honestly). */
+  def qLangidEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Classifier.evaluate(
+      d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted")),
+      d.select(col("doc_id"), col("lang").as("label")))
+  }
+
+  /** Cross-source quality calibration: each document's quality restated
+    * as its percentile WITHIN its source — the rank-normalized score
+    * that makes a 'keep top X%' gate comparable across domains with
+    * different raw-score distributions. */
+  def qQualityCalibrate(s: SparkSession, dir: String): DataFrame =
+    Curation.calibrateQuality(docs(s, dir), col("source"))
+
   /** ROC threshold sweep: the q4 quality score as a predictor of
     * lang = 'en' (the score's stopword term genuinely tracks English) —
     * one point per distinct score with exact cumulative counts. */
@@ -895,6 +914,8 @@ object ExtQueries {
     "q_sample_split_cluster" -> (qSampleSplitCluster _),
     "q_classify_eval" -> (qClassifyEval _),
     "q_classify_eval_split" -> (qClassifyEvalSplit _),
+    "q_langid_eval" -> (qLangidEval _),
+    "q_quality_calibrate" -> (qQualityCalibrate _),
     "q_eval_roc" -> (qEvalRoc _),
     "q_eval_auc" -> (qEvalAuc _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -2357,14 +2378,20 @@ object ExtQueries {
     * the split eval). Denominators are PARENTHESIZED into `%`/`//`
     * (ADVICE r10 high: DuckDB parses `x % a + b` as `(x % a) + b`, so
     * the unwrapped composite F1 denominator floored wrongly). */
-  private def classifyEvalTailSql(truthRel: String): String = {
+  private def classifyEvalTailSql(truthRel: String): String =
+    s"""j AS (SELECT d.doc_id, d.source AS actual, b.predicted AS pred
+       |  FROM $truthRel d LEFT JOIN best b USING (doc_id)),
+       |${confusionTailSql}""".stripMargin
+
+  /** Everything after a `j (doc_id, actual, pred)` CTE: confusion
+    * matrix → per-class n/tp → exact-lattice P/R/F1 — shared by the
+    * classifier evals and the language-ID eval. */
+  private def confusionTailSql: String = {
     def frac4(num: String, den: String): String =
       s"""CASE WHEN ($den) > 0
          | THEN CAST(($num * 10000 - (($num * 10000) % ($den))) // ($den) AS DOUBLE) / 10000.0
          | ELSE 0.0 END""".stripMargin
-    s"""j AS (SELECT d.doc_id, d.source AS actual, b.predicted AS pred
-       |  FROM $truthRel d LEFT JOIN best b USING (doc_id)),
-       |conf AS (SELECT actual, pred, count(*) AS n FROM j GROUP BY 1, 2),
+    s"""conf AS (SELECT actual, pred, count(*) AS n FROM j GROUP BY 1, 2),
        |per AS (SELECT actual AS label, CAST(sum(n) AS BIGINT) AS n_actual,
        |    CAST(coalesce(sum(CASE WHEN pred = actual THEN n ELSE 0 END), 0)
        |      AS BIGINT) AS tp
@@ -2385,6 +2412,14 @@ object ExtQueries {
   private val classifyEvalSql =
     s"""WITH ${graft.ext.Classifier.classifierCtes("source")},
        |${classifyEvalTailSql("documents")}""".stripMargin
+
+  /** Language-ID eval oracle: the langId heuristic graded against the
+    * gold `lang` column through the shared confusion tail. */
+  private val langidEvalSql =
+    s"""WITH $langCtes,
+       |j AS (SELECT d.doc_id, d.lang AS actual, l.lang_id AS pred
+       |  FROM documents d LEFT JOIN lang l USING (doc_id)),
+       |${confusionTailSql}""".stripMargin
 
   /** Held-out eval oracle: hash-split the corpus, train profiles on the
     * train bucket only, score + grade the test bucket only. */
@@ -2547,6 +2582,23 @@ object ExtQueries {
        |    THEN CAST((sum(is_dup) * 10000) // count(*) AS DOUBLE) / 10000.0
        |    ELSE 0.0 END AS dup_frac
        |FROM id_f GROUP BY stratum""".stripMargin
+
+  /** Calibration oracle: lattice-count cumulative strictly-below
+    * fraction per (stratum, q4), joined back to the docs. */
+  private val qualityCalibrateSql =
+    s"""WITH $qualityScoredCtes,
+       |cb AS (SELECT source AS stratum, doc_id, q4 FROM qsc),
+       |cc AS (SELECT stratum, q4, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cb GROUP BY 1, 2),
+       |ccum AS (SELECT stratum, q4,
+       |  CAST(sum(cnt) OVER (PARTITION BY stratum ORDER BY q4
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+       |    AS BIGINT) AS below,
+       |  CAST(sum(cnt) OVER (PARTITION BY stratum) AS BIGINT) AS n_stratum
+       |  FROM cc)
+       |SELECT b.doc_id, b.stratum, CAST(b.q4 AS DOUBLE) / 10000.0 AS quality,
+       |  CAST((c.below * 1000000) // c.n_stratum AS DOUBLE) / 1000000.0 AS pct
+       |FROM cb b JOIN ccum c USING (stratum, q4)""".stripMargin
 
   private val curationDomaincapSql =
     s"""WITH base AS (SELECT doc_id, source, text,
@@ -2976,6 +3028,8 @@ object ExtQueries {
     "q_sample_split_cluster" -> sampleSplitClusterSql,
     "q_classify_eval" -> classifyEvalSql,
     "q_classify_eval_split" -> classifyEvalSplitSql,
+    "q_langid_eval" -> langidEvalSql,
+    "q_quality_calibrate" -> qualityCalibrateSql,
     "q_eval_roc" -> evalRocSql,
     "q_eval_auc" -> evalAucSql,
     "q_dedup_semantic" -> dedupSemanticSql,

@@ -153,4 +153,28 @@ class CurationSamplingSpec extends SparkSpec {
     assert(got.count(_._1 == "a") === 2)
     assert(got.count(_._1 == "b") === 2)
   }
+
+  test("calibrateQuality: pct = strictly-below fraction within the stratum, ties share") {
+    val d = Seq(
+      (1L, "a", "zz qq ww"),                               // low quality
+      (2L, "a", "zz qq ww"),                               // tie with 1
+      (3L, "a", "the of and to in is it for on as that"),  // high
+      (4L, "b", "anything at all here"))                   // alone in b
+      .toDF("doc_id", "source", "text")
+    val got = Curation.calibrateQuality(d, col("source")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    // stratum a (n=3): docs 1,2 tie at the bottom → below=0 → pct 0;
+    // doc 3 has 2 strictly below → floor(2e6/3)/1e6
+    assert(got(1L) === (("a", 0.0)))
+    assert(got(2L) === (("a", 0.0)))
+    assert(got(3L) === (("a", 0.666666)))
+    // singleton stratum: below=0 → pct 0
+    assert(got(4L) === (("b", 0.0)))
+    // sanity: the high-quality doc really scores above the tied pair
+    val q = d.select(col("doc_id"),
+        TextAnalysis.qualityScoreQ4(col("text")).as("q4")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(3L) > q(1L))
+    assert(q(1L) === q(2L))
+  }
 }
