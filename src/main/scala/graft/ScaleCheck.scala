@@ -37,7 +37,10 @@ object ScaleCheck {
     "q_quantile_profile", "q_classify_source", "q_cluster_topics",
     // r10 additions: the new dedup/tokenizer/sketch/retrieval surface
     "q_dedup_paragraph", "q_bpe_train", "q_text_bpe_trained",
-    "q_sketch_cms", "q_emb_project", "q_sim_topk_proj", "q_retrieval_mmr")
+    "q_sketch_cms", "q_emb_project", "q_sim_topk_proj", "q_retrieval_mmr",
+    // r11 additions: graph iteration, approximation evals, global-order
+    "q_graph_pagerank", "q_dedup_minhash_eval", "q_sim_recall_eval",
+    "q_eval_rankcorr", "q_curriculum")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -873,4 +873,38 @@ object Curation {
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")).as("split"))
   }
+
+  /** Epoch plan for a target mixture: given a per-stratum weight and a
+    * total character budget, how many EPOCHS (repeats) of each stratum's
+    * available mass does the schedule call for? The data-budgeting table
+    * behind "web ×0.6 epochs, wiki ×3.2 epochs" mixture specs — epochs
+    * > 1 means upsampling by repetition, < 1 means the stratum is
+    * subsampled. `weightOf` maps the stratum VALUE to its integer target
+    * weight (shares are weights over the weight total, so callers never
+    * pre-normalize).
+    *
+    * Exact lattice: target_chars = ⌊w·B/W⌋ and
+    * epochs = ⌊w·B·10⁴/(W·chars)⌋/10⁴, all in decimal(38,0) floor
+    * division (w·B·10⁴ overflows int64 once B reaches corpus scale).
+    * One groupBy(stratum) over two longs + a 1-row weight-total
+    * broadcast — output is O(strata). */
+  def mixEpochs(df: DataFrame, stratum: Column, weightOf: Column => Column,
+      budget: Long, charsCol: String = "n_chars"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def fdiv(num: Column, den: Column): Column =
+      (num.cast(dec) - pmod(num.cast(dec), den.cast(dec))) / den.cast(dec)
+    val per = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol).cast("long")).as("n_chars"))
+      .select(col("stratum"), col("n_docs"), col("n_chars"),
+        weightOf(col("stratum")).cast("long").as("wt"))
+    val tot = per.agg(sum(col("wt")).as("w_tot"))
+    per.crossJoin(broadcast(tot)).select(
+      col("stratum"), col("n_docs"), col("n_chars"), col("wt"),
+      fdiv(col("wt").cast(dec) * lit(budget), col("w_tot")).cast("long")
+        .as("target_chars"),
+      (fdiv(col("wt").cast(dec) * lit(budget) * lit(10000L),
+        col("w_tot").cast(dec) * col("n_chars")).cast("double") / 10000.0)
+        .as("epochs"))
+  }
 }

@@ -221,4 +221,20 @@ object DataQuality {
     rows.select(col("r.column").as("col_name"), col("r.metric").as("metric"),
       col("r.value").as("value"))
   }
+
+  /** Profile drift between two slices of a table (yesterday's load vs
+    * today's, upstream vs post-transform): the two [[profileColumns]]
+    * reports full-outer-joined on (column, metric) with a null-safe
+    * `changed` verdict — the one-page "what moved" diff a pipeline gate
+    * reads before promoting a batch. Each side is one aggregate pass;
+    * the join input is O(#cols·#metrics), metadata-sized. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val a = profileColumns(oldDf, cols).withColumnRenamed("value", "value_old")
+    val b = profileColumns(newDf, cols).withColumnRenamed("value", "value_new")
+    a.join(b, Seq("col_name", "metric"), "full_outer")
+      .select(col("col_name"), col("metric"), col("value_old"),
+        col("value_new"),
+        (!(col("value_old") <=> col("value_new"))).as("changed"))
+  }
 }

@@ -84,4 +84,39 @@ object Eval {
           .otherwise(lit(0.0)).as("auc")
       })
   }
+
+  /** Spearman rank correlation between two integer score columns —
+    * do two quality signals agree enough that one can gate for both?
+    * Ranks are made UNIQUE by a deterministic (score, id) tiebreak, so
+    * ρ = 1 − 6Σd²/(n(n²−1)) needs no tie correction and every term is an
+    * exact integer; the final ρ is computed as (den − 6Σd²)/den — exact
+    * decimals into ONE IEEE division, deterministic across engines (only
+    * float summation is order-dependent). Output: (n, sum_d2, rho).
+    *
+    * Scale shape: each rank is a range-partitioned global sort (sampled
+    * boundaries — parallel at any corpus size) plus the distributed
+    * gapless zipWithIndex; never a corpus-wide one-task row_number
+    * window. Σd² shuffles (id, rank) pairs only. */
+  def spearman(df: DataFrame, idCol: String, c1: String,
+      c2: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(idCol), col(c1), col(c2)).localCheckpoint(true)
+    def rankBy(c: String, name: String): DataFrame =
+      graft.scd2.Historizer.withGaplessIndex(
+        base.select(col(idCol), col(c))
+          .orderBy(col(c).asc, col(idCol).asc), name)
+        .select(col(idCol), col(name))
+    val dd = col("__r1") - col("__r2")
+    rankBy(c1, "__r1").join(rankBy(c2, "__r2"), idCol)
+      .agg(count(lit(1)).as("n"),
+        sum((dd * dd).cast(dec)).as("sum_d2"))
+      .select(col("n"), col("sum_d2").cast("long").as("sum_d2"), {
+        val den = (col("n").cast(dec) * col("n") * col("n") - col("n"))
+          .cast(dec)
+        when(col("n") > 1,
+          (den - lit(6).cast(dec) * col("sum_d2")).cast("double") /
+            den.cast("double"))
+          .otherwise(lit(0.0)).as("rho")
+      })
+  }
 }

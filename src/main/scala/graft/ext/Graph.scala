@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain edge-list DataFrames — the
+  * Pregel-shaped face of the engine, expressed as per-iteration
+  * join + groupBy passes so Catalyst plans each superstep as two
+  * key-partitioned shuffles over (id, long) pairs. No vertex-program
+  * runtime: for the bounded iteration counts these analyses use
+  * (centrality over a near-dup graph stabilizes in a handful of rounds)
+  * a loop of declarative passes is simpler and AQE-replannable.
+  *
+  * All rank arithmetic is exact integer floor-division on non-negative
+  * values, so Spark and the DuckDB oracle (which unrolls the identical
+  * iterations as CTEs) agree bit-for-bit — no float accumulation whose
+  * result depends on reduction order.
+  */
+object Graph {
+
+  /** Exact ⌊num/den⌋ for non-negative integral columns, overflow-safe:
+    * the quotient is computed in decimal(38,0) (sums of per-edge
+    * contributions can exceed the 2⁵³ double-exact window at corpus
+    * scale, so a float detour is not an option). */
+  private def fdiv(num: Column, den: Column): Column =
+    floor(num.cast("decimal(38,0)") / den.cast("decimal(38,0)")).cast("long")
+
+  /** PageRank over a directed `edges(src, dst)` list on the integer rank
+    * lattice: ranks start at `scale`, and each iteration computes
+    *
+    *   r'(v) = ⌊scale·(100−damp)/100⌋ + ⌊damp · Σ_{u→v} ⌊r(u)/deg(u)⌋ / 100⌋
+    *
+    * Dangling-node mass is dropped (the standard simplified formulation);
+    * isolated nodes keep the base rank. Over a symmetrized near-dup pair
+    * graph this surfaces template/boilerplate hubs: documents whose text
+    * recurs across many near-copies accumulate rank from every copy.
+    *
+    * Scale: one hash join (edges ⋈ ranks on src) and one groupBy(dst) per
+    * iteration — the message pass of a Pregel superstep as two shuffles
+    * that carry only (BIGINT id, BIGINT rank); text never moves. The
+    * out-degree join is done ONCE up front and the (src, dst, deg) edge
+    * list is eagerly localCheckpoint-ed: every iteration re-reads the
+    * materialized blocks instead of re-deriving degrees, and the plan fed
+    * to iteration k does not nest iteration k−1's shuffle lineage under a
+    * re-computed degree aggregation. Node ids are checkpointed for the
+    * same reason (they appear in every iteration's left join).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      damp: Int = 85, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "pageRank: iters must be >= 1")
+    require(damp >= 0 && damp <= 100, "pageRank: damp is a percentage")
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint(true)
+    val base = scale * (100 - damp) / 100
+    var ranks = ids.select(col("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), fdiv(col("rank"), col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + fdiv(lit(damp.toLong) * coalesce(col("s"), lit(0L)),
+            lit(100L))).as("rank"))
+    }
+    ranks
+  }
+}

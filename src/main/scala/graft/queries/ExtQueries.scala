@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curation, Decontamination, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
@@ -753,6 +753,218 @@ object ExtQueries {
     inc1.unionByName(inc2)
   }
 
+  /** ⌊num·10⁴/den⌋/10⁴ on the shared fixed-point grid, 0.0 on empty
+    * denominator — the Column twin of the oracle side's frac4Sql. */
+  private def frac4Col(num: Column, den: Column): Column = {
+    val scaled = num * lit(10000L)
+    when(den > 0, ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+      .otherwise(lit(0.0))
+  }
+
+  /** Dedup-approximation eval: the MinHash+LSH near-dup pairs graded
+    * against the exact df-capped n-gram-Jaccard pairs at the same 0.5
+    * threshold — precision/recall/F1 of the sketch against ground truth,
+    * the number a pipeline owner needs before trusting LSH at a scale
+    * where the exact pass is unaffordable. (The two chains intentionally
+    * differ: LSH banding can miss true pairs, and its uncapped shingle
+    * space scores pairs the df-capped exact index drops, so neither
+    * metric is trivially 1.0.) Three 1-row aggregates cross-joined
+    * broadcast-style (J3 shape) — no corpus-sized shuffle beyond the
+    * two pair pipelines themselves. */
+  def qDedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val truth = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val pred = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nP = pred.agg(count(lit(1)).as("n_pred"))
+    val tp = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    nT.crossJoin(nP).crossJoin(tp).select(
+      col("n_true"), col("n_pred"), col("tp"),
+      frac4Col(col("tp"), col("n_pred")).as("precision"),
+      frac4Col(col("tp"), col("n_true")).as("recall"),
+      frac4Col(col("tp") * 2L, col("n_true") + col("n_pred")).as("f1"))
+  }
+
+  /** Template-hub centrality: PageRank (3 exact integer iterations) over
+    * the symmetrized MinHash near-dup graph — documents whose text recurs
+    * across many near-copies accumulate rank from every copy, surfacing
+    * the boilerplate/template hubs a curation pass should inspect first.
+    * Isolated docs sit at the base rank. */
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val p = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.ext.Graph.pageRank(d.select(col("doc_id")), e, iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
+
+  /** Tokenizer-fit datasheet: chars-per-token by source under the
+    * committed BPE merges — the compression readout that says which
+    * domains the tokenizer serves poorly (code/URLs fragment into many
+    * tokens; prose compresses well). One groupBy over per-doc longs. */
+  def qBpeCompression(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(Bpe.tokenCount(col("text"))).as("n_tokens"))
+      .select(col("source"), col("n_chars"), col("n_tokens"),
+        frac4Col(col("n_chars"), col("n_tokens")).as("chars_per_token"))
+  }
+
+  /** Cohen's kappa of the langId heuristic vs the gold lang column —
+    * chance-corrected agreement, the honest companion to q_langid_eval's
+    * per-class P/R/F1 (accuracy alone flatters a skewed label mix). One
+    * corpus pass to a labels² confusion matrix; marginal products and
+    * observed agreement live on the exact q6 lattice, and the final
+    * kappa is one IEEE division of exact integers (deterministic — only
+    * float SUMMATION is order-dependent). */
+  def qLangidKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val conf = d.select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = conf.agg(sum(col("n")).as("n"),
+      sum(when(col("actual") === col("pred"), col("n")).otherwise(lit(0L)))
+        .as("diag"))
+    val rm = conf.groupBy(col("actual")).agg(sum(col("n")).as("rm"))
+    val cm = conf.groupBy(col("pred")).agg(sum(col("n")).as("cm"))
+    // marginal products and n² overflow int64 beyond ~3·10⁹ docs — the
+    // lattice runs in decimal(38,0) like qualityScoreQ4's numerator
+    val dec = "decimal(38,0)"
+    val rc = rm.join(cm, rm("actual") === cm("pred"))
+      .agg(sum(col("rm").cast(dec) * col("cm").cast(dec)).as("rc"))
+    def q6floor(num: Column, den: Column): Column = {
+      val n = num.cast(dec)
+      val d = den.cast(dec)
+      ((n - pmod(n, d)) / d).cast("long")
+    }
+    tot.crossJoin(rc).select(
+      col("n"),
+      q6floor(col("diag").cast(dec) * lit(1000000L), col("n")).as("po6"),
+      q6floor(coalesce(col("rc"), lit(0L).cast(dec)) * lit(1000000L),
+        col("n").cast(dec) * col("n").cast(dec)).as("pe6"))
+      .select(col("n"),
+        (col("po6").cast("double") / 1000000.0).as("po"),
+        (col("pe6").cast("double") / 1000000.0).as("pe"),
+        when(col("pe6") < 1000000L,
+          (col("po6") - col("pe6")).cast("double") /
+            (lit(1000000L) - col("pe6")).cast("double"))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
+
+  /** Curriculum ordering: a deterministic global training order —
+    * quality decile first (best buckets early), md5 hash within a bucket
+    * (so each bucket is internally shuffled, not source-clustered). The
+    * global sort is a range-partitioned exchange and the position is the
+    * distributed gapless index — no single-task row_number funnel at any
+    * corpus size. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"),
+      (TextAnalysis.qualityScoreQ4(col("text")).cast("long") -
+        pmod(TextAnalysis.qualityScoreQ4(col("text")).cast("long"), lit(1000L)))
+        .cast("long").as("b1000"),
+      Hashing.hexInt(concat(lit("cur:"), col("doc_id").cast("string")))
+        .as("h"))
+      .select(col("doc_id"), (col("b1000") / 1000L).cast("long").as("bucket"),
+        col("h"))
+    graft.scd2.Historizer.withGaplessIndex(
+        scored.orderBy(col("bucket").desc, col("h").asc, col("doc_id").asc),
+        "pos")
+      .select(col("doc_id"), col("bucket"), col("pos"))
+  }
+
+  /** Duplicate-family size histogram: how many clusters of each size the
+    * connected-components pass found — the one-page shape readout
+    * (mostly singletons? a few mega-families?) that decides whether
+    * dedup keeps min-id or needs the quality-argmax pass. Two
+    * lattice-sized aggregations over the cluster labels. */
+  def qDedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(docs(s, dir), threshold = 0.5)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  /** ANN-approximation eval: IVF top-5 graded against brute-force top-5
+    * ground truth — per-query recall@5, the number that says whether the
+    * probe count is high enough before anyone trusts the index at a
+    * scale where brute force is unaffordable. The twin of
+    * q_dedup_minhash_eval on the similarity side. */
+  def qSimRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val pred = Similarity.ivfTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pred.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        frac4Col(coalesce(col("hits"), lit(0L)), col("k")).as("recall"))
+  }
+
+  /** Spearman rank correlation between the two cheap quality signals
+    * (heuristic quality score vs trigram typicality) — do they agree
+    * enough that one can gate for both? Ranks are made UNIQUE by a
+    * deterministic (score, doc_id) tiebreak, so ρ = 1 − 6Σd²/(n(n²−1))
+    * needs no tie correction and every term is an exact integer; the
+    * final ρ is one IEEE division. Each rank is a range-partitioned sort
+    * + distributed gapless index — never a corpus-wide one-task window. */
+  def qEvalRankcorr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dec = "decimal(38,0)"
+    // typicality ordered on the exact q6 lattice (⌊df_sum·10⁶/n_tris⌋) —
+    // the double ratio itself never orders anything
+    val typ = TextAnalysis.trigramTypicality(d).select(col("doc_id"), {
+      val n6 = col("df_sum").cast(dec) * lit(1000000L)
+      ((n6 - pmod(n6, col("n_tris").cast(dec))) / col("n_tris").cast(dec))
+        .cast("long").as("t6")
+    })
+    // correlate within the JOINED subset (typicality drops sub-3-char docs)
+    graft.ext.Eval.spearman(
+      d.select(col("doc_id"),
+          TextAnalysis.qualityScoreQ4(col("text")).cast("long").as("q4"))
+        .join(typ, "doc_id"),
+      "doc_id", "q4", "t6")
+  }
+
+  /** Mixture epoch plan: a 100k-char budget split across sources with
+    * weight = source index + 1 (so shares genuinely differ), reported as
+    * per-source epochs — the upsample/subsample repeat factor of a data-
+    * budgeting schedule. */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame =
+    Curation.mixEpochs(docs(s, dir), col("source"),
+      src => substring(src, 4, 10).cast("long") + lit(1L),
+      budget = 100000L)
+
+  /** Vocabulary concentration (Zipf readout): what fraction of all word
+    * bigram occurrences the top-20 bigrams carry. High coverage means
+    * boilerplate-heavy text; the number a repetition gate calibrates
+    * against. Counts shuffle once (map-side combined); top-20 is a
+    * TakeOrdered, never a global sort materialization. */
+  def qTextNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val bi = docs(s, dir)
+      .select(explode(Hashing.ngrams(Hashing.words(col("text")), 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the top-20 AND the totals
+    val top = bi.orderBy(col("cnt").desc, col("bigram").asc).limit(20)
+      .agg(sum(col("cnt")).as("top_mass"))
+    val tot = bi.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_distinct"))
+    tot.crossJoin(top).select(col("total"), col("n_distinct"),
+      col("top_mass"), frac4Col(col("top_mass"), col("total")).as("coverage"))
+  }
+
   /** Domain cap: at most 60 docs per source, preferring quality. */
   def qCurationDomaincap(s: SparkSession, dir: String): DataFrame =
     Curation.capPerGroup(docs(s, dir), col("source"), cap = 60)
@@ -927,6 +1139,16 @@ object ExtQueries {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_containment_incr" -> (qDedupContainmentIncr _),
     "q_dedup_paragraph_incr" -> (qDedupParagraphIncr _),
+    "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_bpe_compression" -> (qBpeCompression _),
+    "q_langid_kappa" -> (qLangidKappa _),
+    "q_curriculum" -> (qCurriculum _),
+    "q_dedup_cluster_sizes" -> (qDedupClusterSizes _),
+    "q_sim_recall_eval" -> (qSimRecallEval _),
+    "q_eval_rankcorr" -> (qEvalRankcorr _),
+    "q_mix_epochs" -> (qMixEpochs _),
+    "q_text_ngram_coverage" -> (qTextNgramCoverage _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -1181,10 +1403,13 @@ object ExtQueries {
       |  (SELECT md5(text) FROM documents WHERE doc_id < 100 AND text IS NOT NULL)""".stripMargin
 
   /** 4-decimal floor fraction `⌊num·10⁴/den⌋/10⁴`, 0.0 on empty den —
-    * mirrors the Spark operators' integer fixed-point grid. */
+    * mirrors the Spark operators' integer fixed-point grid. Both operands
+    * interpolate PARENTHESIZED: DuckDB parses `x // a + b` as
+    * `(x // a) + b`, the exact precedence slip that broke the r10
+    * classifier-eval oracle. */
   private def frac4Sql(num: String, den: String): String =
     s"""CASE WHEN coalesce($den, 0) > 0
-       | THEN CAST((coalesce($num, 0) * 10000) // $den AS DOUBLE) / 10000.0
+       | THEN CAST((coalesce($num, 0) * 10000) // ($den) AS DOUBLE) / 10000.0
        | ELSE 0.0 END""".stripMargin
 
   /** Decontamination oracle mirroring Decontamination.overlapStats (word
@@ -2421,6 +2646,78 @@ object ExtQueries {
        |  FROM documents d LEFT JOIN lang l USING (doc_id)),
        |${confusionTailSql}""".stripMargin
 
+  /** Dedup-approximation eval oracle: both full pair chains (exact
+    * df-capped n-gram Jaccard as truth, MinHash+LSH as prediction), then
+    * set-overlap precision/recall/F1 on the shared frac4 lattice. */
+  private val dedupMinhashEvalSql =
+    s"""WITH t AS ($dedupNgramJaccardSql),
+       |p AS ($dedupMinhashSql),
+       |tpc AS (SELECT count(*) AS tp FROM p JOIN t USING (id_a, id_b)),
+       |ntc AS (SELECT count(*) AS n_true FROM t),
+       |npc AS (SELECT count(*) AS n_pred FROM p)
+       |SELECT n_true, n_pred, tp,
+       |  ${frac4Sql("tp", "n_pred")} AS precision,
+       |  ${frac4Sql("tp", "n_true")} AS recall,
+       |  ${frac4Sql("2 * tp", "n_true + n_pred")} AS f1
+       |FROM ntc, npc, tpc""".stripMargin
+
+  /** PageRank oracle: the identical integer iterations unrolled as CTEs
+    * over the symmetrized MinHash pair graph (sums run in HUGEINT, the
+    * 128-bit twin of the Spark side's decimal(38,0) quotients). */
+  private val graphPagerankSql: String = {
+    val iters = 3
+    val chain = (1 to iters).map { k =>
+      s"c$k AS (SELECT ed.dst AS id, sum(r.rank // ed.dg) AS s " +
+        s"FROM ed JOIN r${k - 1} r ON r.id = ed.src GROUP BY 1), " +
+        s"r$k AS (SELECT n.id, " +
+        s"CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank " +
+        s"FROM n LEFT JOIN c$k c USING (id))"
+    }.mkString(",\n")
+    s"""WITH p AS ($dedupMinhashSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.dg FROM e JOIN deg d USING (src)),
+       |n AS (SELECT doc_id AS id FROM documents),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |$chain
+       |SELECT id AS doc_id, rank FROM r$iters""".stripMargin
+  }
+
+  /** Tokenizer-fit oracle: per-doc committed-BPE token counts aggregated
+    * by source, chars-per-token on the frac4 lattice. */
+  private val bpeCompressionSql =
+    s"""WITH t AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+       |  ${graft.ext.Bpe.tokenCountSqlOf("text")} AS nt FROM documents),
+       |a AS (SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1)
+       |SELECT source, n_chars, n_tokens,
+       |  ${frac4Sql("n_chars", "n_tokens")} AS chars_per_token
+       |FROM a""".stripMargin
+
+  /** Cohen's-kappa oracle: confusion matrix from the shared langId CTEs,
+    * marginal products in HUGEINT, observed/expected agreement on the q6
+    * lattice, kappa as one exact-integer IEEE division. */
+  private val langidKappaSql =
+    s"""WITH $langCtes,
+       |conf AS (SELECT d.lang AS actual, l.lang_id AS pred, count(*) AS n
+       |  FROM documents d JOIN lang l USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+       |  CAST(coalesce(sum(CASE WHEN actual = pred THEN n END), 0) AS BIGINT)
+       |    AS diag FROM conf),
+       |rm AS (SELECT actual AS label, sum(n) AS rm FROM conf GROUP BY 1),
+       |cm AS (SELECT pred AS label, sum(n) AS cm FROM conf GROUP BY 1),
+       |rcv AS (SELECT coalesce(sum(rm.rm * cm.cm), 0) AS rc
+       |  FROM rm JOIN cm USING (label)),
+       |l6 AS (SELECT n, (diag * 1000000) // n AS po6,
+       |  (rc * 1000000) // (n * n) AS pe6 FROM tot, rcv)
+       |SELECT n, CAST(po6 AS DOUBLE) / 1000000.0 AS po,
+       |  CAST(pe6 AS DOUBLE) / 1000000.0 AS pe,
+       |  CASE WHEN pe6 < 1000000
+       |    THEN CAST(po6 - pe6 AS DOUBLE) / CAST(1000000 - pe6 AS DOUBLE)
+       |    ELSE 0.0 END AS kappa
+       |FROM l6""".stripMargin
+
   /** Held-out eval oracle: hash-split the corpus, train profiles on the
     * train bucket only, score + grade the test bucket only. */
   private val classifyEvalSplitSql =
@@ -2444,6 +2741,19 @@ object ExtQueries {
        |  FROM qbase),
        |qsc AS (SELECT doc_id, lang, source, n_chars,
        |  CAST(${qualityQ4Sql("text", "ws", "h_en")} AS BIGINT) AS q4 FROM qh)""".stripMargin
+
+  /** Curriculum-order oracle: quality decile + salt hash from the shared
+    * scored CTEs; the windowed row_number here is the oracle's
+    * convenience — the Spark side's position is the distributed gapless
+    * index over the same total order. */
+  private val curriculumSql =
+    s"""WITH $qualityScoredCtes,
+       |b AS (SELECT doc_id, q4 // 1000 AS bucket,
+       |  ${hexIntSql("('cur:' || CAST(doc_id AS VARCHAR))")} AS h FROM qsc)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(row_number() OVER (ORDER BY bucket DESC, h ASC, doc_id ASC)
+       |    AS BIGINT) AS pos
+       |FROM b""".stripMargin
 
   private def frac6Sql(num: String, den: String): String =
     s"""CASE WHEN coalesce($den, 0) > 0
@@ -2673,6 +2983,80 @@ object ExtQueries {
       |  CAST(sum(df) AS BIGINT) AS df_sum,
       |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS typicality
       |FROM tris JOIN dfc USING (tri) GROUP BY doc_id""".stripMargin
+
+  /** Duplicate-family size histogram oracle: the recursive connected-
+    * components oracle wrapped in two lattice-sized aggregations. */
+  private val dedupClusterSizesSql =
+    s"""SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM (SELECT cluster_id, count(*) AS sz
+       |      FROM ($dedupClustersSql) GROUP BY 1)
+       |GROUP BY 1""".stripMargin
+
+  /** ANN recall oracle: the brute-force and IVF chains joined on
+    * (query_id, neighbor_id), per-query hit counts on the frac4 grid. */
+  private val simRecallEvalSql =
+    s"""WITH t AS ($simTopKSql),
+       |p AS ($simIvfSql),
+       |h AS (SELECT p.query_id, count(*) AS hits
+       |  FROM p JOIN t USING (query_id, neighbor_id) GROUP BY 1),
+       |kk AS (SELECT query_id, count(*) AS k FROM t GROUP BY 1)
+       |SELECT kk.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  kk.k, ${frac4Sql("coalesce(h.hits, 0)", "kk.k")} AS recall
+       |FROM kk LEFT JOIN h USING (query_id)""".stripMargin
+
+  /** Spearman oracle: unique-rank row_numbers over the joined subset
+    * with the same (score, doc_id) tiebreak, exact Σd², one IEEE
+    * division for ρ. */
+  private val evalRankcorrSql =
+    s"""WITH $qualityScoredCtes,
+       |tris AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 3) AS tri
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS p
+       |        FROM documents WHERE length(text) >= 3)),
+       |dfc AS (SELECT tri, CAST(count(*) AS BIGINT) AS df FROM tris GROUP BY tri),
+       |tt AS (SELECT doc_id, count(*) AS n_tris, CAST(sum(df) AS BIGINT) AS df_sum
+       |  FROM tris JOIN dfc USING (tri) GROUP BY doc_id),
+       |t6v AS (SELECT doc_id, (df_sum * 1000000) // n_tris AS t6 FROM tt),
+       |b AS (SELECT q.doc_id, q.q4, t.t6 FROM qsc q JOIN t6v t USING (doc_id)),
+       |r AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY q4 ASC, doc_id ASC) AS rq,
+       |  row_number() OVER (ORDER BY t6 ASC, doc_id ASC) AS rt FROM b),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  sum((rq - rt) * (rq - rt)) AS sum_d2 FROM r)
+       |SELECT n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       |  CASE WHEN n > 1
+       |    THEN CAST((n * n * n - n) - 6 * sum_d2 AS DOUBLE)
+       |       / CAST(n * n * n - n AS DOUBLE)
+       |    ELSE 0.0 END AS rho
+       |FROM agg""".stripMargin
+
+  /** Mixture-epoch oracle: per-source mass + index weight, budget shares
+    * and epochs on the exact floor lattice (HUGEINT for the decimal
+    * quotients). */
+  private val mixEpochsSql =
+    s"""WITH per AS (SELECT source AS stratum, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(substr(source, 4, 10) AS BIGINT) + 1 AS wt
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(wt) AS BIGINT) AS w_tot FROM per)
+       |SELECT stratum, n_docs, n_chars, wt,
+       |  CAST((wt * 100000) // w_tot AS BIGINT) AS target_chars,
+       |  CAST((wt * 100000 * 10000) // (w_tot * n_chars) AS DOUBLE) / 10000.0
+       |    AS epochs
+       |FROM per, t""".stripMargin
+
+  /** Bigram-coverage oracle: counts, deterministic (cnt desc, bigram)
+    * top-20, mass ratio on the frac4 grid. */
+  private val textNgramCoverageSql =
+    s"""WITH w AS (SELECT ${wordsSqlOf("text")} AS ws FROM documents),
+       |b AS (SELECT unnest(${Hashing.ngramsSql("ws", 2)}) AS bigram FROM w),
+       |c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY 1),
+       |top AS (SELECT CAST(sum(cnt) AS BIGINT) AS top_mass
+       |  FROM (SELECT cnt FROM c ORDER BY cnt DESC, bigram ASC LIMIT 20)),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |  CAST(count(*) AS BIGINT) AS n_distinct FROM c)
+       |SELECT total, n_distinct, top_mass,
+       |  ${frac4Sql("top_mass", "total")} AS coverage
+       |FROM tot, top""".stripMargin
 
   /** BM25 ranking CTE chain mirroring Curation.bm25TopDocs: same
     * rational-lattice per-term fraction (HUGEINT for decimal(38,0)), same
@@ -3041,6 +3425,16 @@ object ExtQueries {
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_containment_incr" -> dedupContainmentSql,
     "q_dedup_paragraph_incr" -> dedupParagraphSql,
+    "q_dedup_minhash_eval" -> dedupMinhashEvalSql,
+    "q_graph_pagerank" -> graphPagerankSql,
+    "q_bpe_compression" -> bpeCompressionSql,
+    "q_langid_kappa" -> langidKappaSql,
+    "q_curriculum" -> curriculumSql,
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
+    "q_sim_recall_eval" -> simRecallEvalSql,
+    "q_eval_rankcorr" -> evalRankcorrSql,
+    "q_mix_epochs" -> mixEpochsSql,
+    "q_text_ngram_coverage" -> textNgramCoverageSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

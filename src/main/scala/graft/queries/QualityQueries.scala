@@ -44,9 +44,18 @@ object QualityQueries {
     DataQuality.profileColumns(t(s, dir, "orders"),
       Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
 
+  /** Profile drift between the even- and odd-key halves of orders — the
+    * yesterday-vs-today promotion gate readout. */
+  def qProfileDrift(s: SparkSession, dir: String): DataFrame =
+    DataQuality.profileDrift(
+      t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0),
+      t(s, dir, "orders").filter(col("o_orderkey") % 2 === 1),
+      Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+
   def queries: Map[String, Q] = Map(
     "q_dq_report" -> (qDqReport _),
-    "q_profile_columns" -> (qProfileColumns _))
+    "q_profile_columns" -> (qProfileColumns _),
+    "q_profile_drift" -> (qProfileDrift _))
 
   // =================================================== DuckDB oracles
 
@@ -114,7 +123,25 @@ object QualityQueries {
     Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
       .map(profileBranches("orders", _)).mkString("\nUNION ALL\n")
 
+  /** Drift oracle: the same profile branches over each half, full-outer
+    * joined with a null-safe changed verdict. */
+  private def profileSliceSql(pred: String): String =
+    Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .map(profileBranches(s"(SELECT * FROM orders WHERE $pred)", _))
+      .mkString("\nUNION ALL\n")
+
+  private val profileDriftSql =
+    s"""WITH a AS (${profileSliceSql("o_orderkey % 2 = 0")}),
+       |b AS (${profileSliceSql("o_orderkey % 2 = 1")})
+       |SELECT coalesce(a.col_name, b.col_name) AS col_name,
+       |  coalesce(a.metric, b.metric) AS metric,
+       |  a.value AS value_old, b.value AS value_new,
+       |  (a.value IS DISTINCT FROM b.value) AS changed
+       |FROM a FULL OUTER JOIN b
+       |  ON a.col_name = b.col_name AND a.metric = b.metric""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dq_report" -> dqReportSql,
-    "q_profile_columns" -> profileColumnsSql)
+    "q_profile_columns" -> profileColumnsSql,
+    "q_profile_drift" -> profileDriftSql)
 }

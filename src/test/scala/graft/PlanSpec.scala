@@ -498,4 +498,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("pagerank: supersteps are equi-joins + aggregates, no products") {
+    val p = plan("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // a window anywhere in the rank loop would funnel a superstep
+    assert(p.linesIterator.count(l => l.trim.startsWith("Window")) === 0,
+      p.take(3000))
+  }
+
+  test("rankcorr: global ranks are range-sorts, not one-task windows") {
+    val p = plan("q_eval_rankcorr")
+    assert(p.linesIterator.count(l => l.trim.startsWith("Window")) === 0,
+      s"corpus-wide window in plan:\n${p.take(3000)}")
+    assert(p.contains("Sort"), "expected range-partitioned sorts")
+  }
+
+  test("curriculum: global order is a range sort, position not a window") {
+    val p = plan("q_curriculum")
+    assert(p.linesIterator.count(l => l.trim.startsWith("Window")) === 0,
+      s"corpus-wide window in plan:\n${p.take(3000)}")
+  }
 }

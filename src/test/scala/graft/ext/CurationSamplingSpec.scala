@@ -177,4 +177,19 @@ class CurationSamplingSpec extends SparkSpec {
     assert(q(3L) > q(1L))
     assert(q(1L) === q(2L))
   }
+
+  test("mixEpochs: exact shares and floor-lattice epochs") {
+    // stratum a: weight 1, 200 chars; b: weight 3, 100 chars; budget 1000
+    val d = Seq((1L, "a", 120L), (2L, "a", 80L), (3L, "b", 100L))
+      .toDF("doc_id", "src", "n_chars")
+    val got = Curation.mixEpochs(d, col("src"),
+        s => when(s === "a", 1L).otherwise(3L), budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // a: target = ⌊1·1000/4⌋ = 250; epochs = ⌊1·1000·1e4/(4·200)⌋/1e4 = 1.25
+    assert(got("a") === ((2L, 200L, 1L, 250L, 1.25)))
+    // b: target = 750; epochs = ⌊3·1000·1e4/(4·100)⌋/1e4 = 7.5
+    assert(got("b") === ((1L, 100L, 3L, 750L, 7.5)))
+  }
 }

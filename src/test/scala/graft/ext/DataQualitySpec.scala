@@ -128,4 +128,18 @@ class DataQualitySpec extends SparkSpec {
     assert(m(("flag", "n_distinct")) === "3")
     assert(m(("flag", "min")) === "A" && m(("flag", "max")) === "X")
   }
+
+  test("profileDrift: null-safe changed verdict per (column, metric)") {
+    val old = Seq((1L, "A"), (2L, "B")).toDF("k", "flag")
+    val nw = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "flag")
+    val d = DataQuality.profileDrift(old, nw, Seq("k", "flag")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(d(("k", "n")) === (("2", "3", true)))
+    assert(d(("k", "min")) === (("1", "1", false)))
+    assert(d(("k", "max")) === (("2", "3", true)))
+    assert(d(("flag", "n_null")) === (("0", "0", false)))
+    assert(d(("flag", "max")) === (("B", "C", true)))
+    assert(d.size === 10)
+  }
 }

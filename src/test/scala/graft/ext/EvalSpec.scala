@@ -47,4 +47,28 @@ class EvalSpec extends SparkSpec {
     val at2 = got.find(_.getLong(0) == 2L).get
     assert((at2.getLong(1), at2.getLong(2)) === ((1L, 1L)))
   }
+
+  test("spearman: identical order 1.0, reversed −1.0, n=1 guard 0.0") {
+    val same = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 40L, 400L)).toDF("id", "a", "b")
+    val s = Eval.spearman(same, "id", "a", "b").collect().head
+    assert((s.getLong(1), s.getDouble(2)) === ((0L, 1.0)))
+    val rev = Seq((1L, 10L, 400L), (2L, 20L, 300L), (3L, 30L, 200L),
+      (4L, 40L, 100L)).toDF("id", "a", "b")
+    assert(Eval.spearman(rev, "id", "a", "b").collect().head
+      .getDouble(2) === -1.0)
+    val one = Seq((1L, 5L, 7L)).toDF("id", "a", "b")
+    assert(Eval.spearman(one, "id", "a", "b").collect().head
+      .getDouble(2) === 0.0)
+  }
+
+  test("spearman: hand-computed mid case with deterministic tie ranks") {
+    // a: 1,2,3 (by id on the tie 20,20); b: one swap
+    val df = Seq((1L, 20L, 1L), (2L, 20L, 3L), (3L, 30L, 2L))
+      .toDF("id", "a", "b")
+    // ranks a: id1→1, id2→2, id3→3; ranks b: id1→1, id2→3, id3→2
+    // Σd² = 0 + 1 + 1 = 2; ρ = 1 − 6·2/(3·8) = 0.5
+    val s = Eval.spearman(df, "id", "a", "b").collect().head
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2)) === ((3L, 2L, 0.5)))
+  }
 }
