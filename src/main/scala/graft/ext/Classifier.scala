@@ -91,6 +91,33 @@ object Classifier {
         (-col("best.ns")).as("score_q6"))
   }
 
+  /** [[predict]] plus the decision MARGIN: best score minus second-best
+    * (the doc's own evidence gap — what a routing threshold or a
+    * calibration curve bins on). Single-class docs report the full best
+    * score as margin (all evidence one way); no-overlap docs stay null.
+    * Tie rule matches [[predict]]: (score desc, label asc) at both rank
+    * positions. Per-doc class lists are ≤ #classes long, so the
+    * collect+sort aggregate is bounded — never corpus-shaped. */
+  def predictWithMargin(docs: DataFrame, profiles: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(idCol),
+      explode(words(lower(col(textCol)))).as("gram"))
+    val perClass = occ.join(profiles, Seq("gram"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("w_q6")).as("score_q6"))
+    val top2 = perClass.groupBy(col(idCol))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score_q6")).as("ns"), col("label")))), 1, 2).as("t2"))
+    val s1 = -col("t2")(0).getField("ns")
+    val s2 = -col("t2")(1).getField("ns")
+    docs.select(col(idCol))
+      .join(top2, Seq(idCol), "left")
+      .select(col(idCol),
+        col("t2")(0).getField("label").as("predicted"),
+        s1.as("score_q6"),
+        when(size(col("t2")) > 1, s1 - s2).otherwise(s1).as("margin_q6"))
+  }
+
   /** Classifier evaluation against gold labels: per-class counts,
     * true positives, and fixed-point precision / recall / F1 — the
     * readout that gates a router/filter model before it touches the

@@ -69,4 +69,89 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs-and-authorities over a DIRECTED edge list, on the same
+    * exact integer lattice: per iteration, authority(v) = Σ_{u→v} hub(u)
+    * and hub(v) = Σ_{v→u} auth(u), each renormalized so the maximum is
+    * `scale` (⌊x·scale/max⌋ — the float L2 norm of the textbook
+    * formulation would be engine-dependent; max-normalization keeps the
+    * fixed point and is exact). Over an id-ordered near-dup pair graph
+    * (old doc → newer copy), hubs are the much-copied ORIGINALS and
+    * authorities the accumulating COPIES.
+    *
+    * Scale: two equi-join + groupBy passes per iteration over (id, long)
+    * pairs; the per-step max is a 1-row aggregate broadcast back — no
+    * corpus-wide window, no product. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+      .localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    def normalized(raw: DataFrame, vCol: String): DataFrame = {
+      val mx = raw.agg(max(col(vCol)).as("mx"))
+      ids.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("mx") > 0,
+            fdiv(coalesce(col(vCol), lit(0L)) * lit(scale), col("mx")))
+            .otherwise(lit(0L)).as(vCol))
+    }
+    var hub = ids.select(col("id"), lit(scale).as("hub"))
+    var auth = ids.select(col("id"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
+        "auth")
+      hub = normalized(
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
+        "hub")
+    }
+    hub.join(auth, Seq("id"))
+  }
+
+  /** Label propagation for graph-based weak supervision: seed nodes keep
+    * their label; each round, an unlabeled node adopts the MAJORITY
+    * label among its labeled in-neighbors (count desc, label asc on
+    * ties — deterministic). `seeds` carries (id, label); nodes absent
+    * from it start unlabeled. Rounds are monotone (labels only appear,
+    * never change), so the result is exact regardless of execution
+    * order.
+    *
+    * Scale: per round one equi-join (edges ⋈ labeled on src) + one
+    * (dst, label) count aggregate + one struct-min argmax aggregate —
+    * the majority vote is an AGGREGATE, never a per-node window. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+      .localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val seeded = ids.join(
+      seeds.select(col(seeds.columns.head).as("id"),
+        col(seeds.columns(1)).as("lbl")), Seq("id"), "left")
+      .select(col("id"), col("lbl"),
+        col("lbl").isNotNull.as("is_seed"))
+    var cur = seeded.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(cur.filter(col("lbl").isNotNull)
+          .select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .as("top"))
+        .select(col("id"), col("top.l").as("vote"))
+      cur = cur.join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("vote")).as("lbl"),
+          col("is_seed"))
+        .localCheckpoint(true)
+    }
+    cur.select(col("id"), col("lbl"),
+      when(col("is_seed"), lit("seed"))
+        .when(col("lbl").isNotNull, lit("propagated"))
+        .otherwise(lit("none")).as("origin"))
+  }
 }

@@ -252,4 +252,65 @@ object TextAnalysis {
         col("f_nwords") * col("f_word_len") * col("f_symbol") *
           col("f_stopwords") * col("f_dup_words"))
   }
+
+  /** Terminator-run sentence split: `[.!?]+\s+`. Deliberately
+    * lookbehind-free — RE2 engines (DuckDB) reject lookbehind, and the
+    * oracle must split with the IDENTICAL pattern; each sentence's
+    * trailing terminator run is consumed by the split, which both sides
+    * then agree on. Empty fragments are dropped. */
+  val sentenceSplitRegex = "[.!?]+\\s+"
+  def sentences(text: Column): Column =
+    filter(split(text, sentenceSplitRegex), s => length(s) > 0)
+
+  /** Per-doc sentence-shape datasheet: count, mean chars (frac4 floor
+    * lattice), max chars — the granularity readout sentence-boundary
+    * chunking is tuned against. One scan, no shuffle. */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ss = sentences(col(textCol))
+    val n = size(ss).cast("long")
+    val totalChars = coalesce(
+      aggregate(ss, lit(0L), (acc, s) => acc + length(s)), lit(0L))
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0, ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    docs.select(col(idCol), n.as("n_sentences"),
+      totalChars.as("total_chars"),
+      frac4(totalChars, n).as("mean_sentence_chars"),
+      coalesce(array_max(transform(ss, s => length(s).cast("long"))), lit(0L))
+        .as("max_sentence_chars"))
+  }
+
+  /** Sentence-preserving chunking: sentences land in chunks by
+    * cumulative-character bucket (`chunk_id = ⌊chars_before/budget⌋`) —
+    * a sentence never splits across chunks, and chunk boundaries are a
+    * pure function of the text. The cumulative sum windows PER DOC
+    * (bounded input — a document's own sentences), never corpus-wide.
+    * Output: (id, chunk_id, n_sentences, chunk_chars, chunk_text). */
+  def chunkBySentences(docs: DataFrame, budget: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, "chunkBySentences: budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs
+      .select(col(idCol), posexplode(sentences(col(textCol)))
+        .as(Seq("pos", "sentence")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    exploded
+      .select(col(idCol), col("pos"), col("sentence"),
+        coalesce(sum(length(col("sentence")).cast("long")).over(w), lit(0L))
+          .as("before"))
+      .select(col(idCol),
+        ((col("before") - pmod(col("before"), lit(budget.toLong))) /
+          lit(budget.toLong)).cast("long").as("chunk_id"),
+        col("pos"), col("sentence"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(length(col("sentence")).cast("long")).as("chunk_chars"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sentence")))),
+          p => p.getField("sentence"))).as("chunk_text"))
+  }
 }

@@ -965,6 +965,95 @@ object ExtQueries {
       col("top_mass"), frac4Col(col("top_mass"), col("total")).as("coverage"))
   }
 
+  /** HITS over the id-ordered near-dup pair graph (older doc → newer
+    * copy): hubs = much-copied originals, authorities = accumulating
+    * copies — the complementary centrality to q_graph_pagerank's
+    * undirected hub score. 2 exact integer iterations, max-normalized. */
+  def qGraphHits(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val p = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ext.Graph.hits(d.select(col("doc_id")), p, iters = 2)
+      .select(col("id").as("doc_id"), col("hub"), col("auth"))
+  }
+
+  /** Label propagation for weak supervision: even-id docs seed their
+    * gold source label; 2 majority-vote rounds push labels across the
+    * symmetrized near-dup graph to the unlabeled half. Near-copies of a
+    * labeled doc inherit its label — the cheap annotation amplifier. */
+  def qGraphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val p = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+    graft.ext.Graph.labelPropagation(d.select(col("doc_id")), e, seeds,
+        iters = 2)
+      .select(col("id").as("doc_id"), col("lbl").as("label"), col("origin"))
+  }
+
+  /** Per-doc sentence-shape datasheet (count / mean / max chars) — the
+    * granularity readout sentence-boundary chunking is tuned against. */
+  def qTextSentences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentenceStats(docs(s, dir))
+
+  /** Sentence-preserving chunking at a 200-char budget: sentences land
+    * in chunks by cumulative-char bucket — RAG/window prep that never
+    * splits a sentence. */
+  def qTextChunkSentences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkBySentences(docs(s, dir), budget = 200)
+
+  /** Packing-efficiency datasheet over the 256-token/8-bucket greedy
+    * pack: per bucket, sequences filled, fill fraction and boundary-
+    * crossing docs — the batch-efficiency number a training loader
+    * watches. */
+  def qPackEval(s: SparkSession, dir: String): DataFrame = {
+    val p = Curation.packSequences(docs(s, dir), budgetTokens = 256,
+      buckets = 8)
+    p.groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(when(col("seq_offset") + col("tokens") > 256, 1L)
+          .otherwise(0L)).as("n_overflow"))
+      .select(col("bucket"), col("n_docs"), col("n_seqs"),
+        col("total_tokens"), col("n_overflow"),
+        frac4Col(col("total_tokens"), col("n_seqs") * lit(256L))
+          .as("fill_frac"))
+  }
+
+  /** Calibration curve for the centroid classifier: accuracy by
+    * RELATIVE-margin bin — per-mille margin ⌊1000·(s₁−s₂)/s₁⌋ bucketed
+    * on power-of-two edges (<1‰, <2‰, <4‰, … <256‰, ≥256‰), scale-free
+    * and resolution-matched to the head-heavy margin distribution a
+    * many-class centroid model actually produces. Does a bigger
+    * evidence gap mean a more trustworthy routing decision? The
+    * threshold-picking readout for selective classification. */
+  def qClassifyCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pm = Classifier.predictWithMargin(d,
+      Classifier.classProfiles(d, "source"))
+    def fdivL(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val mpm = when(col("score_q6") > 0,
+      fdivL(col("margin_q6") * 1000L, col("score_q6"))).otherwise(lit(0L))
+    val bin = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L).zipWithIndex
+      .foldRight(lit(9L): Column) { case ((edge, i), acc) =>
+        when(mpm < edge, i.toLong).otherwise(acc)
+      }
+    val binned = pm.filter(col("predicted").isNotNull)
+      .select(col("doc_id"), col("predicted"), bin.as("bin"))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("source"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        frac4Col(col("n_correct"), col("n")).as("accuracy"))
+  }
+
   /** Domain cap: at most 60 docs per source, preferring quality. */
   def qCurationDomaincap(s: SparkSession, dir: String): DataFrame =
     Curation.capPerGroup(docs(s, dir), col("source"), cap = 60)
@@ -1149,6 +1238,12 @@ object ExtQueries {
     "q_eval_rankcorr" -> (qEvalRankcorr _),
     "q_mix_epochs" -> (qMixEpochs _),
     "q_text_ngram_coverage" -> (qTextNgramCoverage _),
+    "q_text_sentences" -> (qTextSentences _),
+    "q_text_chunk_sentences" -> (qTextChunkSentences _),
+    "q_pack_eval" -> (qPackEval _),
+    "q_classify_calibration" -> (qClassifyCalibration _),
+    "q_graph_hits" -> (qGraphHits _),
+    "q_graph_labelprop" -> (qGraphLabelprop _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -3058,6 +3153,142 @@ object ExtQueries {
        |  ${frac4Sql("top_mass", "total")} AS coverage
        |FROM tot, top""".stripMargin
 
+  /** Shared sentence-split CTE: the IDENTICAL lookbehind-free
+    * terminator-run pattern as TextAnalysis.sentences (RE2 has no
+    * lookbehind, so the engine side deliberately matches down). */
+  private val sentencesCte =
+    """ssx AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '[.!?]+\s+'), s -> len(s) > 0)
+      |    AS ss FROM documents)""".stripMargin
+
+  private val textSentencesSql =
+    s"""WITH $sentencesCte,
+       |t AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+       |  CAST(coalesce(list_sum(list_transform(ss, s -> len(s))), 0)
+       |    AS BIGINT) AS total_chars,
+       |  CAST(coalesce(list_max(list_transform(ss, s -> CAST(len(s) AS BIGINT))), 0)
+       |    AS BIGINT) AS max_sentence_chars
+       |  FROM ssx)
+       |SELECT doc_id, n_sentences, total_chars,
+       |  ${frac4Sql("total_chars", "n_sentences")} AS mean_sentence_chars,
+       |  max_sentence_chars
+       |FROM t""".stripMargin
+
+  /** Sentence-chunking oracle: positions via range+index, exclusive
+    * prefix sums per doc, cumulative-char bucket, ordered string_agg. */
+  private val textChunkSentencesSql =
+    s"""WITH $sentencesCte,
+       |e AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    ss[CAST(pos AS BIGINT)] AS sentence
+       |  FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS pos
+       |        FROM ssx)),
+       |o AS (SELECT doc_id, pos, sentence,
+       |  coalesce(sum(len(sentence)) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM e)
+       |SELECT doc_id, CAST(before // 200 AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_sentences,
+       |  CAST(sum(len(sentence)) AS BIGINT) AS chunk_chars,
+       |  string_agg(sentence, ' ' ORDER BY pos) AS chunk_text
+       |FROM o GROUP BY doc_id, before // 200""".stripMargin
+
+  /** Pack-efficiency oracle: the pack table re-aggregated per bucket. */
+  private val packEvalSql =
+    s"""WITH p AS ($textPackSql)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |  CAST(coalesce(sum(CASE WHEN seq_offset + tokens > 256 THEN 1
+       |    ELSE 0 END), 0) AS BIGINT) AS n_overflow,
+       |  ${frac4Sql("CAST(sum(tokens) AS BIGINT)",
+          "count(DISTINCT seq_id) * 256")} AS fill_frac
+       |FROM p GROUP BY bucket""".stripMargin
+
+  /** Calibration oracle: per_class re-ranked for the second-best score
+    * (same tie rule as `best`), relative-margin decile, accuracy per
+    * bin on the frac4 grid. */
+  private val classifyCalibrationSql =
+    s"""WITH ${graft.ext.Classifier.classifierCtes("source")},
+       |second AS (SELECT doc_id, score_q6 AS s2 FROM (
+       |  SELECT doc_id, score_q6, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_q6 DESC, label) AS rn FROM per_class)
+       |  WHERE rn = 2),
+       |m AS (SELECT b.doc_id, b.predicted, b.score_q6,
+       |  coalesce(b.score_q6 - s.s2, b.score_q6) AS margin
+       |  FROM best b LEFT JOIN second s USING (doc_id)),
+       |pm AS (SELECT m.doc_id, m.predicted, d.source,
+       |  CASE WHEN m.score_q6 > 0
+       |    THEN (m.margin * 1000) // m.score_q6 ELSE 0 END AS mpm
+       |  FROM m JOIN documents d USING (doc_id)),
+       |binned AS (SELECT doc_id, predicted, source,
+       |  CASE WHEN mpm < 1 THEN 0 WHEN mpm < 2 THEN 1 WHEN mpm < 4 THEN 2
+       |       WHEN mpm < 8 THEN 3 WHEN mpm < 16 THEN 4 WHEN mpm < 32 THEN 5
+       |       WHEN mpm < 64 THEN 6 WHEN mpm < 128 THEN 7
+       |       WHEN mpm < 256 THEN 8 ELSE 9 END AS bin
+       |  FROM pm)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(coalesce(sum(CASE WHEN predicted = source THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_correct,
+       |  ${frac4Sql(
+          "coalesce(sum(CASE WHEN predicted = source THEN 1 ELSE 0 END), 0)",
+          "count(*)")} AS accuracy
+       |FROM binned GROUP BY bin""".stripMargin
+
+  /** HITS oracle: the identical max-normalized integer iterations
+    * unrolled over the directed (id_a → id_b) pair graph. */
+  private val graphHitsSql: String = {
+    val iters = 2
+    def norm(k: Int, raw: String, vCol: String) =
+      s"${vCol}${k}r AS (SELECT $raw), " +
+        s"${vCol}${k}m AS (SELECT max(v) AS mx FROM ${vCol}${k}r), " +
+        s"${vCol}$k AS (SELECT n.id, CASE WHEN mx > 0 THEN " +
+        s"(coalesce(r.v, 0) * 1000000) // mx ELSE 0 END AS $vCol " +
+        s"FROM n LEFT JOIN ${vCol}${k}r r USING (id) CROSS JOIN ${vCol}${k}m)"
+    val chain = (1 to iters).map { k =>
+      val hPrev = if (k == 1) "h0" else s"hub${k - 1}"
+      norm(k, s"e.dst AS id, sum(h.hub) AS v FROM e JOIN $hPrev h " +
+        s"ON h.id = e.src GROUP BY e.dst", "auth") + ",\n" +
+        norm(k, s"e.src AS id, sum(a.auth) AS v FROM e JOIN auth$k a " +
+          s"ON a.id = e.dst GROUP BY e.src", "hub")
+    }.mkString(",\n")
+    s"""WITH p AS ($dedupMinhashSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p),
+       |n AS (SELECT doc_id AS id FROM documents),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM n),
+       |$chain
+       |SELECT n.id AS doc_id, CAST(h.hub AS BIGINT) AS hub,
+       |  CAST(a.auth AS BIGINT) AS auth
+       |FROM n JOIN hub$iters h USING (id) JOIN auth$iters a USING (id)""".stripMargin
+  }
+
+  /** Label-propagation oracle: 2 unrolled majority-vote rounds with the
+    * (count desc, label asc) tie rule as a ROW_NUMBER pick. */
+  private val graphLabelpropSql: String = {
+    val iters = 2
+    val rounds = (1 to iters).map { k =>
+      s"""v$k AS (SELECT e.dst AS id, l.lbl, count(*) AS cnt
+         |  FROM e JOIN l${k - 1} l ON l.id = e.src AND l.lbl IS NOT NULL
+         |  GROUP BY 1, 2),
+         |w$k AS (SELECT id, lbl AS vote FROM (
+         |  SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY cnt DESC, lbl) AS rn FROM v$k) WHERE rn = 1),
+         |l$k AS (SELECT l.id, coalesce(l.lbl, w.vote) AS lbl, l.is_seed
+         |  FROM l${k - 1} l LEFT JOIN w$k w USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS ($dedupMinhashSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |l0 AS (SELECT doc_id AS id,
+       |  CASE WHEN doc_id % 2 = 0 THEN source END AS lbl,
+       |  doc_id % 2 = 0 AS is_seed FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, lbl AS label,
+       |  CASE WHEN is_seed THEN 'seed'
+       |       WHEN lbl IS NOT NULL THEN 'propagated'
+       |       ELSE 'none' END AS origin
+       |FROM l$iters""".stripMargin
+  }
+
   /** BM25 ranking CTE chain mirroring Curation.bm25TopDocs: same
     * rational-lattice per-term fraction (HUGEINT for decimal(38,0)), same
     * 10⁻⁶ floor grid, same integer sum and (score desc, doc_id) ranking
@@ -3435,6 +3666,12 @@ object ExtQueries {
     "q_eval_rankcorr" -> evalRankcorrSql,
     "q_mix_epochs" -> mixEpochsSql,
     "q_text_ngram_coverage" -> textNgramCoverageSql,
+    "q_text_sentences" -> textSentencesSql,
+    "q_text_chunk_sentences" -> textChunkSentencesSql,
+    "q_pack_eval" -> packEvalSql,
+    "q_classify_calibration" -> classifyCalibrationSql,
+    "q_graph_hits" -> graphHitsSql,
+    "q_graph_labelprop" -> graphLabelpropSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

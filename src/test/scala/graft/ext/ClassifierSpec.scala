@@ -103,4 +103,29 @@ class ClassifierSpec extends SparkSpec {
     assert(got.getString(1) === "web")
     assert(got.getLong(2) === 749999L)
   }
+
+  test("predictWithMargin: gap to second-best; single-class margin = s1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the dog runs", "web"), (2L, "the dog sat", "web"),
+      (3L, "def foo bar", "code"), (4L, "def bar baz", "code"))
+      .toDF("doc_id", "text", "source")
+    val prof = Classifier.classProfiles(docs, "source")
+    val m = Classifier.predictWithMargin(
+      Seq((10L, "the def"), (11L, "dog dog"), (12L, "zzz unseen"))
+        .toDF("doc_id", "text"), prof)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 10 scores BOTH classes → margin = s1 − s2 with the same
+    // winner/tie rule as predict
+    val both = m(10L)
+    val p = Classifier.predict(
+      Seq((10L, "the def")).toDF("doc_id", "text"), prof).collect().head
+    assert(both.getString(1) === p.getString(1))
+    assert(both.getLong(3) < both.getLong(2))
+    // doc 11 only hits 'web' vocabulary → margin = full best score
+    assert(m(11L).getString(1) === "web")
+    assert(m(11L).getLong(3) === m(11L).getLong(2))
+    // doc 12: no overlap → null prediction, null margin
+    assert(m(12L).isNullAt(1) && m(12L).isNullAt(3))
+  }
 }

@@ -44,6 +44,69 @@ class GraphSpec extends SparkSpec {
     assert(r2(1L) === 150000L + 85L * (1000000L + 150000L) / 100L)
   }
 
+  test("hits: star graph — center is the authority, leaves the hubs") {
+    // 1,2,3 all point at 4
+    val r = Graph.hits(Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id"),
+        Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst"), iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    // auth: only 4 receives (3·1e6 raw) → normalized 1e6; hub: each
+    // leaf's raw = auth(4) = 1e6, max-normalized to 1e6
+    assert(r(4L) === ((0L, 1000000L)))
+    assert(r(1L) === ((1000000L, 0L)))
+    assert(r(1L) === r(2L) && r(2L) === r(3L))
+    assert(r(5L) === ((0L, 0L))) // isolated: no in- or out-edges
+  }
+
+  test("hits: unequal in-degrees normalize against the max") {
+    // 1→3, 2→3, 1→4: auth raw 3: 2e6, 4: 1e6 → 1e6 and 500000
+    val r = Graph.hits(Seq(1L, 2L, 3L, 4L).toDF("doc_id"),
+        Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst"), iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r(3L)._2 === 1000000L)
+    assert(r(4L)._2 === 500000L)
+    // hub raw: 1 → auth(3)+auth(4) = 1.5e6 (max), 2 → 1e6 → 666666
+    assert(r(1L)._1 === 1000000L)
+    assert(r(2L)._1 === 666666L)
+  }
+
+  test("label propagation: majority vote with deterministic tie rule") {
+    // seeds: 1=a, 2=b, 3=b; node 4 hears {a, b, b} → b; node 5 hears
+    // {a, b} → tie → label asc → a; node 6 unreachable stays none
+    val nodes = (1L to 6L).toDF("doc_id")
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L), (1L, 5L), (2L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "label")
+    val r = Graph.labelPropagation(nodes, e, seeds, iters = 1)
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.getString(1)), x.getString(2)))).toMap
+    assert(r(4L) === ((Some("b"), "propagated")))
+    assert(r(5L) === ((Some("a"), "propagated")))
+    assert(r(6L) === ((None, "none")))
+    assert(r(1L) === ((Some("a"), "seed")))
+  }
+
+  test("label propagation: labels reach distance 2 in round 2, seeds never flip") {
+    // chain 1(seed a) → 2 → 3; 2 also seeded b: seed wins over vote
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(nodes, e,
+        Seq((1L, "a")).toDF("id", "label"), iters = 1)
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r1(3L) === None) // distance 2 not reached in one round
+    val r2 = Graph.labelPropagation(nodes, e,
+        Seq((1L, "a")).toDF("id", "label"), iters = 2)
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r2(2L) === Some("a") && r2(3L) === Some("a"))
+    val seeded = Graph.labelPropagation(nodes, e,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "label"), iters = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.getString(1)), x.getString(2)))).toMap
+    assert(seeded(2L) === ((Some("b"), "seed"))) // vote never flips a seed
+    assert(seeded(3L) === ((Some("b"), "propagated")))
+  }
+
   test("hub in a symmetrized near-dup clique outranks isolated nodes") {
     // 1-2-3 all mutual near-dups (symmetrized clique), 4..9 isolated
     val clique = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))

@@ -137,4 +137,33 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(out.view.mapValues(_.getDouble(3)).toMap === again)
   }
+
+  test("sentenceStats: terminator runs split; trailing text keeps its dot") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "One two. Three four! Five?? Six."),
+      (2L, "No terminators here"),
+      (3L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.sentenceStats(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // "One two" (7) / "Three four" (10) / "Five" (4) / "Six." (4, keeps
+    // the final dot — no trailing whitespace to consume it)
+    assert(m(1L) === ((4L, 25L, 6.25, 10L)))
+    assert(m(2L) === ((1L, 19L, 19.0, 19L)))
+    assert(m(3L) === ((0L, 0L, 0.0, 0L)))
+  }
+
+  test("chunkBySentences: cumulative-char buckets never split a sentence") {
+    import spark.implicits._
+    // sentence lens 7, 10, 4: before = 0, 7, 17 → budget 10 gives
+    // chunks 0 (s1+s2: before 0 and 7) and 1 (s3: before 17)
+    val d = Seq((1L, "One two. Three four! Five.")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentences(d, budget = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      (0L, 2L, 17L, "One two Three four"),
+      (1L, 1L, 5L, "Five.")))
+  }
 }
