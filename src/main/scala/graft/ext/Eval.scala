@@ -109,7 +109,7 @@ object Eval {
     val dd = col("__r1") - col("__r2")
     rankBy(c1, "__r1").join(rankBy(c2, "__r2"), idCol)
       .agg(count(lit(1)).as("n"),
-        sum((dd * dd).cast(dec)).as("sum_d2"))
+        coalesce(sum((dd * dd).cast(dec)), lit(0L).cast(dec)).as("sum_d2"))
       .select(col("n"), col("sum_d2").cast("long").as("sum_d2"), {
         val den = (col("n").cast(dec) * col("n") * col("n") - col("n"))
           .cast(dec)

@@ -145,6 +145,48 @@ class EdgeCasesSpec extends SparkSpec {
     assert(solo.getLong(3) === 1000000L && solo.getLong(4) === 10000L)
   }
 
+  test("round-11 operators on empty and degenerate inputs") {
+    import graft.ext.{DataQuality, Eval, Graph}
+    val noNodes = Seq.empty[Long].toDF("doc_id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("doc_id")
+
+    // graph ops: empty edge set → every node at base/zero/unlabeled;
+    // empty node set → empty result, no exception
+    val pr = Graph.pageRank(nodes, noEdges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === Map(1L -> 150000L, 2L -> 150000L))
+    assert(Graph.pageRank(noNodes, noEdges, iters = 1).count() === 0)
+    val h = Graph.hits(nodes, noEdges, iters = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(h === Set((0L, 0L)))
+    val lp = Graph.labelPropagation(nodes, noEdges,
+      Seq.empty[(Long, String)].toDF("id", "label"), iters = 1).collect()
+    assert(lp.forall(r => r.isNullAt(1) && r.getString(2) == "none"))
+
+    // spearman on an empty frame: one row of zeros, rho guard 0.0
+    val sp = Eval.spearman(Seq.empty[(Long, Long, Long)]
+      .toDF("id", "a", "b"), "id", "a", "b").collect().head
+    assert((sp.getLong(0), sp.getLong(1), sp.getDouble(2)) === ((0L, 0L, 0.0)))
+
+    // mixEpochs on an empty corpus → empty plan; profileDrift where a
+    // column exists on both sides of an empty slice pair behaves
+    assert(Curation.mixEpochs(Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "src", "n_chars"), col("src"), identity, 100L)
+      .count() === 0)
+    val dEmpty = Seq.empty[(Long, String)].toDF("k", "flag")
+    val drift = DataQuality.profileDrift(dEmpty, dEmpty, Seq("k")).collect()
+    assert(drift.length === 5 && drift.forall(!_.getBoolean(4)))
+
+    // sentence ops: blank and terminator-free docs
+    val sdocs = Seq((1L, ""), (2L, "   "), (3L, "abc")).toDF("doc_id", "text")
+    val ss = TextAnalysis.sentenceStats(sdocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ss(1L) === 0L && ss(3L) === 1L)
+    assert(TextAnalysis.chunkBySentences(sdocs, budget = 10)
+      .filter(col("doc_id") === 1L).count() === 0)
+  }
+
   test("as-of join with an empty right side keeps all left rows with nulls") {
     val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "r1"))
       .toDF("k", "ts", "reading")
