@@ -771,21 +771,47 @@ object ExtQueries {
     * metric is trivially 1.0.) Three 1-row aggregates cross-joined
     * broadcast-style (J3 shape) — no corpus-sized shuffle beyond the
     * two pair pipelines themselves. */
-  def qDedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val truth = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val pred = Dedup.minhashNearDups(d, threshold = 0.5)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val nT = truth.agg(count(lit(1)).as("n_true"))
-    val nP = pred.agg(count(lit(1)).as("n_pred"))
-    val tp = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+  /** Pair-set grading shared by the dedup-approximation evals:
+    * (id_a, id_b) prediction pairs vs ground-truth pairs → one row of
+    * precision/recall/F1 on the frac4 lattice. Three 1-row aggregates
+    * cross-joined broadcast-style (J3 shape). */
+  private def pairSetEval(truth: DataFrame, pred: DataFrame): DataFrame = {
+    val t = truth.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p = pred.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nT = t.agg(count(lit(1)).as("n_true"))
+    val nP = p.agg(count(lit(1)).as("n_pred"))
+    val tp = p.join(t, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("tp"))
     nT.crossJoin(nP).crossJoin(tp).select(
       col("n_true"), col("n_pred"), col("tp"),
       frac4Col(col("tp"), col("n_pred")).as("precision"),
       frac4Col(col("tp"), col("n_true")).as("recall"),
       frac4Col(col("tp") * 2L, col("n_true") + col("n_pred")).as("f1"))
+  }
+
+  def qDedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    pairSetEval(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5),
+      Dedup.minhashNearDups(d, threshold = 0.5))
+  }
+
+  /** SimHash graded against the exact pairs: hamming ≤ 3 is a PURE
+    * sketch decision (no jaccard verify step), so this is the honest
+    * precision/recall of the 64-bit fingerprint itself. */
+  def qDedupSimhashEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    pairSetEval(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5),
+      Dedup.simhashNearDups(d, maxDist = 3))
+  }
+
+  /** Winnowing fingerprint graded against the exact pairs: candidates
+    * come from gram-extreme collisions and ARE jaccard-verified, so
+    * precision stays high and the number under test is candidate
+    * recall. */
+  def qDedupFingerprintEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    pairSetEval(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5),
+      Dedup.fingerprintNearDups(d, threshold = 0.5))
   }
 
   /** Template-hub centrality: PageRank (3 exact integer iterations) over
@@ -1229,6 +1255,8 @@ object ExtQueries {
     "q_dedup_containment_incr" -> (qDedupContainmentIncr _),
     "q_dedup_paragraph_incr" -> (qDedupParagraphIncr _),
     "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
+    "q_dedup_simhash_eval" -> (qDedupSimhashEval _),
+    "q_dedup_fingerprint_eval" -> (qDedupFingerprintEval _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_bpe_compression" -> (qBpeCompression _),
     "q_langid_kappa" -> (qLangidKappa _),
@@ -2741,12 +2769,14 @@ object ExtQueries {
        |  FROM documents d LEFT JOIN lang l USING (doc_id)),
        |${confusionTailSql}""".stripMargin
 
-  /** Dedup-approximation eval oracle: both full pair chains (exact
-    * df-capped n-gram Jaccard as truth, MinHash+LSH as prediction), then
-    * set-overlap precision/recall/F1 on the shared frac4 lattice. */
-  private val dedupMinhashEvalSql =
-    s"""WITH t AS ($dedupNgramJaccardSql),
-       |p AS ($dedupMinhashSql),
+  /** Dedup-approximation eval oracle generator: both full pair chains
+    * (exact df-capped n-gram Jaccard as truth, a sketch pipeline as
+    * prediction), then set-overlap precision/recall/F1 on the shared
+    * frac4 lattice. Pairs are projected to (id_a, id_b) before the
+    * overlap join so extra chain columns can never collide. */
+  private def pairEvalSqlOf(truthSql: String, predSql: String): String =
+    s"""WITH t AS (SELECT id_a, id_b FROM ($truthSql)),
+       |p AS (SELECT id_a, id_b FROM ($predSql)),
        |tpc AS (SELECT count(*) AS tp FROM p JOIN t USING (id_a, id_b)),
        |ntc AS (SELECT count(*) AS n_true FROM t),
        |npc AS (SELECT count(*) AS n_pred FROM p)
@@ -2755,6 +2785,13 @@ object ExtQueries {
        |  ${frac4Sql("tp", "n_true")} AS recall,
        |  ${frac4Sql("2 * tp", "n_true + n_pred")} AS f1
        |FROM ntc, npc, tpc""".stripMargin
+
+  private val dedupMinhashEvalSql =
+    pairEvalSqlOf(dedupNgramJaccardSql, dedupMinhashSql)
+  private val dedupSimhashEvalSql =
+    pairEvalSqlOf(dedupNgramJaccardSql, dedupSimhashSql)
+  private val dedupFingerprintEvalSql =
+    pairEvalSqlOf(dedupNgramJaccardSql, dedupFingerprintSql)
 
   /** PageRank oracle: the identical integer iterations unrolled as CTEs
     * over the symmetrized MinHash pair graph (sums run in HUGEINT, the
@@ -3657,6 +3694,8 @@ object ExtQueries {
     "q_dedup_containment_incr" -> dedupContainmentSql,
     "q_dedup_paragraph_incr" -> dedupParagraphSql,
     "q_dedup_minhash_eval" -> dedupMinhashEvalSql,
+    "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
+    "q_dedup_fingerprint_eval" -> dedupFingerprintEvalSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_bpe_compression" -> bpeCompressionSql,
     "q_langid_kappa" -> langidKappaSql,
