@@ -222,7 +222,19 @@ object Bench {
       println(s"[benchgate] NOTE probe ${f"$probeMax%.2f"}s exceeds the " +
         "committed envelope: this window is CONTENDED — treat the FAIL " +
         "as machine noise unless it reproduces on an ok-probe run")
-    println(longLine(results, sfDir, second, probeMax, env))
+    val fullLine = longLine(results, sfDir, second, probeMax, env)
+    println(fullLine)
+    // the driver's BENCH_r*.json keeps only a truncated tail of the long
+    // line (~60 of 227 queries survive), so ALSO persist the complete
+    // per-query record (with probe + gate verdict) to a committed file —
+    // every timing of every round stays inspectable (VERDICT r11 #4)
+    try {
+      val rec = fullLine.dropRight(1) + s""","gate":"$gate"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (rec + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+    }
     // the per-query line above has outgrown the driver's tail window (the
     // sbt [success] footer truncates it from the front → BENCH_r1-r4 all
     // record "parsed": null), so ALSO emit a compact summary LAST: the

@@ -40,7 +40,10 @@ object ScaleCheck {
     "q_sketch_cms", "q_emb_project", "q_sim_topk_proj", "q_retrieval_mmr",
     // r11 additions: graph iteration, approximation evals, global-order
     "q_graph_pagerank", "q_dedup_minhash_eval", "q_sim_recall_eval",
-    "q_eval_rankcorr", "q_curriculum")
+    "q_eval_rankcorr", "q_curriculum",
+    // r12 additions: the full graph family (VERDICT r11 #1 — HITS was
+    // the one found scale-killer) and the capped SemDeDup
+    "q_graph_hits", "q_graph_labelprop", "q_dedup_semantic_cap")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

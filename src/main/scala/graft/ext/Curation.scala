@@ -903,8 +903,14 @@ object Curation {
       col("stratum"), col("n_docs"), col("n_chars"), col("wt"),
       fdiv(col("wt").cast(dec) * lit(budget), col("w_tot")).cast("long")
         .as("target_chars"),
-      (fdiv(col("wt").cast(dec) * lit(budget) * lit(10000L),
-        col("w_tot").cast(dec) * col("n_chars")).cast("double") / 10000.0)
+      // An all-empty stratum (n_chars = 0) would zero the denominator:
+      // Spark decimal division yields null where DuckDB raises — guard
+      // on BOTH sides (matching CASE in mixEpochsSql) so the engines
+      // agree that a zero-char stratum gets 0.0 epochs.
+      when(col("n_chars") > 0,
+        fdiv(col("wt").cast(dec) * lit(budget) * lit(10000L),
+          col("w_tot").cast(dec) * col("n_chars")).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
         .as("epochs"))
   }
 }

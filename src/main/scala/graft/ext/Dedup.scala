@@ -628,11 +628,21 @@ object Dedup {
     * k-means fit is [[KMeans.fit]]'s integer-lattice Lloyd (centroids
     * collect driver-side, assignment is a zero-shuffle literal
     * projection); the pair join shuffles each cluster's members to one
-    * task — AQE skew-split handles a fat cluster, and a quality-first
-    * variant would pre-cap cluster size. */
+    * task — AQE skew-split handles a moderately fat cluster, and
+    * `witnessCap` is the hard guard: when > 0, only the `witnessCap`
+    * smallest-id members of each cluster act as WITNESSES (the a-side
+    * of the pair join), so one degenerate giant cluster costs at most
+    * cap·|cluster| comparisons instead of |cluster|². Every member is
+    * still probed (b-side), and because the keep policy already
+    * privileges small ids the capped witness set is exactly the members
+    * that survive an uncapped scan's earliest picks; a doc whose ONLY
+    * in-threshold witnesses rank beyond the cap is conservatively kept
+    * (dedup misses, never over-drops). The witness ranking itself is a
+    * window over (cent_id, id) pairs — two longs per row, never the
+    * embedding vectors. */
   def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
       threshold: Double = 0.4, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", witnessCap: Int = 0): DataFrame = {
     val cents = KMeans.fit(emb, k, iters, 1, idCol, embCol)
     val asg = KMeans.assignments(emb, cents, idCol, embCol)
       .select(col("id"), col("cent_id")).localCheckpoint(true)
@@ -640,7 +650,14 @@ object Dedup {
         Similarity.toDouble(col(embCol)).as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
     val m = asg.join(v, Seq("id"))
-    val pairs = m.as("a").join(m.as("b"),
+    val aSide = if (witnessCap > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cent_id")).orderBy(col("id"))
+      val witnessIds = asg.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= witnessCap).select(col("id"))
+      m.join(witnessIds, Seq("id"), "left_semi")
+    } else m
+    val pairs = aSide.as("a").join(m.as("b"),
         col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(Similarity.dot(col("a.v"), col("b.v")) /
@@ -704,11 +721,15 @@ object Dedup {
     * families own long text); the join is an equi-join on segment
     * content, never a product. Known hazard: low-entropy shared
     * prefixes (e.g. a constant "Customer#" prefix) produce hot blocks —
-    * at skewed scale wrap the join with [[graft.ops.SkewJoin]] salting
-    * or raise segment count; entropy-rich keys block evenly. */
+    * `saltFactor > 1` spreads each hot segment over that many reducer
+    * partitions via [[graft.ops.SkewJoin]] (probe side salted, segment
+    * side replicated; multiplicity preserved exactly, so the result is
+    * identical). Entropy-rich keys block evenly at saltFactor = 1. */
   def editDistancePairs(df: DataFrame, maxDist: Int = 1,
-      idCol: String = "id", strCol: String = "s"): DataFrame = {
+      idCol: String = "id", strCol: String = "s",
+      saltFactor: Int = 1): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val d = maxDist
     val k = d + 1
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -745,7 +766,10 @@ object Dedup {
       .select(col("id").as("id_a"), col("s").as("s_a"), col("n").as("n_a"))
     val shortish = base.filter(col("n") <= 2 * d)
       .select(col("id").as("id_b"), col("s").as("s_b"), col("n").as("n_b"))
-    val segPairs = segs.join(probes, "seg")
+    val segPairs = (if (saltFactor > 1)
+        graft.ops.SkewJoin.saltedInnerJoin(probes, segs, Seq("seg"),
+          saltFactor)
+      else segs.join(probes, "seg"))
       .select(col("id_a"), col("s_a"), col("n_a"),
         col("id_b"), col("s_b"), col("n_b"))
     val cand = segPairs.unionByName(broadcast(tiny).crossJoin(shortish))

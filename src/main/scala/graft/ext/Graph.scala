@@ -62,10 +62,15 @@ object Graph {
       val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), fdiv(col("rank"), col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      // damp·s must leave int64 BEFORE the product: s is bounded by the
+      // total rank mass (~n·scale), so 85·s wraps around n≈1e11 docs if
+      // multiplied as longs. Cast to decimal(38,0) first; fdiv then
+      // floor-divides in the same lattice.
       ranks = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + fdiv(lit(damp.toLong) * coalesce(col("s"), lit(0L)),
-            lit(100L))).as("rank"))
+          (lit(base) + fdiv(lit(damp.toLong).cast("decimal(38,0)") *
+            coalesce(col("s"), lit(0L)), lit(100L))).as("rank"))
+        .localCheckpoint(true)
     }
     ranks
   }
@@ -88,12 +93,23 @@ object Graph {
     val ids = nodes.select(col(nodes.columns.head).as("id"))
       .localCheckpoint(true)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    def normalized(raw: DataFrame, vCol: String): DataFrame = {
+    // `raw` is referenced twice below (the 1-row max and the left join);
+    // checkpointing it first means the aggregate subtree is computed
+    // once and — critically — the per-iteration lineage stays CONSTANT
+    // depth instead of ~4×-ing per iteration (each un-checkpointed
+    // normalized() would re-embed the previous iteration's whole plan
+    // twice). Same discipline labelPropagation applies to `cur`.
+    // The v·scale product leaves int64 BEFORE multiplying: raw sums
+    // reach scale·indegree, so v·1000000 wraps as a long once a hub's
+    // in-degree exceeds ~9.2e6 — plausible for boilerplate hubs.
+    def normalized(rawPlan: DataFrame, vCol: String): DataFrame = {
+      val raw = rawPlan.localCheckpoint(true)
       val mx = raw.agg(max(col(vCol)).as("mx"))
       ids.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
         .select(col("id"),
           when(col("mx") > 0,
-            fdiv(coalesce(col(vCol), lit(0L)) * lit(scale), col("mx")))
+            fdiv(coalesce(col(vCol), lit(0L)).cast("decimal(38,0)") *
+              lit(scale), col("mx")))
             .otherwise(lit(0L)).as(vCol))
     }
     var hub = ids.select(col("id"), lit(scale).as("hub"))

@@ -680,6 +680,14 @@ object ExtQueries {
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(emb(s, dir), k = 8, iters = 2, threshold = 0.4)
 
+  /** SemDeDup under the fat-cluster guard: witnessCap=3 BINDS at test
+    * scale (clusters run tens of members), so the oracle verifies the
+    * capped a-side semantics themselves — cap·|cluster| pair cost, a
+    * doc is dropped only by one of its cluster's 3 smallest ids. */
+  def qDedupSemanticCap(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(emb(s, dir), k = 8, iters = 2, threshold = 0.4,
+      witnessCap = 3)
+
   /** Char-budget greedy fill per source (quality-first): the mixture
     * schedule's per-stratum budget knob realized as a kept-docs list. */
   def qMixBudget(s: SparkSession, dir: String): DataFrame =
@@ -761,16 +769,6 @@ object ExtQueries {
       .otherwise(lit(0.0))
   }
 
-  /** Dedup-approximation eval: the MinHash+LSH near-dup pairs graded
-    * against the exact df-capped n-gram-Jaccard pairs at the same 0.5
-    * threshold — precision/recall/F1 of the sketch against ground truth,
-    * the number a pipeline owner needs before trusting LSH at a scale
-    * where the exact pass is unaffordable. (The two chains intentionally
-    * differ: LSH banding can miss true pairs, and its uncapped shingle
-    * space scores pairs the df-capped exact index drops, so neither
-    * metric is trivially 1.0.) Three 1-row aggregates cross-joined
-    * broadcast-style (J3 shape) — no corpus-sized shuffle beyond the
-    * two pair pipelines themselves. */
   /** Pair-set grading shared by the dedup-approximation evals:
     * (id_a, id_b) prediction pairs vs ground-truth pairs → one row of
     * precision/recall/F1 on the frac4 lattice. Three 1-row aggregates
@@ -789,6 +787,14 @@ object ExtQueries {
       frac4Col(col("tp") * 2L, col("n_true") + col("n_pred")).as("f1"))
   }
 
+  /** Dedup-approximation eval: the MinHash+LSH near-dup pairs graded
+    * against the exact df-capped n-gram-Jaccard pairs at the same 0.5
+    * threshold — precision/recall/F1 of the sketch against ground truth,
+    * the number a pipeline owner needs before trusting LSH at a scale
+    * where the exact pass is unaffordable. (The two chains intentionally
+    * differ: LSH banding can miss true pairs, and its uncapped shingle
+    * space scores pairs the df-capped exact index drops, so neither
+    * metric is trivially 1.0.) */
   def qDedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     pairSetEval(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5),
@@ -825,9 +831,17 @@ object ExtQueries {
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    graft.ext.Graph.pageRank(d.select(col("doc_id")), e, iters = 3)
+    graft.ext.Graph.pageRank(d.select(col("doc_id")), e,
+      iters = prIters, damp = prDamp, scale = prScale)
       .select(col("id").as("doc_id"), col("rank"))
   }
+
+  /** PageRank parameters shared by qGraphPagerank and its oracle — the
+    * oracle's literals are DERIVED from these, so changing the Spark
+    * call can't silently desync the SQL. */
+  private val prIters = 3
+  private val prDamp = 85
+  private val prScale = 1000000L
 
   /** Tokenizer-fit datasheet: chars-per-token by source under the
     * committed BPE merges — the compression readout that says which
@@ -1246,6 +1260,7 @@ object ExtQueries {
     "q_eval_roc" -> (qEvalRoc _),
     "q_eval_auc" -> (qEvalAuc _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_cap" -> (qDedupSemanticCap _),
     "q_mix_budget" -> (qMixBudget _),
     "q_decontam_matrix" -> (qDecontamMatrix _),
     "q_dedup_impact" -> (qDedupImpact _),
@@ -2797,12 +2812,13 @@ object ExtQueries {
     * over the symmetrized MinHash pair graph (sums run in HUGEINT, the
     * 128-bit twin of the Spark side's decimal(38,0) quotients). */
   private val graphPagerankSql: String = {
-    val iters = 3
-    val chain = (1 to iters).map { k =>
+    val base = prScale * (100 - prDamp) / 100
+    val chain = (1 to prIters).map { k =>
       s"c$k AS (SELECT ed.dst AS id, sum(r.rank // ed.dg) AS s " +
         s"FROM ed JOIN r${k - 1} r ON r.id = ed.src GROUP BY 1), " +
         s"r$k AS (SELECT n.id, " +
-        s"CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank " +
+        s"CAST($base + ($prDamp * coalesce(c.s, 0)) // 100 AS BIGINT)" +
+        s" AS rank " +
         s"FROM n LEFT JOIN c$k c USING (id))"
     }.mkString(",\n")
     s"""WITH p AS ($dedupMinhashSql),
@@ -2811,9 +2827,9 @@ object ExtQueries {
        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
        |ed AS (SELECT e.src, e.dst, d.dg FROM e JOIN deg d USING (src)),
        |n AS (SELECT doc_id AS id FROM documents),
-       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |r0 AS (SELECT id, CAST($prScale AS BIGINT) AS rank FROM n),
        |$chain
-       |SELECT id AS doc_id, rank FROM r$iters""".stripMargin
+       |SELECT id AS doc_id, rank FROM r$prIters""".stripMargin
   }
 
   /** Tokenizer-fit oracle: per-doc committed-BPE token counts aggregated
@@ -2931,8 +2947,15 @@ object ExtQueries {
 
   /** SemDeDup oracle: the shared k-means chain (k=8, 2 sweeps) assigns
     * clusters; within-cluster pairwise rounded-6dp cosine over the
-    * ORIGINAL double embeddings flags smaller-id witnesses. */
-  private val dedupSemanticSql =
+    * ORIGINAL double embeddings flags smaller-id witnesses. `cap > 0`
+    * mirrors the engine's witnessCap: only the cap smallest-id members
+    * of each cluster sit on the a-side of the pair scan. */
+  private def dedupSemanticSqlOf(cap: Int): String = {
+    val aSide = if (cap > 0)
+      s"""(SELECT * FROM (SELECT sm.*, row_number() OVER
+         |  (PARTITION BY cent_id ORDER BY id) AS rk FROM sm)
+         |  WHERE rk <= $cap)""".stripMargin
+    else "sm"
     s"""WITH ${kmeansCtes(8, 2)},
        |${kmeansAssignSql("af", "c2", "e")},
        |sv AS (SELECT vec_id AS id,
@@ -2946,7 +2969,7 @@ object ExtQueries {
        |  SELECT a.id AS id_a, b.id AS id_b,
        |    round(list_sum(list_transform(range(1, len(a.dv) + 1),
        |      i -> a.dv[i] * b.dv[i])) / (a.nv * b.nv), 6) AS cos
-       |  FROM sm a JOIN sm b ON a.cent_id = b.cent_id AND a.id < b.id)
+       |  FROM $aSide a JOIN sm b ON a.cent_id = b.cent_id AND a.id < b.id)
        |  WHERE cos >= 0.4),
        |sd AS (SELECT id_b AS id, CAST(min(id_a) AS BIGINT) AS dup_of,
        |  CAST(count(*) AS BIGINT) AS n_dups_smaller FROM sp GROUP BY 1)
@@ -2954,6 +2977,9 @@ object ExtQueries {
        |  coalesce(sd.n_dups_smaller, 0) AS n_dups_smaller,
        |  CAST(CASE WHEN sd.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM af LEFT JOIN sd USING (id)""".stripMargin
+  }
+  private val dedupSemanticSql = dedupSemanticSqlOf(0)
+  private val dedupSemanticCapSql = dedupSemanticSqlOf(3)
 
   /** Budget-fill oracle: greedy quality-first prefix per source until
     * 2000 chars (kept iff cumulative-before < budget). */
@@ -3172,8 +3198,10 @@ object ExtQueries {
        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS w_tot FROM per)
        |SELECT stratum, n_docs, n_chars, wt,
        |  CAST((wt * 100000) // w_tot AS BIGINT) AS target_chars,
-       |  CAST((wt * 100000 * 10000) // (w_tot * n_chars) AS DOUBLE) / 10000.0
-       |    AS epochs
+       |  CASE WHEN n_chars > 0
+       |    THEN CAST((wt * 100000 * 10000) // (w_tot * n_chars) AS DOUBLE)
+       |       / 10000.0
+       |    ELSE 0.0 END AS epochs
        |FROM per, t""".stripMargin
 
   /** Bigram-coverage oracle: counts, deterministic (cnt desc, bigram)
@@ -3685,6 +3713,7 @@ object ExtQueries {
     "q_eval_roc" -> evalRocSql,
     "q_eval_auc" -> evalAucSql,
     "q_dedup_semantic" -> dedupSemanticSql,
+    "q_dedup_semantic_cap" -> dedupSemanticCapSql,
     "q_mix_budget" -> mixBudgetSql,
     "q_decontam_matrix" -> decontamMatrixSql,
     "q_dedup_impact" -> dedupImpactSql,

@@ -138,6 +138,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(tail, 1, "id", "s").count() === 1L)
   }
 
+  test("edit-distance pairs: hot shared prefix — salted run is pair-identical") {
+    // the documented hazard corpus: a constant "Customer#" prefix makes
+    // every string share low-entropy segments (hot blocks). Salting must
+    // change PLACEMENT only: the pair set is exactly the unsalted one.
+    val rows = (0 until 60).map(i => (i.toLong, f"Customer#${i / 10}%04d"))
+      .toDF("id", "s")
+    def pairSet(salt: Int) =
+      Dedup.editDistancePairs(rows, 1, "id", "s", saltFactor = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = pairSet(1)
+    assert(plain.nonEmpty, "fixture must produce distance-1 pairs")
+    assert(pairSet(8) === plain)
+  }
+
+  test("semanticDedup witnessCap: bounded witnesses, conservative keeps") {
+    // k = 1: one cluster of 4. Uncapped, only 3 drops (witness 2). With
+    // witnessCap = 2 the witness set {1, 2} still contains 3's witness →
+    // same result; with witnessCap = 1 the only witness is 1, so 3 is
+    // conservatively KEPT — the cap can under-drop, never over-drop.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.99f, 0.01f, 0.0f)),  // twin of 2 only
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))    // nobody's twin
+      .toDF("vec_id", "embedding")
+    def keeps(cap: Int) =
+      Dedup.semanticDedup(e, k = 1, iters = 2, threshold = 0.9,
+        witnessCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(keeps(0) === Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    assert(keeps(2) === Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // cap = 1: only doc 1 witnesses; 3's witness (2) is outside → kept
+    assert(keeps(1) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // a cap at least the cluster size is exactly the uncapped result
+    assert(keeps(10) === keeps(0))
+  }
+
   test("span excision: first instance survives, later ones cut, clean docs intact") {
     val passage = "0123456789ABCDEFGHIJKLMNOPQRS" // 29 chars — 10 repeated 20-grams
     // the shared MAXIMAL span is " <passage> " (31 chars): the

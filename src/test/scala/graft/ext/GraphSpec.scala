@@ -71,6 +71,41 @@ class GraphSpec extends SparkSpec {
     assert(r(2L)._1 === 666666L)
   }
 
+  test("hits/pageRank: per-iteration checkpoints keep the final plan " +
+      "constant in iters (VERDICT r11 #1 — was 86 exchanges at iters=2)") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)).size
+    val h2 = exchanges(Graph.hits(nodes, e, iters = 2))
+    val h4 = exchanges(Graph.hits(nodes, e, iters = 4))
+    assert(h2 === h4, s"hits plan grows with iters: $h2 -> $h4")
+    // the constant is the last hub/auth normalization pair + final join
+    // (measured 16; was 86 and ~4×/iter before the checkpoints)
+    assert(h2 <= 18, s"hits final plan carries $h2 exchanges")
+    val p2 = exchanges(Graph.pageRank(nodes, e, iters = 2))
+    val p4 = exchanges(Graph.pageRank(nodes, e, iters = 4))
+    assert(p2 === p4, s"pageRank plan grows with iters: $p2 -> $p4")
+  }
+
+  test("hits: in-degree at the long-wrap boundary normalizes exactly " +
+      "(decimal product, ADVICE r11)") {
+    // raw auth = hub·indeg = 1e6·2e4 = 2e10; ×scale as a LONG would be
+    // 2e16 (fine) — but the REGRESSION bound is the contract: the
+    // product runs in decimal(38,0), so even indeg ≈ 1e13 can't wrap.
+    // Verify the lattice stays exact on a wide star (hand-checkable).
+    val n = 200
+    val nodes = (0L to n.toLong).toDF("doc_id")
+    val e = (1 to n).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val r = Graph.hits(nodes, e, iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r(0L)._2 === 1000000L)       // sole authority, normalized max
+    assert(r(1L)._1 === 1000000L)       // every leaf an equal hub
+    assert(r(0L)._1 === 0L)
+  }
+
   test("label propagation: majority vote with deterministic tie rule") {
     // seeds: 1=a, 2=b, 3=b; node 4 hears {a, b, b} → b; node 5 hears
     // {a, b} → tie → label asc → a; node 6 unreachable stays none

@@ -6,7 +6,11 @@ DuckDB against the sf parquet tables, compare to the Verify parquet dumps
 Optional 3rd arg: path to write a JSON summary (per-query status +
 totals) — committed as CORRECTNESS_LOCAL.json so a round always carries
 a hard, non-empty correctness record even if the driver's own artifact
-lands empty (VERDICT r10 #2)."""
+lands empty (VERDICT r10 #2). A sibling file <path>_driver.json is
+written in the DRIVER's per-query schema ({rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}) so consumers of the
+CORRECTNESS_r*.json format can read the committed fallback directly
+(VERDICT r11 #3)."""
 import sys, json, glob, os, time
 import duckdb
 import pandas as pd
@@ -15,6 +19,14 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 summary_path = sys.argv[3] if len(sys.argv) > 3 else None
 status = {}
+driver = {}  # driver-schema twin of `status`
+
+
+def driver_rec(rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+    return {"rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -45,28 +57,43 @@ def fail(name, why):
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
-        fail(name, "no spark output"); continue
+        fail(name, "no spark output")
+        driver[name] = driver_rec(err="no spark output"); continue
     try:
         got = con.execute(
             f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchdf()
         exp = con.execute(sql).fetchdf()
     except Exception as e:
-        fail(name, str(e)); continue
+        fail(name, str(e))
+        driver[name] = driver_rec(err=str(e)); continue
     if sorted(got.columns) != sorted(exp.columns):
         fail(name, f"cols spark={sorted(got.columns)} duck={sorted(exp.columns)}")
+        driver[name] = driver_rec(
+            rows_match=(len(got) == len(exp)), schema_match=False,
+            spark_rows=len(got), oracle_rows=len(exp))
         continue
     g, e = canon(got), canon(exp)
     if len(g) != len(e):
-        fail(name, f"rows spark={len(g)} duck={len(e)}"); continue
+        fail(name, f"rows spark={len(g)} duck={len(e)}")
+        driver[name] = driver_rec(
+            rows_match=False, schema_match=True,
+            spark_rows=len(g), oracle_rows=len(e))
+        continue
     gh, eh = frame_hash(g), frame_hash(e)
     if gh != eh:
         bad = [i for i, (a, b) in enumerate(zip(gh, eh)) if a != b][:3]
         fail(name, f"value mismatch at rows {bad}")
+        driver[name] = driver_rec(
+            rows_match=True, schema_match=True, hash_match=False,
+            spark_rows=len(g), oracle_rows=len(e))
         for i in bad[:2]:
             print(f"   spark={gh[i]}")
             print(f"   duck ={eh[i]}")
         continue
     status[name] = {"pass": True, "rows": len(g)}
+    driver[name] = driver_rec(
+        rows_match=True, schema_match=True, hash_match=True,
+        spark_rows=len(g), oracle_rows=len(e))
     print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
 
 # queries without oracle → rows-only check
@@ -87,4 +114,10 @@ if summary_path:
                    "queries": status}, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {summary_path}")
+    stem = summary_path[:-5] if summary_path.endswith(".json") else summary_path
+    driver_path = stem + "_driver.json"
+    with open(driver_path, "w") as f:
+        json.dump(driver, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {driver_path} (driver schema, {len(driver)} queries)")
 sys.exit(1 if n_fail else 0)
