@@ -127,6 +127,79 @@ object Graph {
     hub.join(auth, Seq("id"))
   }
 
+  /** Triangle counts + local clustering coefficient over an UNDIRECTED
+    * pair graph (e.g. the MinHash near-dup pairs): for a near-dup
+    * graph, triangle density separates tight template cliques (every
+    * copy resembles every other — high coefficient) from hub-and-spoke
+    * shapes (one boilerplate fragment shared pairwise — low), the
+    * readout that decides whether to collapse a cluster wholesale or
+    * keep its members.
+    *
+    * Algorithm: degree orientation (Suri & Vassilvitskii, WWW 2011 —
+    * "the curse of the last reducer"): orient every edge from the
+    * lower (deg, id) endpoint to the higher, enumerate wedges only
+    * from each vertex's ORIENTED out-neighbors, and close them
+    * against the oriented edge set. Out-degree under this orientation
+    * is O(√m) regardless of raw degree, so a 10⁷-degree boilerplate
+    * hub contributes O(m) wedges, not 10¹⁴ — wedge volume is bounded
+    * by Σ outdeg² ≤ m^1.5 corpus-wide. All joins are equi-joins on
+    * vertex ids; counts are exact integers.
+    *
+    * Output: (id, deg, tri, lcc) per node — lcc = ⌊2·tri·10⁴ /
+    * (deg·(deg−1))⌋/10⁴ on the frac4 lattice, 0.0 for deg < 2. */
+  def triangles(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+      .localCheckpoint(true)
+    // e is referenced twice (degree count + orientation join) — without
+    // the checkpoint the whole upstream pair chain would run twice
+    val e = pairs
+      .select(col(pairs.columns.head).as("u"), col(pairs.columns(1)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val lt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge src→dst with dst's (deg, id) rank carried for the
+    // wedge ordering (the closing edge is then oriented a.dst→b.dst)
+    val o = withDeg.select(
+        when(lt, col("u")).otherwise(col("v")).as("src"),
+        when(lt, col("v")).otherwise(col("u")).as("dst"),
+        when(lt, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint(true)
+    val tri = o.as("a").join(o.as("b"),
+        col("a.src") === col("b.src") &&
+          (col("a.ddst") < col("b.ddst") ||
+            (col("a.ddst") === col("b.ddst") &&
+              col("a.dst") < col("b.dst"))))
+      .select(col("a.src").as("t1"), col("a.dst").as("t2"),
+        col("b.dst").as("t3"))
+      .join(o.select(col("src").as("t2"), col("dst").as("t3")),
+        Seq("t2", "t3"), "left_semi")
+    val cnt = tri.select(col("t1").as("id"))
+      .unionAll(tri.select(col("t2").as("id")))
+      .unionAll(tri.select(col("t3").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    ids.join(deg, Seq("id"), "left").join(cnt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .select(col("id"), col("deg"), col("tri"), {
+        val num = lit(2L) * col("tri") * lit(10000L)
+        val den = col("deg") * (col("deg") - lit(1L))
+        when(col("deg") >= 2L,
+          ((num - pmod(num, den)) / den).cast("double") / 10000.0)
+          .otherwise(lit(0.0)).as("lcc")
+      })
+  }
+
   /** Label propagation for graph-based weak supervision: seed nodes keep
     * their label; each round, an unlabeled node adopts the MAJORITY
     * label among its labeled in-neighbors (count desc, label asc on

@@ -257,6 +257,61 @@ object TextAnalysis {
           col("f_stopwords") * col("f_dup_words"))
   }
 
+  /** Add-one-smoothed bigram language-model score per document — the
+    * LM-filter slot of a CCNet-shaped pipeline (Wenzek et al. 2020:
+    * docs whose text the corpus LM finds improbable are boilerplate,
+    * gibberish, or wrong-language): the corpus trains the model and
+    * then every doc is scored against it, all inside the engine.
+    *
+    * Exact integer lattice (hash-stable in any engine): for each
+    * bigram occurrence, P(w2|w1) is scored as
+    * ppm = ⌊(c(w1,w2)+1)·10⁶ / (c(w1·)+V)⌋ — add-one smoothing over
+    * the successor vocabulary V — and the doc score is the floor mean
+    * ⌊Σ ppm / n_bigrams⌋. The product runs in decimal(38,0): c+1 can
+    * exceed the int64·10⁶ window at corpus scale. A geometric-mean
+    * (log-space) form would be the textbook perplexity but floats
+    * flake across engines; the arithmetic ppm mean ranks documents
+    * the same way for a filter threshold.
+    *
+    * Scale shape: ONE corpus bigram-count shuffle (map-side combined,
+    * model is vocab²-bounded but heavy-tail small); c(w1·) derives
+    * from the model by a vocab-sized aggregate; V is a 1-row
+    * broadcast; scoring is one occurrences⋈model equi-join on the
+    * bigram string (AQE skew-split handles hot function-word bigrams)
+    * + one per-doc sum. Docs with < 2 words score 0 over 0 bigrams. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b = docs.select(col(idCol),
+      explode(ngrams(words(col(textCol)), 2)).as("bg"))
+    val c12 = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("vv"))
+    val model = c12
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"), {
+        val num = (col("c12") + lit(1L)).cast(dec) * lit(1000000L)
+        val den = (col("c1") + col("vv")).cast(dec)
+        floor(num / den).cast("long").as("ppm")
+      })
+    val scored = b.join(model, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        ((col("s") - pmod(col("s"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long").as("lm_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
+  }
+
   /** Terminator-run sentence split: `[.!?]+\s+`. Deliberately
     * lookbehind-free — RE2 engines (DuckDB) reject lookbehind, and the
     * oracle must split with the IDENTICAL pattern; each sentence's

@@ -843,6 +843,22 @@ object ExtQueries {
   private val prDamp = 85
   private val prScale = 1000000L
 
+  /** Triangle census of the near-dup graph: tight template cliques
+    * (high local clustering) vs hub-and-spoke boilerplate shapes (low)
+    * — the collapse-wholesale-or-inspect readout per document. */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val p = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    graft.ext.Graph.triangles(d.select(col("doc_id")), p)
+      .select(col("id").as("doc_id"), col("deg"), col("tri"), col("lcc"))
+  }
+
+  /** Corpus-trained bigram-LM score per doc (the CCNet LM-filter slot):
+    * train and score in one query, exact ppm lattice. */
+  def qTextLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(docs(s, dir))
+
   /** Tokenizer-fit datasheet: chars-per-token by source under the
     * committed BPE merges — the compression readout that says which
     * domains the tokenizer serves poorly (code/URLs fragment into many
@@ -1287,6 +1303,8 @@ object ExtQueries {
     "q_classify_calibration" -> (qClassifyCalibration _),
     "q_graph_hits" -> (qGraphHits _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_text_lm_score" -> (qTextLmScore _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -2832,6 +2850,62 @@ object ExtQueries {
        |SELECT id AS doc_id, rank FROM r$prIters""".stripMargin
   }
 
+  /** Triangle-census oracle: the identical degree-orientation chain
+    * (Suri & Vassilvitskii) over the MinHash pair graph — wedges from
+    * oriented out-neighbors, EXISTS-closed, per-node counts, lcc on the
+    * frac4 lattice. */
+  private val graphTrianglesSql =
+    s"""WITH p AS ($dedupMinhashSql),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p),
+       |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+       |wd AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv,
+       |    (du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)) AS lt
+       |  FROM e JOIN dg du ON du.id = e.u JOIN dg dv ON dv.id = e.v),
+       |o AS (SELECT CASE WHEN lt THEN u ELSE v END AS src,
+       |    CASE WHEN lt THEN v ELSE u END AS dst,
+       |    CASE WHEN lt THEN dv ELSE du END AS ddst FROM wd),
+       |tr AS (SELECT a.src AS t1, a.dst AS t2, b.dst AS t3
+       |  FROM o a JOIN o b ON a.src = b.src AND
+       |    (a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst))
+       |  WHERE EXISTS (SELECT 1 FROM o c
+       |    WHERE c.src = a.dst AND c.dst = b.dst)),
+       |ct AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM
+       |  (SELECT t1 AS id FROM tr UNION ALL SELECT t2 FROM tr
+       |   UNION ALL SELECT t3 FROM tr) GROUP BY 1)
+       |SELECT n.doc_id, coalesce(dg.deg, 0) AS deg,
+       |  coalesce(ct.tri, 0) AS tri,
+       |  CASE WHEN coalesce(dg.deg, 0) >= 2
+       |    THEN CAST((2 * coalesce(ct.tri, 0) * 10000)
+       |           // (dg.deg * (dg.deg - 1)) AS DOUBLE) / 10000.0
+       |    ELSE 0.0 END AS lcc
+       |FROM (SELECT doc_id FROM documents) n
+       |LEFT JOIN dg ON dg.id = n.doc_id
+       |LEFT JOIN ct ON ct.id = n.doc_id""".stripMargin
+
+  /** Bigram-LM oracle: identical train+score chain — add-one ppm per
+    * bigram over the successor vocabulary, floor-mean per doc. */
+  private val textLmScoreSql =
+    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
+       |  FROM documents),
+       |b AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 2)}) AS bg
+       |  FROM w),
+       |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+       |  FROM b GROUP BY 1),
+       |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |    CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vv FROM
+       |  (SELECT unnest(ws) AS w FROM w)),
+       |m AS (SELECT bg,
+       |    CAST(((c12 + 1) * 1000000) // (c1 + vv) AS BIGINT) AS ppm
+       |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, vv),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(ppm) // count(*) AS BIGINT) AS lm_ppm
+       |  FROM b JOIN m USING (bg) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.lm_ppm, 0) AS lm_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   /** Tokenizer-fit oracle: per-doc committed-BPE token counts aggregated
     * by source, chars-per-token on the frac4 lattice. */
   private val bpeCompressionSql =
@@ -3740,6 +3814,8 @@ object ExtQueries {
     "q_classify_calibration" -> classifyCalibrationSql,
     "q_graph_hits" -> graphHitsSql,
     "q_graph_labelprop" -> graphLabelpropSql,
+    "q_graph_triangles" -> graphTrianglesSql,
+    "q_text_lm_score" -> textLmScoreSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

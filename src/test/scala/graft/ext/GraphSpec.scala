@@ -106,6 +106,36 @@ class GraphSpec extends SparkSpec {
     assert(r(0L)._1 === 0L)
   }
 
+  test("triangles: cliques count, stars don't, lcc on the frac4 lattice") {
+    // square 1-2-3-4 with diagonal 1-3 → triangles (1,2,3) and (1,3,4);
+    // star 10-{11,12,13} has wedges but no closures; 20 isolated
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val r = Graph.triangles(nodes, pairs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((3L, 2L, 0.6666))) // 2·2·10⁴/(3·2) floored
+    assert(r(3L) === ((3L, 2L, 0.6666)))
+    assert(r(2L) === ((2L, 1L, 1.0)))
+    assert(r(4L) === ((2L, 1L, 1.0)))
+    assert(r(10L) === ((3L, 0L, 0.0))) // hub: all wedges, no closures
+    assert(r(11L) === ((1L, 0L, 0.0)))
+    assert(r(20L) === ((0L, 0L, 0.0)))
+  }
+
+  test("triangles: reversed and duplicate input pairs canonicalize") {
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    // K3 given with duplicates, reversals, and a self-loop to drop
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L)).toDF("id_a", "id_b")
+    val r = Graph.triangles(nodes, pairs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r === Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+  }
+
   test("label propagation: majority vote with deterministic tie rule") {
     // seeds: 1=a, 2=b, 3=b; node 4 hears {a, b, b} → b; node 5 hears
     // {a, b} → tie → label asc → a; node 6 unreachable stays none

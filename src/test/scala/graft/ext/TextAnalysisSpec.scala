@@ -89,6 +89,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) !== out(5L))
   }
 
+  test("bigram LM score: hand-computed add-one ppm lattice") {
+    import spark.implicits._
+    // corpus: bigrams ab×3, ac×1, ba×1; c1(a)=4, c1(b)=1; V={a,b,c,z}=4
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"),
+      (5L, null.asInstanceOf[String]), (6L, "a b a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // ppm(ab) = (3+1)·10⁶ // (4+4) = 500000; ppm(ac) = 2·10⁶ // 8 =
+    // 250000; ppm(ba) = 2·10⁶ // (1+4) = 400000
+    assert(out(1L) === ((1L, 500000L)))
+    assert(out(2L) === ((1L, 500000L)))
+    assert(out(3L) === ((1L, 250000L)))
+    assert(out(6L) === ((2L, 450000L))) // ⌊(500000+400000)/2⌋
+    assert(out(4L) === ((0L, 0L)))      // single word: no bigrams
+    assert(out(5L) === ((0L, 0L)))      // null text
+  }
+
+  test("bigram LM score ranks corpus-typical text above gibberish") {
+    import spark.implicits._
+    val typical = "the quick brown fox jumps over the lazy dog"
+    val docs = (1L to 8L).map(i => (i, typical)) :+
+      ((9L, "zqx vbn wer tyu iop")) // bigrams seen once each
+    val out = TextAnalysis.lmScore(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) > out(9L),
+      s"repeated prose ${out(1L)} must outscore gibberish ${out(9L)}")
+  }
+
   test("gopher battery: clean prose keeps, each rule trips on its own pathology") {
     import spark.implicits._
     val docs = Seq(
