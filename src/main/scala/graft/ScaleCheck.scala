@@ -43,7 +43,9 @@ object ScaleCheck {
     "q_eval_rankcorr", "q_curriculum",
     // r12 additions: the full graph family (VERDICT r11 #1 — HITS was
     // the one found scale-killer) and the capped SemDeDup
-    "q_graph_hits", "q_graph_labelprop", "q_dedup_semantic_cap")
+    "q_graph_hits", "q_graph_labelprop", "q_dedup_semantic_cap",
+    // r12 new operators: triangle census, k-core peel, bigram LM
+    "q_graph_triangles", "q_graph_kcore", "q_text_lm_score")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -30,6 +30,29 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text normalization (the C4/CCNet canonicalization slot):
+    * case-fold, map punctuation/symbols to spaces (letters and digits
+    * of ANY script survive — a Latin-only class would collapse every
+    * CJK document to the empty string), squeeze whitespace, trim. Pure
+    * codegen projection; the oracle applies the IDENTICAL regex chain. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+
+  /** Normalization-insensitive exact dedup: [[exact]] on the
+    * [[normalizeText]] digest — catches trivially reformatted copies
+    * ("Hello, World!" vs "hello world") that byte-exact dedup misses,
+    * at the same cost (one digest groupBy, no similarity join; the
+    * digest is computed BEFORE the exchange so shuffle width stays
+    * ~40 bytes/doc). */
+  def normalizedExact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(normalizeText(col(textCol))).as("norm_md5"))
+      .groupBy(col("norm_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
   /** Distinct word n-gram shingles: (id, shingle) pairs. */
   def shingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =

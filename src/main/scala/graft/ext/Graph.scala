@@ -200,6 +200,62 @@ object Graph {
       })
   }
 
+  /** k-core peel over an UNDIRECTED pair graph: repeatedly drop
+    * vertices whose degree in the SURVIVING subgraph is < k. The
+    * k-core of a near-dup graph is the dense boilerplate nucleus —
+    * documents that stay mutually entangled even after their weakly
+    * attached neighbors peel away — the set a curation pass quarantines
+    * wholesale, where triangles/lcc only score it.
+    *
+    * `rounds` bounds the peel (the true k-core is the fixpoint; the
+    * sequence is monotone — vertices only ever leave — so R rounds is
+    * a sound OVER-approximation that equals the fixpoint once no drop
+    * occurs; near-dup graphs settle in a handful of rounds). Output:
+    * (id, in_core, core_deg) for every node — core_deg the degree
+    * inside the surviving subgraph after the last peel, 0 outside.
+    *
+    * Scale: each round is one degree aggregate + two semi-joins over
+    * (id, id) pairs, checkpointed — plan depth constant per round,
+    * shuffles carry only vertex ids; never a product. */
+  def kCore(nodes: DataFrame, pairs: DataFrame, k: Int = 2,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(rounds >= 1, "kCore: rounds must be >= 1")
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+      .localCheckpoint(true)
+    var e = pairs
+      .select(col(pairs.columns.head).as("u"), col(pairs.columns(1)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degOf(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("id")).unionAll(ed.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var keep = ids
+    for (_ <- 1 to rounds) {
+      keep = degOf(e).filter(col("deg") >= k)
+        .select(col("id")).localCheckpoint(true)
+      e = e
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    // survivors = the last round's keep set; core_deg = degree inside
+    // the surviving subgraph (can sit below k only when `rounds`
+    // stopped short of the fixpoint — by monotonicity another round
+    // would peel exactly those vertices)
+    ids
+      .join(keep.select(col("id"), lit(1L).as("ic")), Seq("id"), "left")
+      .join(degOf(e), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ic"), lit(0L)).as("in_core"),
+        when(col("ic").isNotNull, coalesce(col("deg"), lit(0L)))
+          .otherwise(lit(0L)).as("core_deg"))
+  }
+
   /** Label propagation for graph-based weak supervision: seed nodes keep
     * their label; each round, an unlabeled node adopts the MAJORITY
     * label among its labeled in-neighbors (count desc, label asc on

@@ -46,6 +46,11 @@ object ExtQueries {
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir))
 
+  /** Exact dedup after canonical normalization — reformatted byte-level
+    * variants collapse; same digest-groupBy cost as q_dedup_exact. */
+  def qDedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedExact(docs(s, dir))
+
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
 
@@ -859,6 +864,16 @@ object ExtQueries {
   def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(docs(s, dir))
 
+  /** Dense boilerplate nucleus: 2-core of the near-dup graph after 3
+    * peel rounds — the quarantine-wholesale set. */
+  def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val p = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    graft.ext.Graph.kCore(d.select(col("doc_id")), p, k = 2, rounds = 3)
+      .select(col("id").as("doc_id"), col("in_core"), col("core_deg"))
+  }
+
   /** Tokenizer-fit datasheet: chars-per-token by source under the
     * committed BPE merges — the compression readout that says which
     * domains the tokenizer serves poorly (code/URLs fragment into many
@@ -1202,6 +1217,7 @@ object ExtQueries {
 
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1304,6 +1320,7 @@ object ExtQueries {
     "q_graph_hits" -> (qGraphHits _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
     "q_graph_triangles" -> (qGraphTriangles _),
+    "q_graph_kcore" -> (qGraphKcore _),
     "q_text_lm_score" -> (qTextLmScore _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
@@ -1342,6 +1359,15 @@ object ExtQueries {
   private val dedupExactSql =
     """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
       |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Normalized-exact oracle: the identical lower → punct-to-space →
+    * squeeze → trim chain (DuckDB regexp_replace needs the 'g' flag;
+    * Spark's is global by default). */
+  private val dedupNormalizedSql =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5,
+      |  min(doc_id) AS canonical_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
   private val dedupMinhashSql: String = {
@@ -2856,13 +2882,14 @@ object ExtQueries {
     * frac4 lattice. */
   private val graphTrianglesSql =
     s"""WITH p AS ($dedupMinhashSql),
-       |e AS (SELECT id_a AS u, id_b AS v FROM p),
-       |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+       |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p),
+       |dg AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM
        |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
        |wd AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv,
        |    (du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)) AS lt
        |  FROM e JOIN dg du ON du.id = e.u JOIN dg dv ON dv.id = e.v),
-       |o AS (SELECT CASE WHEN lt THEN u ELSE v END AS src,
+       |o AS MATERIALIZED (SELECT CASE WHEN lt THEN u ELSE v END AS src,
        |    CASE WHEN lt THEN v ELSE u END AS dst,
        |    CASE WHEN lt THEN dv ELSE du END AS ddst FROM wd),
        |tr AS (SELECT a.src AS t1, a.dst AS t2, b.dst AS t3
@@ -2882,6 +2909,38 @@ object ExtQueries {
        |FROM (SELECT doc_id FROM documents) n
        |LEFT JOIN dg ON dg.id = n.doc_id
        |LEFT JOIN ct ON ct.id = n.doc_id""".stripMargin
+
+  /** k-core oracle: the identical peel rounds unrolled as CTEs (k=2,
+    * 3 rounds) over the MinHash pair graph. Every round CTE is
+    * MATERIALIZED: each e_r is referenced ~5× by the next round, so
+    * inlining would re-evaluate the whole MinHash chain O(5^rounds)
+    * times (observed: the un-materialized form ran minutes at sf0.01
+    * where the materialized one takes seconds). */
+  private val graphKcoreSql: String = {
+    val rounds = 3
+    val chain = (1 to rounds).map { r =>
+      s"d$r AS MATERIALIZED (SELECT id, count(*) AS deg FROM " +
+        s"(SELECT u AS id FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})" +
+        s" GROUP BY 1), " +
+        s"k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 2), " +
+        s"e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1} " +
+        s"WHERE u IN (SELECT id FROM k$r) AND v IN (SELECT id FROM k$r))"
+    }.mkString(",\n")
+    s"""WITH p AS ($dedupMinhashSql),
+       |e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p),
+       |$chain,
+       |df AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |  CAST(CASE WHEN k.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_core,
+       |  CASE WHEN k.id IS NOT NULL THEN coalesce(df.deg, 0)
+       |    ELSE 0 END AS core_deg
+       |FROM (SELECT doc_id FROM documents) n
+       |LEFT JOIN k$rounds k ON k.id = n.doc_id
+       |LEFT JOIN df ON df.id = n.doc_id""".stripMargin
+  }
 
   /** Bigram-LM oracle: identical train+score chain — add-one ppm per
     * bigram over the successor vocabulary, floor-mean per doc. */
@@ -3704,6 +3763,7 @@ object ExtQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_normalized" -> dedupNormalizedSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_simhash" -> dedupSimhashSql,
@@ -3815,6 +3875,7 @@ object ExtQueries {
     "q_graph_hits" -> graphHitsSql,
     "q_graph_labelprop" -> graphLabelpropSql,
     "q_graph_triangles" -> graphTrianglesSql,
+    "q_graph_kcore" -> graphKcoreSql,
     "q_text_lm_score" -> textLmScoreSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,

@@ -138,6 +138,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(tail, 1, "id", "s").count() === 1L)
   }
 
+  test("normalized exact dedup: reformatted variants collapse, scripts survive") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),      // case/punct/whitespace variant of 1
+      (3L, "hello worlds"),       // genuinely different
+      (4L, "你好, 世界!"),         // CJK with latin punctuation
+      (5L, "你好 世界"),           // must collapse with 4, NOT with others
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(d).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L, 4L -> 2L, 6L -> 1L))
+  }
+
   test("edit-distance pairs: hot shared prefix — salted run is pair-identical") {
     // the documented hazard corpus: a constant "Customer#" prefix makes
     // every string share low-entropy segments (hot blocks). Salting must

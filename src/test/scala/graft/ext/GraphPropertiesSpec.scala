@@ -93,6 +93,55 @@ class GraphPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("triangles: counts match the brute-force census on random graphs") {
+    check(Prop.forAll(genGraph) { case (nodes, edges) =>
+      // undirected view of the random digraph, self-loop-free
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val brute = nodes.map { v =>
+        val nb = adj.getOrElse(v, Set.empty).toSeq
+        v -> (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          if adj(nb(i)).contains(nb(j))
+        } yield 1).size.toLong
+      }.toMap
+      val got = Graph.triangles(nodes.toDF("doc_id"),
+          edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      nodes.forall(v => got(v) == brute(v))
+    })
+  }
+
+  test("kCore: at the fixpoint every survivor has core degree >= k " +
+      "and re-peeling is a no-op") {
+    check(Prop.forAll(genGraph) { case (nodes, edges) =>
+      // rounds = n always reaches the fixpoint (each non-final round
+      // removes at least one vertex)
+      val r = Graph.kCore(nodes.toDF("doc_id"),
+          edges.toDF("id_a", "id_b"), k = 2, rounds = nodes.size)
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+        .toMap
+      val coreOk = r.values.forall { case (ic, d) =>
+        if (ic == 1L) d >= 2L else d == 0L }
+      // survivors induce a subgraph where the peel finds nothing to do:
+      // one more round over the surviving edges keeps everyone
+      val survivors = r.collect { case (id, (1L, _)) => id }.toSet
+      val survEdges = edges
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        .filter { case (a, b) =>
+          a != b && survivors(a) && survivors(b) }
+      val again =
+        if (survivors.isEmpty) Map.empty[Long, (Long, Long)]
+        else Graph.kCore(survivors.toSeq.toDF("doc_id"),
+          survEdges.toDF("id_a", "id_b"), k = 2, rounds = 1)
+          .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+          .toMap
+      coreOk && survivors.forall(id => again(id) == r(id))
+    })
+  }
+
   test("spearman: rho in [-1,1], invariant under monotone transforms") {
     val genScores = for {
       n <- Gen.choose(1, 12)

@@ -124,6 +124,32 @@ class GraphSpec extends SparkSpec {
     assert(r(20L) === ((0L, 0L, 0.0)))
   }
 
+  test("kCore: triangle survives 2-core, tail peels over rounds") {
+    // triangle 1-2-3 (the 2-core) + path tail 3-4-5 + isolated 6:
+    // round 1 peels 5 (deg 1), round 2 peels 4 (deg fell to 1),
+    // round 3 is the fixpoint
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val r = Graph.kCore(nodes, pairs, k = 2, rounds = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r(1L) === ((1L, 2L)))
+    assert(r(2L) === ((1L, 2L)))
+    assert(r(3L) === ((1L, 2L)))
+    assert(r(4L) === ((0L, 0L)))
+    assert(r(5L) === ((0L, 0L)))
+    assert(r(6L) === ((0L, 0L)))
+    // rounds short of the fixpoint: after ONE round only 5 is gone;
+    // 4 remains flagged with its post-restriction degree 1 (< k,
+    // documented over-approximation)
+    val r1 = Graph.kCore(nodes, pairs, k = 2, rounds = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r1(4L) === ((1L, 1L)))
+    assert(r1(5L) === ((0L, 0L)))
+  }
+
   test("triangles: reversed and duplicate input pairs canonicalize") {
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     // K3 given with duplicates, reversals, and a self-loop to drop
