@@ -343,6 +343,141 @@ object Multimodal {
       }(enc)
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("pb0", LongType, nullable = false),
+    StructField("pb1", LongType, nullable = false),
+    StructField("pb2", LongType, nullable = false),
+    StructField("pb3", LongType, nullable = false)))
+
+  /** 64-bit bands from a 64-value signal: bit_i = signal_i > the floor
+    * mean of the WHOLE signal; packed as 4×16-bit ints (bits 16b..16b+15)
+    * so banding and hamming never touch a sign bit in either engine. */
+  private def aHashBands(vals: Array[Long], total: Long,
+      cnt: Long): (Long, Long, Long, Long) = {
+    val gm = total / cnt
+    def band(b: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 16) { if (vals(b * 16 + i) > gm) v |= (1L << i); i += 1 }
+      v
+    }
+    (band(0), band(1), band(2), band(3))
+  }
+
+  /** Perceptual average-hash per image (aHash — the classic 8×8
+    * mean-threshold fingerprint): near-identical images (re-encodes,
+    * light crops/edits, brightness-preserving transforms) land within a
+    * few bits, which makes image NEAR-dup detection a hash problem
+    * instead of a pixel-compare problem.
+    *
+    * Real path (JDK-decodable payloads): 8×8 grid of integer-mean
+    * BT.601 luminances over the decoded pixels (floor cell bounds —
+    * exact integers, no float resample in the fingerprint). Stub path
+    * (payloads no codec accepts): the payload's UTF-8 code-point
+    * sequence bucketed into 64 equal floor-bound spans, per-span floor
+    * mean — a 1-D average-hash over a signal the DuckDB oracle
+    * recomputes exactly. Signals shorter than 64 (chars or a <8×8
+    * image) are dropped as too small to fingerprint.
+    *
+    * Scale: decode confined to mapPartitions (same contract as
+    * [[decodeMeta]]); only (id, 4 small ints) ever leaves the executor
+    * — the shuffle for a 100 TB image corpus is fingerprint-width. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          decodeImageFull(payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              if (w < 8 || h < 8) None
+              else {
+                val vals = new Array[Long](64)
+                var total = 0L
+                var by = 0
+                while (by < 8) {
+                  var bx = 0
+                  while (bx < 8) {
+                    var sum = 0L; var n = 0L
+                    var y = by * h / 8
+                    while (y < (by + 1) * h / 8) {
+                      var x = bx * w / 8
+                      while (x < (bx + 1) * w / 8) {
+                        val rgb = img.getRGB(x, y)
+                        sum += (299L * ((rgb >> 16) & 0xFF) +
+                          587L * ((rgb >> 8) & 0xFF) +
+                          114L * (rgb & 0xFF)) / 1000L
+                        n += 1; x += 1
+                      }
+                      y += 1
+                    }
+                    vals(by * 8 + bx) = sum / n
+                    total += sum
+                    bx += 1
+                  }
+                  by += 1
+                }
+                val (b0, b1, b2, b3) =
+                  aHashBands(vals, total, w.toLong * h)
+                Some(Row(id, b0, b1, b2, b3))
+              }
+            case None =>
+              val cps = new String(payload, "UTF-8").codePoints().toArray
+              val n = cps.length.toLong
+              if (n < 64) None
+              else {
+                val vals = new Array[Long](64)
+                var total = 0L
+                var b = 0
+                while (b < 64) {
+                  var sum = 0L
+                  var i = (b * n / 64).toInt
+                  val end = ((b + 1) * n / 64).toInt
+                  val cnt = end - i
+                  while (i < end) { sum += cps(i); i += 1 }
+                  vals(b) = sum / cnt
+                  total += sum
+                  b += 1
+                }
+                val (b0, b1, b2, b3) = aHashBands(vals, total, n)
+                Some(Row(id, b0, b1, b2, b3))
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** Image near-dup pairs by perceptual-hash hamming distance ≤ maxDist,
+    * candidates via 16-bit band equality over the 4 [[imagePhash]]
+    * bands — any band equal ⇒ candidate, so recall is GUARANTEED for
+    * distance ≤ 3 by pigeonhole (3 flipped bits touch at most 3 of the
+    * 4 bands). Equi-join on (band, value), never an image product; the
+    * exact hamming filter is 4 codegen bit_counts. */
+  def phashNearDups(ph: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = ph.select(col("media_id").as("id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"pb$b").as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bv"))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val a = ph.select(col("media_id").as("id_a") +:
+      (0 until 4).map(i => col(s"pb$i").as(s"a$i")): _*)
+    val b = ph.select(col("media_id").as("id_b") +:
+      (0 until 4).map(i => col(s"pb$i").as(s"b$i")): _*)
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (0 until 4).map(i =>
+          bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+          .reduce(_ + _).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** "Feature extraction" over decoded media — stub embedding = 8 hash
     * floats of the payload digest; the batching/shape contract is what a
     * real model-inference UDF must satisfy. The digest runs over the HEX

@@ -1195,6 +1195,32 @@ object ExtQueries {
   def qMmResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeImages(Multimodal.mediaFromDocuments(docs(s, dir)))
 
+  /** Perceptual average-hash fingerprint per image (4×16-bit bands). */
+  def qMmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhash(Multimodal.mediaFromDocuments(docs(s, dir)))
+
+  /** Image near-dups: banded pHash candidates + exact hamming ≤ 3.
+    * The corpus's distinct images all sit ≥ 12 bits apart (measured),
+    * so the fixture PLANTS near-identical twins — every 7th image
+    * re-published with its FIRST character replaced (a same-length,
+    * single-position edit: the benign-perturbation class pHash exists
+    * to catch; a length change would shift every bucket boundary of
+    * the 1-D stub signal, which models a crop, not a re-encode) — and
+    * the query must pair each twin with its original. */
+  def qMmPhashDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val media = Multimodal.mediaFromDocuments(d)
+    val twins = d
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(100000L)).as("media_id"),
+        lit("image").as("kind"),
+        encode(concat(lit("z"),
+          substring(col("text"), 2, Integer.MAX_VALUE)), "UTF-8")
+          .as("payload"))
+    Multimodal.phashNearDups(
+      Multimodal.imagePhash(media.unionByName(twins)))
+  }
+
   /** Model-based routing (Classifier): train centroid profiles on the
     * corpus's own `source` labels, predict every document — the whole
     * train→predict chain under one oracle. */
@@ -1335,7 +1361,9 @@ object ExtQueries {
     "q_mm_features" -> (qMmFeatures _),
     "q_classify_source" -> (qClassifySource _),
     "q_cluster_topics" -> (qClusterTopics _),
-    "q_mm_resize" -> (qMmResize _))
+    "q_mm_resize" -> (qMmResize _),
+    "q_mm_phash" -> (qMmPhash _),
+    "q_mm_phash_dups" -> (qMmPhashDups _))
 
   // =================================================== DuckDB oracles
 
@@ -3580,6 +3608,70 @@ object ExtQueries {
        |  payload, dlen, sr FROM mp)""".stripMargin
   }
 
+  /** pHash oracle (stub path — no JDK codec accepts a text payload):
+    * the code-point signal bucketed into 64 floor-bound spans, per-span
+    * floor mean vs the whole-signal floor mean, bits packed into 4
+    * 16-bit bands. Shared by the fingerprint and near-dup oracles. */
+  private def mmPhashCtesOf(plantTwins: Boolean) = {
+    val pi =
+      if (plantTwins)
+        """pi AS (SELECT media_id, s FROM pi0
+          |  UNION ALL SELECT media_id + 100000, 'z' || substr(s, 2)
+          |  FROM pi0 WHERE media_id % 7 = 0),""".stripMargin
+      else "pi AS (SELECT media_id, s FROM pi0),"
+    s"""$mediaCte,
+       |pi0 AS (SELECT media_id, decode(payload) AS s FROM m
+       |  WHERE kind = 'image'),
+       |$pi
+       |pii AS (SELECT media_id, s, CAST(len(s) AS BIGINT) AS n FROM pi
+       |  WHERE len(s) >= 64),
+       |cpl AS (SELECT media_id, n,
+       |  list_transform(range(1, CAST(n + 1 AS INT)),
+       |    i -> ord(substr(s, CAST(i AS INT), 1))) AS L FROM pii),
+       |gg AS (SELECT media_id, n, L,
+       |  CAST(list_sum(L) AS BIGINT) // n AS gm FROM cpl),
+       |bkt AS (SELECT media_id, b, gm,
+       |  CAST(list_sum(L[CAST((b * n) // 64 + 1 AS INT) :
+       |                  CAST(((b + 1) * n) // 64 AS INT)]) AS BIGINT)
+       |    // (((b + 1) * n) // 64 - (b * n) // 64) AS mv
+       |  FROM gg, (SELECT unnest(range(0, 64)) AS b)),
+       |pbands AS (SELECT media_id, b // 16 AS band,
+       |  CAST(sum(CASE WHEN mv > gm THEN 1 << CAST(b % 16 AS INT)
+       |           ELSE 0 END) AS BIGINT) AS bv
+       |  FROM bkt GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val mmPhashSql =
+    s"""WITH ${mmPhashCtesOf(false)}
+       |SELECT media_id,
+       |  max(CASE WHEN band = 0 THEN bv END) AS pb0,
+       |  max(CASE WHEN band = 1 THEN bv END) AS pb1,
+       |  max(CASE WHEN band = 2 THEN bv END) AS pb2,
+       |  max(CASE WHEN band = 3 THEN bv END) AS pb3
+       |FROM pbands GROUP BY 1""".stripMargin
+
+  private val mmPhashDupsSql =
+    s"""WITH ${mmPhashCtesOf(true)},
+       |ph AS MATERIALIZED (SELECT media_id,
+       |  max(CASE WHEN band = 0 THEN bv END) AS pb0,
+       |  max(CASE WHEN band = 1 THEN bv END) AS pb1,
+       |  max(CASE WHEN band = 2 THEN bv END) AS pb2,
+       |  max(CASE WHEN band = 3 THEN bv END) AS pb3
+       |  FROM pbands GROUP BY 1),
+       |bd AS MATERIALIZED (SELECT media_id, band, bv FROM pbands),
+       |cand AS (SELECT l.media_id AS id_a, r.media_id AS id_b
+       |  FROM bd l JOIN bd r ON l.band = r.band AND l.bv = r.bv
+       |    AND l.media_id < r.media_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(bit_count(xor(a.pb0, b.pb0))
+       |    + bit_count(xor(a.pb1, b.pb1)) + bit_count(xor(a.pb2, b.pb2))
+       |    + bit_count(xor(a.pb3, b.pb3)) AS BIGINT) AS hamming
+       |FROM cand JOIN ph a ON a.media_id = id_a
+       |JOIN ph b ON b.media_id = id_b
+       |WHERE bit_count(xor(a.pb0, b.pb0)) + bit_count(xor(a.pb1, b.pb1))
+       |    + bit_count(xor(a.pb2, b.pb2)) + bit_count(xor(a.pb3, b.pb3))
+       |  <= 3""".stripMargin
+
   private val mmMetaSql =
     s"""WITH $mediaCte
        |SELECT media_id, kind, n AS n_bytes,
@@ -3890,5 +3982,7 @@ object ExtQueries {
     "q_mm_features" -> mmFeaturesSql,
     "q_classify_source" -> Classifier.trainPredictSqlOf("source"),
     "q_cluster_topics" -> clusterTopicsSql,
-    "q_mm_resize" -> mmResizeSql)
+    "q_mm_resize" -> mmResizeSql,
+    "q_mm_phash" -> mmPhashSql,
+    "q_mm_phash_dups" -> mmPhashDupsSql)
 }

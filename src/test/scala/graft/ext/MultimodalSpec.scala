@@ -211,4 +211,49 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
     assert(f === f2)
   }
+
+  test("imagePhash stub path: hand-computed code-point signal bands") {
+    // 64 'a' (97) then 64 'z' (122): buckets of 2 chars — first 32
+    // buckets mean 97, last 32 mean 122; global floor mean 109 →
+    // bits 0..31 clear, 32..63 set → bands (0, 0, 0xFFFF, 0xFFFF)
+    val text = "a" * 64 + "z" * 64
+    val media = Seq((1L, "image", text.getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val r = Multimodal.imagePhash(media).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) === ((0L, 0L, 0xFFFFL, 0xFFFFL)))
+    // too-short signals are dropped, as are non-images
+    val tiny = Seq((2L, "image", "short".getBytes("UTF-8")),
+      (3L, "video", text.getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.imagePhash(tiny).count() === 0L)
+  }
+
+  test("imagePhash real path: re-encode lands at hamming 0, edits small, inverse far") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val halves = png((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    // one 8x8 cell's worth of pixels flipped — at most a few bits move
+    val edited = png((x, y) =>
+      if (x < 8 && y < 8) 0xFFFFFF
+      else if (x < 32) 0x000000 else 0xFFFFFF)
+    val inverse = png((x, _) => if (x < 32) 0xFFFFFF else 0x000000)
+    val media = Seq((1L, "image", halves), (2L, "image", halves),
+      (3L, "image", edited), (4L, "image", inverse))
+      .toDF("media_id", "kind", "payload")
+    val dups = Multimodal.phashNearDups(
+        Multimodal.imagePhash(media), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(dups((1L, 2L)) === 0L)   // identical re-encodes
+    assert(dups.contains((1L, 3L)) && dups((1L, 3L)) <= 3L)
+    assert(!dups.contains((1L, 4L)), s"inverse must not pair: $dups")
+  }
 }
