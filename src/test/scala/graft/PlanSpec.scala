@@ -520,4 +520,23 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(l => l.trim.startsWith("Window")) === 0,
       s"corpus-wide window in plan:\n${p.take(3000)}")
   }
+
+  test("triangle census: oriented wedge joins are equi-joins, no product") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("image phash near-dup: band equi-join, never an image product") {
+    val p = plan("q_mm_phash_dups")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("bigram LM: model join is an equi-join; vocab total is a 1-row broadcast") {
+    val p = plan("q_text_lm_score")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
