@@ -45,7 +45,10 @@ object ScaleCheck {
     // the one found scale-killer) and the capped SemDeDup
     "q_graph_hits", "q_graph_labelprop", "q_dedup_semantic_cap",
     // r12 new operators: triangle census, k-core peel, bigram LM
-    "q_graph_triangles", "q_graph_kcore", "q_text_lm_score")
+    "q_graph_triangles", "q_graph_kcore", "q_text_lm_score",
+    // r12 batch 2: DSIR model-build+rescan, k-center driver loop,
+    // triplet mining (anchor-broadcast corpus scan)
+    "q_curation_dsir", "q_select_kcenter", "q_sim_hard_negatives")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -913,4 +913,122 @@ object Curation {
         .otherwise(lit(0.0))
         .as("epochs"))
   }
+
+  /** DSIR-style hashed-ngram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much its hashed bag-of-words resembles a
+    * target subcorpus (`isTarget` rows) relative to the raw corpus as a
+    * whole, then keep the target-like ones.
+    *
+    * Bucket model: each word hashes ([[Hashing.hexInt]], engine-portable)
+    * into one of `buckets` counters; `ct`/`cr` are target/raw bucket
+    * counts, `nt`/`nr` the corpus totals. The published method scores a
+    * doc by Σ log p̂_t(b)/p̂_r(b); a float `ln` would hash-flake on
+    * last-ulp differences across engines (same reasoning as lmScore), so
+    * the score here is the per-gram add-one LIKELIHOOD-RATIO mean on the
+    * exact ppm lattice:
+    *   r_ppm(b) = ⌊10⁶·(ct+1)·(nr+B) / ((cr+1)·(nt+B))⌋   (decimal(38,0))
+    *   dsir_ppm(doc) = ⌊Σ r_ppm / n_grams⌋
+    * r_ppm > 10⁶ ⇔ bucket b is more probable under the target than the
+    * raw model, so `is_targetlike` = dsir_ppm > 10⁶ is the resampling
+    * keep decision at acceptance ratio 1.
+    *
+    * Scale shape: one explode→groupBy(bucket) builds a B-row model
+    * (B ≪ corpus; 10⁶ buckets in production), which broadcasts back onto
+    * the gram stream — the corpus is scanned twice (checkpointed grams),
+    * shuffled once on a key space of exactly B values, and the per-doc
+    * aggregation is map-side-combinable. No all-pairs term anywhere.
+    * Numeric bounds: r_ppm ≤ 10⁶·(nr+B) so Σ over a doc's grams fits
+    * decimal(38,0) for any corpus that fits in int64 token counts. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    dsirScore(docs, isTarget, docs, buckets, idCol, textCol)
+
+  /** Frozen-model DSIR face: the bucket model trains on `modelDocs`
+    * only, and `scoreDocs` are scored against it — the deployment shape
+    * (Xie et al. fit importance weights on a held sample, then apply
+    * them to the full stream), and the O(increment) incremental face:
+    * new arrivals score against the committed model without touching a
+    * byte of the base corpus. `dsirWeights` is the self-scored special
+    * case. */
+  def dsirScore(modelDocs: DataFrame, isTarget: Column,
+      scoreDocs: DataFrame, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b0 = lit(buckets.toLong)
+    def grams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(col(idCol) +: extra :+
+          explode(words(lower(col(textCol)))).as("w"): _*)
+        .withColumn("b", pmod(hexInt(col("w")), b0)).drop("w")
+    // The model gram stream is deliberately NOT checkpointed even when
+    // modelDocs eq scoreDocs: it is O(tokens) — materializing it would
+    // write a corpus-sized spill at 100 TB, while recomputing costs one
+    // extra codegen scan (hash+explode, no shuffle).
+    val model = grams(modelDocs, Seq(isTarget.as("is_t")))
+      .groupBy(col("b")).agg(
+        sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val ratios = model.crossJoin(broadcast(tot)).select(col("b"), {
+      val num = (col("ct") + lit(1L)).cast(dec) *
+        (col("nr") + b0).cast(dec) * lit(1000000L)
+      val den = (col("cr") + lit(1L)).cast(dec) * (col("nt") + b0).cast(dec)
+      ((num - pmod(num, den)) / den).cast("long").as("r_ppm")
+    })
+    // An unseen bucket (possible when scoreDocs ⊄ modelDocs) scores as
+    // the all-smoothing ratio ⌊10⁶·(nr+B)/((nt+B))⌋/… with ct=cr=0 — the
+    // left join + coalesce below substitutes exactly that default.
+    val dflt = broadcast(tot).select({
+      val num = (col("nr") + b0).cast(dec) * lit(1000000L)
+      val den = (col("nt") + b0).cast(dec)
+      ((num - pmod(num, den)) / den).cast("long").as("r0")
+    })
+    val scored = grams(scoreDocs, Seq.empty)
+      .join(broadcast(ratios), Seq("b"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(col(idCol), coalesce(col("r_ppm"), col("r0")).as("r_ppm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_ppm").cast(dec)).as("s"))
+      .select(col(idCol), col("n_grams"),
+        ((col("s") - pmod(col("s"), col("n_grams").cast(dec))) /
+          col("n_grams").cast(dec)).cast("long").as("dsir_ppm"))
+    scoreDocs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_ppm"), lit(0L)).as("dsir_ppm"))
+      .withColumn("is_targetlike",
+        (col("dsir_ppm") > lit(1000000L)).cast("int").cast("long"))
+  }
+
+  /** Balanced output-shard assignment: size-descending round-robin (the
+    * LPT heuristic without bin lookups) — global rank by (size desc, id)
+    * via a range-partitioned sort + the gapless distributed zipWithIndex
+    * (never a one-task corpus window), shard = (rank−1) mod n. Adjacent
+    * ranks land in different shards, so shard totals differ by at most
+    * one document per round-robin lap — the writer-side balance a 100 TB
+    * export needs so no output file becomes the straggler. */
+  def shardAssign(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+      charsCol: String = "n_chars"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    graft.scd2.Historizer.withGaplessIndex(
+        docs.select(col(idCol), col(charsCol).cast("long").as("n_chars"))
+          .orderBy(col("n_chars").desc, col(idCol).asc), "__rk")
+      .select(col(idCol), col("n_chars"),
+        pmod(col("__rk") - lit(1L), lit(nShards.toLong)).as("shard"))
+  }
+
+  /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
+    * columns, count each equivalence class, flag classes smaller than k
+    * — the release gate a training-data pipeline runs before shipping
+    * any quasi-identifiable slice (tiny classes re-identify their
+    * members). Output is one row per CLASS (O(distinct combinations),
+    * not O(rows)); one map-side-combinable groupBy is the whole cost, so
+    * the audit is a single shuffle of class-count pairs at any corpus
+    * size. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .select(quasiIds.map(col) :+ col("class_size") :+
+        (col("class_size") < k).cast("int").cast("long")
+          .as("is_violation"): _*)
 }

@@ -484,4 +484,157 @@ object Similarity {
         cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** k-center greedy coreset selection (Gonzalez 1985; the geometric
+    * data-selection baseline — Sener & Savarese 2018 use exactly this
+    * farthest-point traversal for active-learning coresets): pick the
+    * smallest-id point as the seed, then k−1 times pick the point
+    * FARTHEST from its nearest already-chosen center, and finally assign
+    * every point to its nearest center.
+    *
+    * Output: one row per input vector — (vec_id, center_id, d2c) where
+    * d2c is the squared L2 distance to the assigned center on the
+    * round-6 lattice (the shared cross-engine float discipline; ties in
+    * the per-round argmax break on smaller id, and an equal-distance
+    * re-assignment keeps the EARLIER center, so the traversal is fully
+    * deterministic).
+    *
+    * Scale shape: each of the k rounds is one whole-stage-codegen'd
+    * projection against a BROADCAST center literal (O(dim) constants)
+    * followed by a TakeOrdered(1) — never a pairwise join; total work is
+    * O(k·N·dim) with k driver-side 1-row collects (the same sanctioned
+    * per-round-collect shape as BPE merge selection). The running
+    * min-distance column is locally checkpointed each round so lineage
+    * stays constant in k (the Graph.hits lesson). */
+  def kCenterGreedy(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    val pts = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .localCheckpoint(true)
+    def vecLit(vs: Seq[Double]): Column = array(vs.map(lit): _*)
+    def d2To(cv: Seq[Double], cn2: Double): Column =
+      round(col("n2") + lit(cn2) - lit(2.0) * dot(col("v"), vecLit(cv)), 6)
+    val seed = pts.orderBy(col("id")).limit(1).collect()(0)
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex("v"))
+    var centers = List(seed.getLong(0))
+    var cur = pts
+      .withColumn("md", d2To(vecOf(seed), seed.getDouble(2)))
+      .withColumn("cid", lit(seed.getLong(0)))
+      .localCheckpoint(true)
+    for (_ <- 1 until k) {
+      val next = cur.filter(!col("id").isin(centers: _*))
+        .orderBy(col("md").desc, col("id")).limit(1).collect()(0)
+      centers ::= next.getLong(0)
+      val d2 = d2To(vecOf(next), next.getDouble(next.fieldIndex("n2")))
+      cur = cur.select(col("id"), col("v"), col("n2"),
+          when(d2 < col("md"), d2).otherwise(col("md")).as("md"),
+          when(d2 < col("md"), lit(next.getLong(0))).otherwise(col("cid"))
+            .as("cid"))
+        .localCheckpoint(true)
+    }
+    cur.select(col("id").as("vec_id"), col("cid").as("center_id"),
+      col("md").as("d2c"))
+  }
+
+  /** Per-class embedding centroid margins — the contrastive-data QA
+    * readout: mean vector per label on the q6 integer lattice
+    * (components floor to ⌊x·10⁶⌋ BEFORE summing, so the per-dimension
+    * sums are exact longs and ORDER-INDEPENDENT — a float mean would
+    * hash-flake under Spark's parallel reduction), then the pairwise
+    * cosine between label centroids (rounded 6dp, NaN on a zero-norm
+    * centroid). High inter-class centroid cosine = classes the embedding
+    * space cannot separate — the slice to re-mine or re-label.
+    *
+    * Scale shape: one posexplode→groupBy(label, dim) pass (map-side
+    * combinable into |labels|·dim cells), then an O(labels²) broadcast
+    * self-join over centroid rows — never a row-level pairwise term.
+    * Mean, not sum, enters the cosine so per-dim magnitudes stay ≤ 10⁶
+    * and the int64 dot (≤ dim·10¹²) cannot wrap at any corpus size. */
+  def classCentroidMargins(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        // exact floor division (pmod keeps it exact for negative sums)
+        ((col("sq") - pmod(col("sq"), col("n"))) / col("n"))
+          .cast("long").as("mq"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mq")))),
+        p => p.getField("mq")).as("c"))
+      .localCheckpoint(true) // tiny (|labels| rows), reused by both sides
+    val a = cent.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("c").as("cb"))
+    val d = graft.functions.ArrayOps.dotProductLong(col("ca"), col("cb"))
+      .cast("double")
+    val na = graft.functions.ArrayOps.dotProductLong(col("ca"), col("ca"))
+      .cast("double")
+    val nb = graft.functions.ArrayOps.dotProductLong(col("cb"), col("cb"))
+      .cast("double")
+    a.crossJoin(broadcast(b)).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        cosine(d, sqrt(na), sqrt(nb)).as("cos"))
+  }
+
+  /** Triplet mining for contrastive training (Schroff et al. 2015,
+    * FaceNet): for each anchor, the best POSITIVE (same label, highest
+    * cosine), the HARDEST negative (different label, highest cosine),
+    * and the SEMI-HARD negative — the highest-cosine negative still
+    * farther than the positive (cos < pos_cos), the band FaceNet found
+    * trains stablest. Missing cases (no positive/negative/semi-hard)
+    * surface as the sentinel (-1, -2.0) — an id below every vec_id and a
+    * cosine below the [-1, 1] range — so the output stays dense and
+    * hash-comparable.
+    *
+    * Scale shape: the anchor set BROADCASTS (it is the small,
+    * per-training-step side); the corpus streams through one codegen
+    * scoring projection, and every argmax is a row_number over
+    * per-anchor partitions of the |anchors|·N candidate stream — the
+    * bruteForceTopK discipline, no corpus×corpus term anywhere. Ranking
+    * keys are the ROUNDED cosine with id tiebreak (cross-engine
+    * stable). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label"), toDouble(col("embedding")).as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val a = anchors.select(col("vec_id").as("anchor_id"),
+        col("label").as("a_label"), toDouble(col("embedding")).as("ae"))
+      .withColumn("an", norm(col("ae")))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        (col("cand_label") === col("a_label")).as("is_pos"),
+        cosine(dot(col("ce"), col("ae")), col("cn"), col("an")).as("cos"))
+      .localCheckpoint(true) // reused three times: pos, hard, semi-hard
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    def best(df: DataFrame, idName: String, cosName: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor_id"), col("cand_id").as(idName),
+          col("cos").as(cosName))
+    val pos = best(scored.filter(col("is_pos")), "pos_id", "pos_cos")
+    val neg = best(scored.filter(!col("is_pos")), "neg_id", "neg_cos")
+    val semi = best(
+      scored.filter(!col("is_pos"))
+        .join(broadcast(pos), Seq("anchor_id"))
+        .filter(col("cos") < col("pos_cos"))
+        .select(col("anchor_id"), col("cand_id"), col("cos")),
+      "semi_id", "semi_cos")
+    anchors.select(col("vec_id").as("anchor_id"))
+      .join(broadcast(pos), Seq("anchor_id"), "left")
+      .join(broadcast(neg), Seq("anchor_id"), "left")
+      .join(broadcast(semi), Seq("anchor_id"), "left")
+      .select(col("anchor_id"),
+        coalesce(col("pos_id"), lit(-1L)).as("pos_id"),
+        coalesce(col("pos_cos"), lit(-2.0)).as("pos_cos"),
+        coalesce(col("neg_id"), lit(-1L)).as("neg_id"),
+        coalesce(col("neg_cos"), lit(-2.0)).as("neg_cos"),
+        coalesce(col("semi_id"), lit(-1L)).as("semi_id"),
+        coalesce(col("semi_cos"), lit(-2.0)).as("semi_cos"))
+  }
 }

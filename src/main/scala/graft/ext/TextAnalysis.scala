@@ -372,4 +372,106 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("pos"), col("sentence")))),
           p => p.getField("sentence"))).as("chunk_text"))
   }
+
+  /** Blocklist (bad-words) filter, C4-style (Raffel et al. 2020 dropped
+    * any page containing a blocklisted word): per-doc count of
+    * lowercased, punctuation-stripped tokens that hit the list, the hit
+    * ratio on the frac4 lattice, and the drop decision
+    * `is_blocked = n_flagged > 0`.
+    *
+    * Pure per-row projection against a literal array (the blocklist is a
+    * plan constant, never a join side) — zero shuffle, whole-stage
+    * codegen, exactly the shape a 100 TB pre-filter scan needs. Token
+    * edges are stripped with `^[^a-z0-9]+|[^a-z0-9]+$` so "slow," and
+    * "(slow)" match the entry "slow"; interior punctuation is kept
+    * (entries can be multi-part like "don't"). */
+  def blocklistStats(docs: DataFrame, blocklist: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toks = words(lower(col(textCol)))
+    val stripped = transform(toks,
+      w => regexp_replace(w, "^[^a-z0-9]+|[^a-z0-9]+$", ""))
+    val nw = size(toks).cast("long")
+    val nf = size(filter(stripped, w => array_contains(bl, w))).cast("long")
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0,
+        ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    docs.select(col(idCol), nw.as("n_words"), nf.as("n_flagged"),
+      frac4(nf, nw).as("flagged_ratio"),
+      (nf > 0L).cast("int").cast("long").as("is_blocked"))
+  }
+
+  /** Type-token ratio per stratum — the classic lexical-diversity
+    * readout (a low TTR stratum is template/boilerplate-heavy; TTR
+    * collapse after dedup is the signal the dedup over-fired): distinct
+    * lowercased words / total words on the frac4 lattice, one
+    * map-side-combinable groupBy. The distinct count is EXACT (Spark's
+    * count_distinct expand) — at 100 TB swap in the KMV sketch family
+    * (q_kmv_distinct) when ±2 % suffices; this operator is the exact
+    * gold those sketches are graded against. */
+  def typeTokenRatio(docs: DataFrame, stratum: Column,
+      textCol: String = "text"): DataFrame = {
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0,
+        ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    docs.select(stratum.as("stratum"),
+        explode(words(lower(col(textCol)))).as("w"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("w")).as("n_types"))
+      .select(col("stratum"), col("n_tokens"), col("n_types"),
+        frac4(col("n_types"), col("n_tokens")).as("ttr"))
+  }
+
+  /** Character-concentration gibberish score: the Herfindahl index of
+    * the doc's character unigram distribution on the exact ppm lattice,
+    *   hhi_ppm = ⌊10⁶ · Σ c(ch)² / n²⌋,
+    * where c(ch) is the count of each distinct character and n the doc
+    * length in characters. Natural prose sits low (many characters share
+    * the mass); repeated-character spam ("aaaa…", box-drawing filler)
+    * drives the index toward 10⁶ — a log-free stand-in for character
+    * entropy that cannot hash-flake (entropy's `ln` is not identically
+    * rounded across engines; this is integer arithmetic end to end).
+    *
+    * Per-row projection over the doc's own characters — O(distinct·n)
+    * per doc, zero shuffle. Counts square in decimal(38,0): n² overflows
+    * int64·10⁶ already at ~3 MB docs. */
+  def charConcentration(text: Column): Column = {
+    val dec = "decimal(38,0)"
+    val cs = transform(sequence(lit(1), greatest(length(text), lit(1))),
+      i => text.substr(i, lit(1)))
+    // Run-length fold over the SORTED characters — O(n log n) per row
+    // where the naive distinct×scan is O(distinct·n) (a real difference
+    // on large CJK docs whose alphabet runs to thousands). State:
+    // (prev char, current run, Σ completed-run²); "" is a safe sentinel
+    // (every element has length 1). The DuckDB oracle keeps the
+    // distinct×filter form (no fold lambda there) — identical counts,
+    // identical sum.
+    val sorted = array_sort(cs)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).cast(dec).as("acc"))
+    val folded = aggregate(sorted, zero,
+      (st, c) => {
+        val samePrev = c === st.getField("prev")
+        struct(c.as("prev"),
+          when(samePrev, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(samePrev, st.getField("acc"))
+            .otherwise(st.getField("acc") +
+              (st.getField("run") * st.getField("run")).cast(dec)).as("acc"))
+      },
+      st => st.getField("acc") +
+        (st.getField("run") * st.getField("run")).cast(dec))
+    val n = length(text).cast("long")
+    when(n > 0L, {
+      val num = folded * lit(1000000L)
+      val den = (n * n).cast(dec)
+      ((num - pmod(num, den)) / den).cast("long")
+    }).otherwise(lit(0L))
+  }
 }

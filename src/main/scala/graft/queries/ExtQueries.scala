@@ -864,6 +864,83 @@ object ExtQueries {
   def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(docs(s, dir))
 
+  /** DSIR importance resampling weights: target = the English subcorpus,
+    * raw = everything; 256-bucket hashed-unigram model (10⁶ buckets at
+    * production scale — bucket count only shifts the smoothing mass). */
+  def qCurationDsir(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirWeights(docs(s, dir), col("lang") === "en", buckets = 256)
+
+  /** k-center greedy coreset (k=4) over the embeddings table: farthest-
+    * point centers + per-vector nearest-center assignment. */
+  def qSelectKcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterGreedy(emb(s, dir), k = 4)
+
+  /** Blocklist for q_text_blocklist — shared verbatim by the oracle; a
+    * real deployment swaps in the C4 bad-words list. "slow" is a
+    * high-frequency corpus token, so the drop decision exercises both
+    * branches at every SF. */
+  private val blocklistWords = Seq("slow", "legacy", "broken", "deprecated")
+
+  /** C4-style bad-words drop decision (any hit drops the page). */
+  def qTextBlocklist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistStats(docs(s, dir), blocklistWords)
+
+  /** FaceNet triplet mining: anchors = the shared sim-query set
+    * (vec_id < 8), corpus = every embedding. */
+  def qSimHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 8))
+  }
+
+  /** k-anonymity release audit over the (lang, source) quasi-identifier
+    * pair, k = 5. */
+  def qPrivacyKanon(s: SparkSession, dir: String): DataFrame =
+    Curation.kAnonymity(docs(s, dir), Seq("lang", "source"), k = 5)
+
+  /** Inter-class embedding centroid cosines (q6 lattice means). */
+  def qEmbClassMargins(s: SparkSession, dir: String): DataFrame =
+    Similarity.classCentroidMargins(emb(s, dir))
+
+  /** Lexical diversity (type-token ratio) per source stratum. */
+  def qTextTtr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typeTokenRatio(docs(s, dir), col("source"))
+
+  /** Frozen-model DSIR: the bucket model trains on doc_id % 97 ≠ 0 (the
+    * committed base), the % 97 = 0 stream scores against it — the
+    * O(increment) deployment face. */
+  def qCurationDsirFreeze(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.dsirScore(d.filter(col("doc_id") % 97 =!= 0),
+      col("lang") === "en", d.filter(col("doc_id") % 97 === 0),
+      buckets = 256)
+  }
+
+  /** Balanced export shards: size-desc round-robin over 7 shards. */
+  def qCurationShards(s: SparkSession, dir: String): DataFrame =
+    Curation.shardAssign(docs(s, dir), nShards = 7)
+
+  /** Curation funnel 4 — the DSIR-era selection chain: bad-words gate
+    * (any blocklist hit drops) ∧ DSIR target-likeness gate, then the
+    * quality-ranked per-source cap (2, binding at sf0.01). Each stage is
+    * the registered operator itself, composed — gates are semi-join
+    * filters on doc_id, so the chain stays one corpus pass per gate plus
+    * the salted cap window. */
+  def qCurationFunnel4(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pass1 = TextAnalysis.blocklistStats(d, blocklistWords)
+      .filter(col("is_blocked") === 0L).select(col("doc_id"))
+    val pass2 = Curation.dsirWeights(d, col("lang") === "en", buckets = 256)
+      .filter(col("is_targetlike") === 1L).select(col("doc_id"))
+    val kept = d.join(pass1, Seq("doc_id")).join(pass2, Seq("doc_id"))
+    Curation.capPerGroup(kept, col("source"), cap = 2)
+  }
+
+  /** Character-concentration (Herfindahl) gibberish score, ppm lattice. */
+  def qTextCharHhi(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      TextAnalysis.charConcentration(col("text")).as("hhi_ppm"))
+
   /** Dense boilerplate nucleus: 2-core of the near-dup graph after 3
     * peel rounds — the quarantine-wholesale set. */
   def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
@@ -1348,6 +1425,17 @@ object ExtQueries {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_text_lm_score" -> (qTextLmScore _),
+    "q_curation_dsir" -> (qCurationDsir _),
+    "q_select_kcenter" -> (qSelectKcenter _),
+    "q_text_blocklist" -> (qTextBlocklist _),
+    "q_text_char_hhi" -> (qTextCharHhi _),
+    "q_sim_hard_negatives" -> (qSimHardNegatives _),
+    "q_privacy_kanon" -> (qPrivacyKanon _),
+    "q_emb_class_margins" -> (qEmbClassMargins _),
+    "q_text_ttr" -> (qTextTtr _),
+    "q_curation_funnel4" -> (qCurationFunnel4 _),
+    "q_curation_dsir_freeze" -> (qCurationDsirFreeze _),
+    "q_curation_shards" -> (qCurationShards _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -2993,6 +3081,242 @@ object ExtQueries {
        |  coalesce(sc.lm_ppm, 0) AS lm_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** DSIR oracle mirroring Curation.dsirWeights: same 256-bucket hashed
+    * unigram model, add-one likelihood-ratio ppm lattice, target =
+    * lang 'en'. */
+  private val curationDsirSql = {
+    val b = 256
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, is_t, CAST(${hexIntSql("w")} % $b AS BIGINT) AS b
+       |  FROM (SELECT doc_id, lang = 'en' AS is_t,
+       |        unnest(${wordsSqlOf("lower(text)")}) AS w FROM documents)),
+       |model AS (SELECT b,
+       |  CAST(coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS ct,
+       |  CAST(count(*) AS BIGINT) AS cr FROM g GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+       |  CAST(sum(cr) AS BIGINT) AS nr FROM model),
+       |r AS (SELECT b, CAST((CAST(ct + 1 AS HUGEINT) * (nr + $b) * 1000000)
+       |    // (CAST(cr + 1 AS HUGEINT) * (nt + $b)) AS BIGINT) AS r_ppm
+       |  FROM model, tot),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CAST(r_ppm AS HUGEINT)) // count(*) AS BIGINT) AS dsir_ppm
+       |  FROM g JOIN r USING (b) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+       |  coalesce(sc.dsir_ppm, 0) AS dsir_ppm,
+       |  CAST(CASE WHEN coalesce(sc.dsir_ppm, 0) > 1000000 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_targetlike
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
+  /** Frozen-model DSIR oracle: model CTEs train on the % 97 ≠ 0 base;
+    * the % 97 = 0 stream LEFT-joins the ratio table with the 0-count
+    * smoothing default ⌊10⁶·(nr+B)/(nt+B)⌋ for unseen buckets. */
+  private val curationDsirFreezeSql = {
+    val b = 256
+    s"""WITH gm AS MATERIALIZED (
+       |  SELECT is_t, CAST(${hexIntSql("w")} % $b AS BIGINT) AS b
+       |  FROM (SELECT lang = 'en' AS is_t,
+       |        unnest(${wordsSqlOf("lower(text)")}) AS w FROM documents
+       |        WHERE doc_id % 97 <> 0)),
+       |model AS (SELECT b,
+       |  CAST(coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS ct,
+       |  CAST(count(*) AS BIGINT) AS cr FROM gm GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+       |  CAST(sum(cr) AS BIGINT) AS nr FROM model),
+       |r AS (SELECT b, CAST((CAST(ct + 1 AS HUGEINT) * (nr + $b) * 1000000)
+       |    // (CAST(cr + 1 AS HUGEINT) * (nt + $b)) AS BIGINT) AS r_ppm
+       |  FROM model, tot),
+       |d0 AS (SELECT CAST((CAST(nr + $b AS HUGEINT) * 1000000)
+       |    // CAST(nt + $b AS HUGEINT) AS BIGINT) AS r0 FROM tot),
+       |gs AS (SELECT doc_id, CAST(${hexIntSql("w")} % $b AS BIGINT) AS b
+       |  FROM (SELECT doc_id, unnest(${wordsSqlOf("lower(text)")}) AS w
+       |        FROM documents WHERE doc_id % 97 = 0)),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CAST(coalesce(r_ppm, r0) AS HUGEINT)) // count(*) AS BIGINT)
+       |    AS dsir_ppm
+       |  FROM gs LEFT JOIN r USING (b), d0 GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+       |  coalesce(sc.dsir_ppm, 0) AS dsir_ppm,
+       |  CAST(CASE WHEN coalesce(sc.dsir_ppm, 0) > 1000000 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_targetlike
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) d
+       |LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
+  /** Shard-assignment oracle: one global row_number (the oracle may use
+    * the one-task window the engine is forbidden; DuckDB is single-node
+    * anyway), identical (size desc, id) order. */
+  private val curationShardsSql =
+    s"""WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, n_chars, CAST((rk - 1) % 7 AS BIGINT) AS shard
+       |FROM r""".stripMargin
+
+  private def kcDotSql(v: String, cv: String): String =
+    s"list_sum(list_transform(range(1, len($v) + 1), i -> $v[i] * $cv[i]))"
+
+  /** k-center greedy oracle: seed = min id, then 3 unrolled farthest-
+    * point rounds (argmax md with id tiebreak, strict-less re-assignment
+    * keeps the earlier center) — each round's running-min CTE is
+    * MATERIALIZED (the iterative-oracle discipline: DuckDB inlines
+    * multiply-referenced CTEs, which re-evaluates the whole chain per
+    * round otherwise). */
+  private val selectKcenterSql = {
+    val k = 4
+    val rounds = (2 to k).map { j =>
+      val prevCs = (1 until j).map(i => s"c$i").mkString(", ")
+      val exclude = (1 until j).map(i => s"id <> cid$i").mkString(" AND ")
+      s"""c$j AS (SELECT id AS cid$j, v AS cv$j, n2 AS cn$j
+         |  FROM m${j - 1}, $prevCs WHERE $exclude
+         |  ORDER BY md DESC, id LIMIT 1),
+         |u$j AS (SELECT m${j - 1}.*, cid$j, cn$j, cv$j,
+         |  round(m${j - 1}.n2 + cn$j - 2 * ${kcDotSql(s"m${j - 1}.v", s"cv$j")}, 6) AS d2
+         |  FROM m${j - 1}, c$j),
+         |m$j AS MATERIALIZED (SELECT id, v, n2,
+         |  CASE WHEN d2 < md THEN d2 ELSE md END AS md,
+         |  CASE WHEN d2 < md THEN cid$j ELSE cid END AS cid FROM u$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |pn AS MATERIALIZED (SELECT id, v,
+       |  list_sum(list_transform(v, x -> x * x)) AS n2 FROM p),
+       |c1 AS (SELECT id AS cid1, v AS cv1, n2 AS cn1 FROM pn ORDER BY id LIMIT 1),
+       |m1 AS MATERIALIZED (SELECT pn.id, pn.v, pn.n2,
+       |  round(pn.n2 + cn1 - 2 * ${kcDotSql("pn.v", "cv1")}, 6) AS md,
+       |  cid1 AS cid FROM pn, c1),
+       |$rounds
+       |SELECT id AS vec_id, cid AS center_id, md AS d2c FROM m$k""".stripMargin
+  }
+
+  /** Blocklist oracle: same lowercased tokens, same edge-strip regex
+    * (global flag — DuckDB replaces first match only by default), same
+    * literal list as qTextBlocklist. */
+  private val textBlocklistSql = {
+    val bl = blocklistWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, ${wordsSqlOf("lower(text)")} AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(list_filter(
+       |    list_transform(ws, w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |    w -> list_contains($bl, w))) AS BIGINT) AS n_flagged
+       |  FROM t)
+       |SELECT doc_id, n_words, n_flagged,
+       |  ${frac4Sql("n_flagged", "n_words")} AS flagged_ratio,
+       |  CAST(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
+       |FROM s""".stripMargin
+  }
+
+  /** Char-HHI oracle: character slices via 1-based `text[i:i]`, counts
+    * squared in HUGEINT (int128 — NOT decimal: DuckDB's `//` on DECIMAL
+    * rounds half-up where the engine's pmod lattice floors, an
+    * off-by-one on ~half the rows; HUGEINT `//` truncates = floor for
+    * non-negative operands), the same ppm floor division. */
+  private val textCharHhiSql =
+    s"""WITH cs AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+       |  list_transform(range(1, length(text) + 1), i -> text[i:i]) AS chs
+       |  FROM documents),
+       |c AS (SELECT doc_id, len_chars,
+       |  list_transform(list_distinct(chs),
+       |    ch -> CAST(len(list_filter(chs, x -> x = ch)) AS BIGINT)) AS counts
+       |  FROM cs),
+       |h AS (SELECT doc_id, len_chars,
+       |  CAST(coalesce(list_sum(list_transform(counts,
+       |    c -> CAST(c AS HUGEINT) * c)), 0) AS HUGEINT) AS sumsq
+       |  FROM c)
+       |SELECT doc_id, len_chars,
+       |  CAST(CASE WHEN len_chars > 0
+       |    THEN (sumsq * 1000000) // (CAST(len_chars AS HUGEINT) * len_chars)
+       |    ELSE 0 END AS BIGINT) AS hhi_ppm
+       |FROM h""".stripMargin
+
+  /** Triplet-mining oracle: same anchor set, rounded-6dp cosine, the
+    * three row_number argmaxes (pos / hardest / semi-hard below
+    * pos_cos), sentinel (-1, -2.0) for missing cases. */
+  private val simHardNegativesSql = {
+    val dotAe =
+      "list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * ae[i]))"
+    s"""WITH c AS (SELECT vec_id AS cand_id, label AS cand_label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM embeddings),
+       |cn AS (SELECT cand_id, cand_label, ce,
+       |  sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnorm FROM c),
+       |a AS (SELECT vec_id AS anchor_id, label AS a_label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |  FROM embeddings WHERE vec_id < 8),
+       |an AS (SELECT anchor_id, a_label, ae,
+       |  sqrt(list_sum(list_transform(ae, x -> x * x))) AS anorm FROM a),
+       |scored AS MATERIALIZED (SELECT anchor_id, cand_id,
+       |  cand_label = a_label AS is_pos,
+       |  round($dotAe / (cnorm * anorm), 6) AS cos
+       |  FROM cn CROSS JOIN an WHERE cand_id <> anchor_id),
+       |pos AS (SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |     ORDER BY cos DESC, cand_id) AS rn FROM scored WHERE is_pos)
+       |  WHERE rn = 1),
+       |neg AS (SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |     ORDER BY cos DESC, cand_id) AS rn FROM scored WHERE NOT is_pos)
+       |  WHERE rn = 1),
+       |sh AS (SELECT anchor_id, cand_id AS semi_id, cos AS semi_cos FROM
+       |  (SELECT s.anchor_id, s.cand_id, s.cos, row_number() OVER
+       |     (PARTITION BY s.anchor_id ORDER BY s.cos DESC, s.cand_id) AS rn
+       |   FROM scored s JOIN pos p ON s.anchor_id = p.anchor_id
+       |   WHERE NOT s.is_pos AND s.cos < p.pos_cos)
+       |  WHERE rn = 1)
+       |SELECT an.anchor_id,
+       |  CAST(coalesce(pos_id, -1) AS BIGINT) AS pos_id,
+       |  coalesce(pos_cos, -2.0) AS pos_cos,
+       |  CAST(coalesce(neg_id, -1) AS BIGINT) AS neg_id,
+       |  coalesce(neg_cos, -2.0) AS neg_cos,
+       |  CAST(coalesce(semi_id, -1) AS BIGINT) AS semi_id,
+       |  coalesce(semi_cos, -2.0) AS semi_cos
+       |FROM an LEFT JOIN pos USING (anchor_id)
+       |  LEFT JOIN neg USING (anchor_id)
+       |  LEFT JOIN sh USING (anchor_id)""".stripMargin
+  }
+
+  /** Class-centroid-margins oracle: identical q6 floor lattice per
+    * component, exact integer per-dimension sums, pmod floor-division
+    * means, integer dot + IEEE sqrt division rounded 6dp. */
+  private val embClassMarginsSql = {
+    def idot(x: String, y: String): String =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]))"
+    s"""WITH q AS (SELECT label,
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'i': i,
+       |          'xq': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+       |                 AS BIGINT)})) AS u
+       |  FROM embeddings),
+       |q2 AS (SELECT label, u.i AS dim, u.xq AS xq FROM q),
+       |cd AS (SELECT label, dim, CAST(sum(xq) AS BIGINT) AS sq,
+       |  CAST(count(*) AS BIGINT) AS n FROM q2 GROUP BY 1, 2),
+       |cent AS (SELECT label,
+       |  list((sq - ((sq % n + n) % n)) // n ORDER BY dim) AS c
+       |  FROM cd GROUP BY 1),
+       |p AS (SELECT a.label AS label_a, b.label AS label_b, a.c AS ca, b.c AS cb
+       |  FROM cent a, cent b WHERE a.label < b.label)
+       |SELECT label_a, label_b,
+       |  round(${idot("ca", "cb")} /
+       |    (sqrt(${idot("ca", "ca")}) * sqrt(${idot("cb", "cb")})), 6) AS cos
+       |FROM p""".stripMargin
+  }
+
+  /** TTR oracle: same lowercased tokens, exact distinct, frac4. */
+  private val textTtrSql =
+    s"""WITH t AS (SELECT source AS stratum,
+       |  unnest(${wordsSqlOf("lower(text)")}) AS w FROM documents)
+       |SELECT stratum, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       |  ${frac4Sql("count(DISTINCT w)", "count(*)")} AS ttr
+       |FROM t GROUP BY 1""".stripMargin
+
+  /** k-anonymity oracle: one GROUP BY over the quasi-identifier pair. */
+  private val privacyKanonSql =
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
+       |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_violation
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   /** Tokenizer-fit oracle: per-doc committed-BPE token counts aggregated
     * by source, chars-per-token on the frac4 lattice. */
   private val bpeCompressionSql =
@@ -3244,6 +3568,30 @@ object ExtQueries {
        |SELECT stratum, doc_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
        |  CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= 60""".stripMargin
+
+  /** Funnel-4 oracle: the blocklist and DSIR query texts are embedded
+    * VERBATIM as CTEs (nested WITHs shadow cleanly in DuckDB), joined to
+    * a keep set, then the domain-cap quality chain runs over the
+    * survivors with cap 2 (binding at sf0.01). */
+  private val curationFunnel4Sql =
+    s"""WITH blq AS ($textBlocklistSql),
+       |dsirq AS MATERIALIZED ($curationDsirSql),
+       |keep AS (SELECT b.doc_id FROM blq b JOIN dsirq s2 ON b.doc_id = s2.doc_id
+       |  WHERE b.is_blocked = 0 AND s2.is_targetlike = 1),
+       |base AS (SELECT d.doc_id, d.source, d.text,
+       |  ${wordsSqlOf("d.text")} AS ws, ${wordsSqlOf("lower(d.text)")} AS wl
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |h AS (SELECT doc_id, source, text, ws,
+       |  len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |  FROM base),
+       |sc AS (SELECT doc_id, source,
+       |  ${qualityQ4Sql("text", "ws", "h_en")} AS q4 FROM h),
+       |r AS (SELECT source AS stratum, doc_id, q4,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY q4 DESC, doc_id) AS rnk
+       |  FROM sc)
+       |SELECT stratum, doc_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 2""".stripMargin
 
   /** Test-corpus embedding dimensionality. The Spark operator handles any
     * dim ≤ Similarity.maxDim (dot truncates); the oracle unrolls the plane
@@ -3969,6 +4317,17 @@ object ExtQueries {
     "q_graph_triangles" -> graphTrianglesSql,
     "q_graph_kcore" -> graphKcoreSql,
     "q_text_lm_score" -> textLmScoreSql,
+    "q_curation_dsir" -> curationDsirSql,
+    "q_select_kcenter" -> selectKcenterSql,
+    "q_text_blocklist" -> textBlocklistSql,
+    "q_text_char_hhi" -> textCharHhiSql,
+    "q_sim_hard_negatives" -> simHardNegativesSql,
+    "q_privacy_kanon" -> privacyKanonSql,
+    "q_emb_class_margins" -> embClassMarginsSql,
+    "q_text_ttr" -> textTtrSql,
+    "q_curation_funnel4" -> curationFunnel4Sql,
+    "q_curation_dsir_freeze" -> curationDsirFreezeSql,
+    "q_curation_shards" -> curationShardsSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

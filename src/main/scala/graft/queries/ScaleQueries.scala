@@ -140,6 +140,32 @@ object ScaleQueries {
     """SELECT event_id, user_id, value FROM events
       |WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 100 AND 200""".stripMargin
 
+  // ------------------------------------------ hive-partitioned layout
+  /** Write documents hive-partitioned by lang, read one partition back
+    * through the partition column — the DIRECTORY-pruning path a 100 TB
+    * lake lives on (the en/ scan lists 1/|langs| of the files before a
+    * single row is read; TableStoreSpec pins `PartitionFilters` +
+    * partition count on this exact layout). Layout is invisible to the
+    * result — the oracle filters the raw table. */
+  def qStorePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft-part").toString)
+    store.appendPartitioned("docs",
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
+      Seq("lang"))
+    val out = store.read("docs")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .localCheckpoint() // materialize before the backing files vanish
+    store.destroy()
+    out
+  }
+
+  private val storePartitionedOracle =
+    """SELECT doc_id, source, n_chars, lang FROM documents
+      |WHERE lang = 'en'""".stripMargin
+
   // -------------------------------------------------- array HOFs
   /** Higher-order array battery over per-order quantity lists: sort at
     * build (collect_list order is partition-dependent), then
@@ -472,6 +498,7 @@ object ScaleQueries {
     "q_incr_rollup" -> (qIncrRollup _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_store_zorder" -> (qStoreZorder _),
+    "q_store_partitioned" -> (qStorePartitioned _),
     "q_array_hof" -> (qArrayHof _),
     "q_w_rolling_corr" -> (qWRollingCorr _),
     "q_skew_join" -> (qSkewJoin _),
@@ -487,6 +514,7 @@ object ScaleQueries {
     "q_incr_rollup" -> incrRollupOracle,
     "q_bloom_semijoin" -> bloomSemijoinOracle,
     "q_store_zorder" -> storeZorderOracle,
+    "q_store_partitioned" -> storePartitionedOracle,
     "q_array_hof" -> arrayHofOracle,
     "q_w_rolling_corr" -> rollingCorrOracle,
     "q_skew_join" -> skewJoinOracle,

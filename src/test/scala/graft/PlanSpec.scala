@@ -539,4 +539,71 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("dsir: B-row bucket model broadcasts back onto the gram stream") {
+    val p = plan("q_curation_dsir")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"model join degraded to SMJ only:\n${p.take(3000)}")
+  }
+
+  test("blocklist and char-hhi are pure projections: zero data shuffle") {
+    Seq("q_text_blocklist", "q_text_char_hhi").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning") && !p.contains("SortMergeJoin") &&
+        !p.contains("HashAggregate"),
+        s"$q gained a shuffle:\n${p.take(3000)}")
+    }
+  }
+
+  test("k-center: final lineage is checkpoint-truncated (constant in k)") {
+    val p = plan("q_select_kcenter")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("ExistingRDD"), p.take(2000))
+  }
+
+  test("hard negatives: anchors broadcast; corpus never self-joins") {
+    val p = plan("q_sim_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("class margins: pairs stay label²; centroid pass checkpoint-truncated") {
+    val p = plan("q_emb_class_margins")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    // the centroid aggregate ran once into the localCheckpoint; the pair
+    // join reads the |labels|-row RDD twice instead of re-aggregating
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("ttr: single aggregate pass, no join") {
+    val p = plan("q_text_ttr")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("dsir frozen face: ratio table + default broadcast, no product") {
+    val p = plan("q_curation_dsir_freeze")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("shard assignment: distributed rank, never a one-task window") {
+    val p = plan("q_curation_shards")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Window")),
+      s"corpus-wide window:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD"), p.take(2000))
+  }
+
+  test("k-anonymity: one partial+final aggregate, output is class-sized") {
+    val p = plan("q_privacy_kanon")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"lost the map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
 }

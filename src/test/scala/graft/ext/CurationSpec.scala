@@ -403,4 +403,80 @@ class CurationSpec extends SparkSpec {
       assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
     }
   }
+
+  test("dsir: target-distinct vocabulary scores above raw-distinct") {
+    import spark.implicits._
+    // Counts must DOMINATE the add-one smoothing mass (B pseudo-counts
+    // in each denominator) for the ratio to leave the ~1.0 neutral zone,
+    // so the fixture repeats its vocabulary 5-10× against B = 64.
+    val docs = Seq(
+      (1L, Seq.fill(10)("apple banana").mkString(" "), true),
+      (2L, Seq.fill(5)("apple banana cherry").mkString(" "), true),
+      (3L, Seq.fill(10)("zebra yak").mkString(" "), false),
+      (4L, "apple apple zebra zebra", false),
+      (5L, "", false)
+    ).toDF("doc_id", "text", "is_t")
+    val r = Curation.dsirWeights(docs, col("is_t"), buckets = 64)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // pure-target vocab: ratio > 1 → targetlike
+    assert(r(1L)._2 > 1000000L && r(1L)._3 === 1L, r(1L).toString)
+    // pure-raw vocab: ratio < 1 → dropped
+    assert(r(3L)._2 < 1000000L && r(3L)._3 === 0L, r(3L).toString)
+    // mixed doc sits strictly between the extremes
+    assert(r(4L)._2 > r(3L)._2 && r(4L)._2 < r(1L)._2, r(4L).toString)
+    // empty doc: no grams, score 0, never selected
+    assert(r(5L) === ((0L, 0L, 0L)))
+    assert(r(1L)._1 === 20L && r(4L)._1 === 4L)
+  }
+
+  test("dsir frozen scoring: self-score equals dsirWeights; unseen " +
+      "buckets get the smoothing default") {
+    import spark.implicits._
+    val model = Seq(
+      (1L, Seq.fill(10)("apple banana").mkString(" "), true),
+      (2L, Seq.fill(5)("apple banana cherry").mkString(" "), true),
+      (3L, Seq.fill(10)("zebra yak").mkString(" "), false),
+      (4L, "apple apple zebra zebra", false)
+    ).toDF("doc_id", "text", "is_t")
+    val self = Curation.dsirScore(model, col("is_t"), model, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val base = Curation.dsirWeights(model, col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(self === base) // wrapper ≡ frozen face scored on itself
+    // a doc of model-unseen words scores at the 0-count smoothing
+    // ratio ⌊10⁶·(nr+B)/(nt+B)⌋ = ⌊10⁶·123/99⌋ (nt=35, nr=59, B=64)
+    val inc = Seq((10L, "qq ww")).toDF("doc_id", "text")
+    val got = Curation.dsirScore(model, col("is_t"), inc, buckets = 64)
+      .collect()(0)
+    assert(got.getLong(1) === 2L)
+    assert(got.getLong(2) === 1242424L, got.toSeq.toString)
+  }
+
+  test("shard assignment: LPT round-robin balances adjacent sizes") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 9L), (3L, 8L), (4L, 7L), (5L, 6L),
+      (6L, 5L), (7L, 10L)).toDF("doc_id", "n_chars")
+    val r = Curation.shardAssign(df, nShards = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // rank order (size desc, id asc): 1, 7, 2, 3, 4, 5, 6
+    assert(r(1L) === 0L && r(7L) === 1L && r(2L) === 2L)
+    assert(r(3L) === 0L && r(4L) === 1L && r(5L) === 2L && r(6L) === 0L)
+  }
+
+  test("k-anonymity: class sizes counted, sub-k classes flagged") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"),
+      ("de", "a"),
+      ("en", "b"), ("en", "b")
+    ).toDF("lang", "source")
+    val r = Curation.kAnonymity(df, Seq("lang", "source"), k = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r(("en", "a")) === ((3L, 0L)))
+    assert(r(("de", "a")) === ((1L, 1L))) // singleton re-identifies
+    assert(r(("en", "b")) === ((2L, 0L))) // exactly k is compliant
+    assert(r.size === 3)
+  }
 }

@@ -264,4 +264,73 @@ class SimilaritySpec extends SparkSpec {
     assert(l11 === 222L)
     assert(out(2L) === ((0L, 0L, 0L)))    // zero vector: all zero, no NaN
   }
+
+  test("k-center greedy: farthest-point traversal with id tiebreaks") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.0f)),
+      (3L, Array(10.0f, 0.0f)),
+      (4L, Array(10.0f, 0.1f)),
+      (5L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    // seed = min id (1); round 2 argmax d²: id4 (100.01 beats id3's 100);
+    // round 3 argmax running-min: id5 (49.01). Centers {1, 4, 5}.
+    val r = Similarity.kCenterGreedy(emb, k = 3).orderBy("vec_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.values.map(_._1).toSet === Set(1L, 4L, 5L))
+    assert(r(1L) === ((1L, 0.0)))
+    assert(r(2L)._1 === 1L && math.abs(r(2L)._2 - 0.01) < 1e-6)
+    assert(r(3L)._1 === 4L && math.abs(r(3L)._2 - 0.01) < 1e-6)
+    assert(r(4L) === ((4L, 0.0)))
+    assert(r(5L) === ((5L, 0.0)))
+    // k=1 degenerate: everything assigned to the seed
+    val r1 = Similarity.kCenterGreedy(emb, k = 1)
+    assert(r1.filter(col("center_id") === 1L).count() === 5L)
+  }
+
+  test("class centroid margins: q6 lattice means, orthogonal vs aligned") {
+    import spark.implicits._
+    // label 0 centroid (1e6, 0); label 1 (0, 1e6); label 2 floors its
+    // 5e-7 second component to 0 on the q6 lattice → identical to 0's.
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 1.0f)),
+      (4L, 2, Array(1.0f, 0.0000005f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.classCentroidMargins(emb).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r.size === 3)
+    assert(r((0, 1)) === 0.0)
+    assert(r((0, 2)) === 1.0)
+    assert(r((1, 2)) === 0.0)
+  }
+
+  test("hard negatives: pos/hardest/semi-hard split with sentinels") {
+    import spark.implicits._
+    // anchor 1 (label 0): positive id2 (cos .993884); id3 (label 1) is
+    // CLOSER than the positive (cos .998752) → hardest negative, but
+    // ineligible for semi-hard, which falls to id4 (cos 0).
+    // anchor 4 (label 2, unique): no positive → (-1, -2.0) sentinels,
+    // and no semi-hard either (semi-hard needs a pos_cos to sit under).
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 1, Array(1.0f, 0.05f)),
+      (4L, 2, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id").isin(1L, 4L)))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val a1 = r(1L)
+    assert(a1.getLong(1) === 2L && math.abs(a1.getDouble(2) - 0.993884) < 1e-9)
+    assert(a1.getLong(3) === 3L && math.abs(a1.getDouble(4) - 0.998752) < 1e-9)
+    assert(a1.getLong(5) === 4L && a1.getDouble(6) === 0.0)
+    val a4 = r(4L)
+    assert(a4.getLong(1) === -1L && a4.getDouble(2) === -2.0)
+    // every candidate is other-label; id2 has the highest cosine (.110432)
+    assert(a4.getLong(3) === 2L && math.abs(a4.getDouble(4) - 0.110432) < 1e-9)
+    assert(a4.getLong(5) === -1L && a4.getDouble(6) === -2.0)
+  }
 }

@@ -196,4 +196,47 @@ class TextAnalysisSpec extends SparkSpec {
       (0L, 2L, 17L, "One two Three four"),
       (1L, 1L, 5L, "Five.")))
   }
+
+  test("blocklist: edge-stripped token match, frac4 ratio, any-hit drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the SLOW, query"),    // "slow," strips to a hit
+      (2L, "all good here"),
+      (3L, "(broken) and slow!"), // 2 hits of 3 words
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistStats(df, Seq("slow", "broken"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 3L && r(0).getLong(2) === 1L &&
+      r(0).getLong(4) === 1L)
+    assert(r(1).getLong(2) === 0L && r(1).getLong(4) === 0L)
+    assert(r(2).getLong(2) === 2L && r(2).getDouble(3) === 0.6666)
+    assert(r(3).getLong(1) === 0L && r(3).getDouble(3) === 0.0 &&
+      r(3).getLong(4) === 0L)
+  }
+
+  test("type-token ratio: exact distinct over lowercased words, frac4") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x Y x y"), ("a", "x z"), // 6 tokens, 3 types → 0.5
+      ("b", "p q r"),                 // 3/3 → 1.0
+      ("c", "")                       // no tokens → stratum absent
+    ).toDF("source", "text")
+    val r = TextAnalysis.typeTokenRatio(df, col("source")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r("a") === ((6L, 3L, 0.5)))
+    assert(r("b") === ((3L, 3L, 1.0)))
+    assert(!r.contains("c") && r.size === 2)
+  }
+
+  test("char concentration: exact ppm endpoints of the HHI lattice") {
+    def hhi(t: String): Long =
+      one(t, TextAnalysis.charConcentration(col("text"))).asInstanceOf[Long]
+    assert(hhi("aaaa") === 1000000L) // single-char spam pegs the index
+    assert(hhi("ab") === 500000L)
+    assert(hhi("abcd") === 250000L) // uniform over d chars → 10⁶/d
+    assert(hhi("aab") === 555555L)  // (4+1)/9 on the floor lattice
+    assert(hhi("") === 0L)
+  }
 }

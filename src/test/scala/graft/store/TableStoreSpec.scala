@@ -29,6 +29,24 @@ class TableStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(store.path("t.old"))))
   }
 
+  test("partitioned read pushes the partition predicate to the listing") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-part-spec").toString)
+    store.appendPartitioned("d",
+      Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "zh")).toDF("k", "lang"),
+      Seq("lang"))
+    val q = store.read("d").filter(col("lang") === "en")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("lang"), s"no partition pruning:\n$plan")
+    // data filter must NOT appear as a row-level PushedFilter — the
+    // directory listing already eliminated the other partitions
+    assert(q.collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    store.destroy()
+  }
+
   test("compact keeps hive partitioning (pruning survives)") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-store").toString)
     (0 until 3).foreach { _ =>
