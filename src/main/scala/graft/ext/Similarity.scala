@@ -515,7 +515,11 @@ object Similarity {
     def vecLit(vs: Seq[Double]): Column = array(vs.map(lit): _*)
     def d2To(cv: Seq[Double], cn2: Double): Column =
       round(col("n2") + lit(cn2) - lit(2.0) * dot(col("v"), vecLit(cv)), 6)
-    val seed = pts.orderBy(col("id")).limit(1).collect()(0)
+    val seedRows = pts.orderBy(col("id")).limit(1).collect()
+    if (seedRows.isEmpty) // empty corpus: empty assignment, not a crash
+      return pts.select(col("id").as("vec_id"), col("id").as("center_id"),
+        col("n2").as("d2c")).limit(0)
+    val seed = seedRows(0)
     def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
       r.getSeq[Double](r.fieldIndex("v"))
     var centers = List(seed.getLong(0))
@@ -579,6 +583,71 @@ object Similarity {
     a.crossJoin(broadcast(b)).filter(col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"),
         cosine(d, sqrt(na), sqrt(nb)).as("cos"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): for every
+    * source-language document, the best other-language candidate scored
+    * by the RATIO margin — cosine divided by the mean of both sides'
+    * k-NN cosines — which suppresses hub vectors that score high against
+    * everything (raw cosine's classic failure on this task). A pair is
+    * mined when the margin exceeds 1.
+    *
+    * Exact integer lattice: cosines land on the 6dp grid as ppm longs
+    * (cos6), the k-NN means stay SUMS (sx, sy — exact integer addition;
+    * a float mean of even 4 doubles is addition-order-dependent), and
+    *   margin_ppm = ⌊10⁶ · 2k·cos6 / (sx + sy)⌋   (guarded for sx+sy ≤ 0)
+    * so ranking and the mined flag are engine-exact. Ties break on id.
+    *
+    * Scale shape: the SOURCE side broadcasts (the shard being mined —
+    * bounded by construction, like the anchor sets everywhere else in
+    * this module); the target corpus streams through one codegen scoring
+    * pass, checkpointed and reused by both k-NN windows (per-src and
+    * per-tgt partitions of the |tgt|·|src| candidate stream) and the
+    * final margin argmax. Corpus×corpus mining composes the LSH-banded
+    * candidate generator (cosineNearDupPairsBucketed) in front. */
+  def bitextMine(docs: DataFrame, emb: DataFrame, srcLang: String,
+      k: Int = 4, idCol: String = "doc_id",
+      vecIdCol: String = "vec_id"): DataFrame = {
+    val lv = docs.select(col(idCol).as("id"), col("lang"))
+      .join(emb.select(col(vecIdCol).as("id"),
+        toDouble(col("embedding")).as("v")), Seq("id"))
+      .withColumn("nv", norm(col("v")))
+    val src = lv.filter(col("lang") === srcLang)
+      .select(col("id").as("src_id"), col("v").as("sv"), col("nv").as("sn"))
+    val tgt = lv.filter(col("lang") =!= srcLang)
+      .select(col("id").as("tgt_id"), col("v").as("tv"), col("nv").as("tn"))
+    val c = cosine(dot(col("tv"), col("sv")), col("tn"), col("sn"))
+    // Reused by both k-NN windows and the argmax but deliberately NOT
+    // checkpointed: the candidate stream is O(|src|·|tgt|) — at 10× data
+    // materializing it blew executor memory (measured: ScaleCheck OOM at
+    // sf1), while recomputing it is three broadcast-join codegen scans.
+    val scored = tgt.crossJoin(broadcast(src))
+      .select(col("src_id"), col("tgt_id"),
+        round(c * lit(1000000.0)).cast("long").as("cos6"))
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos6").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos6").desc, col("src_id"))
+    val ax = scored.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k).groupBy(col("src_id"))
+      .agg(sum(col("cos6")).as("sx"))
+    val ay = scored.withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= k).groupBy(col("tgt_id"))
+      .agg(sum(col("cos6")).as("sy"))
+    val den = col("sx") + col("sy")
+    val num = lit(2L * k) * col("cos6") * lit(1000000L)
+    val margins = scored
+      .join(broadcast(ax), Seq("src_id"))
+      .join(ay, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos6"),
+        when(den > 0L, ((num - pmod(num, den)) / den).cast("long"))
+          .otherwise(lit(0L)).as("margin_ppm"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_ppm").desc, col("tgt_id"))
+    margins.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("is_parallel",
+        (col("margin_ppm") > lit(1000000L)).cast("int").cast("long"))
   }
 
   /** Triplet mining for contrastive training (Schroff et al. 2015,

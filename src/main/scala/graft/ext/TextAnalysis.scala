@@ -388,7 +388,9 @@ object TextAnalysis {
   def blocklistStats(docs: DataFrame, blocklist: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
-    val toks = words(lower(col(textCol)))
+    // null text reads as empty (a null would thread size() = -1 through
+    // every count below; a blank page is simply unblocked)
+    val toks = words(lower(coalesce(col(textCol), lit(""))))
     val stripped = transform(toks,
       w => regexp_replace(w, "^[^a-z0-9]+|[^a-z0-9]+$", ""))
     val nw = size(toks).cast("long")

@@ -901,6 +901,10 @@ object ExtQueries {
   def qEmbClassMargins(s: SparkSession, dir: String): DataFrame =
     Similarity.classCentroidMargins(emb(s, dir))
 
+  /** Margin-based bitext mining: en side vs every other language. */
+  def qSimBitext(s: SparkSession, dir: String): DataFrame =
+    Similarity.bitextMine(docs(s, dir), emb(s, dir), srcLang = "en")
+
   /** Lexical diversity (type-token ratio) per source stratum. */
   def qTextTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenRatio(docs(s, dir), col("source"))
@@ -1436,6 +1440,7 @@ object ExtQueries {
     "q_curation_funnel4" -> (qCurationFunnel4 _),
     "q_curation_dsir_freeze" -> (qCurationDsirFreeze _),
     "q_curation_shards" -> (qCurationShards _),
+    "q_sim_bitext" -> (qSimBitext _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -3310,6 +3315,49 @@ object ExtQueries {
        |  ${frac4Sql("count(DISTINCT w)", "count(*)")} AS ttr
        |FROM t GROUP BY 1""".stripMargin
 
+  /** Bitext-mining oracle: same cos6 ppm grid, k-NN SUMS (never a float
+    * mean), the pmod floor-division margin (written out explicitly —
+    * BIGINT `//` truncation semantics on a negative numerator are not
+    * worth trusting), identical tie rules. */
+  private val simBitextSql = {
+    val k = 4
+    val dotTS =
+      "list_sum(list_transform(range(1, len(tv) + 1), i -> tv[i] * sv[i]))"
+    val num = s"(${2 * k} * cos6 * 1000000)"
+    s"""WITH lv AS (SELECT d.doc_id AS id, d.lang,
+       |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |ln2 AS (SELECT id, lang, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM lv),
+       |src AS (SELECT id AS src_id, v AS sv, nv AS sn FROM ln2
+       |  WHERE lang = 'en'),
+       |tgt AS (SELECT id AS tgt_id, v AS tv, nv AS tn FROM ln2
+       |  WHERE lang <> 'en'),
+       |scored AS MATERIALIZED (SELECT src_id, tgt_id,
+       |    CAST(round(round($dotTS / (tn * sn), 6) * 1000000) AS BIGINT) AS cos6
+       |  FROM tgt CROSS JOIN src),
+       |ax AS (SELECT src_id, CAST(sum(cos6) AS BIGINT) AS sx FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY src_id
+       |     ORDER BY cos6 DESC, tgt_id) AS rn FROM scored)
+       |  WHERE rn <= $k GROUP BY 1),
+       |ay AS (SELECT tgt_id, CAST(sum(cos6) AS BIGINT) AS sy FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |     ORDER BY cos6 DESC, src_id) AS rn FROM scored)
+       |  WHERE rn <= $k GROUP BY 1),
+       |m AS (SELECT src_id, tgt_id, cos6,
+       |    CASE WHEN sx + sy > 0
+       |      THEN CAST(($num - ((($num % (sx + sy)) + (sx + sy)) % (sx + sy)))
+       |             // (sx + sy) AS BIGINT)
+       |      ELSE 0 END AS margin_ppm
+       |  FROM scored JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+       |b AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |   ORDER BY margin_ppm DESC, tgt_id) AS rn FROM m)
+       |SELECT src_id, tgt_id, cos6, margin_ppm,
+       |  CAST(CASE WHEN margin_ppm > 1000000 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_parallel
+       |FROM b WHERE rn = 1""".stripMargin
+  }
+
   /** k-anonymity oracle: one GROUP BY over the quasi-identifier pair. */
   private val privacyKanonSql =
     s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
@@ -4328,6 +4376,7 @@ object ExtQueries {
     "q_curation_funnel4" -> curationFunnel4Sql,
     "q_curation_dsir_freeze" -> curationDsirFreezeSql,
     "q_curation_shards" -> curationShardsSql,
+    "q_sim_bitext" -> simBitextSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

@@ -187,6 +187,39 @@ class EdgeCasesSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).count() === 0)
   }
 
+  test("r12 selection ops: null text, empty corpus, empty model") {
+    import graft.ext.Similarity
+    val nd = Seq((1L, null.asInstanceOf[String], "en", "s0", 0L),
+        (2L, "slow words here", "en", "s0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // blocklist: null text = blank page, never size()=-1 artifacts
+    val bl = TextAnalysis.blocklistStats(nd, Seq("slow")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(bl(1L) === ((0L, 0L)) && bl(2L) === ((3L, 1L)))
+    // char HHI: null text scores 0 like empty
+    val hh = nd.select(col("doc_id"),
+        TextAnalysis.charConcentration(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hh(1L) === 0L)
+    // dsir: null-text doc still lands in the dense output with zeros
+    val dw = Curation.dsirWeights(nd, col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dw(1L) === 0L && dw(2L) === 3L)
+    // empty-model frozen scoring: no crash, smoothing-only scores
+    val emptyModel = nd.filter(lit(false))
+    val fs = Curation.dsirScore(emptyModel, col("lang") === "en", nd,
+      buckets = 64).collect()
+    assert(fs.length === 2)
+    // k-center on an empty corpus: empty assignment, not a crash
+    val emptyEmb = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+      .filter(lit(false))
+    assert(Similarity.kCenterGreedy(emptyEmb, k = 3).count() === 0L)
+    // shard assignment + k-anonymity on empty inputs
+    assert(Curation.shardAssign(nd.filter(lit(false)), 4).count() === 0L)
+    assert(Curation.kAnonymity(nd.filter(lit(false)),
+      Seq("lang", "source"), 5).count() === 0L)
+  }
+
   test("as-of join with an empty right side keeps all left rows with nulls") {
     val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "r1"))
       .toDF("k", "ts", "reading")

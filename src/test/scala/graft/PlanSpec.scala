@@ -599,6 +599,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p.take(2000))
   }
 
+  test("bitext mining: broadcast scoring passes, never a product or spill") {
+    val p = plan("q_sim_bitext")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the candidate stream recomputes per pass (no corpus-sized
+    // checkpoint — the sf1 OOM lesson); each pass is src-broadcast
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
   test("k-anonymity: one partial+final aggregate, output is class-sized") {
     val p = plan("q_privacy_kanon")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

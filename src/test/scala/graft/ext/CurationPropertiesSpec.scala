@@ -167,4 +167,48 @@ class CurationPropertiesSpec extends SparkSpec {
       small.forall { case (id, n) => big(id) >= n }
     })
   }
+
+  test("dsir: physical-layout invariance and gram conservation") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, i % 3 == 0) }
+        .toDF("doc_id", "text", "is_t")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Curation.dsirWeights(df, col("is_t"), buckets = 32).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      val a = run(docs)
+      val b = run(docs.repartition(7)) // same answer on any layout
+      val totalGrams =
+        texts.map(_.split("\\s+").count(_.nonEmpty).toLong).sum
+      a == b && a.toSeq.map(_._2).sum == totalGrams
+    })
+  }
+
+  test("shard assignment: exactly-once cover, shard counts within one") {
+    check(Prop.forAll(genCorpus, Gen.choose(1, 5)) { (texts, n) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.length.toLong) }
+        .toDF("doc_id", "n_chars")
+      val r = Curation.shardAssign(docs, n).collect()
+        .map(x => (x.getLong(0), x.getLong(2)))
+      val counts = (0L until n.toLong)
+        .map(s => r.count(_._2 == s)).sorted
+      r.map(_._1).toSet.size == texts.size &&
+        r.forall(x => x._2 >= 0 && x._2 < n) &&
+        counts.last - counts.head <= 1
+    })
+  }
+
+  test("k-anonymity: classes partition the corpus; flag ⇔ size < k") {
+    check(Prop.forAll(genCorpus, Gen.choose(1, 4)) { (texts, k) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (s"l${i % 2}", s"s${t.length % 3}") }
+        .toDF("lang", "source")
+      val r = Curation.kAnonymity(docs, Seq("lang", "source"), k.toLong)
+        .collect().map(x => (x.getLong(2), x.getLong(3)))
+      r.map(_._1).sum == texts.size &&
+        r.forall { case (sz, v) => (v == 1L) == (sz < k) }
+    })
+  }
 }

@@ -307,6 +307,44 @@ class SimilaritySpec extends SparkSpec {
     assert(r((1, 2)) === 0.0)
   }
 
+  test("bitext mining: ratio margin suppresses the hub vector") {
+    import spark.implicits._
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"),
+      (5L, "de")).toDF("doc_id", "lang")
+    // id5 is a hub: decent cosine against BOTH sources (0.707107), but
+    // its own k-NN sum is high, so the ratio margin demotes it below
+    // the true matches id3/id4 (cos 0.995037, margin ≈ 1.42).
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.1f)), (4L, Array(0.1f, 1.0f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val r = Similarity.bitextMine(docs, emb, "en", k = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))).toMap
+    assert(r.size === 2)
+    val (t1, c1, m1, p1) = r(1L)
+    assert(t1 === 3L && c1 === 995037L && p1 === 1L && m1 > 1400000L)
+    val (t2, c2, m2, p2) = r(2L)
+    assert(t2 === 4L && c2 === 995037L && p2 === 1L && m2 === m1)
+  }
+
+  test("bitext mining is scale-invariant on the exact lattice") {
+    import spark.implicits._
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"),
+      (5L, "de")).toDF("doc_id", "lang")
+    def embOf(s: Float) = Seq(
+      (1L, Array(1.0f * s, 0.0f)), (2L, Array(0.0f, 1.0f * s)),
+      (3L, Array(1.0f * s, 0.1f * s)), (4L, Array(0.1f * s, 1.0f * s)),
+      (5L, Array(0.7f * s, 0.7f * s))).toDF("vec_id", "embedding")
+    // ×4 is a float exponent shift (exact); cosine and therefore every
+    // lattice value must be bit-identical
+    val a = Similarity.bitextMine(docs, embOf(1.0f), "en", k = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.bitextMine(docs, embOf(4.0f), "en", k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("hard negatives: pos/hardest/semi-hard split with sentinels") {
     import spark.implicits._
     // anchor 1 (label 0): positive id2 (cos .993884); id3 (label 1) is
