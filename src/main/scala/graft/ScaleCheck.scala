@@ -48,7 +48,11 @@ object ScaleCheck {
     "q_graph_triangles", "q_graph_kcore", "q_text_lm_score",
     // r12 batch 2: DSIR model-build+rescan, k-center driver loop,
     // triplet mining (anchor-broadcast corpus scan)
-    "q_curation_dsir", "q_select_kcenter", "q_sim_hard_negatives")
+    "q_curation_dsir", "q_select_kcenter", "q_sim_hard_negatives",
+    // r12 batch 6/7: bitext candidate stream, pair-graded n-gram
+    // precision, bucketed write+join
+    "q_sim_bitext", "q_eval_ngram_overlap", "q_store_bucketed",
+    "q_eval_rouge_l", "q_eval_self_bleu")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

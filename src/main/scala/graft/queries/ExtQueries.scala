@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Curation, Decontamination, Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Curation, Decontamination, Dedup, Eval, Hashing, Multimodal, Privacy, Similarity, TextAnalysis}
 
 /** Query + oracle registry for the training-data-pipeline surface
   * (graft.ext): dedup, similarity search, text analysis, multimodal
@@ -897,6 +897,71 @@ object ExtQueries {
   def qPrivacyKanon(s: SparkSession, dir: String): DataFrame =
     Curation.kAnonymity(docs(s, dir), Seq("lang", "source"), k = 5)
 
+  /** PII scrub graded byte-exactly: the synthetic corpus carries no
+    * addresses, so the query first PLANTS a varying number of emails
+    * (doc_id%3), IPv4 literals (doc_id%4) and account numbers (doc_id%2)
+    * per doc as a pure function of (doc_id, lang) — mirrored verbatim in
+    * the oracle — then runs [[Privacy.piiRedact]] over the planted
+    * corpus; the redaction hash pins every replaced byte. */
+  def qPrivacyRedact(s: SparkSession, dir: String): DataFrame = {
+    def rep(piece: Column, n: Column): Column =
+      array_join(array_repeat(piece, n.cast("int")), "")
+    val id = col("doc_id")
+    val email = concat(lit(" u"), id.cast("string"), lit("@ex-"),
+      col("lang"), lit(".org"))
+    val ip = concat(lit(" from 10."), pmod(id, lit(200L)).cast("string"),
+      lit(".0."), pmod(id, lit(250L)).cast("string"))
+    val acct = concat(lit(" acct 9"),
+      lpad(id.cast("string"), 8, "0"))
+    val planted = concat(col("text"),
+      rep(email, pmod(id, lit(3L))),
+      rep(ip, pmod(id, lit(4L))),
+      rep(acct, pmod(id, lit(2L))))
+    Privacy.piiRedact(
+      docs(s, dir).select(col("doc_id"), planted.as("text")))
+  }
+
+  /** l-diversity audit: quasi-identifier (lang, 100-char length bucket),
+    * sensitive attribute = source, l = 3. */
+  def qPrivacyLdiv(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversity(
+      docs(s, dir).select(col("lang"),
+        ((col("n_chars") - pmod(col("n_chars"), lit(100L))) / lit(100L))
+          .cast("long").as("len_bucket"),
+        col("source")),
+      Seq("lang", "len_bucket"), "source", l = 3)
+
+  /** BLEU-style clipped n-gram precision grading the MinHash near-dup
+    * candidates — overlap as an interpretable per-pair score. */
+  def qEvalNgramOverlap(s: SparkSession, dir: String): DataFrame =
+    Eval.ngramPrecision(
+      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b")),
+      docs(s, dir))
+
+  /** Sentence-level ROUGE-L over the same candidate pairs — the
+    * order-aware complement to q_eval_ngram_overlap. */
+  def qEvalRougeL(s: SparkSession, dir: String): DataFrame =
+    Eval.rougeL(
+      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b")),
+      docs(s, dir))
+
+  /** Fleiss' kappa over three deterministic annotators: gold lang,
+    * full-text langId, and the first-200-chars langId (the
+    * partial-context rater — where it disagrees, agreement drops). */
+  def qEvalFleiss(s: SparkSession, dir: String): DataFrame =
+    Eval.fleissKappa(
+      docs(s, dir).select(col("doc_id"), col("lang").as("r_gold"),
+        TextAnalysis.langId(col("text")).as("r_full"),
+        TextAnalysis.langId(substring(col("text"), 1, 200)).as("r_head")),
+      "doc_id", Seq("r_gold", "r_full", "r_head"))
+
+  /** Self-BLEU diversity readout per source stratum (64-bucket
+    * deterministic pair sample). */
+  def qEvalSelfBleu(s: SparkSession, dir: String): DataFrame =
+    Eval.selfOverlap(docs(s, dir), buckets = 64)
+
   /** Inter-class embedding centroid cosines (q6 lattice means). */
   def qEmbClassMargins(s: SparkSession, dir: String): DataFrame =
     Similarity.classCentroidMargins(emb(s, dir))
@@ -1441,6 +1506,12 @@ object ExtQueries {
     "q_curation_dsir_freeze" -> (qCurationDsirFreeze _),
     "q_curation_shards" -> (qCurationShards _),
     "q_sim_bitext" -> (qSimBitext _),
+    "q_privacy_redact" -> (qPrivacyRedact _),
+    "q_privacy_ldiv" -> (qPrivacyLdiv _),
+    "q_eval_ngram_overlap" -> (qEvalNgramOverlap _),
+    "q_eval_rouge_l" -> (qEvalRougeL _),
+    "q_eval_fleiss" -> (qEvalFleiss _),
+    "q_eval_self_bleu" -> (qEvalSelfBleu _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_curation_domaincap" -> (qCurationDomaincap _),
     "q_curation_funnel2" -> (qCurationFunnel2 _),
@@ -1629,21 +1700,25 @@ object ExtQueries {
        |    ELSE CAST(1 AS BIGINT) END AS n_grams
        |FROM documents""".stripMargin
 
-  /** Shared language-id CTE chain → (doc_id, lang_id); mirrors
-    * TextAnalysis.langId. */
-  private val langCtes: String = {
+  /** Parameterized language-id CTE chain → `lang$sfx` (doc_id, lang_id)
+    * over an arbitrary text expression; mirrors TextAnalysis.langId. */
+  private def langCtesOf(sfx: String, textExpr: String): String = {
     val hits = Seq("en", "es", "fr", "de").map(l =>
       s"len(list_filter(wl, x -> list_contains(${stopLists(l)}, x))) AS h_$l")
       .mkString(",\n  ")
-    s"""ld AS (SELECT doc_id, ${wordsSqlOf("lower(text)")} AS wl FROM documents),
-       |lh AS (SELECT doc_id, $hits FROM ld),
-       |lang AS (SELECT doc_id,
+    s"""ld$sfx AS (SELECT doc_id, ${wordsSqlOf(s"lower($textExpr)")} AS wl FROM documents),
+       |lh$sfx AS (SELECT doc_id, $hits FROM ld$sfx),
+       |lang$sfx AS (SELECT doc_id,
        |  CASE WHEN h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
        |       WHEN h_es > 0 AND h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
        |       WHEN h_fr > 0 AND h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
        |       WHEN h_de > 0 AND h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
-       |       ELSE 'und' END AS lang_id FROM lh)""".stripMargin
+       |       ELSE 'und' END AS lang_id FROM lh$sfx)""".stripMargin
   }
+
+  /** Shared language-id CTE chain → (doc_id, lang_id); mirrors
+    * TextAnalysis.langId. */
+  private val langCtes: String = langCtesOf("", "text")
 
   /** Same md5-bucket decision as Curation.stratifiedSample (en 50 %,
     * default 20 %). */
@@ -3358,6 +3433,140 @@ object ExtQueries {
        |FROM b WHERE rn = 1""".stripMargin
   }
 
+  /** PII-redaction oracle: plant the identical (doc_id, lang)-derived
+    * emails/IPs/account numbers, then run the same three-stage
+    * regexp_replace chain ('g' flag — DuckDB defaults to first-match,
+    * Spark to all) and count with regexp_extract_all. The regexes live
+    * in [[Privacy]] and are restricted to the Java∩RE2 subset. */
+  private val privacyRedactSql = {
+    val email = Privacy.emailRe
+    val ipv4 = Privacy.ipv4Re
+    val num = Privacy.longNumRe
+    s"""WITH planted AS (SELECT doc_id, text
+       |    || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex-' || lang
+       |         || '.org', CAST(doc_id % 3 AS INT))
+       |    || repeat(' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+       |         || '.0.' || CAST(doc_id % 250 AS VARCHAR),
+       |       CAST(doc_id % 4 AS INT))
+       |    || repeat(' acct 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+       |       CAST(doc_id % 2 AS INT)) AS t
+       |  FROM documents),
+       |r AS (SELECT doc_id, t,
+       |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS r1
+       |  FROM planted),
+       |r2 AS (SELECT *, regexp_replace(r1, '$ipv4', '<IP>', 'g') AS r2
+       |  FROM r),
+       |r3 AS (SELECT *, regexp_replace(r2, '$num', '<NUM>', 'g') AS r3
+       |  FROM r2)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(r1, '$ipv4')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(r2, '$num')) AS BIGINT) AS n_num,
+       |  CAST(len(r3) AS BIGINT) AS red_chars,
+       |  sha256(r3) AS red_hash
+       |FROM r3""".stripMargin
+  }
+
+  /** l-diversity oracle: one GROUP BY with an exact COUNT(DISTINCT). */
+  private val privacyLdivSql =
+    """WITH q AS (SELECT lang,
+      |    CAST(n_chars // 100 AS BIGINT) AS len_bucket, source
+      |  FROM documents)
+      |SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS class_size,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+      |  CAST(CASE WHEN count(DISTINCT source) < 3 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_violation
+      |FROM q GROUP BY 1, 2""".stripMargin
+
+  /** Shared clipped n-gram precision CTE chain over a pair CTE named
+    * `p` (id_a, id_b): per-doc gram-count indexes (unigrams = the word
+    * list itself, bigrams via the shared ngramsSql), LEAST-clipped
+    * intersection sums, ppm floor division — emitted as CTE `pp` with
+    * per-pair (clip/tot/ppm) columns so multiple oracles compose it.
+    * Gram-count CTEs are MATERIALIZED — each feeds the totals and both
+    * sides of the pair join (DuckDB inlines multiply-referenced CTEs;
+    * the k-core oracle lesson). */
+  private val ngramPrecisionCtes =
+    s"""ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w FROM documents),
+       |c1 AS MATERIALIZED (SELECT id, gram, count(*) AS cnt FROM
+       |  (SELECT id, unnest(w) AS gram FROM ws) GROUP BY 1, 2),
+       |c2 AS MATERIALIZED (SELECT id, gram, count(*) AS cnt FROM
+       |  (SELECT id, unnest(${Hashing.ngramsSql("w", 2)}) AS gram FROM ws)
+       |  GROUP BY 1, 2),
+       |t1 AS (SELECT id AS id_a, CAST(sum(cnt) AS BIGINT) AS tot1
+       |  FROM c1 GROUP BY 1),
+       |t2 AS (SELECT id AS id_a, CAST(sum(cnt) AS BIGINT) AS tot2
+       |  FROM c2 GROUP BY 1),
+       |x1 AS (SELECT p.id_a, p.id_b,
+       |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS clip1
+       |  FROM p JOIN c1 a ON a.id = p.id_a
+       |  JOIN c1 b ON b.id = p.id_b AND b.gram = a.gram GROUP BY 1, 2),
+       |x2 AS (SELECT p.id_a, p.id_b,
+       |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS clip2
+       |  FROM p JOIN c2 a ON a.id = p.id_a
+       |  JOIN c2 b ON b.id = p.id_b AND b.gram = a.gram GROUP BY 1, 2),
+       |pp AS (SELECT p.id_a, p.id_b,
+       |  coalesce(clip1, 0) AS clip1, coalesce(tot1, 0) AS tot1,
+       |  CAST(CASE WHEN coalesce(tot1, 0) > 0
+       |    THEN (coalesce(clip1, 0) * 1000000) // tot1 ELSE 0 END
+       |    AS BIGINT) AS p1_ppm,
+       |  coalesce(clip2, 0) AS clip2, coalesce(tot2, 0) AS tot2,
+       |  CAST(CASE WHEN coalesce(tot2, 0) > 0
+       |    THEN (coalesce(clip2, 0) * 1000000) // tot2 ELSE 0 END
+       |    AS BIGINT) AS p2_ppm
+       |FROM p LEFT JOIN t1 USING (id_a) LEFT JOIN t2 USING (id_a)
+       |LEFT JOIN x1 USING (id_a, id_b) LEFT JOIN x2 USING (id_a, id_b))""".stripMargin
+
+  private val evalNgramOverlapSql =
+    s"""WITH mh AS MATERIALIZED ($dedupMinhashSql),
+       |p AS (SELECT id_a, id_b FROM mh),
+       |$ngramPrecisionCtes
+       |SELECT id_a, id_b, clip1, tot1, p1_ppm, clip2, tot2, p2_ppm
+       |FROM pp""".stripMargin
+
+  /** Self-overlap diversity oracle: identical hash-bucket pair sample,
+    * the shared precision chain, per-stratum floor means. */
+  private val evalSelfBleuSql =
+    s"""WITH a AS (SELECT source AS stratum, doc_id AS id,
+       |    ${hexIntSql("CAST(doc_id AS VARCHAR)")} % 64 AS bkt
+       |  FROM documents),
+       |psrc AS MATERIALIZED (SELECT stratum, min(id) AS id_a,
+       |    max(id) AS id_b
+       |  FROM a GROUP BY stratum, bkt HAVING min(id) <> max(id)),
+       |p AS (SELECT id_a, id_b FROM psrc),
+       |$ngramPrecisionCtes
+       |SELECT s.stratum, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(p1_ppm) // count(*) AS BIGINT) AS self_bleu1_ppm,
+       |  CAST(sum(p2_ppm) // count(*) AS BIGINT) AS self_bleu2_ppm
+       |FROM pp JOIN psrc s USING (id_a, id_b)
+       |GROUP BY 1""".stripMargin
+
+  /** Fleiss-kappa oracle: the three annotators (gold lang, full-text
+    * langId, first-200-chars langId) unpivoted by UNION ALL, then the
+    * exact integer reduction — HUGEINT sums, one final double division.
+    * n = 3 raters is inlined. */
+  private val evalFleissSql =
+    s"""WITH ${langCtesOf("_f", "text")},
+       |${langCtesOf("_h", "substr(text, 1, 200)")},
+       |r AS (SELECT doc_id, lang AS cat FROM documents
+       |  UNION ALL SELECT doc_id, lang_id FROM lang_f
+       |  UNION ALL SELECT doc_id, lang_id FROM lang_h),
+       |cells AS (SELECT doc_id, cat, count(*) AS nic FROM r GROUP BY 1, 2),
+       |g1 AS (SELECT CAST(sum(pi) AS HUGEINT) AS s1,
+       |    CAST(count(*) AS BIGINT) AS n_items
+       |  FROM (SELECT doc_id, sum(nic * nic) - 3 AS pi
+       |        FROM cells GROUP BY 1)),
+       |g2 AS (SELECT CAST(sum(cc * cc) AS HUGEINT) AS s2
+       |  FROM (SELECT cat, sum(nic) AS cc FROM cells GROUP BY 1))
+       |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+       |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       |  CASE WHEN 2 * ((3 * n_items) * (3 * CAST(n_items AS HUGEINT)) - s2) > 0
+       |    THEN CAST(3 * n_items * s1 - 2 * s2 AS DOUBLE) /
+       |         CAST(2 * ((3 * n_items) * (3 * CAST(n_items AS HUGEINT)) - s2)
+       |           AS DOUBLE)
+       |    ELSE 0.0 END AS kappa
+       |FROM g1, g2""".stripMargin
+
   /** k-anonymity oracle: one GROUP BY over the quasi-identifier pair. */
   private val privacyKanonSql =
     s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
@@ -3795,6 +4004,44 @@ object ExtQueries {
        |  ${frac4Sql("total_chars", "n_sentences")} AS mean_sentence_chars,
        |  max_sentence_chars
        |FROM t""".stripMargin
+
+  /** ROUGE-L oracle: identical sentence split + hexInt hashing, then
+    * the FULL LCS dynamic program inside nested list_reduce — DuckDB
+    * v1.0 has no 3-arg (init) reduce, so the init DP row rides as the
+    * first element of the reduced list and the real elements are
+    * index singletons `[i]` (type-unifiable with the INTEGER[] rows).
+    * ppm ratios via integer `//` floors, F1 from the ppm ints. */
+  private val evalRougeLSql =
+    s"""WITH mh AS MATERIALIZED ($dedupMinhashSql),
+       |p AS (SELECT id_a, id_b FROM mh),
+       |$sentencesCte,
+       |sh AS MATERIALIZED (SELECT doc_id AS id,
+       |  list_transform(ss, s -> ${Hashing.hexIntSql("s")}) AS sh FROM ssx),
+       |j AS (SELECT p.id_a, p.id_b, a.sh AS sa, b.sh AS sb
+       |  FROM p JOIN sh a ON a.id = p.id_a JOIN sh b ON b.id = p.id_b),
+       |d AS (SELECT id_a, id_b, CAST(len(sa) AS BIGINT) AS n_sent_a,
+       |  CAST(len(sb) AS BIGINT) AS n_sent_b,
+       |  CAST(list_reduce(
+       |    list_concat([list_transform(range(1, len(sb) + 2), x -> 0)],
+       |                list_transform(range(1, len(sa) + 1), i -> [i])),
+       |    (row, el) -> list_reduce(
+       |      list_concat([[0]],
+       |                  list_transform(range(1, len(sb) + 1), jx -> [jx])),
+       |      (nr, jj) -> list_append(nr, greatest(nr[-1], row[jj[1] + 1],
+       |        row[jj[1]] + CASE WHEN sb[jj[1]] = sa[el[1]]
+       |          THEN 1 ELSE 0 END))))[-1] AS BIGINT) AS lcs
+       |  FROM j),
+       |m AS (SELECT id_a, id_b, n_sent_a, n_sent_b, lcs,
+       |  CAST(CASE WHEN n_sent_a > 0 THEN (lcs * 1000000) // n_sent_a
+       |    ELSE 0 END AS BIGINT) AS p_ppm,
+       |  CAST(CASE WHEN n_sent_b > 0 THEN (lcs * 1000000) // n_sent_b
+       |    ELSE 0 END AS BIGINT) AS r_ppm
+       |  FROM d)
+       |SELECT id_a, id_b, n_sent_a, n_sent_b, lcs, p_ppm, r_ppm,
+       |  CAST(CASE WHEN p_ppm + r_ppm > 0
+       |    THEN (2 * p_ppm * r_ppm) // (p_ppm + r_ppm)
+       |    ELSE 0 END AS BIGINT) AS f_ppm
+       |FROM m""".stripMargin
 
   /** Sentence-chunking oracle: positions via range+index, exclusive
     * prefix sums per doc, cumulative-char bucket, ordered string_agg. */
@@ -4377,6 +4624,12 @@ object ExtQueries {
     "q_curation_dsir_freeze" -> curationDsirFreezeSql,
     "q_curation_shards" -> curationShardsSql,
     "q_sim_bitext" -> simBitextSql,
+    "q_privacy_redact" -> privacyRedactSql,
+    "q_privacy_ldiv" -> privacyLdivSql,
+    "q_eval_ngram_overlap" -> evalNgramOverlapSql,
+    "q_eval_rouge_l" -> evalRougeLSql,
+    "q_eval_fleiss" -> evalFleissSql,
+    "q_eval_self_bleu" -> evalSelfBleuSql,
     "q_retrieval_ndcg" -> retrievalNdcgSql,
     "q_curation_domaincap" -> curationDomaincapSql,
     "q_curation_funnel2" -> curationFunnel2Sql,

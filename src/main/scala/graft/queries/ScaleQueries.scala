@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{IncrementalAgg, TimeSeries}
 import graft.ops.{BloomJoin, SkewJoin}
-import graft.store.TableStore
+import graft.store.{BucketedStore, TableStore}
 
 /** Round-5 scale-pattern surface: time-series regularization, incremental
   * rollup state, Bloom-reduced joins, Z-order layout, array higher-order
@@ -165,6 +165,55 @@ object ScaleQueries {
   private val storePartitionedOracle =
     """SELECT doc_id, source, n_chars, lang FROM documents
       |WHERE lang = 'en'""".stripMargin
+
+  // ------------------------------------------------ bucketed layout
+  /** Bucketed-table co-located join: orders and customer both written
+    * `bucketBy(8, custkey)` (pre-partitioned on the bucket column so
+    * each bucket lands in ONE file — the layout that also unlocks the
+    * sorted-scan path), then joined on the bucket key. Because both
+    * sides share Spark's bucket hash-partitioning, the join needs NO
+    * shuffle of either table — the exchange a plain repartition join
+    * pays on every run is paid ONCE at write time and amortized over
+    * every later join on that key. That is the fact-table join strategy
+    * a 100 TB warehouse lives on; BucketedStoreSpec pins the
+    * shuffle-free plan (zero Exchange under the join) and the
+    * one-file-per-bucket layout.
+    * Layout is invisible to the result — the oracle joins the raw
+    * tables. Table names are per-call unique (Verify runs queries
+    * concurrently against a shared external catalog). */
+  def qStoreBucketed(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft-bucket").toString)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ot = s"orders_bkt_$tag"
+    val ct = s"customer_bkt_$tag"
+    BucketedStore.saveBucketedExternal(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      ot, store.path(ot), Seq("o_custkey"), numBuckets = 8)
+    BucketedStore.saveBucketedExternal(
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      ct, store.path(ct), Seq("c_custkey"), numBuckets = 8)
+    val out = BucketedStore.read(s, ot)
+      .join(BucketedStore.read(s, ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100)
+          .cast("decimal(18,0)")).cast("double") / 100.0).as("sum_price"))
+      .localCheckpoint() // materialize before tables + files vanish
+    s.sql(s"DROP TABLE IF EXISTS $ot")
+    s.sql(s"DROP TABLE IF EXISTS $ct")
+    store.destroy()
+    out
+  }
+
+  private val storeBucketedOracle =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+      |    AS DOUBLE) / 100.0 AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
 
   // -------------------------------------------------- array HOFs
   /** Higher-order array battery over per-order quantity lists: sort at
@@ -499,6 +548,7 @@ object ScaleQueries {
     "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_store_zorder" -> (qStoreZorder _),
     "q_store_partitioned" -> (qStorePartitioned _),
+    "q_store_bucketed" -> (qStoreBucketed _),
     "q_array_hof" -> (qArrayHof _),
     "q_w_rolling_corr" -> (qWRollingCorr _),
     "q_skew_join" -> (qSkewJoin _),
@@ -515,6 +565,7 @@ object ScaleQueries {
     "q_bloom_semijoin" -> bloomSemijoinOracle,
     "q_store_zorder" -> storeZorderOracle,
     "q_store_partitioned" -> storePartitionedOracle,
+    "q_store_bucketed" -> storeBucketedOracle,
     "q_array_hof" -> arrayHofOracle,
     "q_w_rolling_corr" -> rollingCorrOracle,
     "q_skew_join" -> skewJoinOracle,

@@ -607,6 +607,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(3000))
   }
 
+  test("PII redaction runs at scan speed: no keyed shuffle, zero joins") {
+    val p = plan("q_privacy_redact")
+    // the only allowed exchange is the conditional round-robin widen of
+    // the single-split test corpus — never a keyed repartition
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("l-diversity: one aggregate pass, class-sized output") {
+    val p = plan("q_privacy_ldiv")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("ngram-overlap grader: pair-bounded joins, never a product") {
+    val p = plan("q_eval_ngram_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("fleiss kappa: one unpivot pass to aggregates, 1-row broadcasts only") {
+    val p = plan("q_eval_fleiss")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    // the only cross is the S1 × S2 1-row combine (J3 shape)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("self-bleu: bucket-sample pairs only, never corpus pairs") {
+    val p = plan("q_eval_self_bleu")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("rouge-l: the LCS DP rides inside the pair projection, no product") {
+    val p = plan("q_eval_rouge_l")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the whole dynamic program is per-row array work — no extra
+    // shuffle beyond the two pair-index equi-joins
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
   test("k-anonymity: one partial+final aggregate, output is class-sized") {
     val p = plan("q_privacy_kanon")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

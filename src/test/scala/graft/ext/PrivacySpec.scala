@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiRedact: staged counts never double-count, bytes pinned") {
+    val docs = Seq(
+      (1L, "mail me at alice@corp.example.com thanks"),
+      // digits in the local part: ONE email, zero long-number hits
+      (2L, "from bob12345@a.io and carol@b.org"),
+      (3L, "server 192.168.0.1 and 10.0.255.3 up"),
+      // an IP is octet-sized: the number pass must not tear it,
+      // while the real account number is caught
+      (4L, "acct 123456789 on 172.16.254.1"),
+      (5L, "v1.2 costs 999 at 3pm"), // nothing PII-shaped
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Privacy.piiRedact(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(5)))).toMap
+    assert(r(1L)._1 === 1L && r(1L)._2 === 0L && r(1L)._3 === 0L)
+    assert(r(2L)._1 === 2L && r(2L)._3 === 0L,
+      "digits inside a redacted email must not also count as numbers")
+    assert(r(3L)._2 === 2L && r(3L)._3 === 0L)
+    assert(r(4L)._2 === 1L && r(4L)._3 === 1L)
+    assert(r(5L) === ((0L, 0L, 0L, r(5L)._4)))
+    assert(r(6L)._1 === 0L)
+    // byte-exact redaction: hash equals sha2 of the expected string
+    val expected = spark.range(1)
+      .select(sha2(lit("acct <NUM> on <IP>"), 256)).head.getString(0)
+    val h4 = Privacy.piiRedact(docs).filter(col("doc_id") === 4L)
+      .select(col("red_hash")).head.getString(0)
+    assert(h4 === expected)
+  }
+
+  test("lDiversity: violation ⇔ distinct sensitive values < l") {
+    val df = Seq(
+      ("en", 0L, "s0"), ("en", 0L, "s1"), ("en", 0L, "s2"), // diverse
+      ("de", 0L, "s0"), ("de", 0L, "s0"), ("de", 0L, "s1"), // 2 < 3
+      ("fr", 1L, "s0")) // singleton class
+      .toDF("lang", "len_bucket", "source")
+    val r = Privacy.lDiversity(df, Seq("lang", "len_bucket"), "source", 3)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(("en", 0L)) === ((3L, 3L, 0L)))
+    assert(r(("de", 0L)) === ((3L, 2L, 1L)))
+    assert(r(("fr", 1L)) === ((1L, 1L, 1L)))
+  }
+}
