@@ -52,7 +52,12 @@ object ScaleCheck {
     // r12 batch 6/7: bitext candidate stream, pair-graded n-gram
     // precision, bucketed write+join
     "q_sim_bitext", "q_eval_ngram_overlap", "q_store_bucketed",
-    "q_eval_rouge_l", "q_eval_self_bleu")
+    "q_eval_rouge_l", "q_eval_self_bleu",
+    // r12 batch 10: token-pair generators, register sketch, blocked
+    // linkage, compaction write path (chi2/gini are one-pass facet
+    // aggregates — not heavy-set material, same call as fleiss)
+    "q_text_pmi", "q_text_skipgram", "q_sketch_hll", "q_link_records",
+    "q_store_compact")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

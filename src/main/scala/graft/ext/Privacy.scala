@@ -50,6 +50,37 @@ object Privacy {
       sha2(r3, 256).as("red_hash"))
   }
 
+  /** Right-to-erasure cascade (GDPR art. 17 shape): given a forget-key
+    * set, every keyed table drops its matching rows and the audit
+    * certifies the result — per table: rows before, rows erased, rows
+    * after, and the RESIDUAL (forget-keyed rows still present after the
+    * rewrite, which must be 0). The residual is counted on the KEPT
+    * frame the caller will persist — in a lake deployment that frame is
+    * the re-read of the rewritten table, so the audit certifies storage,
+    * not intent (see q_privacy_erasure, which routes through TableStore).
+    *
+    * Scale shape: per table, one anti-join + one semi-join against the
+    * forget set (broadcast when small, shuffle otherwise — Spark's
+    * planner decides from stats) and three count aggregates. Nothing
+    * row-scaled beyond the joins; the audit output is |tables| rows. */
+  def erasureAudit(tables: Seq[(String, DataFrame, String)],
+      forget: DataFrame, forgetKey: String): DataFrame = {
+    require(tables.nonEmpty, "erasureAudit: need at least one table")
+    val audits = tables.map { case (name, df, keyCol) =>
+      val fk = forget.select(col(forgetKey).as(keyCol))
+      val kept = df.join(fk, Seq(keyCol), "left_anti")
+      val before = df.agg(count(lit(1)).as("rows_before"))
+      val after = kept.agg(count(lit(1)).as("rows_after"))
+      val residual = kept.join(fk, Seq(keyCol), "left_semi")
+        .agg(count(lit(1)).as("residual_after"))
+      before.crossJoin(broadcast(after)).crossJoin(broadcast(residual))
+        .select(lit(name).as("tbl"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_erased"),
+          col("rows_after"), col("residual_after"))
+    }
+    audits.reduce(_ unionByName _)
+  }
+
   /** l-diversity audit (Machanavajjhala et al. 2007): beyond class SIZE
     * (k-anonymity), each quasi-identifier equivalence class must carry
     * at least `l` DISTINCT sensitive values — a size-100 class whose

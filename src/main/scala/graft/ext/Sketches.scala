@@ -188,6 +188,90 @@ object Sketches {
           .as("est_distinct")): _*)
   }
 
+  // ------------------------------------------------------------- HLL
+  /** Deterministic HyperLogLog (Flajolet et al. 2007) over the portable
+    * 60-bit hash — the FIXED-STATE sibling of KMV: the sketch is always
+    * exactly `hllBuckets` max-registers per group (KMV state grows to k
+    * distinct hashes; HLL state is constant from the first row), and the
+    * merge law is register-wise MAX — the idempotent, commutative,
+    * re-delivery-proof fold a streaming/multi-shard cardinality pipeline
+    * wants (adding the same shard twice cannot move an HLL, but CAN
+    * corrupt a naive counter).
+    *
+    * Spark's own approx_count_distinct is HLL++ with non-portable
+    * internals (spec-tested in [[approxDistinctProfile]]); this variant
+    * is built from md5 bits, so registers AND estimate are bit-identical
+    * in any engine — oracle-checkable like KMV.
+    *
+    * Layout of the 60-bit hash: bucket = h mod 64 (6 bits), the
+    * remaining w = ⌊h/64⌋ is a 54-bit field, and the register update is
+    * rho(w) = leading zeros of w in that field + 1 = 55 − bit_length(w)
+    * (w = 0 ⇒ 55). bit_length goes through the BINARY-STRING length —
+    * `length(bin(w))` — which both engines define identically for
+    * nonnegative longs; no float log2 anywhere.
+    *
+    * Estimate on the q4 lattice with the standard α₆₄ fixed at the
+    * rational 709/1000:
+    *   est_q4 = ⌊709 · 64² · 2⁶⁰ · 10⁴ / (1000 · Σ_j 2^(60−M_j))⌋
+    * (the indicator sum Σ2^(−M_j) scaled by 2⁶⁰ so it is an exact
+    * integer; decimal(38,0) throughout). No small-range linear-counting
+    * branch — that needs ln(), which hash-flakes; the raw estimate's
+    * low-cardinality bias is visible next to `n_zero` (untouched
+    * registers) and the exact count in the registered query, which is
+    * the honest way to publish it.
+    *
+    * Scale shape: one map-side-combined (group, bucket) MAX shuffle —
+    * ≤ 64 rows per group per map task cross the wire regardless of input
+    * volume; the estimate runs over groups·64 rows. */
+  val hllBuckets = 64
+
+  /** Register table (group, bucket, m_j) — the sketch state. */
+  def hllRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val h = Hashing.hexLong(col(valueCol).cast("string"))
+    val m = lit(hllBuckets.toLong)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), pmod(h, m).as("bucket"),
+        // 64 = 2⁶, h ≥ 0: the shift IS ⌊h/64⌋, exactly (a long `/` would
+        // detour through double and lose bits past 2⁵³)
+        shiftright(h, 6).as("w"))
+      .select(col(groupCol), col("bucket"),
+        when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Merge shard register tables: register-wise max (idempotent). */
+  def hllMerge(sketches: Seq[DataFrame], groupCol: String): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("m_j")).as("m_j"))
+
+  /** Collapse registers to (group, n_zero, est_distinct). Untouched
+    * buckets read m_j = 0 via a dense 64-slot grid (broadcast cross of
+    * the group list × bucket range). */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    // 709 · 64² · 2⁶⁰ · 10⁴, exact
+    val numConst = BigInt(709) * 4096 * (BigInt(1) << 60) * 10000
+    val groups = registers.select(col(groupCol)).distinct()
+    val grid = groups.crossJoin(
+      broadcast(registers.sparkSession.range(hllBuckets)
+        .select(col("id").as("bucket"))))
+    val full = grid.join(registers, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), coalesce(col("m_j"), lit(0L)).as("m_j"))
+    val term = expr("cast(shiftleft(cast(1 as bigint), cast(60 - m_j as int)) " +
+      s"as $dec)")
+    val s = full.groupBy(col(groupCol))
+      .agg(sum(when(col("m_j") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(term).as("s"))
+    val num = lit(new java.math.BigDecimal(numConst.bigInteger)).cast(dec)
+    val den = lit(1000L).cast(dec) * col("s")
+    s.select(col(groupCol), col("n_zero"),
+      (((num - pmod(num, den)) / den).cast("double") / 10000.0)
+        .as("est_distinct"))
+  }
+
   /** Exact MERGEABLE quantile profile over a lattice-quantized value
     * column — the quantile sibling of the KMV sketch, and the
     * deterministic alternative to [[quantileProfile]]'s t-digest-style

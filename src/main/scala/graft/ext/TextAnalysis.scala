@@ -431,6 +431,76 @@ object TextAnalysis {
         frac4(col("n_types"), col("n_tokens")).as("ttr"))
   }
 
+  /** Skip-gram co-occurrence counts (the word2vec training-pair
+    * generator — Mikolov et al. 2013): ordered token pairs (w_i, w_{i+d})
+    * for every distance d = 1..window, counted corpus-wide, rare pairs
+    * (< minCount) dropped. Each distance's pairs are the two EXTREME
+    * words of the (d+1)-grams — so the pair stream reuses the same
+    * [[Hashing.ngrams]] generator (and the oracle the same
+    * [[Hashing.ngramsSql]]) that every shingle operator is verified on.
+    *
+    * Scale shape: pure Generate (explode) over each doc's own tokens —
+    * tokens·window pair occurrences, map-side combined down to the
+    * distinct-pair vocabulary before the one (a,b)-keyed exchange.
+    * Nothing joins, nothing windows; the hot path is codegen. */
+  def skipgramPairs(docs: DataFrame, window: Int = 2, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "skipgramPairs: window must be >= 1")
+    val ws = words(lower(col(textCol)))
+    val pairGrams = flatten(array((1 to window).map(d => ngrams(ws, d + 1)): _*))
+    docs
+      .select(explode(pairGrams).as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("w_a"),
+        substring_index(col("gram"), " ", -1).as("w_b"))
+      .groupBy(col("w_a"), col("w_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
+  /** PMI collocation mining: adjacent bigrams scored by pointwise mutual
+    * information on an exact integer lattice. True PMI is
+    * log[ p(xy) / (p(x)·p(y)) ]; log is monotone, so ranking/thresholding
+    * on the RATIO is ranking on PMI — and the ratio is exact integer
+    * arithmetic where the log would hash-flake on last-ulp libm
+    * differences between engines:
+    *   pmi_ratio_q6 = ⌊ c_xy · N_u² · 10⁶ / (N_b · c_x · c_y) ⌋
+    * (c_xy bigram count, N_b total bigrams, c_x/c_y unigram counts, N_u
+    * total tokens; products run in decimal(38,0) — N_u²·10⁶ alone passes
+    * int64 at ~3·10⁶ tokens). Bigrams below minCount are dropped BEFORE
+    * the unigram joins (the classic low-count PMI blow-up filter).
+    *
+    * Scale shape: two map-side-combined counts (unigram vocab, bigram
+    * vocab), two vocab-keyed equi-joins on the SURVIVING bigram types
+    * (vocab-sized, never occurrence-sized), 1-row totals broadcast.
+    * Hot function-word unigrams are join KEYS on the unigram side —
+    * unique per key, so no skew fan-out. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ws = words(lower(col(textCol)))
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds two joins + the N_u total
+    val nu = uni.agg(sum(col("c")).as("n_uni"))
+    val bg = docs.select(explode(ngrams(ws, 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(true) // feeds the N_b total and the scored join
+    val nb = bg.agg(sum(col("c_xy")).as("n_bi"))
+    val survivors = bg.filter(col("c_xy") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("w_a"),
+        substring_index(col("bg"), " ", -1).as("w_b"), col("c_xy"))
+    val num = col("c_xy").cast(dec) * col("n_uni").cast(dec) *
+      col("n_uni").cast(dec) * lit(1000000L).cast(dec)
+    val den = col("n_bi").cast(dec) * col("c_a").cast(dec) *
+      col("c_b").cast(dec)
+    survivors
+      .join(uni.select(col("w").as("w_a"), col("c").as("c_a")), Seq("w_a"))
+      .join(uni.select(col("w").as("w_b"), col("c").as("c_b")), Seq("w_b"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w_a"), col("w_b"), col("c_xy"), col("c_a"), col("c_b"),
+        ((num - pmod(num, den)) / den).cast("long").as("pmi_ratio_q6"))
+  }
+
   /** Character-concentration gibberish score: the Herfindahl index of
     * the doc's character unigram distribution on the exact ppm lattice,
     *   hhi_ppm = ⌊10⁶ · Σ c(ch)² / n²⌋,

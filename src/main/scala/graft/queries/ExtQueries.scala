@@ -1387,6 +1387,79 @@ object ExtQueries {
       .select(Seq(col("media_id"), col("kind")) ++
         (0 until 8).map(i => col("features")(i).as(s"f$i")): _*)
 
+  /** PMI collocation mining: adjacent-bigram pointwise mutual
+    * information on the exact ratio lattice (log-free — monotone in true
+    * PMI), rare bigrams (< 5) dropped before the unigram joins. */
+  def qTextPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(docs(s, dir), minCount = 5L)
+
+  /** Skip-gram co-occurrence counts (word2vec pair generator): ordered
+    * pairs at distance 1..2, corpus-counted, rare pairs dropped. */
+  def qTextSkipgram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipgramPairs(docs(s, dir), window = 2, minCount = 5L)
+
+  /** Chi-square independence audit of the corpus's two categorical
+    * facets (lang × source): is language distribution uniform across
+    * providers? One row of exact lattice statistics. */
+  def qStatsChi2(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.chiSquareIndependence(docs(s, dir), "lang", "source")
+
+  /** Gini concentration of document mass across sources — the
+    * "one provider owns the corpus" imbalance readout. */
+  def qStatsGini(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.giniConcentration(docs(s, dir), "source")
+
+  /** Right-to-erasure cascade audit: provider src7 requests removal;
+    * its doc keys propagate to every keyed table (documents itself,
+    * embeddings via vec_id = doc_id) and the audit certifies zero
+    * residual after the anti-join rewrite. */
+  def qPrivacyErasure(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val forget = d.filter(col("source") === "src7").select(col("doc_id"))
+    Privacy.erasureAudit(
+      Seq(("documents", d, "doc_id"),
+        ("embeddings", emb(s, dir), "vec_id")),
+      forget, "doc_id")
+  }
+
+  /** Blocked record linkage (Fellegi–Sunter shape) over a
+    * deterministically perturbed twin of customer: every third record's
+    * name is defaced at a position OUTSIDE the blocking key, account
+    * balances jitter by (key mod 7) cents, every eleventh segment is
+    * lost — the linkage must re-find the true pairs from the blocking
+    * join + weighted field agreement alone (name 40, balance-within-5¢
+    * 25, segment 10; threshold 35). Blocks are (nation, last-5 name
+    * digits) — bounded, never all-pairs. */
+  def qLinkRecords(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Linkage
+    val c = graft.Tables.load(s, dir, "customer")
+    val base = c.select(col("c_custkey").as("k"), col("c_name"),
+      col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      col("c_mktsegment"))
+    val blkOf: Column => Column =
+      name => substring(name, -5, 5)
+    val a = base.select(col("k").as("a_id"),
+      col("c_nationkey").as("bn"), blkOf(col("c_name")).as("bd"),
+      col("c_name").as("a_name"), col("cents").as("a_cents"),
+      col("c_mktsegment").as("a_seg"))
+    val bName = when(col("k") % 3 === 0,
+      concat(substring(col("c_name"), 1, 9), lit("X"),
+        substring(col("c_name"), 11, 8))).otherwise(col("c_name"))
+    val b = base.select((col("k") + 1000000L).as("b_id"),
+      col("c_nationkey").as("bn"), bName.as("b_name0"),
+      (col("cents") + col("k") % 7).as("b_cents"),
+      when(col("k") % 11 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("b_seg"))
+      .select(col("b_id"), col("bn"), blkOf(col("b_name0")).as("bd"),
+        col("b_name0").as("b_name"), col("b_cents"), col("b_seg"))
+    Linkage.linkRecords(a, b, Seq("bn", "bd"),
+      Seq(Linkage.Rule("name", 40L, (x, y) => x === y),
+        Linkage.Rule("cents", 25L, (x, y) => abs(x - y) <= 5L),
+        Linkage.Rule("seg", 10L, (x, y) => x === y)),
+      "a_id", "b_id", threshold = 35L)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -1527,7 +1600,13 @@ object ExtQueries {
     "q_cluster_topics" -> (qClusterTopics _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_phash" -> (qMmPhash _),
-    "q_mm_phash_dups" -> (qMmPhashDups _))
+    "q_mm_phash_dups" -> (qMmPhashDups _),
+    "q_text_pmi" -> (qTextPmi _),
+    "q_text_skipgram" -> (qTextSkipgram _),
+    "q_stats_chi2" -> (qStatsChi2 _),
+    "q_stats_gini" -> (qStatsGini _),
+    "q_privacy_erasure" -> (qPrivacyErasure _),
+    "q_link_records" -> (qLinkRecords _))
 
   // =================================================== DuckDB oracles
 
@@ -4496,6 +4575,130 @@ object ExtQueries {
        |    CAST(least(n, (out_w * out_h) // 64) AS BIGINT))) AS out_digest
        |FROM g""".stripMargin
 
+  /** Skip-gram oracle: pairs at distance d are the extreme words of the
+    * (d+1)-grams — the same [[Hashing.ngramsSql]] generator every
+    * shingle oracle uses, so tokenization cannot drift. */
+  private val textSkipgramSql = {
+    val ws = wordsSqlOf("lower(text)")
+    val byD = (1 to 2).map { d =>
+      s"SELECT unnest(${Hashing.ngramsSql("w", d + 1)}) AS gram FROM ws"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ws AS (SELECT $ws AS w FROM documents),
+       |g AS ($byD)
+       |SELECT (string_split(gram, ' '))[1] AS w_a,
+       |  (string_split(gram, ' '))[-1] AS w_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM g GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+  }
+
+  /** PMI oracle: identical ratio lattice, HUGEINT `//` floor (positive
+    * operands — BIGINT/HUGEINT `//` floors; only DECIMAL `//` rounds). */
+  private val textPmiSql = {
+    val ws = wordsSqlOf("lower(text)")
+    s"""WITH ws AS (SELECT $ws AS w FROM documents),
+       |uni AS (SELECT unnest(w) AS wd FROM ws),
+       |uc AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+       |bg0 AS (SELECT unnest(${Hashing.ngramsSql("w", 2)}) AS bg FROM ws),
+       |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_xy FROM bg0 GROUP BY 1),
+       |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bc),
+       |s AS (SELECT (string_split(bg, ' '))[1] AS w_a,
+       |  (string_split(bg, ' '))[2] AS w_b, c_xy FROM bc WHERE c_xy >= 5)
+       |SELECT s.w_a, s.w_b, s.c_xy, ua.c AS c_a, ub.c AS c_b,
+       |  CAST((CAST(s.c_xy AS HUGEINT) * n_uni * n_uni * 1000000)
+       |    // (CAST(n_bi AS HUGEINT) * ua.c * ub.c) AS BIGINT) AS pmi_ratio_q6
+       |FROM s JOIN uc ua ON ua.wd = s.w_a JOIN uc ub ON ub.wd = s.w_b,
+       |  nu, nb""".stripMargin
+  }
+
+  /** Chi-square oracle: full margin grid (zero cells included), per-cell
+    * q6 floor in HUGEINT, summed. */
+  private val statsChi2Sql =
+    """WITH o AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+      |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+      |grid AS (SELECT ra.a, cb.b, ra.r, cb.c, nt.n,
+      |    coalesce(o.o, 0) AS o
+      |  FROM ra CROSS JOIN cb CROSS JOIN nt
+      |  LEFT JOIN o ON o.a = ra.a AND o.b = cb.b),
+      |cells AS (SELECT a, b, n,
+      |    (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS d,
+      |    CAST(n AS HUGEINT) * r * c AS den
+      |  FROM grid)
+      |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+      |  CAST(count(DISTINCT b) AS BIGINT) AS n_b,
+      |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+      |  CAST(sum((d * d * 1000000) // den) AS BIGINT) AS chi2_q6
+      |FROM cells""".stripMargin
+
+  /** Gini oracle: ascending-count ranks (ties broken by group name —
+    * total order), exact rational on the q6 lattice. */
+  private val statsGiniSql =
+    """WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, grp) AS i FROM g),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(x) AS BIGINT) AS n_total,
+      |    sum(CAST(i AS HUGEINT) * x) AS six FROM r)
+      |SELECT n_groups, n_total,
+      |  CAST(((2 * six - (CAST(n_groups AS HUGEINT) + 1) * n_total) * 1000000)
+      |    // (CAST(n_groups AS HUGEINT) * n_total) AS BIGINT) AS gini_q6
+      |FROM a""".stripMargin
+
+  /** Erasure oracle: per-table before/erased/after counts; the engine's
+    * residual is computed on the kept frame (anti-then-semi ≡ 0 when the
+    * rewrite actually dropped the rows — the property being certified). */
+  private val privacyErasureSql =
+    """WITH f AS (SELECT doc_id AS k FROM documents WHERE source = 'src7')
+      |SELECT 'documents' AS tbl,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS rows_before,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |     WHERE doc_id IN (SELECT k FROM f)) AS rows_erased,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |     WHERE doc_id NOT IN (SELECT k FROM f)) AS rows_after,
+      |  CAST(0 AS BIGINT) AS residual_after
+      |UNION ALL
+      |SELECT 'embeddings',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |     WHERE vec_id IN (SELECT k FROM f)),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |     WHERE vec_id NOT IN (SELECT k FROM f)),
+      |  CAST(0 AS BIGINT)""".stripMargin
+
+  /** Record-linkage oracle: identical perturbation, blocking, and
+    * weighted agreement arithmetic. */
+  private val linkRecordsSql =
+    """WITH base AS (SELECT c_custkey AS k, c_name, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment
+      |  FROM customer),
+      |a AS (SELECT k AS a_id, c_nationkey AS bn,
+      |    substr(c_name, length(c_name) - 4, 5) AS bd,
+      |    c_name AS a_name, cents AS a_cents, c_mktsegment AS a_seg
+      |  FROM base),
+      |b0 AS (SELECT k,
+      |    CASE WHEN k % 3 = 0
+      |      THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 8)
+      |      ELSE c_name END AS b_name,
+      |    c_nationkey, cents + (k % 7) AS b_cents,
+      |    CASE WHEN k % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS b_seg
+      |  FROM base),
+      |b AS (SELECT k + 1000000 AS b_id, c_nationkey AS bn,
+      |    substr(b_name, length(b_name) - 4, 5) AS bd,
+      |    b_name, b_cents, b_seg FROM b0),
+      |p AS (SELECT a_id, b_id,
+      |    CAST(CASE WHEN a_name = b_name THEN 40 ELSE 0 END AS BIGINT) AS s_name,
+      |    CAST(CASE WHEN abs(a_cents - b_cents) <= 5 THEN 25 ELSE 0 END AS BIGINT) AS s_cents,
+      |    CAST(CASE WHEN a_seg = b_seg THEN 10 ELSE 0 END AS BIGINT) AS s_seg
+      |  FROM a JOIN b USING (bn, bd))
+      |SELECT a_id, b_id, s_name, s_cents, s_seg,
+      |  (s_name + s_cents + s_seg) AS score
+      |FROM p WHERE s_name + s_cents + s_seg >= 35""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_normalized" -> dedupNormalizedSql,
@@ -4645,5 +4848,11 @@ object ExtQueries {
     "q_cluster_topics" -> clusterTopicsSql,
     "q_mm_resize" -> mmResizeSql,
     "q_mm_phash" -> mmPhashSql,
-    "q_mm_phash_dups" -> mmPhashDupsSql)
+    "q_mm_phash_dups" -> mmPhashDupsSql,
+    "q_text_pmi" -> textPmiSql,
+    "q_text_skipgram" -> textSkipgramSql,
+    "q_stats_chi2" -> statsChi2Sql,
+    "q_stats_gini" -> statsGiniSql,
+    "q_privacy_erasure" -> privacyErasureSql,
+    "q_link_records" -> linkRecordsSql)
 }

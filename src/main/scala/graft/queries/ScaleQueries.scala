@@ -540,6 +540,86 @@ object ScaleQueries {
        |GROUP BY event_type, n""".stripMargin
   }
 
+  // ---------------------------------------------- deterministic HLL
+  /** Portable-HLL cardinality profile next to KMV and the exact count:
+    * fixed 64-register state per group, register-wise-max merge law
+    * (idempotent — re-delivered shards can't move it), estimate on the
+    * q4 lattice with α₆₄ = 709/1000. The raw-estimate low-cardinality
+    * bias is published honestly next to `n_zero` and `n_exact` rather
+    * than patched with a linear-counting branch (whose ln() would
+    * hash-flake across engines). */
+  def qSketchHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketches
+    val ev = t(s, dir, "events").select(col("event_type"),
+      round(col("value") * 100).cast("decimal(18,0)").cast("long")
+        .as("value_cents"))
+    val regs = Sketches.hllRegisters(ev, "event_type", "value_cents")
+    val est = Sketches.hllEstimate(regs, "event_type")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("value_cents")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_zero"), col("est_distinct"),
+        col("n_exact"))
+  }
+
+  private val sketchHllOracle = {
+    import graft.ext.Hashing
+    val numConst = (BigInt(709) * 4096 * (BigInt(1) << 60) * 10000).toString
+    val cents = "CAST(CAST(round(value * 100) AS DECIMAL(18,0)) AS BIGINT)"
+    s"""WITH v AS (SELECT event_type, $cents AS cents FROM events
+       |  WHERE value IS NOT NULL),
+       |h AS (SELECT event_type,
+       |  ${Hashing.hexLongSql("CAST(cents AS VARCHAR)")} AS h FROM v),
+       |rb AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h),
+       |rr AS (SELECT event_type, bucket,
+       |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - len(bin(w)) END) AS m_j
+       |  FROM rb GROUP BY 1, 2),
+       |grid AS (SELECT g.event_type, r.range AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM v) g CROSS JOIN range(0, 64) r),
+       |fl AS (SELECT grid.event_type, coalesce(rr.m_j, 0) AS m_j
+       |  FROM grid LEFT JOIN rr
+       |    ON grid.event_type = rr.event_type AND grid.bucket = rr.bucket),
+       |sm AS (SELECT event_type,
+       |    CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |    sum(CAST(1::BIGINT << (60 - m_j) AS HUGEINT)) AS s
+       |  FROM fl GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT $cents) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT sm.event_type, n_zero,
+       |  CAST('$numConst'::HUGEINT // (1000 * s) AS DOUBLE) / 10000.0
+       |    AS est_distinct,
+       |  n_exact
+       |FROM sm JOIN ex USING (event_type)""".stripMargin
+  }
+
+  // ---------------------------------------------- small-file compaction
+  /** Compaction roundtrip: documents land hive-partitioned by lang as
+    * 16 small files per partition (the accretion pattern of streaming
+    * sinks and partition-scoped SCD2 rewrites), then
+    * [[TableStore.compact]] rewrites to target-size files WITHIN each
+    * partition value (pruning survives — TableStoreSpec pins file counts
+    * and PartitionFilters). Layout is invisible to the result: the
+    * oracle reads the raw table, so the hash-compare certifies that
+    * compaction lost and duplicated nothing. */
+  def qStoreCompact(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft-compact").toString)
+    store.appendPartitioned("docs",
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .repartition(16),
+      Seq("lang"))
+    store.compact("docs", targetBytes = 1L << 30, partitionCols = Seq("lang"))
+    val out = store.read("docs")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .localCheckpoint() // materialize before the backing files vanish
+    store.destroy()
+    out
+  }
+
+  private val storeCompactOracle =
+    """SELECT doc_id, source, n_chars, lang FROM documents""".stripMargin
+
   // -------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_ts_resample" -> (qTsResample _),
@@ -556,7 +636,9 @@ object ScaleQueries {
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_sketch_cms" -> (qSketchCms _),
-    "q_quantile_profile" -> (qQuantileProfile _))
+    "q_quantile_profile" -> (qQuantileProfile _),
+    "q_sketch_hll" -> (qSketchHll _),
+    "q_store_compact" -> (qStoreCompact _))
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_resample" -> tsResampleOracle,
@@ -573,5 +655,7 @@ object ScaleQueries {
     "q_ts_anomaly" -> tsAnomalyOracle,
     "q_kmv_distinct" -> kmvDistinctOracle,
     "q_sketch_cms" -> sketchCmsOracle,
-    "q_quantile_profile" -> quantileProfileOracle)
+    "q_quantile_profile" -> quantileProfileOracle,
+    "q_sketch_hll" -> sketchHllOracle,
+    "q_store_compact" -> storeCompactOracle)
 }

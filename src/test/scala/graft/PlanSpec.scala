@@ -655,4 +655,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
   }
+
+  test("skipgram: pure generate → map-side-combined count, zero joins") {
+    val p = plan("q_text_skipgram")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("PMI: vocab-keyed equi-joins only; totals are 1-row broadcasts") {
+    val p = plan("q_text_pmi")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the two unigram attachments must be equi-joins (hash or sort-merge),
+    // never a product; the N_u/N_b totals ride as broadcast 1-rows
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("chi2: corpus reduces to the facet grid before any cross") {
+    val p = plan("q_stats_chi2")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("record linkage: candidates come from the blocking equi-join") {
+    val p = plan("q_link_records")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("portable HLL: shuffle carries registers, not values") {
+    val p = plan("q_sketch_hll")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // register build must be partial+final (map-side max before exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }

@@ -50,4 +50,36 @@ class PrivacySpec extends SparkSpec {
     assert(r(("de", 0L)) === ((3L, 2L, 1L)))
     assert(r(("fr", 1L)) === ((1L, 1L, 1L)))
   }
+
+  test("erasureAudit: cascade counts reconcile and residual is zero") {
+    val docs = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val vecs = (0L to 4L).map(i => (i, i * 10)).toDF("vec_id", "x")
+    val forget = Seq(1L, 3L, 4L, 99L).toDF("doc_id") // 99 hits nothing
+    val out = Privacy.erasureAudit(
+      Seq(("documents", docs, "doc_id"), ("embeddings", vecs, "vec_id")),
+      forget, "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("documents") === ((10L, 3L, 7L, 0L)))
+    assert(out("embeddings") === ((5L, 3L, 2L, 0L)))
+  }
+
+  test("erasureAudit certifies a TableStore rewrite end to end") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-erasure").toString)
+    val docs = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    store.overwrite("docs", docs)
+    val forget = Seq(2L, 5L).toDF("doc_id")
+    // the rewrite, then the audit runs over the RE-READ table — the
+    // residual certifies storage, not intent
+    store.deleteWhere("docs", docs.schema,
+      col("doc_id").isin(2L, 5L))
+    val audited = Privacy.erasureAudit(
+      Seq(("docs", store.read("docs"), "doc_id")), forget, "doc_id")
+      .collect().head
+    assert(audited.getLong(1) === 8L)  // rows_before: already rewritten
+    assert(audited.getLong(2) === 0L)  // nothing left to erase
+    assert(audited.getLong(4) === 0L)  // and no forget-keyed residual
+    store.destroy()
+  }
 }

@@ -180,4 +180,41 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(t => (-t._2, t._1))
     assert(top.toSeq === all.take(3).toSeq)
   }
+
+  test("portable HLL: registers are deterministic, estimate lands near exact") {
+    val df = (0 until 5000).map(i => ("g", (i % 1300).toLong)).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, "g", "v")
+    // state is bounded by the bucket count and re-building reproduces it
+    assert(regs.count() <= Sketches.hllBuckets)
+    val again = Sketches.hllRegisters(df, "g", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(regs.collect().map(r => (r.getLong(1), r.getLong(2))).toSet === again)
+    val est = Sketches.hllEstimate(regs, "g").collect().head
+      .getAs[Double]("est_distinct")
+    // raw HLL with m=64 has rsd ~1.04/8 = 13%; allow 3 sigma
+    assert(math.abs(est - 1300.0) / 1300.0 < 0.4, s"estimate $est vs 1300")
+  }
+
+  test("portable HLL: merge is register-wise max, idempotent under re-delivery") {
+    val df = (0 until 3000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val shards = (0 until 3).map(k =>
+      Sketches.hllRegisters(df.filter($"v" % 3 === k), "g", "v"))
+    val whole = Sketches.hllRegisters(df, "g", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val merged = Sketches.hllMerge(shards, "g")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(merged === whole)
+    // re-delivering a shard cannot move the sketch (max is idempotent)
+    val redelivered = Sketches.hllMerge(shards :+ shards.head, "g")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(redelivered === whole)
+  }
+
+  test("portable HLL: untouched registers read rho 0 and estimate stays finite") {
+    val tiny = Seq(("g", 1L), ("g", 2L)).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(tiny, "g", "v"), "g").collect().head
+    assert(est.getAs[Long]("n_zero") >= 60L) // 2 values touch ≤ 2 buckets
+    assert(est.getAs[Double]("est_distinct") > 0.0)
+  }
 }

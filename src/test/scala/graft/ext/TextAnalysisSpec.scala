@@ -239,4 +239,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hhi("aab") === 555555L)  // (4+1)/9 on the floor lattice
     assert(hhi("") === 0L)
   }
+
+  test("skipgram pairs: window fan-out and minCount gate are exact") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val all = TextAnalysis.skipgramPairs(docs, window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1: d=1 → (a,b)(b,c)(c,d); d=2 → (a,c)(b,d); doc2: (a,b)
+    assert(all(("a", "b")) === 2L)
+    assert(all(("b", "c")) === 1L)
+    assert(all(("a", "c")) === 1L)
+    assert(all.values.sum === 6L)
+    val gated = TextAnalysis.skipgramPairs(docs, window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated === Set(("a", "b")))
+  }
+
+  test("PMI collocations: lattice ratio matches hand arithmetic") {
+    // corpus: "x y" ×4 and "x z" ×1 (each its own doc)
+    // unigrams: x=5, y=4, z=1, N_u=10; bigrams: (x y)=4, (x z)=1, N_b=5
+    // pmi_ratio(x,y) = ⌊4·100·10⁶ / (5·5·4)⌋ = 4·10⁶
+    val docs = (1L to 4L).map(i => (i, "x y")) :+ ((5L, "x z"))
+    val out = TextAnalysis.pmiCollocations(docs.toDF("doc_id", "text"),
+      minCount = 4L).collect()
+    assert(out.length === 1) // (x z) is below minCount
+    val r = out.head
+    assert(r.getAs[String]("w_a") === "x" && r.getAs[String]("w_b") === "y")
+    assert(r.getAs[Long]("c_xy") === 4L)
+    assert(r.getAs[Long]("c_a") === 5L && r.getAs[Long]("c_b") === 4L)
+    assert(r.getAs[Long]("pmi_ratio_q6") === 4000000L)
+  }
+
+  test("PMI: independent words sit at ratio 10⁶ (PMI 0) on the lattice") {
+    // every bigram equally likely: "a b" and "b a" alternating
+    val docs = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) "a b" else "b a")).toDF("doc_id", "text")
+    // unigrams: a=8, b=8, N_u=16; bigrams: (a b)=4, (b a)=4, N_b=8
+    // ratio = ⌊4·256·10⁶/(8·8·8)⌋ = 2·10⁶ — doubled because bigram mass
+    // splits over half the positions; the INDEPENDENT baseline in this
+    // lattice is N_u²/(N_b·N_u) ≈ 2 when docs are 2 tokens long
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 4L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("pmi_ratio_q6")).toMap
+    assert(out(("a", "b")) === 2000000L)
+    assert(out(("b", "a")) === 2000000L)
+  }
 }
