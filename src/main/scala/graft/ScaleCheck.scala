@@ -57,7 +57,11 @@ object ScaleCheck {
     // linkage, compaction write path (chi2/gini are one-pass facet
     // aggregates — not heavy-set material, same call as fleiss)
     "q_text_pmi", "q_text_skipgram", "q_sketch_hll", "q_link_records",
-    "q_store_compact")
+    "q_store_compact",
+    // r12 batch 11: frame-window shot detection and the full-scan
+    // correlation pass (scripts/benford/regression are one-pass
+    // projections/aggregates — covered by the scan-bound family)
+    "q_mm_scenecut", "q_stats_corr")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

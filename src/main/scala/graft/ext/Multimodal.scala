@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -476,6 +477,65 @@ object Multimodal {
           bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
           .reduce(_ + _).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Shot-boundary (scene-cut) detection over sampled video frames —
+    * the sum-of-absolute-differences luma detector every video curation
+    * pipeline runs before frame-level dedup/captioning: each sampled
+    * frame reduces to 4 span-mean luminances, and a frame whose SAD
+    * against the previous frame reaches `threshold` starts a new shot.
+    *
+    * Frames come from the registered [[sampleFrames]] chain; the frame
+    * SIGNAL is the deterministic stub decode (the video payload's
+    * char-window at the frame's time offset — a pure function of the
+    * payload the oracle recomputes exactly; a real codec would hand the
+    * same 4 numbers per frame to the identical downstream plan). All
+    * frame math is integer floor arithmetic; the lag window partitions
+    * BY MEDIA over its own ≤ duration/step frames — bounded frames,
+    * never corpus-wide.
+    *
+    * Scale: explode frames (codegen Generate) → per-frame projection →
+    * one media-keyed window. Only (id, 4 longs) per frame ever
+    * shuffles. */
+  def sceneCuts(media: DataFrame, stepMs: Long = 1000L,
+      window: Int = 64, threshold: Long = 16L): DataFrame = {
+    require(window % 4 == 0 && window > 0, "window must be a positive multiple of 4")
+    val span = window / 4
+    val dec = "decimal(38,0)"
+    val meta = decodeMeta(media)
+    val frames = sampleFrames(meta, stepMs)
+      .join(meta.select(col("media_id"), col("duration_ms")),
+        Seq("media_id"))
+    val sigBase = media.filter(col("kind") === "video")
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("sig0"))
+    val num = col("frame_ms").cast(dec) *
+      (col("lch") - lit(window.toLong)).cast(dec)
+    val den = greatest(col("duration_ms"), lit(1L)).cast(dec)
+    val start = (lit(1L).cast(dec) + (num - pmod(num, den)) / den).cast("int")
+    val sig = frames.join(sigBase, Seq("media_id"))
+      .withColumn("lch", length(col("sig0")).cast("long"))
+      .filter(col("lch") >= window.toLong)
+      .withColumn("sig", col("sig0").substr(start, lit(window)))
+      .withColumn("cps", transform(sequence(lit(1), lit(window)),
+        i => ascii(col("sig").substr(i, lit(1))).cast("long")))
+    val withMeans = (0 until 4).foldLeft(sig) { (df, b) =>
+      val s = aggregate(slice(col("cps"), b * span + 1, span),
+        lit(0L), (a, x) => a + x)
+      // span divides the sum exactly after the mod strip; the long/long
+      // `/` detours through double but the value is an exact small int
+      df.withColumn(s"m$b",
+        ((s - pmod(s, lit(span.toLong))) / lit(span.toLong)).cast("long"))
+    }
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_ms"))
+    val sad = (0 until 4)
+      .map(b => abs(col(s"m$b") - lag(col(s"m$b"), 1).over(w)))
+      .reduce(_ + _)
+    withMeans
+      .select(col("media_id"), col("frame_ms"),
+        col("m0"), col("m1"), col("m2"), col("m3"))
+      .withColumn("sad", coalesce(sad, lit(0L)))
+      .withColumn("is_cut",
+        (col("sad") >= threshold).cast("int").cast("long"))
   }
 
   /** "Feature extraction" over decoded media — stub embedding = 8 hash

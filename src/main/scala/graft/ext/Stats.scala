@@ -66,6 +66,105 @@ object Stats {
         col("chi2_q6"))
   }
 
+  /** Pairwise Pearson correlation matrix over lattice-quantized numeric
+    * columns: ONE aggregate pass computes every sufficient statistic
+    * (n, Σx_i, Σx_i², Σx_i·x_j) exactly in decimal(38,0) — Σx·y passes
+    * int64 already at ~10⁵ rows of 10⁷-cent values — then the |cols|²/2
+    * correlations are pure projections over that single row, each one
+    * shared-text IEEE arithmetic on exact inputs (the discipline of the
+    * rolling-correlation window op, lifted to the full matrix).
+    *
+    * Scale shape: one map-side-combined global aggregate (a dozen
+    * decimal sums per partition cross the wire); the pair explosion runs
+    * on ONE row. */
+  def correlationMatrix(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: need at least two columns")
+    val names = cols.map(_._1)
+    val vals = df.select(cols.map { case (n, c) => c.cast(dec).as(n) }: _*)
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val aggs =
+      names.map(n => sum(col(n)).as(s"s_$n")) ++
+      names.map(n => sum(col(n) * col(n)).as(s"ss_$n")) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val row = vals.agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast(dec)
+    val pairStructs = pairs.map { case (a, b) =>
+      val num = (nD * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val da = (nD * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+        .cast("double")
+      val db = (nD * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+        .cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        (num / nullif(sqrt(da) * sqrt(db), lit(0.0))).as("corr"))
+    }
+    row.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
+  }
+
+  /** Per-group ordinary-least-squares fit y ~ x (sensor drift per
+    * device, quality trend per source): sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) are EXACT decimal sums in one
+    * map-side-combined groupBy — Σx² of epoch-second x overflows int64
+    * at any real volume, hence the decimal lattice — and
+    * slope/intercept are shared-text IEEE formulas over those exact
+    * inputs. Groups with zero x-variance report null slope (nullif
+    * guards the division), matching the oracle. */
+  def groupRegression(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame = {
+    val stats = df
+      .select(col(groupCol), x.cast(dec).as("x"), y.cast(dec).as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast(dec)
+    val slope = (nD * col("sxy") - col("sx") * col("sy")).cast("double") /
+      nullif((nD * col("sxx") - col("sx") * col("sx")).cast("double"),
+        lit(0.0))
+    stats
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n"))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"))
+  }
+
+  /** Benford's-law expected leading-digit mass, ppm (⌊10⁶·log₁₀(1+1/d)⌋
+    * for d = 1..9) — FIXED literals, never computed at runtime (log₁₀ is
+    * engine-dependent at the last ulp; a constant table cannot flake).
+    * Oracles must derive their copy from this Seq. */
+  val benfordPpm: Seq[Long] = Seq(301029L, 176091L, 124938L, 96910L,
+    79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** Benford's-law audit of a positive cents-lattice amount column:
+    * observed leading-digit distribution (ppm, floor) next to the
+    * expected mass and the signed deviation — the classic fabricated-
+    * numbers screen, useful on any money/metric column feeding a
+    * training corpus. The leading digit reads off the integer's decimal
+    * string (no float log). One map-side-combined 9-group aggregate;
+    * digits that never lead are absent (the oracle drops them
+    * identically). */
+  def benfordAudit(df: DataFrame, cents: Column): DataFrame = {
+    val expected = map(benfordPpm.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(i + 1L), lit(p))
+    }: _*)
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val counts = df.filter(cents > 0L)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    val scaled = col("n").cast(dec) * lit(1000000L).cast(dec)
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("n_total"),
+        floorDiv(scaled, col("n_total").cast(dec)).cast("long").as("obs_ppm"),
+        element_at(expected, col("digit")).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
   /** Gini coefficient of row-count concentration across a facet (docs
     * per source: 0 = perfectly balanced corpus, →1 = one source owns
     * everything). Exact rational on the q6 lattice over ascending-count

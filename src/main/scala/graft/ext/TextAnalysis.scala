@@ -431,6 +431,40 @@ object TextAnalysis {
         frac4(col("n_types"), col("n_tokens")).as("ttr"))
   }
 
+  /** Unicode-script ranges as EXPLICIT codepoint classes — never
+    * \p{script=...} properties, whose definitions drift across regex
+    * engines and Unicode versions; a literal range means the same
+    * codepoints in Java and RE2 forever. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cjk" -> "[一-鿿]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "arabic" -> "[؀-ۿ]",
+    "kana" -> "[぀-ヿ]")
+
+  /** Per-document writing-script profile: character counts per script
+    * class plus the dominant script (most chars wins; ties resolve by
+    * the fixed [[scriptRanges]] order; no script chars → 'none') — the
+    * routing signal script-specific tokenizers and the langid's
+    * stoplist blind spots (zh/ja/ru have no Latin stopwords to hit)
+    * need. Pure codegen projection, zero shuffle — scan speed on any
+    * corpus. The synthetic corpus is Latin-only; the mechanism is
+    * spec-proven on planted CJK/Cyrillic fixtures. */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = scriptRanges.map { case (name, re) =>
+      name -> regexp_count(t, lit(re)).cast("long")
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val dominant = counts.foldRight(lit("none"): Column) {
+      case ((name, c), acc) => when(c > 0 && c === best, name).otherwise(acc)
+    }
+    docs.select(col(idCol) +: length(t).cast("long").as("n_chars") +:
+      counts.map { case (name, c) => c.as(s"n_$name") } :+
+      dominant.as("dominant"): _*)
+  }
+
   /** Skip-gram co-occurrence counts (the word2vec training-pair
     * generator — Mikolov et al. 2013): ordered token pairs (w_i, w_{i+d})
     * for every distance d = 1..window, counted corpus-wide, rare pairs

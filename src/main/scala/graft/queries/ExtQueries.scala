@@ -1460,6 +1460,44 @@ object ExtQueries {
       "a_id", "b_id", threshold = 35L)
   }
 
+  /** Writing-script profile per document (explicit codepoint ranges —
+    * portable across regex engines where \p{script=...} is not). */
+  def qTextScripts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(docs(s, dir))
+
+  /** Pairwise Pearson matrix over lineitem's four numeric facets, exact
+    * sufficient statistics in one aggregate pass. */
+  def qStatsCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+    graft.ext.Stats.correlationMatrix(li, Seq(
+      "qty" -> round(col("l_quantity") * 100).cast("long"),
+      "price" -> round(col("l_extendedprice") * 100).cast("long"),
+      "disc" -> round(col("l_discount") * 100).cast("long"),
+      "tax" -> round(col("l_tax") * 100).cast("long")))
+  }
+
+  /** Per-user OLS trend of sensor value over time — the drift detector
+    * for the reference's DHT11-shaped series. */
+  def qStatsRegression(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(s, dir, "events")
+    graft.ext.Stats.groupRegression(ev, "user_id",
+      unix_timestamp(col("ts")),
+      round(col("value") * 100).cast("long"))
+  }
+
+  /** Benford leading-digit audit of order totals. */
+  def qStatsBenford(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(s, dir, "orders")
+    graft.ext.Stats.benfordAudit(o,
+      round(col("o_totalprice") * 100).cast("long"))
+  }
+
+  /** Shot-boundary detection over the sampled video frames (SAD luma
+    * detector on the deterministic stub frame signal). */
+  def qMmScenecut(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneCuts(Multimodal.mediaFromDocuments(docs(s, dir)),
+      stepMs = 1000L, window = 64, threshold = 16L)
+
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -1606,7 +1644,12 @@ object ExtQueries {
     "q_stats_chi2" -> (qStatsChi2 _),
     "q_stats_gini" -> (qStatsGini _),
     "q_privacy_erasure" -> (qPrivacyErasure _),
-    "q_link_records" -> (qLinkRecords _))
+    "q_link_records" -> (qLinkRecords _),
+    "q_text_scripts" -> (qTextScripts _),
+    "q_stats_corr" -> (qStatsCorr _),
+    "q_stats_regression" -> (qStatsRegression _),
+    "q_stats_benford" -> (qStatsBenford _),
+    "q_mm_scenecut" -> (qMmScenecut _))
 
   // =================================================== DuckDB oracles
 
@@ -4699,6 +4742,132 @@ object ExtQueries {
       |  (s_name + s_cents + s_seg) AS score
       |FROM p WHERE s_name + s_cents + s_seg >= 35""".stripMargin
 
+  /** Script-profile oracle: ranges derived from the SAME
+    * TextAnalysis.scriptRanges Seq (never retyped — desync-proof), CASE
+    * priority = list order, matching the engine's foldRight. */
+  private val textScriptsSql = {
+    val ranges = TextAnalysis.scriptRanges
+    val counts = ranges.map { case (n, re) =>
+      s"CAST(len(regexp_extract_all(coalesce(text, ''), '$re')) AS BIGINT) AS n_$n"
+    }.mkString(",\n|    ")
+    val best = ranges.map(r => s"n_${r._1}").mkString("greatest(", ", ", ")")
+    val cases = ranges.map { case (n, _) =>
+      s"WHEN n_$n > 0 AND n_$n = $best THEN '$n'"
+    }.mkString("\n|    ")
+    s"""WITH c AS (SELECT doc_id,
+       |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+       |    $counts
+       |  FROM documents)
+       |SELECT doc_id, n_chars, ${ranges.map(r => s"n_${r._1}").mkString(", ")},
+       |  CASE
+       |    $cases
+       |    ELSE 'none' END AS dominant
+       |FROM c""".stripMargin
+  }
+
+  /** Correlation-matrix oracle: generated from the same pair list as the
+    * engine; HUGEINT sufficient statistics, shared-text IEEE finish. */
+  private val statsCorrSql = {
+    val names = Seq("qty", "price", "disc", "tax")
+    val srcCols = Map(
+      "qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val cents = names.map(n =>
+      s"CAST(round(${srcCols(n)} * 100) AS BIGINT) AS $n").mkString(", ")
+    def h(n: String) = s"CAST($n AS HUGEINT)"
+    val sums = names.map(n => s"sum(${h(n)}) AS s_$n") ++
+      names.map(n => s"sum(${h(n)} * ${h(n)}) AS ss_$n") ++
+      (for { i <- names.indices; j <- names.indices if i < j }
+        yield s"sum(${h(names(i))} * ${h(names(j))}) AS sp_${names(i)}_${names(j)}")
+    val rows = for { i <- names.indices; j <- names.indices if i < j } yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |    nullif(sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+         |           sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 0.0) AS corr
+         |FROM a""".stripMargin
+    }
+    s"""WITH v AS (SELECT $cents FROM lineitem),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  ${sums.mkString(",\n|  ")}
+       |  FROM v)
+       |${rows.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
+  /** Group-regression oracle: floor(epoch) matches Spark's
+    * unix_timestamp second truncation on the microsecond timestamps. */
+  private val statsRegressionSql =
+    """WITH v AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      |  FROM v GROUP BY 1),
+      |s AS (SELECT user_id, n, sx, sy,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope
+      |  FROM a)
+      |SELECT user_id, n, slope,
+      |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n AS intercept
+      |FROM s""".stripMargin
+
+  /** Benford oracle: expected-ppm literals derived from the SAME
+    * Stats.benfordPpm Seq (ADVICE r11 #5 discipline). */
+  private val statsBenfordSql = {
+    val expCase = graft.ext.Stats.benfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN CAST($p AS BIGINT)" }
+      .mkString(" ")
+    s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+       |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+       |    AS digit FROM c),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+       |SELECT digit, n, n_total,
+       |  CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT) AS obs_ppm,
+       |  CASE digit $expCase END AS exp_ppm,
+       |  CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT)
+       |    - (CASE digit $expCase END) AS dev_ppm
+       |FROM g, t""".stripMargin
+  }
+
+  /** Scene-cut oracle: replays the stub decode (video duration =
+    * byte-length·13 mod 10⁴), the frame grid, the char-window slice, the
+    * 4 floor span-means, and the lagged SAD — all integer arithmetic. */
+  private val mmScenecutSql =
+    """WITH d AS (SELECT doc_id AS media_id, text AS sig0,
+      |    CAST(octet_length(encode(text)) AS BIGINT) * 13 % 10000 AS dur,
+      |    CAST(length(text) AS BIGINT) AS lch
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, sig0, lch, dur,
+      |    unnest(range(0, dur + 1, 1000)) AS frame_ms
+      |  FROM d WHERE lch >= 64),
+      |s AS (SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+      |    substr(sig0, CAST(1 + (CAST(frame_ms AS HUGEINT) * (lch - 64))
+      |      // greatest(dur, 1) AS BIGINT), 64) AS sig
+      |  FROM f),
+      |q AS (SELECT media_id, frame_ms,
+      |    list_transform(range(0, 4), b -> CAST(
+      |      list_sum(list_transform(range(1, 17),
+      |        i -> ascii(substr(sig, CAST(b * 16 + i AS BIGINT), 1)))) // 16
+      |      AS BIGINT)) AS ms
+      |  FROM s),
+      |l AS (SELECT media_id, frame_ms, ms,
+      |    lag(ms) OVER (PARTITION BY media_id ORDER BY frame_ms) AS pm
+      |  FROM q),
+      |r AS (SELECT media_id, frame_ms,
+      |    ms[1] AS m0, ms[2] AS m1, ms[3] AS m2, ms[4] AS m3,
+      |    CASE WHEN pm IS NULL THEN 0
+      |      ELSE abs(ms[1] - pm[1]) + abs(ms[2] - pm[2]) +
+      |           abs(ms[3] - pm[3]) + abs(ms[4] - pm[4]) END AS sad
+      |  FROM l)
+      |SELECT media_id, frame_ms, m0, m1, m2, m3, CAST(sad AS BIGINT) AS sad,
+      |  CAST(CASE WHEN sad >= 16 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+      |FROM r""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_normalized" -> dedupNormalizedSql,
@@ -4854,5 +5023,10 @@ object ExtQueries {
     "q_stats_chi2" -> statsChi2Sql,
     "q_stats_gini" -> statsGiniSql,
     "q_privacy_erasure" -> privacyErasureSql,
-    "q_link_records" -> linkRecordsSql)
+    "q_link_records" -> linkRecordsSql,
+    "q_text_scripts" -> textScriptsSql,
+    "q_stats_corr" -> statsCorrSql,
+    "q_stats_regression" -> statsRegressionSql,
+    "q_stats_benford" -> statsBenfordSql,
+    "q_mm_scenecut" -> mmScenecutSql)
 }

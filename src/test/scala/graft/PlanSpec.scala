@@ -688,4 +688,36 @@ class PlanSpec extends SparkSpec {
     // register build must be partial+final (map-side max before exchange)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("script profile is a pure projection: zero data shuffle") {
+    val p = plan("q_text_scripts")
+    assert(!p.contains("hashpartitioning") && !p.contains("SortMergeJoin") &&
+      !p.contains("HashAggregate"), s"gained a shuffle:\n${p.take(3000)}")
+  }
+
+  test("correlation matrix: ONE aggregate pass feeds the pair explosion") {
+    val p = plan("q_stats_corr")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // one partial+final global aggregate — the scan must appear once
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("group regression: map-side-combined sufficient statistics") {
+    val p = plan("q_stats_regression")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("benford: digit counts reduce before the 1-row total broadcast") {
+    val p = plan("q_stats_benford")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("scene cuts: frame window partitions by media, no product") {
+    val p = plan("q_mm_scenecut")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the lag window must partition by media_id, never run globally
+    assert(p.contains("media_id"), p.take(3000))
+  }
 }

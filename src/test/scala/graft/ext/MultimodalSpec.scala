@@ -256,4 +256,30 @@ class MultimodalSpec extends SparkSpec {
     assert(dups.contains((1L, 3L)) && dups((1L, 3L)) <= 3L)
     assert(!dups.contains((1L, 4L)), s"inverse must not pair: $dups")
   }
+
+  test("scene cuts: a planted two-half video cuts once; uniform video never cuts") {
+    import spark.implicits._
+    // doc_id % 3 == 2 -> video in mediaFromDocuments; 600 ascii chars ->
+    // stub duration 600*13%10000 = 7800ms -> frames 0..7000
+    val twoHalf = (2L, "a" * 300 + "z" * 300)
+    val uniform = (5L, "m" * 600)
+    val media = Multimodal.mediaFromDocuments(
+      Seq(twoHalf, uniform).toDF("doc_id", "text"))
+    val out = Multimodal.sceneCuts(media, stepMs = 1000L,
+      window = 64, threshold = 16L).collect()
+    val cutsByMedia = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getAs[Long]("is_cut")).sum).toMap
+    assert(cutsByMedia(2L) >= 1L, "the a->z boundary must register a cut")
+    assert(cutsByMedia(5L) === 0L, "uniform signal must not cut")
+    // first frame of each video carries sad 0 by definition
+    out.filter(_.getAs[Long]("frame_ms") == 0L)
+      .foreach(r => assert(r.getAs[Long]("sad") === 0L))
+  }
+
+  test("scene cuts: sub-window videos are dropped, not fingerprinted") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      Seq((2L, "short")).toDF("doc_id", "text"))
+    assert(Multimodal.sceneCuts(media).count() === 0L)
+  }
 }

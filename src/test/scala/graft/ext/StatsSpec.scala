@@ -54,4 +54,42 @@ class StatsSpec extends SparkSpec {
     assert(Stats.giniConcentration(one, "g").collect()
       .head.getAs[Long]("gini_q6") === 0L)
   }
+
+  test("correlation matrix: exact +1/-1 on linear columns, null on constants") {
+    val df = (1L to 50L).map(i => (i, 3 * i, -2 * i + 100, 7L))
+      .toDF("a", "b", "c", "k")
+    val out = Stats.correlationMatrix(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "k" -> col("k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // sqrt(da)·sqrt(db) is 1 ulp off num for perfectly linear columns —
+    // deterministic (the oracle computes the identical double), just not
+    // the mathematical ±1 exactly
+    assert(math.abs(out(("a", "b")).get - 1.0) < 1e-12)
+    assert(math.abs(out(("a", "c")).get + 1.0) < 1e-12)
+    assert(out(("a", "k")) === None) // zero variance -> null, not NaN
+    assert(out.size === 6)
+  }
+
+  test("group regression recovers a planted exact line; zero-variance x is null") {
+    val line = (0L to 20L).map(i => ("g1", i, 2 * i + 3))
+    val flat = Seq(("g2", 5L, 1L), ("g2", 5L, 9L))
+    val out = Stats.groupRegression(
+      (line ++ flat).toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("g1") === ((21L, Some(2.0), Some(3.0))))
+    assert(out("g2")._2 === None) // all x equal -> slope undefined
+  }
+
+  test("benford audit: observed ppm floors, fixed expected table, signed deviation") {
+    // 30 values leading with 1, 10 with 2; zero/negative amounts dropped
+    val cents = (Seq.fill(30)(123L) ++ Seq.fill(10)(250L) ++ Seq(0L, -5L))
+    val out = Stats.benfordAudit(cents.toDF("c"), col("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) === ((30L, 750000L, 301029L, 448971L)))
+    assert(out(2L) === ((10L, 250000L, 176091L, 73909L)))
+    assert(out.size === 2) // digits that never lead are absent
+  }
 }

@@ -283,4 +283,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("a", "b")) === 2000000L)
     assert(out(("b", "a")) === 2000000L)
   }
+
+  test("script profile: planted CJK/Cyrillic dominate; ties and empties resolve fixed") {
+    val docs = Seq(
+      (1L, "hello \u4e16\u754c\u4e2d\u6587\u5b57\u7b26\u4e32\u4e86"), // 8 CJK > 5 latin
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442"),                    // cyrillic only
+      (3L, "abc \u4e00\u4e8c\u4e09"),                                      // 3 latin = 3 cjk -> latin (priority)
+      (4L, "12345 !!!"),                                                      // no script chars
+      (5L, null.asInstanceOf[String]))                                        // null-safe
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scriptProfile(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("dominant")).toMap
+    assert(r(1L) === "cjk")
+    assert(r(2L) === "cyrillic")
+    assert(r(3L) === "latin")
+    assert(r(4L) === "none")
+    assert(r(5L) === "none")
+    val row1 = TextAnalysis.scriptProfile(docs)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(row1.getAs[Long]("n_cjk") === 8L)
+    assert(row1.getAs[Long]("n_latin") === 5L)
+  }
 }
