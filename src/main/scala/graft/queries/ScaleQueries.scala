@@ -592,6 +592,29 @@ object ScaleQueries {
        |FROM sm JOIN ex USING (event_type)""".stripMargin
   }
 
+  /** Three-shard HLL fold ≡ the one-shot sketch — the register sketch's
+    * monoid identity under the SAME oracle as q_sketch_hll (the
+    * incr_rollup discipline applied to HLL): shards split by event id,
+    * registers merge by max, and the estimate read off the merged state
+    * must hash-match the whole-corpus build. This is the multi-shard /
+    * backfill accumulation path a 100 TB profile job actually runs. */
+  def qSketchHllMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketches
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("decimal(18,0)").cast("long")
+        .as("value_cents"))
+    val shards = (0 until 3).map(i =>
+      Sketches.hllRegisters(ev.filter(col("event_id") % 3 === i),
+        "event_type", "value_cents"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllMerge(shards, "event_type"), "event_type")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("value_cents")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_zero"), col("est_distinct"),
+        col("n_exact"))
+  }
+
   // ---------------------------------------------- small-file compaction
   /** Compaction roundtrip: documents land hive-partitioned by lang as
     * 16 small files per partition (the accretion pattern of streaming
@@ -638,6 +661,7 @@ object ScaleQueries {
     "q_sketch_cms" -> (qSketchCms _),
     "q_quantile_profile" -> (qQuantileProfile _),
     "q_sketch_hll" -> (qSketchHll _),
+    "q_sketch_hll_merge" -> (qSketchHllMerge _),
     "q_store_compact" -> (qStoreCompact _))
 
   val oracleSql: Map[String, String] = Map(
@@ -657,5 +681,7 @@ object ScaleQueries {
     "q_sketch_cms" -> sketchCmsOracle,
     "q_quantile_profile" -> quantileProfileOracle,
     "q_sketch_hll" -> sketchHllOracle,
+    // the sharded fold must reproduce the one-shot sketch exactly
+    "q_sketch_hll_merge" -> sketchHllOracle,
     "q_store_compact" -> storeCompactOracle)
 }

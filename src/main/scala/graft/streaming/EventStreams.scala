@@ -183,6 +183,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming HyperLogLog: the streaming face of
+    * [[graft.ext.Sketches.hllRegisters]]. Each micro-batch builds its
+    * own ≤ 64-register increment and folds it into the persisted state
+    * by register-wise MAX ([[graft.ext.Sketches.hllMerge]]) — the
+    * strongest merge law of the three sketch sinks: idempotent AND
+    * commutative AND associative, so re-delivered values, replayed
+    * batches, and out-of-order shard unions all fold safely even
+    * without the batch stamp (kept anyway to skip no-op rewrites).
+    * State is ≤ 64 rows per group FOREVER; read the live cardinality
+    * estimate at any point via [[graft.ext.Sketches.hllEstimate]] over
+    * the state table. */
+  def hllSink(values: DataFrame, store: graft.store.TableStore,
+      name: String, groupCol: String, valueCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.Sketches
+        val already = store.exists(name) && {
+          val st = store.read(name)
+          st.columns.contains("__folded_batch") && st.limit(1).count() > 0 &&
+            st.agg(max(col("__folded_batch"))).head().getLong(0) >= batchId
+        }
+        if (!already) {
+          val inc = Sketches.hllRegisters(batch, groupCol, valueCol)
+          val merged =
+            if (store.exists(name))
+              Sketches.hllMerge(Seq(
+                store.read(name).drop("__folded_batch"), inc), groupCol)
+            else inc
+          store.overwrite(name,
+            merged.withColumn("__folded_batch", lit(batchId)))
+        }
+        ()
+      }
+      .start()
+
   /** Streaming count-min sketch: the streaming face of
     * [[graft.ext.Sketches.cmsBuild]]. Each micro-batch builds its own
     * sketch-sized (r, bucket, cnt) increment (map-side combined before

@@ -644,4 +644,35 @@ class StreamingSpec extends SparkSpec {
     assert(gap.isNullAt(2))
     assert(!gap.isNullAt(3))
   }
+
+  test("streaming HLL registers equal the batch sketch; estimate agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("hll-store").toString)
+    val ckpt = Files.createTempDirectory("hll-ckpt").toString
+    val rows = (1L to 90L).map(i =>
+      Event(i, i % 37, ts("2024-01-01 10:00:00"),
+        if (i % 2 == 0) "click" else "view", 1.0))
+    val q = EventStreams.hllSink(input.toDF(), store, "hll",
+      "event_type", "user_id", ckpt, Trigger.ProcessingTime(0))
+    try {
+      input.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(30): _*) // re-delivers user_ids from batch 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = store.read("hll").drop("__folded_batch")
+    // bounded state: at most 64 registers per group, forever
+    state.groupBy(col("event_type")).count().collect()
+      .foreach(r => assert(r.getLong(1) <= graft.ext.Sketches.hllBuckets))
+    val whole = graft.ext.Sketches
+      .hllRegisters(rows.toDF(), "event_type", "user_id")
+    assert(state.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(state).count() === 0)
+    // the live estimate read off the streamed state = the batch estimate
+    val se = graft.ext.Sketches.hllEstimate(state, "event_type")
+    val be = graft.ext.Sketches.hllEstimate(whole, "event_type")
+    assert(se.exceptAll(be).count() === 0 && be.exceptAll(se).count() === 0)
+  }
 }
