@@ -1017,6 +1017,30 @@ object Curation {
         pmod(col("__rk") - lit(1L), lit(nShards.toLong)).as("shard"))
   }
 
+  /** Export manifest: per-shard integrity digests for a corpus release —
+    * row count, character mass, and an ORDER-INDEPENDENT content digest
+    * (sum of per-doc 32-bit portable hashes, reduced mod 2⁶¹ so the
+    * published digest is a plain int64 in any engine; the sum itself
+    * runs in decimal(38,0) — 10¹⁰ docs × 2³² hashes passes int64).
+    * The consumer re-derives the manifest from the shipped shards and
+    * compares — any lost, duplicated, or corrupted document moves the
+    * digest. Shard assignment is [[shardAssign]]'s LPT balance; the
+    * digest aggregate is one map-side-combined groupBy. */
+  val manifestMod = 1L << 61
+
+  def exportManifest(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      charsCol: String = "n_chars"): DataFrame = {
+    val dec = "decimal(38,0)"
+    shardAssign(docs, nShards, idCol, charsCol)
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        pmod(sum(graft.ext.Hashing.hexInt(col(textCol)).cast(dec)),
+          lit(manifestMod).cast(dec)).cast("long").as("content_mod"))
+  }
+
   /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
     * columns, count each equivalence class, flag classes smaller than k
     * — the release gate a training-data pipeline runs before shipping

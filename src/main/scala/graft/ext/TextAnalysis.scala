@@ -431,6 +431,27 @@ object TextAnalysis {
         frac4(col("n_types"), col("n_tokens")).as("ttr"))
   }
 
+  /** URL pattern in the Java∩RE2 subset (char classes + optional
+    * non-capturing path — no lookaround), and its host-capture twin. */
+  val urlRe = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9/._-]*)?"
+  val urlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Per-domain provenance stats — the C4-style "which hosts feed this
+    * corpus" readout a domain allow/block list is built from: extract
+    * every URL, parse its host, count URLs and distinct documents per
+    * domain. One Generate (explode of the per-row match list) + one
+    * map-side-combined aggregate; the output is domain-sized. */
+  def urlDomainStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(regexp_extract_all(
+        coalesce(col(textCol), lit("")), lit(urlRe), lit(0))).as("url"))
+      .select(col(idCol),
+        regexp_extract(col("url"), urlHostRe, 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col(idCol)).as("n_docs"))
+
   /** Unicode-script ranges as EXPLICIT codepoint classes — never
     * \p{script=...} properties, whose definitions drift across regex
     * engines and Unicode versions; a literal range means the same

@@ -1498,6 +1498,30 @@ object ExtQueries {
     Multimodal.sceneCuts(Multimodal.mediaFromDocuments(docs(s, dir)),
       stepMs = 1000L, window = 64, threshold = 16L)
 
+  /** Domain provenance stats over deterministically planted URLs (the
+    * synthetic corpus has no organic ones — the same enrichment
+    * discipline as q_privacy_redact): every 7th doc gets an http URL on
+    * a rotating host, every 14th an extra https URL, mirrored exactly in
+    * the oracle. */
+  def qTextUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = concat(col("text"),
+      lit(" visit http://site"), pmod(col("doc_id"), lit(5L)).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"))
+    val extra = concat(lit(" and https://mirror.example.org/d/"),
+      col("doc_id").cast("string"))
+    val planted = d.select(col("doc_id"),
+      when(col("doc_id") % 14 === 0, concat(base, extra))
+        .when(col("doc_id") % 7 === 0, base)
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.urlDomainStats(planted)
+  }
+
+  /** Release manifest: per-shard row counts, char mass, and the
+    * order-independent mod-2⁶¹ content digest. */
+  def qCurationManifest(s: SparkSession, dir: String): DataFrame =
+    Curation.exportManifest(docs(s, dir), nShards = 7)
+
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -1649,7 +1673,9 @@ object ExtQueries {
     "q_stats_corr" -> (qStatsCorr _),
     "q_stats_regression" -> (qStatsRegression _),
     "q_stats_benford" -> (qStatsBenford _),
-    "q_mm_scenecut" -> (qMmScenecut _))
+    "q_mm_scenecut" -> (qMmScenecut _),
+    "q_text_urls" -> (qTextUrls _),
+    "q_curation_manifest" -> (qCurationManifest _))
 
   // =================================================== DuckDB oracles
 
@@ -4868,6 +4894,41 @@ object ExtQueries {
       |  CAST(CASE WHEN sad >= 16 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
       |FROM r""".stripMargin
 
+  /** URL-domain oracle: identical planting, the same Java∩RE2 pattern
+    * (taken from TextAnalysis.urlRe — never retyped). */
+  private val textUrlsSql = {
+    val re = TextAnalysis.urlRe
+    val host = TextAnalysis.urlHostRe
+    s"""WITH p AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 14 = 0 THEN text || ' visit http://site' ||
+       |        CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' ||
+       |        CAST(doc_id AS VARCHAR) || ' and https://mirror.example.org/d/' ||
+       |        CAST(doc_id AS VARCHAR)
+       |      WHEN doc_id % 7 = 0 THEN text || ' visit http://site' ||
+       |        CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' ||
+       |        CAST(doc_id AS VARCHAR)
+       |      ELSE text END AS t
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(t, ''), '$re'))
+       |    AS url FROM p),
+       |d AS (SELECT doc_id, regexp_extract(url, '$host', 1) AS domain FROM u)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
+  /** Manifest oracle: the shard CTE is the registered shard oracle
+    * verbatim; the digest is the same mod-2⁶¹ HUGEINT sum. */
+  private val curationManifestSql =
+    s"""WITH sh AS (${curationShardsSql}),
+       |j AS (SELECT sh.shard, sh.n_chars, d.text
+       |  FROM sh JOIN documents d USING (doc_id))
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CAST(${Hashing.hexIntSql("text")} AS HUGEINT))
+       |    % ${graft.ext.Curation.manifestMod} AS BIGINT) AS content_mod
+       |FROM j GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_normalized" -> dedupNormalizedSql,
@@ -5028,5 +5089,7 @@ object ExtQueries {
     "q_stats_corr" -> statsCorrSql,
     "q_stats_regression" -> statsRegressionSql,
     "q_stats_benford" -> statsBenfordSql,
-    "q_mm_scenecut" -> mmScenecutSql)
+    "q_mm_scenecut" -> mmScenecutSql,
+    "q_text_urls" -> textUrlsSql,
+    "q_curation_manifest" -> curationManifestSql)
 }

@@ -479,4 +479,27 @@ class CurationSpec extends SparkSpec {
     assert(r(("en", "b")) === ((2L, 0L))) // exactly k is compliant
     assert(r.size === 3)
   }
+
+  test("export manifest: digest is order-independent and moves on any corruption") {
+    val docs = (1L to 40L).map(i => (i, s"doc number $i", 10L + i))
+      .toDF("doc_id", "text", "n_chars")
+    val m1 = Curation.exportManifest(docs, nShards = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // row-order permutation cannot move any digest (sum is commutative)
+    val m2 = Curation.exportManifest(docs.orderBy(rand(7)), nShards = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m1 === m2)
+    assert(m1.keySet === Set(0L, 1L, 2L))
+    assert(m1.values.map(_._1).sum === 40L)
+    // one corrupted document moves exactly its shard's content digest
+    val corrupted = docs.withColumn("text",
+      when(col("doc_id") === 17L, lit("tampered")).otherwise(col("text")))
+    val m3 = Curation.exportManifest(corrupted, nShards = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val moved = m1.keys.filter(s => m3(s) != m1(s)._3)
+    assert(moved.size === 1, s"exactly one shard digest must move: $moved")
+  }
 }

@@ -304,4 +304,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row1.getAs[Long]("n_cjk") === 8L)
     assert(row1.getAs[Long]("n_latin") === 5L)
   }
+
+  test("url domain stats: extraction, host parse, per-domain url vs doc counts") {
+    val docs = Seq(
+      (1L, "see http://a.com/x and http://a.com/y plus https://b.org/z"),
+      (2L, "only http://a.com here"),
+      (3L, "no links"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.urlDomainStats(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("a.com") === ((3L, 2L))) // 3 urls across 2 docs
+    assert(r("b.org") === ((1L, 1L)))
+    assert(r.size === 2)
+  }
 }
