@@ -61,7 +61,9 @@ object ScaleCheck {
     // r12 batch 11: frame-window shot detection and the full-scan
     // correlation pass (scripts/benford/regression are one-pass
     // projections/aggregates — covered by the scan-bound family)
-    "q_mm_scenecut", "q_stats_corr")
+    "q_mm_scenecut", "q_stats_corr",
+    // r12 batch 14: vocab-count shuffle + facet-bounded postings self-join
+    "q_vocab_spectrum", "q_vocab_overlap")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -502,7 +502,12 @@ object Multimodal {
     require(window % 4 == 0 && window > 0, "window must be a positive multiple of 4")
     val span = window / 4
     val dec = "decimal(38,0)"
-    val meta = decodeMeta(media)
+    // restrict BEFORE decodeMeta: the frame chain only reads video rows,
+    // and video payloads only ever hit the stub — images/audio would
+    // attempt real JDK codec decodes for metadata nothing downstream uses
+    // (they fail fast on synthetic bytes, but on a real corpus that is a
+    // full header read per image for nothing)
+    val meta = decodeMeta(media.filter(col("kind") === "video"))
     val frames = sampleFrames(meta, stepMs)
       .join(meta.select(col("media_id"), col("duration_ms")),
         Seq("media_id"))

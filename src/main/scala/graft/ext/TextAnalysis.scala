@@ -431,6 +431,67 @@ object TextAnalysis {
         frac4(col("n_types"), col("n_tokens")).as("ttr"))
   }
 
+  /** Vocabulary frequency spectrum + Good–Turing unseen mass: word
+    * types bucketed by count OCTAVE (octave = bit_length(count), the
+    * log₂ histogram — computed via the binary-string-length trick, no
+    * float log), with per-octave type and token mass; plus the
+    * Good–Turing estimate of unseen probability mass p₀ = n₁/N (the
+    * singleton-type token share, ppm floor) attached to every row —
+    * the "how much vocabulary is this corpus still missing" readout
+    * that decides whether more crawl is worth it, and the log-log
+    * shape a Zipf eyeball reads, with none of log's cross-engine
+    * flake. Two map-side-combined aggregates (word counts → octave
+    * rollup); output is ≤ 64 rows. */
+  def vocabSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = docs
+      .select(explode(words(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val spectrum = counts
+      .groupBy(length(bin(col("c"))).as("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+    val totals = spectrum.agg(
+      sum(when(col("octave") === 1, col("n_types")).otherwise(0L))
+        .as("n_singletons"),
+      sum(col("n_tokens")).as("n_total"))
+    val scaled = col("n_singletons").cast(dec) * lit(1000000L).cast(dec)
+    val den = col("n_total").cast(dec)
+    spectrum.crossJoin(broadcast(totals))
+      .select(col("octave"), col("n_types"), col("n_tokens"),
+        ((scaled - pmod(scaled, den)) / den).cast("long")
+          .as("unseen_mass_ppm"))
+  }
+
+  /** Pairwise source-vocabulary overlap: Jaccard of the DISTINCT
+    * lowercased word sets of every facet pair — the "are these two
+    * providers the same corpus in different wrappers" audit that runs
+    * before mixture weights are trusted. Postings shape: one distinct
+    * (word, facet) projection; intersections via a word-keyed self-join
+    * on facet < facet (vocab-bounded, never doc-bounded); sizes join
+    * facet-sized. Jaccard on the q4 floor lattice. */
+  def facetVocabOverlap(docs: DataFrame, facet: Column,
+      textCol: String = "text"): DataFrame = {
+    val post = docs
+      .select(facet.as("f"), explode(words(lower(col(textCol)))).as("w"))
+      .distinct()
+      .localCheckpoint(true) // feeds sizes + both sides of the self-join
+    val sizes = post.groupBy(col("f")).agg(count(lit(1)).as("sz"))
+    val inter = post.as("a")
+      .join(post.as("b"),
+        col("a.w") === col("b.w") && col("a.f") < col("b.f"))
+      .groupBy(col("a.f").as("f_a"), col("b.f").as("f_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val scaled = col("n_common") * lit(10000L)
+    val union = col("sz_a") + col("sz_b") - col("n_common")
+    inter
+      .join(sizes.select(col("f").as("f_a"), col("sz").as("sz_a")), Seq("f_a"))
+      .join(sizes.select(col("f").as("f_b"), col("sz").as("sz_b")), Seq("f_b"))
+      .select(col("f_a"), col("f_b"), col("n_common"), col("sz_a"),
+        col("sz_b"),
+        (((scaled - pmod(scaled, union)) / union).cast("double") / 10000.0)
+          .as("jaccard"))
+  }
+
   /** URL pattern in the Java∩RE2 subset (char classes + optional
     * non-capturing path — no lookaround), and its host-capture twin. */
   val urlRe = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9/._-]*)?"

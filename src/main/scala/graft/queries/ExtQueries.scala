@@ -1522,6 +1522,14 @@ object ExtQueries {
   def qCurationManifest(s: SparkSession, dir: String): DataFrame =
     Curation.exportManifest(docs(s, dir), nShards = 7)
 
+  /** Vocabulary octave spectrum + Good–Turing unseen mass. */
+  def qVocabSpectrum(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabSpectrum(docs(s, dir))
+
+  /** Pairwise source-vocabulary Jaccard (provider-overlap audit). */
+  def qVocabOverlap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.facetVocabOverlap(docs(s, dir), col("source"))
+
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -1675,7 +1683,9 @@ object ExtQueries {
     "q_stats_benford" -> (qStatsBenford _),
     "q_mm_scenecut" -> (qMmScenecut _),
     "q_text_urls" -> (qTextUrls _),
-    "q_curation_manifest" -> (qCurationManifest _))
+    "q_curation_manifest" -> (qCurationManifest _),
+    "q_vocab_spectrum" -> (qVocabSpectrum _),
+    "q_vocab_overlap" -> (qVocabOverlap _))
 
   // =================================================== DuckDB oracles
 
@@ -4929,6 +4939,38 @@ object ExtQueries {
        |    % ${graft.ext.Curation.manifestMod} AS BIGINT) AS content_mod
        |FROM j GROUP BY 1""".stripMargin
 
+  /** Spectrum oracle: same bin-length octaves, HUGEINT ppm floor. */
+  private val vocabSpectrumSql =
+    s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+       |    (SELECT unnest(${wordsSqlOf("lower(text)")}) AS w FROM documents)
+       |  GROUP BY 1),
+       |sp AS (SELECT CAST(len(bin(c)) AS BIGINT) AS octave,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens
+       |  FROM wc GROUP BY 1),
+       |t AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN octave = 1 THEN n_types END), 0)
+       |      AS BIGINT) AS n1,
+       |    CAST(sum(n_tokens) AS BIGINT) AS nt FROM sp)
+       |SELECT octave, n_types, n_tokens,
+       |  CAST((CAST(n1 AS HUGEINT) * 1000000) // nt AS BIGINT)
+       |    AS unseen_mass_ppm
+       |FROM sp, t""".stripMargin
+
+  /** Facet-overlap oracle: identical postings self-join + q4 floor. */
+  private val vocabOverlapSql =
+    s"""WITH post AS (SELECT DISTINCT source AS f, w FROM
+       |    (SELECT source, unnest(${wordsSqlOf("lower(text)")}) AS w
+       |     FROM documents)),
+       |sz AS (SELECT f, CAST(count(*) AS BIGINT) AS sz FROM post GROUP BY 1),
+       |i AS (SELECT a.f AS f_a, b.f AS f_b, CAST(count(*) AS BIGINT)
+       |    AS n_common
+       |  FROM post a JOIN post b ON a.w = b.w AND a.f < b.f GROUP BY 1, 2)
+       |SELECT f_a, f_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       |  CAST((n_common * 10000) // (sa.sz + sb.sz - n_common) AS DOUBLE)
+       |    / 10000.0 AS jaccard
+       |FROM i JOIN sz sa ON sa.f = i.f_a JOIN sz sb ON sb.f = i.f_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_normalized" -> dedupNormalizedSql,
@@ -5091,5 +5133,7 @@ object ExtQueries {
     "q_stats_benford" -> statsBenfordSql,
     "q_mm_scenecut" -> mmScenecutSql,
     "q_text_urls" -> textUrlsSql,
-    "q_curation_manifest" -> curationManifestSql)
+    "q_curation_manifest" -> curationManifestSql,
+    "q_vocab_spectrum" -> vocabSpectrumSql,
+    "q_vocab_overlap" -> vocabOverlapSql)
 }

@@ -318,4 +318,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("b.org") === ((1L, 1L)))
     assert(r.size === 2)
   }
+
+  test("vocab spectrum: octaves are exact bit-lengths, unseen mass = n1/N ppm") {
+    // counts: a x1 (octave 1), b x1 (octave 1), c x3 (octave 2), d x8 (octave 4)
+    val docs = Seq((1L, "a b c c"), (2L, "c d d d d"), (3L, "d d d d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabSpectrum(docs).collect()
+      .map(x => x.getAs[Number]("octave").longValue ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((2L, 2L, 153846L))) // n1=2, N=13 -> floor(2e6/13)
+    assert(r(2L) === ((1L, 3L, 153846L)))
+    assert(r(4L) === ((1L, 8L, 153846L)))
+    assert(r.size === 3)
+  }
+
+  test("facet vocab overlap: jaccard on the q4 floor lattice, ordered pairs once") {
+    val docs = Seq(
+      (1L, "s1", "x y z"), (2L, "s2", "x y w"), (3L, "s3", "q"))
+      .toDF("doc_id", "src", "text")
+    val r = TextAnalysis.facetVocabOverlap(docs, col("src")).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getAs[Double]("jaccard")))).toMap
+    assert(r(("s1", "s2")) === ((2L, 3L, 3L, 0.5)))   // {x,y} over {x,y,z,w}
+    assert(!r.contains(("s2", "s1")))                  // each pair once
+    assert(!r.contains(("s1", "s3")))                  // disjoint -> no row
+    assert(r.size === 1)
+  }
 }
