@@ -63,7 +63,9 @@ object ScaleCheck {
     // projections/aggregates — covered by the scan-bound family)
     "q_mm_scenecut", "q_stats_corr",
     // r12 batch 14: vocab-count shuffle + facet-bounded postings self-join
-    "q_vocab_spectrum", "q_vocab_overlap")
+    "q_vocab_spectrum", "q_vocab_overlap",
+    // r12 batch 15: snapshot write+read and the two-exceptAll CDC diff
+    "q_store_timetravel", "q_store_cdc")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

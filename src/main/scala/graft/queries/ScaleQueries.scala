@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{IncrementalAgg, TimeSeries}
 import graft.ops.{BloomJoin, SkewJoin}
-import graft.store.{BucketedStore, TableStore}
+import graft.store.{BucketedStore, TableStore, VersionedStore}
 
 /** Round-5 scale-pattern surface: time-series regularization, incremental
   * rollup state, Bloom-reduced joins, Z-order layout, array higher-order
@@ -643,6 +643,47 @@ object ScaleQueries {
   private val storeCompactOracle =
     """SELECT doc_id, source, n_chars, lang FROM documents""".stripMargin
 
+  // ---------------------------------------------- versioned snapshots
+  /** Time travel: documents land as snapshot v0, an erasure rewrite
+    * (provider src7 dropped) lands as v1 — and the query reads v0 BACK
+    * from under the newer snapshot. The oracle is the raw table: time
+    * travel must reproduce the pre-rewrite corpus byte-exactly, which
+    * is the provenance property a training-data audit stands on. */
+  def qStoreTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val vs = new VersionedStore(s,
+      Files.createTempDirectory("graft-versions").toString)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    vs.write("docs", d)
+    vs.write("docs", d.filter(col("source") =!= "src7"))
+    val out = vs.read("docs", version = 0)
+      .localCheckpoint() // materialize before the backing files vanish
+    vs.destroy()
+    out
+  }
+
+  private val storeTimetravelOracle =
+    """SELECT doc_id, source, n_chars, lang FROM documents""".stripMargin
+
+  /** CDC between the same two snapshots: the change set must be exactly
+    * the erased provider's rows, all op='D' — incremental consumers see
+    * O(changes), not O(table). */
+  def qStoreCdc(s: SparkSession, dir: String): DataFrame = {
+    val vs = new VersionedStore(s,
+      Files.createTempDirectory("graft-cdc").toString)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    vs.write("docs", d)
+    vs.write("docs", d.filter(col("source") =!= "src7"))
+    val out = vs.diff("docs", 0, 1).localCheckpoint()
+    vs.destroy()
+    out
+  }
+
+  private val storeCdcOracle =
+    """SELECT 'D' AS op, doc_id, source, n_chars, lang
+      |FROM documents WHERE source = 'src7'""".stripMargin
+
   // -------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q_ts_resample" -> (qTsResample _),
@@ -662,7 +703,9 @@ object ScaleQueries {
     "q_quantile_profile" -> (qQuantileProfile _),
     "q_sketch_hll" -> (qSketchHll _),
     "q_sketch_hll_merge" -> (qSketchHllMerge _),
-    "q_store_compact" -> (qStoreCompact _))
+    "q_store_compact" -> (qStoreCompact _),
+    "q_store_timetravel" -> (qStoreTimetravel _),
+    "q_store_cdc" -> (qStoreCdc _))
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_resample" -> tsResampleOracle,
@@ -683,5 +726,7 @@ object ScaleQueries {
     "q_sketch_hll" -> sketchHllOracle,
     // the sharded fold must reproduce the one-shot sketch exactly
     "q_sketch_hll_merge" -> sketchHllOracle,
-    "q_store_compact" -> storeCompactOracle)
+    "q_store_compact" -> storeCompactOracle,
+    "q_store_timetravel" -> storeTimetravelOracle,
+    "q_store_cdc" -> storeCdcOracle)
 }

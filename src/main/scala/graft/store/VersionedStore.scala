@@ -1,0 +1,108 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned table layout: every write lands as a NEW immutable
+  * snapshot directory (`<name>/v0`, `<name>/v1`, …) published by atomic
+  * rename — the transactional-table trio a 100 TB lake cannot live
+  * without, in its minimal parquet-native form:
+  *
+  *  - **snapshot isolation**: readers of vN never see vN+1's files;
+  *    a killed writer leaves only a temp dir, never a torn snapshot;
+  *  - **time travel**: `read(name, version)` — reproduce any past
+  *    training corpus exactly (the provenance requirement every data
+  *    audit starts from);
+  *  - **CDC**: `diff(name, v0, v1)` — the inserted/deleted row sets
+  *    between snapshots, computed as two anti-semantics `exceptAll`
+  *    passes (bag semantics: duplicate-row multiplicity diffs
+  *    correctly), each one hash-aggregate shuffle. Incremental
+  *    consumers process O(changes), not O(table).
+  *
+  * Swap the directory listing for a real table format's metadata
+  * (Iceberg/Delta manifest) and every caller is unchanged — the
+  * read/write/diff contract is the format-agnostic part. Old snapshots
+  * are reclaimed with [[vacuum]] (keep-last-k), the lifecycle sibling
+  * of [[TableStore.compact]]. */
+class VersionedStore(spark: SparkSession, baseDir: String) {
+
+  private def tableDir(name: String): Path = Paths.get(baseDir, name)
+
+  private def versionOf(p: Path): Option[Int] = {
+    val n = p.getFileName.toString
+    if (n.startsWith("v")) n.drop(1).toIntOption else None
+  }
+
+  /** Existing snapshot versions, ascending; empty for an unknown table. */
+  def versions(name: String): Seq[Int] = {
+    val d = tableDir(name)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.flatMap(versionOf).toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  def latestVersion(name: String): Option[Int] = versions(name).lastOption
+
+  /** Publish `df` as the next snapshot; returns its version. The write
+    * goes to a temp dir first and the snapshot name appears only via
+    * ATOMIC_MOVE — concurrent readers and a killed writer both stay
+    * consistent. */
+  def write(name: String, df: DataFrame): Int = {
+    val next = latestVersion(name).map(_ + 1).getOrElse(0)
+    val tmp = tableDir(name).resolve(s".tmp-v$next")
+    deleteRecursively(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(tmp, tableDir(name).resolve(s"v$next"),
+      StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Read a snapshot (default: latest). */
+  def read(name: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version
+      else latestVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots for $name"))
+    require(versions(name).contains(v), s"unknown snapshot $name/v$v")
+    spark.read.parquet(tableDir(name).resolve(s"v$v").toString)
+  }
+
+  /** Change rows between two snapshots: op = 'I' for rows present in
+    * `toV` but not `fromV`, 'D' for the reverse — BAG semantics via
+    * exceptAll, so multiplicity changes of duplicate rows diff
+    * correctly. Unchanged rows never appear: the consumer's work is
+    * O(changes). */
+  def diff(name: String, fromV: Int, toV: Int): DataFrame = {
+    val a = read(name, fromV)
+    val b = read(name, toV)
+    b.exceptAll(a).select(lit("I").as("op") +: b.columns.map(col): _*)
+      .unionByName(
+        a.exceptAll(b).select(lit("D").as("op") +: a.columns.map(col): _*))
+  }
+
+  /** Drop all but the newest `keep` snapshots (time-travel retention —
+    * the storage-reclaim lifecycle job). */
+  def vacuum(name: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least one snapshot")
+    versions(name).dropRight(keep).foreach { v =>
+      deleteRecursively(tableDir(name).resolve(s"v$v"))
+    }
+  }
+
+  def destroy(): Unit = deleteRecursively(Paths.get(baseDir))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f =>
+        Files.deleteIfExists(f))
+      finally s.close()
+    }
+}
