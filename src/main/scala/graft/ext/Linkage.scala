@@ -26,10 +26,11 @@ object Linkage {
       agree: (Column, Column) => Column)
 
   /** Link `a` to `b` through equality on `blockCols` (present in both
-    * frames); every other column the rules touch must have distinct
-    * names across the two frames. Emits the pair ids, the per-rule
-    * scores (s_<rule>), and the total; keeps pairs with
-    * score ≥ threshold. */
+    * frames). NAMING CONTRACT: for every rule `r`, frame `a` must carry
+    * a column `a_<r.name>` and frame `b` a column `b_<r.name>` — those
+    * are the two columns handed to `r.agree` (left, right). Emits the
+    * pair ids, the per-rule scores (s_<rule>), and the total; keeps
+    * pairs with score ≥ threshold. */
   def linkRecords(a: DataFrame, b: DataFrame, blockCols: Seq[String],
       rules: Seq[Rule], idA: String, idB: String,
       threshold: Long): DataFrame = {

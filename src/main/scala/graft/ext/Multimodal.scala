@@ -485,8 +485,11 @@ object Multimodal {
     * frame reduces to 4 span-mean luminances, and a frame whose SAD
     * against the previous frame reaches `threshold` starts a new shot.
     *
-    * Frames come from the registered [[sampleFrames]] chain; the frame
-    * SIGNAL is the deterministic stub decode (the video payload's
+    * Frames use [[sampleFrames]]' generator inlined so `duration_ms`
+    * rides alongside each frame row — a join back to the metadata (the
+    * first cut) would re-run the decode pass and shuffle for a column
+    * the explode already had in hand. The frame SIGNAL is the
+    * deterministic stub decode (the video payload's
     * char-window at the frame's time offset — a pure function of the
     * payload the oracle recomputes exactly; a real codec would hand the
     * same 4 numbers per frame to the identical downstream plan). All
@@ -508,9 +511,13 @@ object Multimodal {
     // (they fail fast on synthetic bytes, but on a real corpus that is a
     // full header read per image for nothing)
     val meta = decodeMeta(media.filter(col("kind") === "video"))
-    val frames = sampleFrames(meta, stepMs)
-      .join(meta.select(col("media_id"), col("duration_ms")),
-        Seq("media_id"))
+    // sampleFrames' generator with duration_ms projected through — one
+    // decode pass, zero meta self-join
+    val frames = meta
+      .filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(stepMs)))
+          .as("frame_ms"))
     val sigBase = media.filter(col("kind") === "video")
       .select(col("media_id"), decode(col("payload"), "UTF-8").as("sig0"))
     val num = col("frame_ms").cast(dec) *

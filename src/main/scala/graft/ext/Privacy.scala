@@ -50,16 +50,19 @@ object Privacy {
       sha2(r3, 256).as("red_hash"))
   }
 
-  /** Right-to-erasure cascade (GDPR art. 17 shape): given a forget-key
-    * set, every keyed table drops its matching rows and the audit
-    * certifies the result — per table: rows before, rows erased, rows
-    * after, and the RESIDUAL (forget-keyed rows still present after the
-    * rewrite, which must be 0). The residual is counted on the KEPT
-    * frame the caller will persist — in a lake deployment that frame is
-    * the re-read of the rewritten table, so the audit certifies storage,
-    * not intent (see q_privacy_erasure, which routes through TableStore).
+  /** Right-to-erasure cascade audit (GDPR art. 17 shape): for each keyed
+    * table AS STORED, count total rows, FORGET-KEYED rows still present
+    * (one semi-join), and the rows an erasure rewrite keeps (one
+    * anti-join). Two-phase protocol (see q_privacy_erasure):
+    *  - run on the live tables to PLAN: `rows_forget_keyed` = what the
+    *    rewrite must drop;
+    *  - run again on the RE-READ of the rewritten tables to CERTIFY:
+    *    `rows_forget_keyed` MUST be 0 — counted on what storage actually
+    *    holds, so a rewrite that silently failed to drop rows FAILS this
+    *    audit. (An earlier form counted a "residual" on the audit's own
+    *    anti-joined frame — structurally always 0, certifying nothing.)
     *
-    * Scale shape: per table, one anti-join + one semi-join against the
+    * Scale shape: per table, one semi-join + one anti-join against the
     * forget set (broadcast when small, shuffle otherwise — Spark's
     * planner decides from stats) and three count aggregates. Nothing
     * row-scaled beyond the joins; the audit output is |tables| rows. */
@@ -68,15 +71,14 @@ object Privacy {
     require(tables.nonEmpty, "erasureAudit: need at least one table")
     val audits = tables.map { case (name, df, keyCol) =>
       val fk = forget.select(col(forgetKey).as(keyCol))
-      val kept = df.join(fk, Seq(keyCol), "left_anti")
       val before = df.agg(count(lit(1)).as("rows_before"))
-      val after = kept.agg(count(lit(1)).as("rows_after"))
-      val residual = kept.join(fk, Seq(keyCol), "left_semi")
-        .agg(count(lit(1)).as("residual_after"))
-      before.crossJoin(broadcast(after)).crossJoin(broadcast(residual))
+      val present = df.join(fk, Seq(keyCol), "left_semi")
+        .agg(count(lit(1)).as("rows_forget_keyed"))
+      val after = df.join(fk, Seq(keyCol), "left_anti")
+        .agg(count(lit(1)).as("rows_after"))
+      before.crossJoin(broadcast(present)).crossJoin(broadcast(after))
         .select(lit(name).as("tbl"), col("rows_before"),
-          (col("rows_before") - col("rows_after")).as("rows_erased"),
-          col("rows_after"), col("residual_after"))
+          col("rows_forget_keyed"), col("rows_after"))
     }
     audits.reduce(_ unionByName _)
   }

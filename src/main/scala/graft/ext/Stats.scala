@@ -34,7 +34,17 @@ object Stats {
     * same floored integers, where a float Σ(O−E)²/E would hash-flake on
     * accumulation order). Zero-count cells of the full a×b grid are
     * included — they contribute ⌊r·c·10⁶/N⌋ each and dropping them
-    * understates the statistic.
+    * understates the statistic. NULL categories are EXCLUDED up front:
+    * a null is "value missing", not a category — and left in, its rows
+    * would inflate the margins and N while its observed cells could
+    * never match the equality grid join, biasing chi2 upward.
+    *
+    * Overflow headroom: the ⌊d²·10⁶/den⌋ cell is computed as
+    * ⌊d²/den⌋·10⁶ + ⌊(d² mod den)·10⁶/den⌋ — exact, and never forms
+    * the d²·10⁶ product — so the binding constraint is d² < 10³⁸,
+    * i.e. N ≲ 1.8·10⁹ rows per invocation. Beyond that, apply
+    * per-stratum (the statistic on a single 10⁹⁺-row table is
+    * statistically degenerate anyway — everything is "significant").
     *
     * Scale shape: one (a,b)-keyed count shuffle (map-side combined);
     * margins derive from the cell table (facet-sized); the full grid is
@@ -42,7 +52,9 @@ object Stats {
     * arithmetic. Nothing row-scaled past the first aggregate. */
   def chiSquareIndependence(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val o = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+    val o = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o"))
     val ra = o.groupBy(col("a")).agg(sum(col("o")).as("r"))
     val cb = o.groupBy(col("b")).agg(sum(col("o")).as("c"))
@@ -53,8 +65,11 @@ object Stats {
         col("c").cast(dec).as("c"), col("n").cast(dec).as("n"),
         coalesce(col("o"), lit(0L)).cast(dec).as("o"))
     val diff = grid("o") * grid("n") - grid("r") * grid("c")
-    val cell = floorDiv(diff * diff * lit(1000000L).cast(dec),
-      grid("n") * grid("r") * grid("c"))
+    val den = grid("n") * grid("r") * grid("c")
+    // ⌊d²·10⁶/den⌋ without the d²·10⁶ product (see the headroom note)
+    val sq = diff * diff
+    val cell = floorDiv(sq, den) * lit(1000000L).cast(dec) +
+      floorDiv(pmod(sq, den) * lit(1000000L).cast(dec), den)
     grid.select(col("a"), col("b"), col("n"), cell.as("cell"))
       .agg(max(col("n")).cast("long").as("n_rows"),
         count(lit(1)).as("n_cells"),
@@ -81,7 +96,11 @@ object Stats {
       cols: Seq[(String, Column)]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix: need at least two columns")
     val names = cols.map(_._1)
+    // LISTWISE deletion: a row with any null value would be counted in n
+    // but skipped by the null-ignoring sums — inconsistent sufficient
+    // statistics, silently wrong correlations
     val vals = df.select(cols.map { case (n, c) => c.cast(dec).as(n) }: _*)
+      .na.drop()
     val pairs = for {
       i <- names.indices; j <- names.indices if i < j
     } yield (names(i), names(j))
@@ -117,6 +136,9 @@ object Stats {
       y: Column): DataFrame = {
     val stats = df
       .select(col(groupCol), x.cast(dec).as("x"), y.cast(dec).as("y"))
+      // listwise deletion — same n-vs-sums consistency argument as the
+      // correlation matrix
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),

@@ -582,8 +582,15 @@ object TextAnalysis {
     *   pmi_ratio_q6 = ⌊ c_xy · N_u² · 10⁶ / (N_b · c_x · c_y) ⌋
     * (c_xy bigram count, N_b total bigrams, c_x/c_y unigram counts, N_u
     * total tokens; products run in decimal(38,0) — N_u²·10⁶ alone passes
-    * int64 at ~3·10⁶ tokens). Bigrams below minCount are dropped BEFORE
-    * the unigram joins (the classic low-count PMI blow-up filter).
+    * int64 at ~3·10⁶ tokens). The floor is computed as
+    * ⌊A/den⌋·10⁶ + ⌊(A mod den)·10⁶/den⌋ with A = c_xy·N_u², so the
+    * A·10⁶ product never forms: exact while A < 10³⁸ (trillion-token
+    * corpora with billion-count function-word bigrams included) and
+    * while den·10⁶ < 10³⁸ (den = N_b·c_x·c_y < 10³² — only breached by
+    * pairing two ≥10¹⁰-count words at ≥10¹²-token scale; shard the
+    * corpus or pre-cap function words beyond that). Bigrams below
+    * minCount are dropped BEFORE the unigram joins (the classic
+    * low-count PMI blow-up filter).
     *
     * Scale shape: two map-side-combined counts (unigram vocab, bigram
     * vocab), two vocab-keyed equi-joins on the SURVIVING bigram types
@@ -605,16 +612,19 @@ object TextAnalysis {
     val survivors = bg.filter(col("c_xy") >= minCount)
       .select(substring_index(col("bg"), " ", 1).as("w_a"),
         substring_index(col("bg"), " ", -1).as("w_b"), col("c_xy"))
-    val num = col("c_xy").cast(dec) * col("n_uni").cast(dec) *
-      col("n_uni").cast(dec) * lit(1000000L).cast(dec)
+    val a = col("c_xy").cast(dec) * col("n_uni").cast(dec) *
+      col("n_uni").cast(dec)
     val den = col("n_bi").cast(dec) * col("c_a").cast(dec) *
       col("c_b").cast(dec)
+    val m = lit(1000000L).cast(dec)
+    def floorDiv(x: Column, d: Column): Column = (x - pmod(x, d)) / d
     survivors
       .join(uni.select(col("w").as("w_a"), col("c").as("c_a")), Seq("w_a"))
       .join(uni.select(col("w").as("w_b"), col("c").as("c_b")), Seq("w_b"))
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .select(col("w_a"), col("w_b"), col("c_xy"), col("c_a"), col("c_b"),
-        ((num - pmod(num, den)) / den).cast("long").as("pmi_ratio_q6"))
+        (floorDiv(a, den) * m + floorDiv(pmod(a, den) * m, den))
+          .cast("long").as("pmi_ratio_q6"))
   }
 
   /** Character-concentration gibberish score: the Herfindahl index of

@@ -1409,17 +1409,36 @@ object ExtQueries {
   def qStatsGini(s: SparkSession, dir: String): DataFrame =
     graft.ext.Stats.giniConcentration(docs(s, dir), "source")
 
-  /** Right-to-erasure cascade audit: provider src7 requests removal;
-    * its doc keys propagate to every keyed table (documents itself,
-    * embeddings via vec_id = doc_id) and the audit certifies zero
-    * residual after the anti-join rewrite. */
+  /** Right-to-erasure cascade, BOTH phases: provider src7 requests
+    * removal; phase 'pre' audits the live tables (rows_forget_keyed =
+    * what the rewrite must drop), the rewrite lands through a real
+    * TableStore roundtrip, and phase 'post' audits the RE-READ — its
+    * rows_forget_keyed must be 0, counted on what storage actually
+    * holds (a rewrite that silently kept rows fails the hash-compare
+    * here, not just a spec). */
   def qPrivacyErasure(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    val e = emb(s, dir)
     val forget = d.filter(col("source") === "src7").select(col("doc_id"))
-    Privacy.erasureAudit(
-      Seq(("documents", d, "doc_id"),
-        ("embeddings", emb(s, dir), "vec_id")),
-      forget, "doc_id")
+    val tables = Seq(("documents", d, "doc_id"), ("embeddings", e, "vec_id"))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-erasure").toString)
+    tables.foreach { case (name, df, keyCol) =>
+      store.overwrite(name,
+        df.join(forget.select(col("doc_id").as(keyCol)), Seq(keyCol),
+          "left_anti"))
+    }
+    val pre = Privacy.erasureAudit(tables, forget, "doc_id")
+      .select(lit("pre").as("phase"), col("*"))
+    val post = Privacy.erasureAudit(
+      tables.map { case (name, _, keyCol) =>
+        (name, store.read(name), keyCol)
+      }, forget, "doc_id")
+      .select(lit("post").as("phase"), col("*"))
+    val out = pre.unionByName(post)
+      .localCheckpoint() // materialize before the backing files vanish
+    store.destroy()
+    out
   }
 
   /** Blocked record linkage (Fellegi–Sunter shape) over a
@@ -4684,17 +4703,23 @@ object ExtQueries {
        |s AS (SELECT (string_split(bg, ' '))[1] AS w_a,
        |  (string_split(bg, ' '))[2] AS w_b, c_xy FROM bc WHERE c_xy >= 5)
        |SELECT s.w_a, s.w_b, s.c_xy, ua.c AS c_a, ub.c AS c_b,
-       |  CAST((CAST(s.c_xy AS HUGEINT) * n_uni * n_uni * 1000000)
-       |    // (CAST(n_bi AS HUGEINT) * ua.c * ub.c) AS BIGINT) AS pmi_ratio_q6
+       |  CAST(((CAST(s.c_xy AS HUGEINT) * n_uni * n_uni)
+       |      // (CAST(n_bi AS HUGEINT) * ua.c * ub.c)) * 1000000
+       |    + (((CAST(s.c_xy AS HUGEINT) * n_uni * n_uni)
+       |      % (CAST(n_bi AS HUGEINT) * ua.c * ub.c)) * 1000000)
+       |      // (CAST(n_bi AS HUGEINT) * ua.c * ub.c) AS BIGINT)
+       |    AS pmi_ratio_q6
        |FROM s JOIN uc ua ON ua.wd = s.w_a JOIN uc ub ON ub.wd = s.w_b,
        |  nu, nb""".stripMargin
   }
 
-  /** Chi-square oracle: full margin grid (zero cells included), per-cell
-    * q6 floor in HUGEINT, summed. */
+  /** Chi-square oracle: full margin grid (zero cells included), null
+    * categories excluded, per-cell q6 floor via the same
+    * ⌊d²/den⌋·10⁶ + ⌊(d² mod den)·10⁶/den⌋ decomposition. */
   private val statsChi2Sql =
     """WITH o AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
-      |  FROM documents GROUP BY 1, 2),
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
       |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
       |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
       |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
@@ -4711,7 +4736,8 @@ object ExtQueries {
       |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
       |  CAST(count(DISTINCT b) AS BIGINT) AS n_b,
       |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
-      |  CAST(sum((d * d * 1000000) // den) AS BIGINT) AS chi2_q6
+      |  CAST(sum(((d * d) // den) * 1000000
+      |    + (((d * d) % den) * 1000000) // den) AS BIGINT) AS chi2_q6
       |FROM cells""".stripMargin
 
   /** Gini oracle: ascending-count ranks (ties broken by group name —
@@ -4728,26 +4754,34 @@ object ExtQueries {
       |    // (CAST(n_groups AS HUGEINT) * n_total) AS BIGINT) AS gini_q6
       |FROM a""".stripMargin
 
-  /** Erasure oracle: per-table before/erased/after counts; the engine's
-    * residual is computed on the kept frame (anti-then-semi ≡ 0 when the
-    * rewrite actually dropped the rows — the property being certified). */
-  private val privacyErasureSql =
-    """WITH f AS (SELECT doc_id AS k FROM documents WHERE source = 'src7')
-      |SELECT 'documents' AS tbl,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS rows_before,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-      |     WHERE doc_id IN (SELECT k FROM f)) AS rows_erased,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-      |     WHERE doc_id NOT IN (SELECT k FROM f)) AS rows_after,
-      |  CAST(0 AS BIGINT) AS residual_after
-      |UNION ALL
-      |SELECT 'embeddings',
-      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
-      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-      |     WHERE vec_id IN (SELECT k FROM f)),
-      |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-      |     WHERE vec_id NOT IN (SELECT k FROM f)),
-      |  CAST(0 AS BIGINT)""".stripMargin
+  /** Erasure oracle, both phases. The 'post' rows_forget_keyed are the
+    * literal 0 the engine must REPRODUCE from the re-read tables — the
+    * non-tautological certification (the engine counts them with a real
+    * semi-join against storage; only a correct rewrite matches). */
+  private val privacyErasureSql = {
+    def total(tbl: String) =
+      s"(SELECT CAST(count(*) AS BIGINT) FROM $tbl)"
+    def fkeyed(tbl: String, key: String) =
+      s"""(SELECT CAST(count(*) AS BIGINT) FROM $tbl
+         |     WHERE $key IN (SELECT k FROM f))""".stripMargin
+    def kept(tbl: String, key: String) =
+      s"""(SELECT CAST(count(*) AS BIGINT) FROM $tbl
+         |     WHERE $key NOT IN (SELECT k FROM f))""".stripMargin
+    s"""WITH f AS (SELECT doc_id AS k FROM documents WHERE source = 'src7')
+       |SELECT 'pre' AS phase, 'documents' AS tbl,
+       |  ${total("documents")} AS rows_before,
+       |  ${fkeyed("documents", "doc_id")} AS rows_forget_keyed,
+       |  ${kept("documents", "doc_id")} AS rows_after
+       |UNION ALL
+       |SELECT 'pre', 'embeddings', ${total("embeddings")},
+       |  ${fkeyed("embeddings", "vec_id")}, ${kept("embeddings", "vec_id")}
+       |UNION ALL
+       |SELECT 'post', 'documents', ${kept("documents", "doc_id")},
+       |  CAST(0 AS BIGINT), ${kept("documents", "doc_id")}
+       |UNION ALL
+       |SELECT 'post', 'embeddings', ${kept("embeddings", "vec_id")},
+       |  CAST(0 AS BIGINT), ${kept("embeddings", "vec_id")}""".stripMargin
+  }
 
   /** Record-linkage oracle: identical perturbation, blocking, and
     * weighted agreement arithmetic. */
@@ -4823,7 +4857,9 @@ object ExtQueries {
          |           sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 0.0) AS corr
          |FROM a""".stripMargin
     }
-    s"""WITH v AS (SELECT $cents FROM lineitem),
+    s"""WITH v0 AS (SELECT $cents FROM lineitem),
+       |v AS (SELECT * FROM v0
+       |  WHERE ${names.map(n => s"$n IS NOT NULL").mkString(" AND ")}),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |  ${sums.mkString(",\n|  ")}
        |  FROM v)
@@ -4836,7 +4872,7 @@ object ExtQueries {
     """WITH v AS (SELECT user_id,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS x,
       |    CAST(round(value * 100) AS BIGINT) AS y
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
       |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
       |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,

@@ -181,6 +181,5 @@ class TableStore(spark: SparkSession, baseDir: String) {
   def destroy(): Unit = deleteRecursively(Paths.get(baseDir))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    FsUtils.deleteRecursively(p)
 }

@@ -99,10 +99,5 @@ class VersionedStore(spark: SparkSession, baseDir: String) {
   def destroy(): Unit = deleteRecursively(Paths.get(baseDir))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f =>
-        Files.deleteIfExists(f))
-      finally s.close()
-    }
+    FsUtils.deleteRecursively(p)
 }

@@ -51,7 +51,7 @@ class PrivacySpec extends SparkSpec {
     assert(r(("fr", 1L)) === ((1L, 1L, 1L)))
   }
 
-  test("erasureAudit: cascade counts reconcile and residual is zero") {
+  test("erasureAudit: per-table counts reconcile across the cascade") {
     val docs = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val vecs = (0L to 4L).map(i => (i, i * 10)).toDF("vec_id", "x")
     val forget = Seq(1L, 3L, 4L, 99L).toDF("doc_id") // 99 hits nothing
@@ -59,27 +59,34 @@ class PrivacySpec extends SparkSpec {
       Seq(("documents", docs, "doc_id"), ("embeddings", vecs, "vec_id")),
       forget, "doc_id")
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(out("documents") === ((10L, 3L, 7L, 0L)))
-    assert(out("embeddings") === ((5L, 3L, 2L, 0L)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("documents") === ((10L, 3L, 7L)))
+    assert(out("embeddings") === ((5L, 3L, 2L)))
   }
 
-  test("erasureAudit certifies a TableStore rewrite end to end") {
+  test("erasureAudit certifies storage: a correct rewrite passes, a botched one FAILS") {
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-erasure").toString)
     val docs = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
-    store.overwrite("docs", docs)
     val forget = Seq(2L, 5L).toDF("doc_id")
-    // the rewrite, then the audit runs over the RE-READ table — the
-    // residual certifies storage, not intent
-    store.deleteWhere("docs", docs.schema,
-      col("doc_id").isin(2L, 5L))
-    val audited = Privacy.erasureAudit(
+    // correct rewrite: post-phase audit of the RE-READ shows zero
+    // forget-keyed rows still in storage
+    store.deleteWhere("docs", docs.schema, lit(false)) // create empty
+    store.overwrite("docs", docs)
+    store.deleteWhere("docs", docs.schema, col("doc_id").isin(2L, 5L))
+    val good = Privacy.erasureAudit(
       Seq(("docs", store.read("docs"), "doc_id")), forget, "doc_id")
       .collect().head
-    assert(audited.getLong(1) === 8L)  // rows_before: already rewritten
-    assert(audited.getLong(2) === 0L)  // nothing left to erase
-    assert(audited.getLong(4) === 0L)  // and no forget-keyed residual
+    assert(good.getLong(1) === 8L)  // rows_before (re-read)
+    assert(good.getLong(2) === 0L)  // rows_forget_keyed: certified clean
+    assert(good.getLong(3) === 8L)
+    // botched rewrite (only dropped doc 2): the audit MUST catch the
+    // forget-keyed row still present — the non-tautological certification
+    store.overwrite("docs", docs.filter(col("doc_id") =!= 2L))
+    val bad = Privacy.erasureAudit(
+      Seq(("docs", store.read("docs"), "doc_id")), forget, "doc_id")
+      .collect().head
+    assert(bad.getLong(2) === 1L, "doc 5 is still in storage and must be flagged")
     store.destroy()
   }
 }
