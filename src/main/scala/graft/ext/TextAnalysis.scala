@@ -431,6 +431,37 @@ object TextAnalysis {
         frac4(col("n_types"), col("n_tokens")).as("ttr"))
   }
 
+  /** LIX readability (Björnsson 1968) — the syllable-free readability
+    * index (Flesch needs syllable counts no two engines agree on):
+    *   LIX = words/sentence + 100 · longwords/words,  long = ≥ 7 chars,
+    * emitted on the q4 floor lattice over the COMMON denominator s·w —
+    *   lix_q4 = ⌊(w² + 100·lw·s)·10⁴ / (s·w)⌋
+    * — one floor, never a sum of two separately-floored terms (which
+    * would define a different, order-dependent value). The numerator
+    * runs in decimal(38,0): w²·10⁴ wraps int64 on ~10⁸-word documents.
+    * Pure codegen projection, zero shuffle; scriptless/empty docs score
+    * 0. The canonical curation use: route >LIX-60 legalese and <LIX-25
+    * fragment spam away from a readability-targeted mixture. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = coalesce(col(textCol), lit(""))
+    val ws = words(t)
+    val ss = sentences(t)
+    val w = size(ws).cast("long")
+    val s = size(ss).cast("long")
+    val lw = size(filter(ws, x => length(x) >= 7)).cast("long")
+    val num = (w.cast(dec) * w.cast(dec) +
+      lit(100L).cast(dec) * lw.cast(dec) * s.cast(dec)) *
+      lit(10000L).cast(dec)
+    val den = s.cast(dec) * w.cast(dec)
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+      lw.as("n_long_words"),
+      when(s > 0L && w > 0L,
+        (((num - pmod(num, den)) / den).cast("double") / 10000.0))
+        .otherwise(lit(0.0)).as("lix"))
+  }
+
   /** Vocabulary frequency spectrum + Good–Turing unseen mass: word
     * types bucketed by count OCTAVE (octave = bit_length(count), the
     * log₂ histogram — computed via the binary-string-length trick, no

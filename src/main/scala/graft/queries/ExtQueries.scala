@@ -1541,6 +1541,34 @@ object ExtQueries {
   def qCurationManifest(s: SparkSession, dir: String): DataFrame =
     Curation.exportManifest(docs(s, dir), nShards = 7)
 
+  /** Cross-provider duplication-leakage matrix: MinHash near-dup pairs
+    * labeled by their two docs' sources — diagonal rows are
+    * within-provider duplication, off-diagonal rows are providers
+    * shipping the SAME content under different names (the signal that
+    * collapses mixture weights: two "independent" sources that are one
+    * crawl in two wrappers). Source pair is unordered (least, greatest)
+    * so both directions fold into one cell. Pair-bounded work on top of
+    * the registered candidate generator: two doc-keyed equi-joins + one
+    * pair-sized aggregate. */
+  def qDedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** LIX readability per document (syllable-free index, q4 lattice). */
+  def qTextReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(docs(s, dir))
+
   /** Vocabulary octave spectrum + Good–Turing unseen mass. */
   def qVocabSpectrum(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabSpectrum(docs(s, dir))
@@ -1704,7 +1732,9 @@ object ExtQueries {
     "q_text_urls" -> (qTextUrls _),
     "q_curation_manifest" -> (qCurationManifest _),
     "q_vocab_spectrum" -> (qVocabSpectrum _),
-    "q_vocab_overlap" -> (qVocabOverlap _))
+    "q_vocab_overlap" -> (qVocabOverlap _),
+    "q_dedup_source_matrix" -> (qDedupSourceMatrix _),
+    "q_text_readability" -> (qTextReadability _))
 
   // =================================================== DuckDB oracles
 
@@ -5007,6 +5037,35 @@ object ExtQueries {
        |    / 10000.0 AS jaccard
        |FROM i JOIN sz sa ON sa.f = i.f_a JOIN sz sb ON sb.f = i.f_b""".stripMargin
 
+  /** Readability oracle: same split chains, one common-denominator
+    * HUGEINT floor. */
+  private val textReadabilitySql =
+    s"""WITH c AS (SELECT doc_id,
+       |    CAST(len(${wordsSqlOf("coalesce(text, '')")}) AS BIGINT) AS nw,
+       |    CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+       |      '[.!?]+\\s+'), s -> len(s) > 0)) AS BIGINT) AS ns,
+       |    CAST(len(list_filter(${wordsSqlOf("coalesce(text, '')")},
+       |      x -> len(x) >= 7)) AS BIGINT) AS nlw
+       |  FROM documents)
+       |SELECT doc_id, nw AS n_words, ns AS n_sentences,
+       |  nlw AS n_long_words,
+       |  CASE WHEN ns > 0 AND nw > 0
+       |    THEN CAST(((CAST(nw AS HUGEINT) * nw + 100 * CAST(nlw AS HUGEINT) * ns)
+       |        * 10000) // (CAST(ns AS HUGEINT) * nw) AS DOUBLE) / 10000.0
+       |    ELSE 0.0 END AS lix
+       |FROM c""".stripMargin
+
+  /** Source-matrix oracle: the registered MinHash chain as a CTE,
+    * unordered source pair via least/greatest. */
+  private lazy val dedupSourceMatrixSql =
+    s"""WITH p AS ($dedupMinhashSql),
+       |m AS (SELECT least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b
+       |  FROM p JOIN documents da ON da.doc_id = p.id_a
+       |  JOIN documents db ON db.doc_id = p.id_b)
+       |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM m GROUP BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_normalized" -> dedupNormalizedSql,
@@ -5171,5 +5230,7 @@ object ExtQueries {
     "q_text_urls" -> textUrlsSql,
     "q_curation_manifest" -> curationManifestSql,
     "q_vocab_spectrum" -> vocabSpectrumSql,
-    "q_vocab_overlap" -> vocabOverlapSql)
+    "q_vocab_overlap" -> vocabOverlapSql,
+    "q_dedup_source_matrix" -> dedupSourceMatrixSql,
+    "q_text_readability" -> textReadabilitySql)
 }

@@ -345,4 +345,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(("s1", "s3")))                  // disjoint -> no row
     assert(r.size === 1)
   }
+
+  test("LIX readability: hand lattice values, common-denominator floor") {
+    // "the colonel proceeds. immediately afterwards attack." :
+    // sentences = 2, words = 6, long(>=7) = 4
+    // lix_q4 = floor((36 + 100*4*2)*1e4 / 12) = floor(8360000/12)... 
+    val docs = Seq(
+      (1L, "the colonel proceeds. immediately afterwards attacking. qq"),
+      (2L, "a b. c d."),      // no long words -> lix = w/s = 2.0
+      (3L, ""),               // empty -> 0
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getAs[Double]("lix"))))
+      .toMap
+    // doc 1: words=7 (whitespace split KEEPS trailing punctuation, so
+    // "proceeds." is 9 chars), sentences=3, long(>=7)=5
+    // lix_q4 = floor((49 + 100*5*3)*1e4/21) = floor(15490000/21) = 737619
+    assert(r(1L) === ((7L, 3L, 5L, 73.7619)))
+    assert(r(2L) === ((4L, 2L, 0L, 2.0)))
+    assert(r(3L) === ((0L, 0L, 0L, 0.0)))
+    assert(r(4L) === ((0L, 0L, 0L, 0.0)))
+  }
 }
