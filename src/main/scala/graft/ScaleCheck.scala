@@ -65,7 +65,9 @@ object ScaleCheck {
     // r12 batch 14: vocab-count shuffle + facet-bounded postings self-join
     "q_vocab_spectrum", "q_vocab_overlap",
     // r12 batch 15: snapshot write+read and the two-exceptAll CDC diff
-    "q_store_timetravel", "q_store_cdc")
+    "q_store_timetravel", "q_store_cdc",
+    // r12 batch 16: pair-bounded leakage matrix over the LSH generator
+    "q_dedup_source_matrix")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase
