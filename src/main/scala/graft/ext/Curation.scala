@@ -25,11 +25,24 @@ object Curation {
   def stratifiedSample(docs: DataFrame, stratum: Column,
       rates: Map[String, Int], defaultRate: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val bucket = hexInt(concat(stratum, lit(":"), col(idCol).cast("string"))) % 100
+    // The stratum can be an arbitrarily expensive tree (the flagship use
+    // passes TextAnalysis.langId — tokenize + 4 HOF stopword filters),
+    // and it is consumed 3+ places below (bucket hash, rate CASE, output
+    // projection). A plain Project alias does NOT pin it to one
+    // evaluation: PushPredicateThroughNonJoin inlines aliases into the
+    // pushed filter unconditionally, and HOF lambdas defeat codegen
+    // subexpression elimination — measured ~4× langId per row, the r12
+    // bench regression. explode(array(x)) pins it: a Generate node is a
+    // barrier to both CollapseProject and filter pushdown, evaluates x
+    // exactly once per row, adds no shuffle, and stays in codegen.
+    val once = docs.select(col(idCol),
+      explode(array(stratum)).as("stratum"))
+    val st = col("stratum")
+    val bucket = hexInt(concat(st, lit(":"), col(idCol).cast("string"))) % 100
     val rate = rates.foldRight(lit(defaultRate): Column) { case ((s, r), acc) =>
-      when(stratum === s, lit(r)).otherwise(acc)
+      when(st === s, lit(r)).otherwise(acc)
     }
-    docs.select(col(idCol), stratum.as("stratum"), bucket.as("bucket"))
+    once.select(col(idCol), st, bucket.as("bucket"))
       .filter(col("bucket") < rate)
   }
 
@@ -612,22 +625,34 @@ object Curation {
   def boilerplateStats(docs: DataFrame, n: Int = 1, ratioQ4: Long = 5000L,
       idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
+    // The exploded distinct-gram stream feeds THREE consumers (the df
+    // table, per-doc totals, the boilerplate probe). Left as a lazy
+    // plan, each consumer branch re-tokenizes the corpus — 3 full
+    // tokenization passes, the slowest query in the r12 registry.
+    // Checkpoint it once: 1 tokenization pass + cheap re-reads. The two
+    // per-doc aggregates then collapse into ONE pass over g: tag each
+    // gram with a boilerplate flag via a left join (boiler is
+    // template-chrome-sized — grams in ≥ratio of a source's docs — so
+    // AQE broadcasts it) and count total + flagged in a single
+    // groupBy(id).
     val g = docs.select(col(idCol), col(sourceCol).as("src"),
-      explode(array_distinct(ngrams(words(col(textCol)), n))).as("gram"))
+        explode(array_distinct(ngrams(words(col(textCol)), n))).as("gram"))
+      .localCheckpoint()
     val perSource = docs.groupBy(col(sourceCol).as("src"))
       .agg(count(lit(1)).as("nd"))
     val dfs = g.groupBy(col("src"), col("gram")).agg(count(lit(1)).as("df"))
     val boiler = dfs.join(broadcast(perSource), "src")
       .filter(col("df") * lit(10000L) >= lit(ratioQ4) * col("nd"))
-      .select(col("src"), col("gram"))
-    val totals = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val hits = g.join(boiler, Seq("src", "gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+      .select(col("src"), col("gram"), lit(1L).as("is_boiler"))
+    val perDoc = g.join(boiler, Seq("src", "gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
     val t = coalesce(col("n_grams"), lit(0L))
     val b = coalesce(col("n_boiler"), lit(0L))
     val scaled = b * lit(10000L)
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left").join(hits, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), t.as("n_grams"), b.as("n_boiler"),
         when(t > 0, ((scaled - pmod(scaled, t)) / t).cast("double") / 10000.0)
           .otherwise(lit(0.0)).as("boiler_frac"))

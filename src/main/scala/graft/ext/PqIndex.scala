@@ -28,11 +28,39 @@ object PqIndex {
   def build(store: TableStore, emb: DataFrame, name: String = "pq",
       subspaces: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    store.drop(s"${name}_complete")
     val cents = KMeans.pqFit(emb, subspaces, subDim, k, iters, idCol, embCol)
     store.overwrite(s"${name}_codebook", cents)
     store.overwriteClustered(s"${name}_codes",
       KMeans.pqAssignments(emb, cents, subspaces, subDim, idCol, embCol),
       Seq("id"))
+    markComplete(store, emb, name)
+  }
+
+  /** Build the plain PQ index at most once per (process, store) —
+    * the same lock + completion-marker discipline as
+    * [[ensureIvfResidual]]. The search benchmarks call this in UNTIMED
+    * setup so a timed "search the pre-built index" sample can never
+    * silently include a build (r12: `q_sim_ivfpq_res_indexed` measured
+    * 1.05 s warm and 11.2 s on cold scratch — same query, state-coupled
+    * timing). */
+  def ensure(store: TableStore, emb: DataFrame, name: String = "pq",
+      subspaces: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
+    lock.synchronized {
+      if (!isComplete(store, name))
+        build(store, emb, name, subspaces, subDim, k, iters, idCol, embCol)
+    }
+  }
+
+  /** [[ensure]] for the IVF-PQ triple. */
+  def ensureIvf(store: TableStore, emb: DataFrame,
+      name: String = "ivfpq"): Unit = {
+    val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
+    lock.synchronized {
+      if (!isComplete(store, name)) buildIvf(store, emb, name)
+    }
   }
 
   def search(store: TableStore, queries: DataFrame, topK: Int,

@@ -35,14 +35,37 @@ object TextAnalysis {
     size(filter(ws, w => w.isin(stopwords(lang).map(lit): _*))).cast("long")
 
   /** Language ID: most stopword hits wins, fixed priority on ties,
-    * 'und' (undetermined) when nothing hits. */
+    * 'und' (undetermined) when nothing hits.
+    *
+    * Single-pass by construction: the obvious per-language formulation
+    * (`greatest` over four `stopwordHits` + a CASE chain) references the
+    * tokenized array ~24× in one expression tree, and Catalyst performs
+    * NO subexpression elimination inside trees containing HOF lambdas —
+    * measured 24 split+filter evaluations per row (the r12
+    * q_sample_stratified bench regression). Here every subtree is
+    * referenced exactly once: one tokenize, one `aggregate` fold
+    * counting all four languages simultaneously, one argmax fold over
+    * the 4-element count array. Ties break on list order (en, es, fr,
+    * de) because the argmax keeps the FIRST strict maximum; counts of 0
+    * never beat the "und" seed. Null text coalesces to the empty array
+    * (→ "und"), matching the CASE chain's null fall-through. */
+  private val langIdLangs = Seq("en", "es", "fr", "de")
   def langId(text: Column): Column = {
-    val ws = words(lower(text))
-    val hits = Seq("en", "es", "fr", "de").map(l => l -> stopwordHits(ws, l))
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
-      when(h > 0 && h === best, l).otherwise(acc)
-    }
+    val ws = coalesce(words(lower(text)), array())
+    val zero = array(langIdLangs.map(_ => lit(0L)): _*)
+    val counts = aggregate(ws, zero, (acc, w) =>
+      zip_with(acc,
+        array(langIdLangs.map(l =>
+          when(w.isin(stopwords(l).map(lit): _*), 1L).otherwise(0L)): _*),
+        (a, b) => a + b))
+    val labeled = zip_with(counts,
+      array(langIdLangs.map(lit): _*),
+      (c, l) => struct(c.as("c"), l.as("l")))
+    aggregate(labeled,
+      struct(lit(0L).as("c"), lit("und").as("l")),
+      (best, x) => when(x.getField("c") > best.getField("c"), x)
+        .otherwise(best))
+      .getField("l")
   }
 
   /** Quality score in [0,1]: length saturation, punctuation penalty,

@@ -499,14 +499,18 @@ object ExtQueries {
     graft.ext.KMeans.pqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
   }
 
-  /** Build the persisted PQ index in per-run scratch, search against it:
-    * must hash-match the recompute path (shares q_sim_pq_search's
-    * oracle), proving the persisted state round-trips exactly. */
+  private def pqIndexStore(s: SparkSession, dir: String) =
+    new graft.store.TableStore(s, CoreQueries.scratch(dir, "pq_index"))
+
+  /** Search the persisted PQ index (built lazily via the completion
+    * marker when absent; the bench builds it in UNTIMED setup — see
+    * [[benchSetup]] — so the timed sample measures SEARCH only): must
+    * hash-match the recompute path (shares q_sim_pq_search's oracle),
+    * proving the persisted state round-trips exactly. */
   def qSimPqIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val store = new graft.store.TableStore(s,
-      CoreQueries.scratch(dir, "pq_index"))
-    graft.ext.PqIndex.build(store, e)
+    val store = pqIndexStore(s, dir)
+    graft.ext.PqIndex.ensure(store, e)
     graft.ext.PqIndex.search(store, e.filter(col("vec_id") < 8), topK = 5)
   }
 
@@ -521,11 +525,13 @@ object ExtQueries {
     * recompute path (shares q_sim_ivfpq's oracle). The codes table is
     * range-clustered on (cell, id), so the probed-cells IN filter prunes
     * the scan to the probed cells' files (r4 "What's missing" #1). */
+  private def ivfIndexStore(s: SparkSession, dir: String) =
+    new graft.store.TableStore(s, CoreQueries.scratch(dir, "ivfpq_index"))
+
   def qSimIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val store = new graft.store.TableStore(s,
-      CoreQueries.scratch(dir, "ivfpq_index"))
-    graft.ext.PqIndex.buildIvf(store, e)
+    val store = ivfIndexStore(s, dir)
+    graft.ext.PqIndex.ensureIvf(store, e)
     graft.ext.PqIndex.searchIvf(store, e.filter(col("vec_id") < 8), topK = 5)
   }
 
@@ -1576,6 +1582,19 @@ object ExtQueries {
   /** Pairwise source-vocabulary Jaccard (provider-overlap audit). */
   def qVocabOverlap(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.facetVocabOverlap(docs(s, dir), col("source"))
+
+  /** Untimed bench setup for the indexed-search queries: build (or
+    * verify via the completion marker) the persisted index BEFORE the
+    * timer starts, so the timed sample is search-only on both cold and
+    * warm scratch. q_sim_ivfpq_build is deliberately absent — it IS the
+    * build benchmark and times a forced rebuild. */
+  def benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "q_sim_pq_indexed" -> ((s, dir) =>
+      graft.ext.PqIndex.ensure(pqIndexStore(s, dir), emb(s, dir))),
+    "q_sim_ivfpq_indexed" -> ((s, dir) =>
+      graft.ext.PqIndex.ensureIvf(ivfIndexStore(s, dir), emb(s, dir))),
+    "q_sim_ivfpq_res_indexed" -> ((s, dir) =>
+      graft.ext.PqIndex.ensureIvfResidual(resIndexStore(s, dir), emb(s, dir))))
 
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -3080,7 +3099,10 @@ object ExtQueries {
   /** Systematic weighted sampling twin of
     * Curation.weightedSystematicSample: the oracle's cumulative sum is a
     * plain global window (DuckDB is single-node); the engine side
-    * reproduces the identical cw via bucketed prefix sums. */
+    * reproduces the identical cw via bucketed prefix sums. Every output
+    * column is cast to BIGINT: DuckDB's sum(BIGINT) is HUGEINT, which
+    * the driver's pandas compare converts to float64 (157.0 vs 157 →
+    * hash mismatch despite identical values — the r12 red row). */
   private val sampleWeightedSql =
     """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
       |  FROM documents WHERE n_chars > 0),
@@ -3088,7 +3110,8 @@ object ExtQueries {
       |st AS (SELECT greatest(total // 100, 1) AS step FROM tot),
       |cum AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM base)
-      |SELECT doc_id, w, cw, CAST(n_picks AS BIGINT) AS n_picks FROM (
+      |SELECT doc_id, w, CAST(cw AS BIGINT) AS cw,
+      |  CAST(n_picks AS BIGINT) AS n_picks FROM (
       |  SELECT doc_id, w, cw,
       |    least((cw + step - 1) // step, 100)
       |      - least((cw - w + step - 1) // step, 100) AS n_picks

@@ -98,9 +98,27 @@ object TreeFetchers {
     if (name == "http") {
       val url = options.getOrElse("url",
         throw new IllegalArgumentException("graft-poll with transport=http requires option 'url'"))
-      new HttpTreeFetcher(url,
+      val authMode = options.getOrElse("authmode", "param")
+      if (authMode == "oauth2") {
+        // client-credentials flow (reference oauth2creds.py): id/secret
+        // env-var names + token endpoint; token acquisition, expiry
+        // refresh and 401-retry live in the fetcher/provider pair
+        def req(k: String) = options.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"graft-poll with authmode=oauth2 requires option '$k'"))
+        new OAuth2TreeFetcher(url, new OAuth2TokenProvider(
+          tokenUrl = req("tokenurl"),
+          clientIdEnv = req("clientidenv"),
+          clientSecretEnv = req("clientsecretenv"),
+          post = OAuth2.httpPost(
+            options.getOrElse("connecttimeoutms", "10000").toInt,
+            options.getOrElse("requesttimeoutms", "30000").toInt)),
+          get = OAuth2TreeFetcher.httpGet(
+            options.getOrElse("connecttimeoutms", "10000").toInt,
+            options.getOrElse("requesttimeoutms", "30000").toInt))
+      } else new HttpTreeFetcher(url,
         authTokenEnv = options.get("authtokenenv"),
-        authMode = options.getOrElse("authmode", "param"),
+        authMode = authMode,
         connectTimeoutMs = options.getOrElse("connecttimeoutms", "10000").toInt,
         requestTimeoutMs = options.getOrElse("requesttimeoutms", "30000").toInt)
     } else registry.getOrElse(name,

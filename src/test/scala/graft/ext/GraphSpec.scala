@@ -89,6 +89,21 @@ class GraphSpec extends SparkSpec {
     assert(p2 === p4, s"pageRank plan grows with iters: $p2 -> $p4")
   }
 
+  test("kCore: per-round checkpoints keep the final plan constant in " +
+      "rounds (VERDICT r12 #7 — the one iterative op without a pin)") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)).size
+    val k2 = exchanges(Graph.kCore(nodes, e, k = 2, rounds = 2))
+    val k5 = exchanges(Graph.kCore(nodes, e, k = 2, rounds = 5))
+    assert(k2 === k5, s"kCore plan grows with rounds: $k2 -> $k5")
+    // constant = the final degree aggregation + the two output joins
+    // over checkpointed inputs
+    assert(k2 <= 12, s"kCore final plan carries $k2 exchanges")
+  }
+
   test("hits: in-degree at the long-wrap boundary normalizes exactly " +
       "(decimal product, ADVICE r11)") {
     // raw auth = hub·indeg = 1e6·2e4 = 2e10; ×scale as a LONG would be

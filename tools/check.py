@@ -41,8 +41,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.6g}"
+    # str-level, NOT %.6g: the driver's compare is exact at string level,
+    # and the local gate must never be more forgiving than the driver
+    # (r12: q_sample_weighted passed here at %.6g while the driver saw
+    # 157.0 vs 157). Floats that are value-identical are str-identical.
     return str(v)
 
 def frame_hash(df):
@@ -54,7 +56,29 @@ def fail(name, why):
     status[name] = {"pass": False, "why": why}
     print(f"FAIL {name}: {why}"); n_fail += 1
 
+# Oracle output-type sweep (VERDICT r12 #1): DuckDB widens sum(BIGINT)
+# to HUGEINT and some arithmetic to DECIMAL; both go lossy/mismatched
+# through the driver's pandas compare (HUGEINT → float64). Any oracle
+# whose DESCRIBE shows such a column is a latent hash mismatch — fail it
+# here, before the driver does.
+BAD_TYPES = ("HUGEINT", "DECIMAL")
 for name, sql in sorted(oracle.items()):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchdf()
+    except Exception as e:
+        fail(name, f"DESCRIBE failed: {e}")
+        driver[name] = driver_rec(err=f"DESCRIBE failed: {e}")
+        continue
+    bad = [(r["column_name"], r["column_type"])
+           for _, r in desc.iterrows()
+           if any(b in str(r["column_type"]).upper() for b in BAD_TYPES)]
+    if bad:
+        fail(name, f"oracle output type unsafe for driver compare: {bad}")
+        driver[name] = driver_rec(err=f"unsafe oracle output types: {bad}")
+
+for name, sql in sorted(oracle.items()):
+    if name in driver and driver[name].get("err"):
+        continue  # already failed the type sweep
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
         fail(name, "no spark output")
