@@ -58,6 +58,10 @@ object ScaleCheck {
     // aggregates — not heavy-set material, same call as fleiss)
     "q_text_pmi", "q_text_skipgram", "q_sketch_hll", "q_link_records",
     "q_store_compact",
+    // r13 additions: the round's perf-touched queries (single-pass
+    // langId stratified sample, one-pass boilerplate, plain-PQ indexed
+    // search) so their sf1 rows stay current with the new plans
+    "q_sample_stratified", "q_text_boilerplate", "q_sim_pq_indexed",
     // r12 batch 11: frame-window shot detection and the full-scan
     // correlation pass (scripts/benford/regression are one-pass
     // projections/aggregates — covered by the scan-bound family)
@@ -161,6 +165,13 @@ object ScaleCheck {
     * (a fast OOM at 10× would otherwise look like great scaling). */
   private def runOne(spark: SparkSession, name: String,
       dir: String): (Double, Boolean) = {
+    // same untimed setup contract as Bench (r13): indexed searches are
+    // timed search-only at BOTH scales or the ratio mixes build into
+    // whichever side ran on colder scratch
+    try SparkEntry.benchSetup.get(name).foreach(f => f(spark, dir))
+    catch { case e: Throwable =>
+      System.err.println(s"[scale] $name setup @ $dir failed: ${e.getMessage}")
+    }
     val t0 = System.nanoTime()
     val ok =
       try {

@@ -1429,22 +1429,22 @@ object ExtQueries {
     val tables = Seq(("documents", d, "doc_id"), ("embeddings", e, "vec_id"))
     val store = new graft.store.TableStore(s,
       java.nio.file.Files.createTempDirectory("graft-erasure").toString)
-    tables.foreach { case (name, df, keyCol) =>
-      store.overwrite(name,
-        df.join(forget.select(col("doc_id").as(keyCol)), Seq(keyCol),
-          "left_anti"))
-    }
-    val pre = Privacy.erasureAudit(tables, forget, "doc_id")
-      .select(lit("pre").as("phase"), col("*"))
-    val post = Privacy.erasureAudit(
-      tables.map { case (name, _, keyCol) =>
-        (name, store.read(name), keyCol)
-      }, forget, "doc_id")
-      .select(lit("post").as("phase"), col("*"))
-    val out = pre.unionByName(post)
-      .localCheckpoint() // materialize before the backing files vanish
-    store.destroy()
-    out
+    try {
+      tables.foreach { case (name, df, keyCol) =>
+        store.overwrite(name,
+          df.join(forget.select(col("doc_id").as(keyCol)), Seq(keyCol),
+            "left_anti"))
+      }
+      val pre = Privacy.erasureAudit(tables, forget, "doc_id")
+        .select(lit("pre").as("phase"), col("*"))
+      val post = Privacy.erasureAudit(
+        tables.map { case (name, _, keyCol) =>
+          (name, store.read(name), keyCol)
+        }, forget, "doc_id")
+        .select(lit("post").as("phase"), col("*"))
+      pre.unionByName(post)
+        .localCheckpoint() // materialize before the backing files vanish
+    } finally store.destroy() // ADVICE r12: no temp-dir leak on failure
   }
 
   /** Blocked record linkage (Fellegi–Sunter shape) over a

@@ -124,16 +124,18 @@ object ScaleQueries {
   def qStoreZorder(s: SparkSession, dir: String): DataFrame = {
     val store = new TableStore(s,
       Files.createTempDirectory("graft-zorder").toString)
-    // bits=8 (255 quantile probes/column) — plenty for 8 files; the
-    // default 16 would cost a 65 535-probe approxQuantile pass
-    store.overwriteZOrdered("ev", t(s, dir, "events"),
-      Seq("user_id", "value"), numFiles = 8, bits = 8)
-    val out = store.read("ev")
-      .filter(col("user_id").between(40, 80) && col("value").between(100, 200))
-      .select(col("event_id"), col("user_id"), col("value"))
-      .localCheckpoint() // materialize before the backing files vanish
-    store.destroy() // repeated verify/bench runs must not leak temp stores
-    out
+    // destroy in finally (ADVICE r12): a failure mid-write or in the
+    // eager checkpoint must not leak the temp dir on every invocation
+    try {
+      // bits=8 (255 quantile probes/column) — plenty for 8 files; the
+      // default 16 would cost a 65 535-probe approxQuantile pass
+      store.overwriteZOrdered("ev", t(s, dir, "events"),
+        Seq("user_id", "value"), numFiles = 8, bits = 8)
+      store.read("ev")
+        .filter(col("user_id").between(40, 80) && col("value").between(100, 200))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .localCheckpoint() // materialize before the backing files vanish
+    } finally store.destroy() // repeated runs must not leak temp stores
   }
 
   private val storeZorderOracle =
@@ -150,16 +152,16 @@ object ScaleQueries {
   def qStorePartitioned(s: SparkSession, dir: String): DataFrame = {
     val store = new TableStore(s,
       Files.createTempDirectory("graft-part").toString)
-    store.appendPartitioned("docs",
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
-      Seq("lang"))
-    val out = store.read("docs")
-      .filter(col("lang") === "en")
-      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-      .localCheckpoint() // materialize before the backing files vanish
-    store.destroy()
-    out
+    try {
+      store.appendPartitioned("docs",
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
+        Seq("lang"))
+      store.read("docs")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .localCheckpoint() // materialize before the backing files vanish
+    } finally store.destroy()
   }
 
   private val storePartitionedOracle =
@@ -187,25 +189,27 @@ object ScaleQueries {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val ot = s"orders_bkt_$tag"
     val ct = s"customer_bkt_$tag"
-    BucketedStore.saveBucketedExternal(
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-      ot, store.path(ot), Seq("o_custkey"), numBuckets = 8)
-    BucketedStore.saveBucketedExternal(
-      t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment")),
-      ct, store.path(ct), Seq("c_custkey"), numBuckets = 8)
-    val out = BucketedStore.read(s, ot)
-      .join(BucketedStore.read(s, ct), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"),
-        (sum(round(col("o_totalprice") * 100)
-          .cast("decimal(18,0)")).cast("double") / 100.0).as("sum_price"))
-      .localCheckpoint() // materialize before tables + files vanish
-    s.sql(s"DROP TABLE IF EXISTS $ot")
-    s.sql(s"DROP TABLE IF EXISTS $ct")
-    store.destroy()
-    out
+    try {
+      BucketedStore.saveBucketedExternal(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        ot, store.path(ot), Seq("o_custkey"), numBuckets = 8)
+      BucketedStore.saveBucketedExternal(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        ct, store.path(ct), Seq("c_custkey"), numBuckets = 8)
+      BucketedStore.read(s, ot)
+        .join(BucketedStore.read(s, ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100)
+            .cast("decimal(18,0)")).cast("double") / 100.0).as("sum_price"))
+        .localCheckpoint() // materialize before tables + files vanish
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $ct")
+      store.destroy()
+    }
   }
 
   private val storeBucketedOracle =
@@ -627,17 +631,17 @@ object ScaleQueries {
   def qStoreCompact(s: SparkSession, dir: String): DataFrame = {
     val store = new TableStore(s,
       Files.createTempDirectory("graft-compact").toString)
-    store.appendPartitioned("docs",
-      t(s, dir, "documents")
+    try {
+      store.appendPartitioned("docs",
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .repartition(16),
+        Seq("lang"))
+      store.compact("docs", targetBytes = 1L << 30, partitionCols = Seq("lang"))
+      store.read("docs")
         .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-        .repartition(16),
-      Seq("lang"))
-    store.compact("docs", targetBytes = 1L << 30, partitionCols = Seq("lang"))
-    val out = store.read("docs")
-      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-      .localCheckpoint() // materialize before the backing files vanish
-    store.destroy()
-    out
+        .localCheckpoint() // materialize before the backing files vanish
+    } finally store.destroy()
   }
 
   private val storeCompactOracle =
@@ -652,14 +656,14 @@ object ScaleQueries {
   def qStoreTimetravel(s: SparkSession, dir: String): DataFrame = {
     val vs = new VersionedStore(s,
       Files.createTempDirectory("graft-versions").toString)
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-    vs.write("docs", d)
-    vs.write("docs", d.filter(col("source") =!= "src7"))
-    val out = vs.read("docs", version = 0)
-      .localCheckpoint() // materialize before the backing files vanish
-    vs.destroy()
-    out
+    try {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      vs.write("docs", d)
+      vs.write("docs", d.filter(col("source") =!= "src7"))
+      vs.read("docs", version = 0)
+        .localCheckpoint() // materialize before the backing files vanish
+    } finally vs.destroy()
   }
 
   private val storeTimetravelOracle =
@@ -671,13 +675,13 @@ object ScaleQueries {
   def qStoreCdc(s: SparkSession, dir: String): DataFrame = {
     val vs = new VersionedStore(s,
       Files.createTempDirectory("graft-cdc").toString)
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-    vs.write("docs", d)
-    vs.write("docs", d.filter(col("source") =!= "src7"))
-    val out = vs.diff("docs", 0, 1).localCheckpoint()
-    vs.destroy()
-    out
+    try {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      vs.write("docs", d)
+      vs.write("docs", d.filter(col("source") =!= "src7"))
+      vs.diff("docs", 0, 1).localCheckpoint()
+    } finally vs.destroy()
   }
 
   private val storeCdcOracle =

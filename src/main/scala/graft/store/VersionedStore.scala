@@ -52,16 +52,24 @@ class VersionedStore(spark: SparkSession, baseDir: String) {
   def latestVersion(name: String): Option[Int] = versions(name).lastOption
 
   /** Publish `df` as the next snapshot; returns its version. The write
-    * goes to a temp dir first and the snapshot name appears only via
-    * ATOMIC_MOVE — concurrent readers and a killed writer both stay
-    * consistent. */
+    * goes to a WRITER-UNIQUE temp dir first and the snapshot name
+    * appears only via ATOMIC_MOVE — concurrent readers and a killed
+    * writer both stay consistent. Concurrent WRITERS race only on the
+    * final move (ADVICE r12): both may compute the same `next`, each
+    * stages into its own `.tmp-v$next-<uuid>` (so neither can delete the
+    * other's in-progress files), and the ATOMIC_MOVE loser fails cleanly
+    * with FileAlreadyExistsException — first-committer-wins, never a
+    * corrupt or merged snapshot. There is no cross-process retry/merge:
+    * a caller that wants last-writer-wins retries `write` itself. */
   def write(name: String, df: DataFrame): Int = {
     val next = latestVersion(name).map(_ + 1).getOrElse(0)
-    val tmp = tableDir(name).resolve(s".tmp-v$next")
-    deleteRecursively(tmp)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    Files.move(tmp, tableDir(name).resolve(s"v$next"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val tmp = tableDir(name).resolve(
+      s".tmp-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Files.move(tmp, tableDir(name).resolve(s"v$next"),
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally deleteRecursively(tmp) // no-op on success; clears a loser/abort
     next
   }
 

@@ -16,6 +16,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - a batch form (same plan / gaps-and-islands window functions) that
   *    the DuckDB oracle can verify, and that StreamingSpec cross-checks
   *    against the streaming form on finite input.
+  *
+  * ==State-table / checkpoint pairing contract (all stamped sinks)==
+  * The rollup/resample/KMV/HLL sinks guard against REPLAYED micro-batches
+  * with a `__folded_batch` stamp riding inside the state table:
+  * `max(stamp) >= batchId` means "this batch is already folded, skip".
+  * That stamp is only meaningful against the checkpoint that produced
+  * it — batchIds are per-checkpoint counters. A state table paired with
+  * a FRESH checkpoint dir (new stream, batchId restarts at 0 under a
+  * stale stamp) would silently skip genuinely new batches (ADVICE r12).
+  * Contract: a state table and its checkpoint dir live and die
+  * TOGETHER — resume with both, or start over with neither (drop the
+  * state table when re-pointing a new stream at it). The sinks whose
+  * merge law is idempotent (HLL register-max, KMV set-union) survive
+  * misuse with only missed increments; the counting sinks would
+  * double-fold without the stamp, so the pairing contract is the
+  * correctness boundary, not a style note.
   */
 object EventStreams {
 
