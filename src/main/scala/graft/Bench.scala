@@ -33,6 +33,13 @@ object Bench {
     // measured r7/r8: a range(16) warmup left the first regex/window query
     // of each 25-query segment paying ~0.5-1s of JIT that reads as a
     // regression in the per-query gate.
+    warmup(spark)
+    spark
+  }
+
+  /** The untimed warmup job set — shared with [[ScaleCheck]] so both
+    * harnesses start measuring from the same JIT state. */
+  private[graft] def warmup(spark: SparkSession): Unit = {
     spark.range(2048)
       .selectExpr("id", "concat('the quick brown fox ', id % 97) as s")
       .selectExpr(
@@ -61,7 +68,6 @@ object Bench {
           "case when x.c > acc.c then x else acc end).l as best")
       .groupBy("best").count()
       .write.format("noop").mode("overwrite").save()
-    spark
   }
 
   /** Machine-health calibration probe (VERDICT r10 #8): a fixed, timed

@@ -157,6 +157,10 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same untimed warmup as Bench (r13): without it the FIRST query of
+    // each pass absorbs session+HOF JIT (measured: q_sample_stratified
+    // read 7.7 s at sf0.1 and 1.2 s at sf1 purely from run order)
+    Bench.warmup(s)
     s
   }
 

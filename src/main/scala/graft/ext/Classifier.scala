@@ -79,9 +79,18 @@ object Classifier {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val occ = docs.select(col(idCol),
       explode(words(lower(col(textCol)))).as("gram"))
-    val perClass = occ.join(profiles, Seq("gram"))
+    argmaxFinish(docs, perClassScores(occ, profiles, idCol), idCol)
+  }
+
+  /** (id, label, score_q6) per document per overlapping class. */
+  private def perClassScores(occ: DataFrame, profiles: DataFrame,
+      idCol: String): DataFrame =
+    occ.join(profiles, Seq("gram"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("w_q6")).as("score_q6"))
+
+  private def argmaxFinish(docs: DataFrame, perClass: DataFrame,
+      idCol: String): DataFrame = {
     val best = perClass.groupBy(col(idCol))
       .agg(min(struct((-col("score_q6")).as("ns"), col("label"))).as("best"))
     docs.select(col(idCol))
@@ -89,6 +98,30 @@ object Classifier {
       .select(col(idCol),
         col("best.label").as("predicted"),
         (-col("best.ns")).as("score_q6"))
+  }
+
+  /** Train on the corpus and score the SAME corpus with ONE tokenization
+    * pass (self-consistency eval, calibration curves): the exploded gram
+    * stream is checkpointed and feeds BOTH the (label, gram) training
+    * counts and the scoring join — the two-call form
+    * (`predict(d, classProfiles(d))`) tokenizes the corpus twice, which
+    * at 100 TB is a second full corpus scan for byte-identical tokens
+    * (the same single-pass discipline as `Curation.boilerplateStats`).
+    * Output matches the two-call form exactly (same state, same
+    * profiles, same join). */
+  def predictSelfTrained(docs: DataFrame, labelCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      withMargin: Boolean = false): DataFrame = {
+    val occ = docs.select(col(idCol), col(labelCol).as("label"),
+        explode(words(lower(col(textCol)))).as("gram"))
+      .localCheckpoint()
+    val state = occ.groupBy(col("label"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val profiles = profilesFromState(state)
+    val perClass = perClassScores(occ.select(col(idCol), col("gram")),
+      profiles, idCol)
+    if (withMargin) top2Finish(docs, perClass, idCol)
+    else argmaxFinish(docs, perClass, idCol)
   }
 
   /** [[predict]] plus the decision MARGIN: best score minus second-best
@@ -102,9 +135,11 @@ object Classifier {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val occ = docs.select(col(idCol),
       explode(words(lower(col(textCol)))).as("gram"))
-    val perClass = occ.join(profiles, Seq("gram"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("w_q6")).as("score_q6"))
+    top2Finish(docs, perClassScores(occ, profiles, idCol), idCol)
+  }
+
+  private def top2Finish(docs: DataFrame, perClass: DataFrame,
+      idCol: String): DataFrame = {
     val top2 = perClass.groupBy(col(idCol))
       .agg(slice(array_sort(collect_list(
         struct((-col("score_q6")).as("ns"), col("label")))), 1, 2).as("t2"))

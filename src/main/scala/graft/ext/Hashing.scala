@@ -48,6 +48,20 @@ object Hashing {
   def minhashSql(h: String, i: Int): String =
     s"(${hashA(i)} * $h + ${hashB(i)}) % $prime"
 
+  /** Expression-level let-binding: evaluate `v` ONCE per row and hand the
+    * body a cheap reference to the result. Catalyst performs no
+    * subexpression elimination inside trees containing HOF lambdas, so a
+    * scalar helper that references an expensive subtree (a tokenization,
+    * a lambda filter) k times in its returned Column evaluates it k
+    * times per row — measured 24× inside the pre-r13 langId. A lambda
+    * variable, by contrast, is a slot read: `transform` over a 1-element
+    * array evaluates `v` exactly once, and the one-element array
+    * allocation is noise next to a single saved re-tokenization. Works
+    * in any projection/filter context (it is itself just an expression),
+    * unlike the Generate-node pin, which needs a plan node. */
+  def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), x => body(x)), 1)
+
   /** Words of a text: whitespace split, empties dropped (both engines
     * produce empty fragments around leading/trailing whitespace). */
   def words(text: Column): Column =

@@ -95,19 +95,23 @@ object TextAnalysis {
     val dec = "decimal(38,0)"
     val len = length(text).cast("long")
     val l = greatest(len, lit(1L))
-    val t = greatest(size(words(text)).cast("long"), lit(1L))
     val p = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
     val h = stopwordHits(words(lower(text)), "en")
-    val lD = l.cast(dec)
-    val tD = t.cast(dec)
-    val num = lit(4L).cast(dec) * least(len, lit(500L)).cast(dec) * lD * tD +
-      lit(3L).cast(dec) * (l - p).cast(dec) * lit(500L).cast(dec) * tD +
-      lit(3L).cast(dec) * least(lit(3L) * h, t).cast(dec) * lit(500L).cast(dec) * lD
-    val den = lit(5000L).cast(dec) * lD * tD
-    val scaled = num * lit(10000L).cast(dec)
-    // (scaled - scaled mod den) is an exact multiple of den, so the decimal
-    // division yields the exact integer quotient (≤ 10⁴)
-    ((scaled - pmod(scaled, den)) / den).cast("long")
+    // the tokenization is referenced FOUR times below (two num terms,
+    // the stopword cap, the denominator); bindOnce pins it to one
+    // split+filter per row (no HOF-tree subexpression elimination)
+    bindOnce(greatest(size(words(text)).cast("long"), lit(1L))) { t =>
+      val lD = l.cast(dec)
+      val tD = t.cast(dec)
+      val num = lit(4L).cast(dec) * least(len, lit(500L)).cast(dec) * lD * tD +
+        lit(3L).cast(dec) * (l - p).cast(dec) * lit(500L).cast(dec) * tD +
+        lit(3L).cast(dec) * least(lit(3L) * h, t).cast(dec) * lit(500L).cast(dec) * lD
+      val den = lit(5000L).cast(dec) * lD * tD
+      val scaled = num * lit(10000L).cast(dec)
+      // (scaled - scaled mod den) is an exact multiple of den, so the decimal
+      // division yields the exact integer quotient (≤ 10⁴)
+      ((scaled - pmod(scaled, den)) / den).cast("long")
+    }
   }
 
   /** Gopher-style repetition signals per document — the cheap "is this

@@ -629,7 +629,7 @@ object ExtQueries {
   def qClassifyEval(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Classifier.evaluate(
-      Classifier.predict(d, Classifier.classProfiles(d, "source")),
+      Classifier.predictSelfTrained(d, "source"),
       d.select(col("doc_id"), col("source").as("label")))
   }
 
@@ -1256,8 +1256,7 @@ object ExtQueries {
     * threshold-picking readout for selective classification. */
   def qClassifyCalibration(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pm = Classifier.predictWithMargin(d,
-      Classifier.classProfiles(d, "source"))
+    val pm = Classifier.predictSelfTrained(d, "source", withMargin = true)
     def fdivL(num: Column, den: Column): Column =
       ((num - pmod(num, den)) / den).cast("long")
     val mpm = when(col("score_q6") > 0,
@@ -1378,7 +1377,7 @@ object ExtQueries {
     * train→predict chain under one oracle. */
   def qClassifySource(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Classifier.predict(d, Classifier.classProfiles(d, "source"))
+    Classifier.predictSelfTrained(d, "source")
   }
 
   /** Corpus cartography: k-means the embeddings, label each cluster

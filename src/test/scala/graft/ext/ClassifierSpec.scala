@@ -128,4 +128,19 @@ class ClassifierSpec extends SparkSpec {
     // doc 12: no overlap → null prediction, null margin
     assert(m(12L).isNullAt(1) && m(12L).isNullAt(3))
   }
+
+  test("predictSelfTrained ≡ the two-call form, one tokenization (r13)") {
+    val twoCall = Classifier.predict(docs,
+      Classifier.classProfiles(docs, "source"))
+      .collect().map(_.toSeq).toSet
+    val onePass = Classifier.predictSelfTrained(docs, "source")
+      .collect().map(_.toSeq).toSet
+    assert(onePass === twoCall)
+    val twoCallM = Classifier.predictWithMargin(docs,
+      Classifier.classProfiles(docs, "source"))
+      .collect().map(_.toSeq).toSet
+    val onePassM = Classifier.predictSelfTrained(docs, "source",
+      withMargin = true).collect().map(_.toSeq).toSet
+    assert(onePassM === twoCallM)
+  }
 }
