@@ -131,8 +131,17 @@ object Dedup {
     * runs once, not four times. Checkpoint, not persist: cache-registry
     * entries outlive the call (one leak per invocation in a loop or a
     * streaming batch), checkpointed blocks are GC-reclaimed. */
-  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).localCheckpoint(true)
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    minhashNearDupsFromPostings(shingles(docs).localCheckpoint(true), threshold)
+
+  /** [[minhashNearDups]] starting from an already-materialized (and
+    * checkpointed) shingle postings list (id, shingle) — lets a caller
+    * that ALSO needs the postings (the sketch-vs-exact eval queries, a
+    * standing incremental index) tokenize the corpus exactly once. At
+    * 100 TB the explode+hash shingle pass is a full corpus scan; an eval
+    * that grades the sketch against the exact index was paying it twice
+    * for byte-identical postings. */
+  def minhashNearDupsFromPostings(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     val cands = lshCandidates(lshBands(minhashSignatures(sh)))
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -149,12 +158,20 @@ object Dedup {
     * At 100 TB the MinHash+LSH variant above is still the production
     * path; this one is the accuracy oracle with its hazard bounded. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = 64): DataFrame =
+    // eager localCheckpoint, not persist: sh0 feeds two branches (df
+    // counts + the semi-join); persist() entries would stay registered
+    // after the call returns (ADVICE r3), checkpointed blocks are
+    // GC-reclaimed once the returned plan is dropped
+    ngramJaccardFromPostings(shingles(docs, n).localCheckpoint(true),
+      threshold, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] starting from already-materialized shingle
+    * postings (id, shingle), checkpointed by the caller — the shared-scan
+    * face for callers that need the same postings twice (eval queries
+    * grading a sketch against this exact index). */
+  def ngramJaccardFromPostings(sh0: DataFrame, threshold: Double = 0.5,
       maxDocFreq: Int = 64): DataFrame = {
-    // eager localCheckpoints, not persist: sh0 feeds two branches (df
-    // counts + the semi-join) and sh three; persist() entries would stay
-    // registered after the call returns (ADVICE r3), checkpointed blocks
-    // are GC-reclaimed once the returned plan is dropped
-    val sh0 = shingles(docs, n).localCheckpoint(true)
     val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select(col("shingle"))
     val sh = sh0.join(kept, Seq("shingle"), "left_semi").localCheckpoint(true)
@@ -234,7 +251,8 @@ object Dedup {
     * similarity); the min alone under-buckets on low-entropy corpora
     * (measured: 87 buckets over 5k synthetic docs → quadratic verify). */
   def fingerprintNearDups(docs: DataFrame, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      postings: Option[DataFrame] = None): DataFrame = {
     import graft.functions.GramOps
     val fp = docs
       .select(col(idCol).as("id"),
@@ -246,13 +264,25 @@ object Dedup {
         col("l.mx") === col("r.mx") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .localCheckpoint(true)
-    // shingle ONLY the candidate documents — the verify set is tiny next
-    // to the corpus, so the explode+hash pass shrinks proportionally
     val candIds = cands.select(col("id_a").as("cid"))
       .union(cands.select(col("id_b").as("cid"))).distinct()
-    val candDocs = docs.join(broadcast(candIds),
-      col(idCol) === col("cid"), "left_semi")
-    val sh = shingles(candDocs, 3, idCol, textCol).localCheckpoint(true)
+    val sh = postings match {
+      // caller already holds the corpus shingle postings (eval queries):
+      // restrict to candidates — no second tokenization pass
+      case Some(sh0) =>
+        // checkpoint the restriction: jaccardFor reads sh three times
+        // (sizes + both join sides); without it each branch re-filters
+        // the full postings
+        sh0.join(broadcast(candIds), col("id") === col("cid"), "left_semi")
+          .localCheckpoint(true)
+      // standalone: shingle ONLY the candidate documents — the verify set
+      // is tiny next to the corpus, so the explode+hash pass shrinks
+      // proportionally
+      case None =>
+        val candDocs = docs.join(broadcast(candIds),
+          col(idCol) === col("cid"), "left_semi")
+        shingles(candDocs, 3, idCol, textCol).localCheckpoint(true)
+    }
     jaccardFor(cands, sh).filter(col("jaccard") >= threshold)
   }
 

@@ -347,7 +347,10 @@ object ExtQueries {
     * without the pin it would run twice. */
   def qCurationFunnel3(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pred = Classifier.predict(d, Classifier.classProfiles(d, "source"))
+    // self-trained single-pass face: train-and-score over the same corpus
+    // tokenizes once (the two-call predict(d, classProfiles(d)) form paid
+    // a second full corpus scan; equivalence spec-pinned in ClassifierSpec)
+    val pred = Classifier.predictSelfTrained(d, "source")
     val kept = d.select(col("doc_id"), col("source"))
       .join(pred, Seq("doc_id"))
       .filter(col("predicted") === col("source"))
@@ -808,8 +811,12 @@ object ExtQueries {
     * metric is trivially 1.0.) */
   def qDedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    pairSetEval(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5),
-      Dedup.minhashNearDups(d, threshold = 0.5))
+    // both chains consume the SAME 3-gram postings — shingle the corpus
+    // once (at 100 TB the explode+hash pass is a full scan; grading the
+    // sketch against the exact index was paying it twice)
+    val sh = Dedup.shingles(d, 3).localCheckpoint(true)
+    pairSetEval(Dedup.ngramJaccardFromPostings(sh, threshold = 0.5),
+      Dedup.minhashNearDupsFromPostings(sh, threshold = 0.5))
   }
 
   /** SimHash graded against the exact pairs: hamming ≤ 3 is a PURE
@@ -827,8 +834,12 @@ object ExtQueries {
     * recall. */
   def qDedupFingerprintEval(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    pairSetEval(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5),
-      Dedup.fingerprintNearDups(d, threshold = 0.5))
+    // shared postings: ground truth consumes them directly; the
+    // fingerprint chain's Jaccard-verify restricts them to candidates
+    // instead of re-shingling the candidate docs
+    val sh = Dedup.shingles(d, 3).localCheckpoint(true)
+    pairSetEval(Dedup.ngramJaccardFromPostings(sh, threshold = 0.5),
+      Dedup.fingerprintNearDups(d, threshold = 0.5, postings = Some(sh)))
   }
 
   /** Template-hub centrality: PageRank (3 exact integer iterations) over

@@ -37,6 +37,28 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getDouble(2) === 1.0)
   }
 
+  test("shared-postings faces ≡ doc-input faces (one tokenization, same pairs)") {
+    // the eval queries shingle the corpus ONCE and feed both the exact
+    // index and the sketch chain — pin that the postings-based faces
+    // return row-identical results to the standalone ones
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> distinct,
+      4L -> base, 5L -> (base + " tail extra"))
+    val sh = Dedup.shingles(d, 3).localCheckpoint(true)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(rows(Dedup.minhashNearDupsFromPostings(sh, 0.5)) ===
+      rows(Dedup.minhashNearDups(d, 0.5)))
+    assert(rows(Dedup.ngramJaccardFromPostings(sh, 0.5)) ===
+      rows(Dedup.ngramJaccardPairs(d, 3, 0.5)))
+    assert(rows(Dedup.fingerprintNearDups(d, 0.5, postings = Some(sh))) ===
+      rows(Dedup.fingerprintNearDups(d, 0.5)))
+    assert(rows(Dedup.fingerprintNearDups(d, 0.5)).nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
     val t = "alpha beta gamma delta epsilon zeta"
     val d = docs(1L -> t, 2L -> t)
