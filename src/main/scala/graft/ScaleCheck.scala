@@ -62,6 +62,9 @@ object ScaleCheck {
     // langId stratified sample, one-pass boilerplate, plain-PQ indexed
     // search) so their sf1 rows stay current with the new plans
     "q_sample_stratified", "q_text_boilerplate", "q_sim_pq_indexed",
+    // r13 shared-scan refactors: one-tokenization eval chains + the
+    // self-trained classifier gate in funnel v3
+    "q_dedup_fingerprint_eval", "q_curation_funnel3",
     // r12 batch 11: frame-window shot detection and the full-scan
     // correlation pass (scripts/benford/regression are one-pass
     // projections/aggregates — covered by the scan-bound family)

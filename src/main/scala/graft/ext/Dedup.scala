@@ -166,6 +166,47 @@ object Dedup {
     ngramJaccardFromPostings(shingles(docs, n).localCheckpoint(true),
       threshold, maxDocFreq)
 
+  /** Sketch-estimate calibration: for every LSH candidate pair, the
+    * number of AGREEING minhash lanes (the unbiased Jaccard estimator
+    * k_eq/k) bucketed against the pair's EXACT Jaccard — one row per
+    * agreement level (lanes_eq, n_pairs, mean_j4 with mean exact Jaccard
+    * on the 4-decimal lattice as an integer 0..10000).
+    *
+    * This is the table that decides whether a 100 TB run can skip the
+    * exact-verify join entirely: if the lanes_eq ≥ c rows all sit above
+    * the dedup threshold, thresholding on the sketch alone (a projection
+    * over 16 ints already computed for banding) replaces a
+    * shuffle-join against the full shingle index. Everything is
+    * integer-lattice: lane agreement is a count, mean_j4 is an integer
+    * floor-division — no float comparisons cross the oracle boundary. */
+  def minhashEstCalibration(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).localCheckpoint(true)
+    val sig = minhashSignatures(sh).localCheckpoint(true)
+    val cands = lshCandidates(lshBands(sig)).localCheckpoint(true)
+    val aCols = col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))
+    val bCols = col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))
+    val lanesEq = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands
+      .join(sig.select(aCols: _*), "id_a")
+      .join(sig.select(bCols: _*), "id_b")
+      .select(col("id_a"), col("id_b"), lanesEq.as("lanes_eq"))
+    // exact Jaccard for the SAME candidates, unfiltered; j4 recovers the
+    // integer lattice point exactly (jaccard is k/10⁴ for integer k)
+    val ex = jaccardFor(cands, sh)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * 10000).cast("long").as("j4"))
+    est.join(ex, Seq("id_a", "id_b"))
+      .groupBy(col("lanes_eq"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sum_j4"))
+      .select(col("lanes_eq"), col("n_pairs"),
+        ((col("sum_j4") - pmod(col("sum_j4"), col("n_pairs"))) /
+          col("n_pairs")).cast("long").as("mean_j4"))
+  }
+
   /** [[ngramJaccardPairs]] starting from already-materialized shingle
     * postings (id, shingle), checkpointed by the caller — the shared-scan
     * face for callers that need the same postings twice (eval queries

@@ -842,6 +842,14 @@ object ExtQueries {
       Dedup.fingerprintNearDups(d, threshold = 0.5, postings = Some(sh)))
   }
 
+  /** Sketch-estimate calibration table: minhash lane agreement (the
+    * k_eq/16 Jaccard estimator) vs mean EXACT Jaccard per agreement
+    * level over the LSH candidates — the readout that tells a corpus
+    * owner which lane cutoff can replace the exact-verify join at a
+    * scale where the shingle-index join is the dominant shuffle. */
+  def qDedupMinhashCalib(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstCalibration(docs(s, dir))
+
   /** Template-hub centrality: PageRank (3 exact integer iterations) over
     * the symmetrized MinHash near-dup graph — documents whose text recurs
     * across many near-copies accumulate rank from every copy, surfacing
@@ -1695,6 +1703,7 @@ object ExtQueries {
     "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
     "q_dedup_simhash_eval" -> (qDedupSimhashEval _),
     "q_dedup_fingerprint_eval" -> (qDedupFingerprintEval _),
+    "q_dedup_minhash_calib" -> (qDedupMinhashCalib _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_bpe_compression" -> (qBpeCompression _),
     "q_langid_kappa" -> (qLangidKappa _),
@@ -1819,6 +1828,42 @@ object ExtQueries {
        |  CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 AS jaccard
        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
        |WHERE CAST((i * 10000) // (sa.sz + sb.sz - i) AS DOUBLE) / 10000.0 >= 0.5""".stripMargin
+  }
+
+  /** Sketch-estimate calibration oracle: same signature/band/candidate
+    * CTEs as the minhash oracle, plus per-pair lane agreement and the
+    * UNFILTERED exact Jaccard lattice point; everything stays integer
+    * (lane counts, floor-divided means) — and every aggregate output is
+    * CAST to BIGINT so DuckDB's HUGEINT never crosses the pandas
+    * compare (the r12 q_sample_weighted lesson). */
+  private val dedupMinhashCalibSql: String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      s"SELECT id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val laneSum = (0 until numHashes)
+      .map(i => s"CASE WHEN la.mh$i = lb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+       |h AS (SELECT id, ${hexIntSql("shingle")} AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+       |est AS (SELECT c.id_a, c.id_b, CAST($laneSum AS BIGINT) AS lanes_eq
+       |  FROM cands c JOIN sig la ON la.id = c.id_a JOIN sig lb ON lb.id = c.id_b),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cands c JOIN sh a ON a.id = c.id_a
+       |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT id_a, id_b, (i * 10000) // (sa.sz + sb.sz - i) AS j4
+       |  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+       |SELECT e.lanes_eq, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(CAST(sum(x.j4) AS BIGINT) // count(*) AS BIGINT) AS mean_j4
+       |FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+       |GROUP BY 1""".stripMargin
   }
 
   /** df-capped chain mirroring Dedup.ngramJaccardPairs (maxDocFreq=64):
@@ -5197,6 +5242,7 @@ object ExtQueries {
     "q_dedup_minhash_eval" -> dedupMinhashEvalSql,
     "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
     "q_dedup_fingerprint_eval" -> dedupFingerprintEvalSql,
+    "q_dedup_minhash_calib" -> dedupMinhashCalibSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_bpe_compression" -> bpeCompressionSql,
     "q_langid_kappa" -> langidKappaSql,

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.fingerprintNearDups(d, 0.5)).nonEmpty)
   }
 
+  test("minhash calibration: identical docs agree on all lanes at exact jaccard 1") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val d = docs(1L -> base, 2L -> base, 3L -> nearDup)
+    val rows = Dedup.minhashEstCalibration(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // the identical pair (1,2): all 16 lanes equal, mean exact j4 = 10000
+    val full = rows.filter(_._1 == graft.ext.Hashing.numHashes)
+    assert(full.nonEmpty)
+    assert(full.exists { case (_, n, mj) => n >= 1L && mj == 10000L })
+    // every bucket's mean sits on the 0..10000 lattice
+    assert(rows.forall { case (l, n, mj) =>
+      l >= 0 && l <= graft.ext.Hashing.numHashes && n > 0 && mj >= 0 && mj <= 10000 })
+  }
+
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
     val t = "alpha beta gamma delta epsilon zeta"
     val d = docs(1L -> t, 2L -> t)
