@@ -183,17 +183,7 @@ object Dedup {
     val sh = shingles(docs).localCheckpoint(true)
     val sig = minhashSignatures(sh).localCheckpoint(true)
     val cands = lshCandidates(lshBands(sig)).localCheckpoint(true)
-    val aCols = col("id").as("id_a") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))
-    val bCols = col("id").as("id_b") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))
-    val lanesEq = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val est = cands
-      .join(sig.select(aCols: _*), "id_a")
-      .join(sig.select(bCols: _*), "id_b")
-      .select(col("id_a"), col("id_b"), lanesEq.as("lanes_eq"))
+    val est = laneAgreement(sig, cands)
     // exact Jaccard for the SAME candidates, unfiltered; j4 recovers the
     // integer lattice point exactly (jaccard is k/10⁴ for integer k)
     val ex = jaccardFor(cands, sh)
@@ -205,6 +195,44 @@ object Dedup {
       .select(col("lanes_eq"), col("n_pairs"),
         ((col("sum_j4") - pmod(col("sum_j4"), col("n_pairs"))) /
           col("n_pairs")).cast("long").as("mean_j4"))
+  }
+
+  /** (id_a, id_b, lanes_eq): minhash lane agreement per candidate pair —
+    * two broadcast-size joins against the signature table, no re-scan of
+    * the corpus. */
+  private def laneAgreement(sig: DataFrame, cands: DataFrame): DataFrame = {
+    val aCols = col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))
+    val bCols = col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))
+    val lanesEq = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands
+      .join(sig.select(aCols: _*), "id_a")
+      .join(sig.select(bCols: _*), "id_b")
+      .select(col("id_a"), col("id_b"), lanesEq.as("lanes_eq"))
+  }
+
+  /** Sketch-only near-dup pairs: threshold on minhash lane agreement
+    * (lanes_eq ≥ minLanes, the k_eq/k ≥ minLanes/k Jaccard estimate)
+    * WITHOUT the exact-verify join — the 100 TB fast path the
+    * [[minhashEstCalibration]] table justifies. The whole pipeline
+    * touches the corpus text exactly once (shingle pass → 16-int
+    * signatures); candidates and agreement run over signatures alone,
+    * so the dominant shuffle is 64 bytes/doc instead of the full
+    * shingle index. Precision/recall tradeoff vs the verified path is
+    * measured, not assumed: see `q_dedup_sketchonly_eval`. */
+  def minhashSketchOnlyDups(docs: DataFrame, minLanes: Int = 8): DataFrame =
+    minhashSketchOnlyFromPostings(shingles(docs), minLanes)
+
+  /** [[minhashSketchOnlyDups]] over pre-materialized postings (the
+    * shared-scan face; postings need not be checkpointed — they are
+    * consumed exactly once, by the signature aggregate). */
+  def minhashSketchOnlyFromPostings(sh: DataFrame, minLanes: Int = 8): DataFrame = {
+    val sig = minhashSignatures(sh).localCheckpoint(true)
+    val cands = lshCandidates(lshBands(sig))
+    laneAgreement(sig, cands).filter(col("lanes_eq") >= minLanes)
   }
 
   /** [[ngramJaccardPairs]] starting from already-materialized shingle

@@ -850,6 +850,33 @@ object ExtQueries {
   def qDedupMinhashCalib(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashEstCalibration(docs(s, dir))
 
+  /** Sketch-only near-dup pairs at lane agreement ≥ 8/16 (estimated
+    * Jaccard ≥ 0.5) — no exact-verify join; the fast path the
+    * calibration table prices. */
+  def qDedupSketchonly(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSketchOnlyDups(docs(s, dir), minLanes = 8)
+
+  /** The sketch-only path graded against the exact df-capped ground
+    * truth at TWO operating points — the naive cutoff that mirrors the
+    * 0.5 threshold (lanes ≥ 8/16) and the calibrated cutoff read off the
+    * q_dedup_minhash_calib gap (lanes ≥ 13) — the measured
+    * precision/recall cost of skipping the verify join, on one shared
+    * corpus tokenization (agreement and ground truth both checkpointed
+    * once; the cutoffs are filters over the same pair list). */
+  def qDedupSketchonlyEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = Dedup.shingles(d, 3).localCheckpoint(true)
+    val agree = Dedup.minhashSketchOnlyFromPostings(sh, minLanes = 0)
+      .localCheckpoint(true)
+    val truth = Dedup.ngramJaccardFromPostings(sh, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    pairSetEval(truth, agree.filter(col("lanes_eq") >= 8))
+      .withColumn("strategy", lit("lanes_ge_8"))
+      .unionByName(
+        pairSetEval(truth, agree.filter(col("lanes_eq") >= 13))
+          .withColumn("strategy", lit("lanes_ge_13")))
+  }
+
   /** Template-hub centrality: PageRank (3 exact integer iterations) over
     * the symmetrized MinHash near-dup graph — documents whose text recurs
     * across many near-copies accumulate rank from every copy, surfacing
@@ -1704,6 +1731,8 @@ object ExtQueries {
     "q_dedup_simhash_eval" -> (qDedupSimhashEval _),
     "q_dedup_fingerprint_eval" -> (qDedupFingerprintEval _),
     "q_dedup_minhash_calib" -> (qDedupMinhashCalib _),
+    "q_dedup_sketchonly" -> (qDedupSketchonly _),
+    "q_dedup_sketchonly_eval" -> (qDedupSketchonlyEval _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_bpe_compression" -> (qBpeCompression _),
     "q_langid_kappa" -> (qLangidKappa _),
@@ -1864,6 +1893,30 @@ object ExtQueries {
        |  CAST(CAST(sum(x.j4) AS BIGINT) // count(*) AS BIGINT) AS mean_j4
        |FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
        |GROUP BY 1""".stripMargin
+  }
+
+  /** Sketch-only pairs oracle: signature/band/candidate CTEs + lane
+    * agreement ≥ 8, no exact-verify join — mirrors
+    * Dedup.minhashSketchOnlyDups(minLanes=8). */
+  private val dedupSketchonlySql: String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      s"SELECT id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val laneSum = (0 until numHashes)
+      .map(i => s"CASE WHEN la.mh$i = lb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+       |h AS (SELECT id, ${hexIntSql("shingle")} AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+       |est AS (SELECT c.id_a, c.id_b, CAST($laneSum AS BIGINT) AS lanes_eq
+       |  FROM cands c JOIN sig la ON la.id = c.id_a JOIN sig lb ON lb.id = c.id_b)
+       |SELECT id_a, id_b, lanes_eq FROM est WHERE lanes_eq >= 8""".stripMargin
   }
 
   /** df-capped chain mirroring Dedup.ngramJaccardPairs (maxDocFreq=64):
@@ -3332,6 +3385,24 @@ object ExtQueries {
     pairEvalSqlOf(dedupNgramJaccardSql, dedupSimhashSql)
   private val dedupFingerprintEvalSql =
     pairEvalSqlOf(dedupNgramJaccardSql, dedupFingerprintSql)
+  /** Two operating points over ONE est CTE: the naive lanes ≥ 8 cutoff
+    * and the calibrated lanes ≥ 13 one. */
+  private val dedupSketchonlyEvalSql: String = {
+    def arm(label: String, cut: Int): String =
+      s"""SELECT '$label' AS strategy, n_true, n_pred, tp,
+         |  ${frac4Sql("tp", "n_pred")} AS precision,
+         |  ${frac4Sql("tp", "n_true")} AS recall,
+         |  ${frac4Sql("2 * tp", "n_true + n_pred")} AS f1
+         |FROM (SELECT count(*) AS n_true FROM t),
+         |  (SELECT count(*) AS n_pred FROM est WHERE lanes_eq >= $cut),
+         |  (SELECT count(*) AS tp FROM est e JOIN t USING (id_a, id_b)
+         |   WHERE e.lanes_eq >= $cut)""".stripMargin
+    s"""WITH est AS ($dedupSketchonlySql),
+       |t AS (SELECT id_a, id_b FROM ($dedupNgramJaccardSql))
+       |${arm("lanes_ge_8", 8)}
+       |UNION ALL
+       |${arm("lanes_ge_13", 13)}""".stripMargin
+  }
 
   /** PageRank oracle: the identical integer iterations unrolled as CTEs
     * over the symmetrized MinHash pair graph (sums run in HUGEINT, the
@@ -5243,6 +5314,8 @@ object ExtQueries {
     "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
     "q_dedup_fingerprint_eval" -> dedupFingerprintEvalSql,
     "q_dedup_minhash_calib" -> dedupMinhashCalibSql,
+    "q_dedup_sketchonly" -> dedupSketchonlySql,
+    "q_dedup_sketchonly_eval" -> dedupSketchonlyEvalSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_bpe_compression" -> bpeCompressionSql,
     "q_langid_kappa" -> langidKappaSql,

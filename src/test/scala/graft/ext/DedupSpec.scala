@@ -74,6 +74,20 @@ class DedupSpec extends SparkSpec {
       l >= 0 && l <= graft.ext.Hashing.numHashes && n > 0 && mj >= 0 && mj <= 10000 })
   }
 
+  test("sketch-only dups: identical pair at 16 lanes, distinct doc absent; minLanes=0 keeps all candidates") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> distinct)
+    val all = Dedup.minhashSketchOnlyDups(d, minLanes = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val strict = Dedup.minhashSketchOnlyDups(d, minLanes = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strict.toSet === Set((1L, 2L, 16L)))
+    // strict is a filter of the candidate set — no pair appears in
+    // strict that minLanes=0 lacks
+    assert(strict.toSet.subsetOf(all.toSet))
+  }
+
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
     val t = "alpha beta gamma delta epsilon zeta"
     val d = docs(1L -> t, 2L -> t)
