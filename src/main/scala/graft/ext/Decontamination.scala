@@ -64,6 +64,49 @@ object Decontamination {
         when(c > 0, 1L).otherwise(0L).as("is_contaminated"))
   }
 
+  /** Span-level decontamination EXCISION: instead of dropping a
+    * contaminated document wholesale ([[overlapStats]] → filter), cut
+    * ONLY the words covered by a contaminated n-gram and keep the rest —
+    * the surgical variant (Lee et al. 2022 do this for repeated
+    * substrings; eval decontamination benefits identically: a 10k-token
+    * document that shares one n-gram with a benchmark loses n words,
+    * not 10k).
+    *
+    * Word-lattice semantics: the document is tokenized with the
+    * canonical [[Hashing.words]] split, a word is dropped iff some
+    * contaminated gram starting at index i covers it (i ≤ j ≤ i+n-1),
+    * and clean_text is the surviving words space-joined — whitespace is
+    * normalized by reconstruction, which is the honest contract (the
+    * oracle reconstructs identically; char-exact splicing would need
+    * per-word offsets that the canonical tokenizer does not keep).
+    *
+    * Scale shape: one corpus gram pass (explode + broadcast hash join
+    * against the metadata-sized eval grams), hit indexes fold back as a
+    * word-count-sized array per CONTAMINATED doc only; the rebuild is a
+    * pure per-row higher-order projection — no shuffle of document text
+    * at any point. */
+  def exciseOverlaps(docs: DataFrame, evalGramsDf: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // checkpointed: feeds the gram explode AND the per-row rebuild
+    val ws = docs.select(col(idCol), words(col(textCol)).as("w"))
+      .localCheckpoint(true)
+    val hits = ws
+      .select(col(idCol), posexplode(ngrams(col("w"), n)).as(Seq("i", "gram")))
+      .join(broadcast(evalGramsDf), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("i"))).as("h"))
+    val kept = filter(col("w"), (_, j) =>
+      !exists(col("h"), i => j >= i && j <= i + lit(n - 1)))
+    ws.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("h").isNull, concat_ws(" ", col("w")))
+          .otherwise(concat_ws(" ", kept)).as("clean_text"),
+        coalesce(size(col("h")), lit(0)).cast("long").as("n_gram_hits"),
+        when(col("h").isNull, lit(0))
+          .otherwise(size(col("w")) - size(kept))
+          .cast("long").as("n_words_dropped"))
+  }
+
   /** Contamination MATRIX: overlap of a training corpus against SEVERAL
     * benchmark sets at once, rolled up per (eval_set, stratum) — the
     * release-gate readout ("which sources leak which benchmarks?") that

@@ -260,6 +260,17 @@ object ExtQueries {
       d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
   }
 
+  /** Span-level decontamination: same train/eval carve as
+    * q_decontaminate, but contaminated documents lose ONLY the words a
+    * shared n-gram covers (clean_text + audit counts) instead of being
+    * dropped wholesale. */
+  def qDecontamExcise(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontamination.exciseOverlaps(
+      d.filter(col("doc_id") % 97 =!= 0),
+      Decontamination.evalGrams(d.filter(col("doc_id") % 97 === 0)))
+  }
+
   /** Semantic decontamination vs the same simulated eval slice
     * (vec_id % 97 ≡ doc_id % 97): embedding-cosine flags the paraphrase
     * proximity lexical n-gram overlap can't see. */
@@ -1663,6 +1674,7 @@ object ExtQueries {
     "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontam_excise" -> (qDecontamExcise _),
     "q_decontam_incr" -> (qDecontamIncr _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -2146,6 +2158,31 @@ object ExtQueries {
        |       AS BIGINT) AS is_contaminated
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
        |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
+  }
+
+  /** Span-excision oracle: identical word lattice — grams via the
+    * canonical indexed list_transform (1-based i, 0-based hit index
+    * i-1), a word at 0-based j drops iff some hit k covers it
+    * (k ≤ j ≤ k+n-1), clean text is the survivors space-joined. */
+  private val decontamExciseSql: String = {
+    val n = 3
+    s"""WITH ws AS (SELECT doc_id, ${wordsSqlOf("text")} AS w
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |eg AS (SELECT DISTINCT unnest(list_distinct(${Hashing.ngramsSql("w", n)})) AS gram
+       |  FROM (SELECT ${wordsSqlOf("text")} AS w FROM documents WHERE doc_id % 97 = 0)),
+       |g AS (SELECT doc_id, i - 1 AS i, array_to_string(w[i:i+${n - 1}], ' ') AS gram
+       |  FROM ws, unnest(range(1, len(w) - ${n - 2})) t(i) WHERE len(w) >= $n),
+       |h AS (SELECT g.doc_id, list_sort(list(DISTINCT g.i)) AS h
+       |  FROM g JOIN eg USING (gram) GROUP BY 1),
+       |sel AS (SELECT ws.doc_id, w, h,
+       |  CASE WHEN h IS NULL THEN w
+       |       ELSE list_filter(w, (x, j) -> len(list_filter(h,
+       |              k -> k <= j - 1 AND j - 1 <= k + ${n - 1})) = 0) END AS kept
+       |  FROM ws LEFT JOIN h USING (doc_id))
+       |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+       |  CAST(coalesce(len(h), 0) AS BIGINT) AS n_gram_hits,
+       |  CAST(len(w) - len(kept) AS BIGINT) AS n_words_dropped
+       |FROM sel""".stripMargin
   }
 
   /** Fuzzy-join oracle mirroring Dedup.editDistancePairs at d=1: same
@@ -5236,6 +5273,7 @@ object ExtQueries {
     "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontam_excise" -> decontamExciseSql,
     // the incremental path must reproduce the one-shot recompute exactly
     "q_decontam_incr" -> decontaminateSql,
     "q_decontaminate_semantic" -> decontaminateSemanticSql,

@@ -25,6 +25,23 @@ class DecontaminationSpec extends SparkSpec {
     assert(r(4L) === ((0L, 0L, 0.0, 0L)))
   }
 
+  test("span excision cuts only covered words; overlapping grams drop the union") {
+    val docs = Seq(
+      (1L, "xx alpha beta gamma yy"),          // one hit at i=1 → words 1..3 cut
+      (2L, "alpha beta gamma delta zz"),       // hits at i=0,1 (overlap) → words 0..3 cut
+      (3L, "xx yy zz ww"),                     // clean → untouched
+      (4L, "hi")                               // < n words → no grams, untouched
+    ).toDF("doc_id", "text")
+    val r = Decontamination
+      .exciseOverlaps(docs, Decontamination.evalGrams(eval), n = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("xx yy", 1L, 3L)))
+    assert(r(2L) === (("zz", 2L, 4L)))
+    assert(r(3L) === (("xx yy zz ww", 0L, 0L)))
+    assert(r(4L) === (("hi", 0L, 0L)))
+  }
+
   test("clean gate drops any-overlap docs at maxFrac=0 and keeps them at 1.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
