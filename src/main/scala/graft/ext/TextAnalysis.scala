@@ -339,6 +339,67 @@ object TextAnalysis {
         coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score — the standard n-gram
+    * smoothing upgrade over [[lmScore]]'s add-one (Kneser & Ney 1995;
+    * Chen & Goodman 1999 measure KN as the consistently best n-gram
+    * smoother): probability mass discounted from seen bigrams is
+    * redistributed by CONTINUATION counts (how many distinct contexts a
+    * word follows), which stops high-frequency-but-context-bound words
+    * ("Francisco") stealing mass from genuinely versatile ones.
+    *
+    * Exact integer lattice with discount d = 3/4: scaling counts by 4
+    * makes the discounted numerator integral —
+    *   P(w2|w1) = (c12−d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    *            = [(4·c12−3)·Nbi + 3·N1+(w1·)·N1+(·w2)] / (4·c1·Nbi)
+    * (c12 ≥ 1 for every scored occurrence — the corpus trains the model
+    * that scores it — so the max(·,0) clamp is vacuous and dropped).
+    * ppm = the ⌊·10⁶⌋ lattice point of that rational; doc score is the
+    * floor mean, as in [[lmScore]]. Products run in decimal(38,0).
+    *
+    * Scale shape identical to [[lmScore]]: ONE corpus bigram-count
+    * shuffle; N1+(w1·), N1+(·w2) and Nbi are vocab-sized aggregates
+    * DERIVED from the checkpointed bigram model (no second corpus
+    * pass); scoring is one occurrences⋈model equi-join + per-doc sum. */
+  def lmScoreKn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b = docs.select(col(idCol),
+      explode(ngrams(words(col(textCol)), 2)).as("bg"))
+    val c12 = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val w1of = substring_index(col("bg"), " ", 1)
+    val w2of = substring_index(col("bg"), " ", -1)
+    // context totals and type counts, all from the bigram model
+    val left = c12.groupBy(w1of.as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+    val cont = c12.groupBy(w2of.as("w2"))
+      .agg(count(lit(1)).as("n1w2"))
+    val nbi = c12.agg(count(lit(1)).as("nbi"))
+    val model = c12
+      .join(left, w1of === col("w1"))
+      .join(cont, w2of === col("w2"))
+      .crossJoin(broadcast(nbi))
+      .select(col("bg"), {
+        val num = ((col("c12") * 4 - 3).cast(dec) * col("nbi").cast(dec) +
+          lit(3).cast(dec) * col("n1w1").cast(dec) * col("n1w2").cast(dec)) *
+          lit(1000000L).cast(dec)
+        val den = lit(4).cast(dec) * col("c1").cast(dec) * col("nbi").cast(dec)
+        // exact floor: subtract the (exact) decimal remainder before the
+        // division so no quotient rounding can cross a lattice point
+        ((num - pmod(num, den)) / den).cast("long").as("ppm")
+      })
+    val scored = b.join(model, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        ((col("s") - pmod(col("s"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long").as("kn_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_ppm"), lit(0L)).as("kn_ppm"))
+  }
+
   /** Terminator-run sentence split: `[.!?]+\s+`. Deliberately
     * lookbehind-free — RE2 engines (DuckDB) reject lookbehind, and the
     * oracle must split with the IDENTICAL pattern; each sentence's

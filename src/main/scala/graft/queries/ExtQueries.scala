@@ -927,6 +927,13 @@ object ExtQueries {
   def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(docs(s, dir))
 
+  /** Interpolated Kneser–Ney bigram LM score (the n-gram smoothing
+    * upgrade over the add-one q_text_lm_score; same train-and-score
+    * single pass, continuation-count redistribution on the exact
+    * integer lattice). */
+  def qTextLmKn(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScoreKn(docs(s, dir))
+
   /** DSIR importance resampling weights: target = the English subcorpus,
     * raw = everything; 256-bucket hashed-unigram model (10⁶ buckets at
     * production scale — bucket count only shifts the smoothing mass). */
@@ -1763,6 +1770,7 @@ object ExtQueries {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_text_lm_score" -> (qTextLmScore _),
+    "q_text_lm_kn" -> (qTextLmKn _),
     "q_curation_dsir" -> (qCurationDsir _),
     "q_select_kcenter" -> (qSelectKcenter _),
     "q_text_blocklist" -> (qTextBlocklist _),
@@ -3533,6 +3541,37 @@ object ExtQueries {
 
   /** Bigram-LM oracle: identical train+score chain — add-one ppm per
     * bigram over the successor vocabulary, floor-mean per doc. */
+  /** Kneser–Ney oracle: the identical 4×-scaled integer rational —
+    * HUGEINT products, floor-div; split_part(bg,' ',-1)-free (DuckDB's
+    * negative index differs from Spark's substring_index(-1) only on
+    * >2-token strings, and bigrams are exactly 2 tokens, so the
+    * 2nd-token form is used explicitly). */
+  private val textLmKnSql =
+    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
+       |  FROM documents),
+       |b AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 2)}) AS bg
+       |  FROM w),
+       |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+       |  FROM b GROUP BY 1),
+       |lft AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |    CAST(sum(c12) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1w1 FROM c12 GROUP BY 1),
+       |cont AS (SELECT split_part(bg, ' ', 2) AS w2,
+       |    CAST(count(*) AS BIGINT) AS n1w2 FROM c12 GROUP BY 1),
+       |nbi AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM c12),
+       |m AS (SELECT bg,
+       |    CAST((((c12 * 4 - 3) * nbi + 3 * n1w1 * n1w2) * 1000000)
+       |         // (4 * c1 * nbi) AS BIGINT) AS ppm
+       |  FROM c12
+       |  JOIN lft ON split_part(c12.bg, ' ', 1) = lft.w1
+       |  JOIN cont ON split_part(c12.bg, ' ', 2) = cont.w2, nbi),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(ppm) // count(*) AS BIGINT) AS kn_ppm
+       |  FROM b JOIN m USING (bg) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.kn_ppm, 0) AS kn_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   private val textLmScoreSql =
     s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
        |  FROM documents),
@@ -5372,6 +5411,7 @@ object ExtQueries {
     "q_graph_triangles" -> graphTrianglesSql,
     "q_graph_kcore" -> graphKcoreSql,
     "q_text_lm_score" -> textLmScoreSql,
+    "q_text_lm_kn" -> textLmKnSql,
     "q_curation_dsir" -> curationDsirSql,
     "q_select_kcenter" -> selectKcenterSql,
     "q_text_blocklist" -> textBlocklistSql,

@@ -108,6 +108,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L)))      // null text
   }
 
+  test("Kneser-Ney LM: hand-computed lattice; seen-successor mass sums to 1") {
+    import spark.implicits._
+    // corpus: bigrams ab×2, ac×1 → c1(a)=3; n1w1(a)=2; cont(b)=cont(c)=1;
+    // nbi=2. ppm(ab) = ((2·4−3)·2 + 3·2·1)·10⁶ // (4·3·2) = 16·10⁶//24 =
+    // 666666; ppm(ac) = ((4−3)·2 + 3·2·1)·10⁶//24 = 8·10⁶//24 = 333333.
+    // P(b|a)+P(c|a) = 24/24 = 1: KN's discounted+redistributed mass is
+    // exactly conserved over the seen successors of a closed vocab.
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 666666L)))
+    assert(out(2L) === ((1L, 666666L)))
+    assert(out(3L) === ((1L, 333333L)))
+    assert(out(4L) === ((0L, 0L)))
+    assert(out(5L) === ((0L, 0L)))
+  }
+
+  test("Kneser-Ney rewards versatile continuations over context-bound ones") {
+    import spark.implicits._
+    // "sf" is frequent but only ever follows "san"; "cat" follows many
+    // contexts. Under add-one, P(sf|san) dwarfs P(cat|*) purely on raw
+    // count; KN's continuation count keeps versatile "cat" competitive:
+    // the RATIO kn(cat-doc)/kn(sf-doc) must exceed the add-one ratio.
+    val ctx = Seq("red", "blue", "big", "old", "wet", "shy")
+    val docs = (
+      (1 to 6).map(i => (i.toLong, s"san sf")) ++
+      ctx.zipWithIndex.map { case (c, i) => ((10 + i).toLong, s"$c cat") } :+
+      ((100L, "san sf")) :+ ((101L, "red cat"))
+    ).toDF("doc_id", "text")
+    val kn = TextAnalysis.lmScoreKn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val addone = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val knRatio = kn(101L).toDouble / kn(100L).toDouble
+    val aoRatio = addone(101L).toDouble / addone(100L).toDouble
+    assert(knRatio > aoRatio,
+      s"KN ratio $knRatio must exceed add-one ratio $aoRatio")
+  }
+
   test("bigram LM score ranks corpus-typical text above gibberish") {
     import spark.implicits._
     val typical = "the quick brown fox jumps over the lazy dog"
