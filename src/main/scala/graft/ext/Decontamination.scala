@@ -64,6 +64,59 @@ object Decontamination {
         when(c > 0, 1L).otherwise(0L).as("is_contaminated"))
   }
 
+  /** Contamination n-SENSITIVITY profile: overlap of corpus vs eval at
+    * SEVERAL n-gram sizes in one pass — the sweep that picks the
+    * operating n (GPT-3's appendix uses 13-grams; short-doc corpora
+    * need smaller n; too small over-flags on common phrases, too large
+    * under-flags paraphrases — this table shows the knee). One row per
+    * n: docs carrying ≥1 n-gram, docs contaminated, gram totals/hits,
+    * and both fractions on the frac4 lattice.
+    *
+    * Scale shape: the corpus is tokenized ONCE (the word array is
+    * materialized as a column first — the tagged multi-n gram array is
+    * built from the materialized slot, so the HOF tree can't re-split
+    * the text per n) and exploded once for ALL n; the eval side's
+    * tagged grams broadcast; per-(n,doc) counts are map-side combined
+    * and the final rollup is |ns| rows. */
+  def overlapProfile(docs: DataFrame, eval: DataFrame,
+      ns: Seq[Int] = Seq(2, 3, 4, 5), idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def tagged(w: Column): Column = flatten(array(ns.map(n =>
+      transform(array_distinct(ngrams(w, n)),
+        g => struct(lit(n).as("n"), g.as("gram")))): _*))
+    def explodeTagged(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(tagged(col("w"))).as("tg"): _*)
+        .select(keep :+ col("tg.n").as("n") :+ col("tg.gram").as("gram"): _*)
+    val dg = explodeTagged(
+      docs.select(col(idCol), words(col(textCol)).as("w")), Seq(col(idCol)))
+    val eg = explodeTagged(
+      eval.select(words(col(textCol)).as("w")), Seq.empty).distinct()
+    // ONE pass over the exploded gram stream: broadcast left join marks
+    // hits, a single (n, doc) aggregate counts grams and hits together —
+    // separate tot/hit branches would each re-run the corpus explode
+    // (the boilerplateStats lesson)
+    val per = dg
+      .join(broadcast(eg.withColumn("__hit", lit(1L))), Seq("n", "gram"), "left")
+      .groupBy(col("n"), col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0, ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    per
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_docs_contaminated"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_hits")).as("total_hits"))
+      .select(col("n"), col("n_docs"), col("n_docs_contaminated"),
+        col("total_grams"), col("total_hits"),
+        frac4(col("n_docs_contaminated"), col("n_docs")).as("doc_frac"),
+        frac4(col("total_hits"), col("total_grams")).as("gram_frac"))
+  }
+
   /** Span-level decontamination EXCISION: instead of dropping a
     * contaminated document wholesale ([[overlapStats]] → filter), cut
     * ONLY the words covered by a contaminated n-gram and keep the rest —

@@ -260,6 +260,15 @@ object ExtQueries {
       d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
   }
 
+  /** Contamination n-sensitivity sweep (n = 2..5 in one corpus pass):
+    * same train/eval carve; one row per n with doc/gram contamination
+    * fractions — the table that picks the operating n. */
+  def qDecontamProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontamination.overlapProfile(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0))
+  }
+
   /** Span-level decontamination: same train/eval carve as
     * q_decontaminate, but contaminated documents lose ONLY the words a
     * shared n-gram covers (clean_text + audit counts) instead of being
@@ -1682,6 +1691,7 @@ object ExtQueries {
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_excise" -> (qDecontamExcise _),
+    "q_decontam_profile" -> (qDecontamProfile _),
     "q_decontam_incr" -> (qDecontamIncr _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -2166,6 +2176,39 @@ object ExtQueries {
        |       AS BIGINT) AS is_contaminated
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
        |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)""".stripMargin
+  }
+
+  /** n-sweep profile oracle: per-n gram CTEs unioned (the oracle may
+    * re-scan per n; the ENGINE's one-pass claim is the Spark plan's),
+    * same frac4 lattice. */
+  private val decontamProfileSql: String = {
+    val ns = Seq(2, 3, 4, 5)
+    def armOf(src: String, withId: Boolean) = ns.map { n =>
+      val idSel = if (withId) "doc_id, " else ""
+      s"""SELECT $idSel$n AS n,
+         |  unnest(list_distinct(${Hashing.ngramsSql("w", n)})) AS gram
+         |FROM $src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ws AS (SELECT doc_id, ${wordsSqlOf("text")} AS w
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |ews AS (SELECT ${wordsSqlOf("text")} AS w
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |dg AS (${armOf("ws", withId = true)}),
+       |eg AS (SELECT DISTINCT n, gram FROM (${armOf("ews", withId = false)})),
+       |tot AS (SELECT n, doc_id, count(*) AS n_grams FROM dg GROUP BY 1, 2),
+       |hit AS (SELECT dg.n, dg.doc_id, count(*) AS n_hits
+       |  FROM dg JOIN eg USING (n, gram) GROUP BY 1, 2),
+       |per AS (SELECT tot.n, tot.doc_id, n_grams, coalesce(n_hits, 0) AS n_hits
+       |  FROM tot LEFT JOIN hit ON hit.n = tot.n AND hit.doc_id = tot.doc_id)
+       |SELECT n, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_contaminated,
+       |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |  ${frac4Sql("sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)", "count(*)")}
+       |    AS doc_frac,
+       |  ${frac4Sql("sum(n_hits)", "sum(n_grams)")} AS gram_frac
+       |FROM per GROUP BY 1""".stripMargin
   }
 
   /** Span-excision oracle: identical word lattice — grams via the
@@ -5313,6 +5356,7 @@ object ExtQueries {
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontam_excise" -> decontamExciseSql,
+    "q_decontam_profile" -> decontamProfileSql,
     // the incremental path must reproduce the one-shot recompute exactly
     "q_decontam_incr" -> decontaminateSql,
     "q_decontaminate_semantic" -> decontaminateSemanticSql,

@@ -42,6 +42,27 @@ class DecontaminationSpec extends SparkSpec {
     assert(r(4L) === (("hi", 0L, 0L)))
   }
 
+  test("n-sweep profile: contamination decays with n; counts hand-check") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),  // shares 2..4-grams with eval
+      (2L, "alpha beta xx yy"),        // shares only the 2-gram "alpha beta"
+      (3L, "ww xx yy zz")              // clean at every n
+    ).toDF("doc_id", "text")
+    val r = Decontamination.overlapProfile(docs, eval, ns = Seq(2, 3, 4))
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // n=2: doc1 has 3 grams all shared, doc2 has 3 grams 1 shared, doc3 3/0
+    assert(r(2) === ((3L, 2L, 9L, 4L)))
+    // n=3: doc1 2/2 shared, doc2 2/0, doc3 2/0
+    assert(r(3) === ((3L, 1L, 6L, 2L)))
+    // n=4: doc1 1/1 shared, others 1/0
+    assert(r(4) === ((3L, 1L, 3L, 1L)))
+    // doc contamination is non-increasing in n on a nested eval set
+    val fr = Decontamination.overlapProfile(docs, eval, ns = Seq(2, 3, 4))
+      .collect().map(x => x.getInt(0) -> x.getDouble(5)).toMap
+    assert(fr(2) >= fr(3) && fr(3) >= fr(4))
+  }
+
   test("clean gate drops any-overlap docs at maxFrac=0 and keeps them at 1.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
