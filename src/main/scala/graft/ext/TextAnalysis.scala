@@ -309,8 +309,12 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val dec = "decimal(38,0)"
+    // checkpointed: the occurrence stream feeds BOTH the model counts and
+    // the scoring join — without the pin the corpus tokenizes twice
+    // (the predictSelfTrained discipline)
     val b = docs.select(col(idCol),
       explode(ngrams(words(col(textCol)), 2)).as("bg"))
+      .localCheckpoint(true)
     val c12 = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
     val c1 = c12
@@ -363,8 +367,11 @@ object TextAnalysis {
   def lmScoreKn(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val dec = "decimal(38,0)"
+    // checkpointed occurrence stream: one corpus tokenization feeds both
+    // the model counts and the scoring join (as in [[lmScore]])
     val b = docs.select(col(idCol),
       explode(ngrams(words(col(textCol)), 2)).as("bg"))
+      .localCheckpoint(true)
     val c12 = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
     val w1of = substring_index(col("bg"), " ", 1)

@@ -109,6 +109,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"chunking gained a shuffle ($exchanges)\n$p")
   }
 
+  test("n-sweep profile: one Generate per side (all n share one explode); gram join broadcasts") {
+    val p = plan("q_decontam_profile")
+    val gens = "Generate".r.findAllIn(p).size
+    // formatted mode names each node once in the tree and once in the
+    // detail section — 2 plan nodes (corpus + eval side) ⇒ ≤ 4 mentions,
+    // and at least 2; a per-n explode would multiply this by |ns|
+    assert(gens >= 2 && gens <= 4, s"expected 2 Generate nodes, saw $gens\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"gram join degraded to SMJ\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sketch-only dedup: no parquet re-scan after the signature checkpoint; no cartesian") {
+    val p = plan("q_dedup_sketchonly")
+    assert(!p.contains("Scan parquet"),
+      s"corpus re-read after signature checkpoint\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("KN LM: text never re-read after the occurrence checkpoint (id-only scan)") {
+    val p = plan("q_text_lm_kn")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty, p)
+    assert(reads.forall(r => r.contains("doc_id") && !r.contains("text")),
+      s"text column re-read post-checkpoint: $reads")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tf-idf: corpus count broadcasts; no global sort for the per-doc top-k") {
     val p = plan("q_text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
