@@ -440,6 +440,42 @@ object EventStreams {
     d.join(k, Seq("__d"), "left_anti").drop("__d")
   }
 
+  /** Streaming NEAR-dup detection: each micro-batch of documents runs
+    * through the standing MinHash-LSH index
+    * ([[graft.ext.IncrementalDedup.indexIncrement]]) — new-vs-index and
+    * new-vs-new pairs at estimated Jaccard ≥ threshold append to a pairs
+    * table, and the batch's bands+signatures join the index. The
+    * continuous upgrade of [[dedupStream]]/[[novelStream]] from exact
+    * digests to NEAR duplicates, at increment cost O(batch) (the
+    * corpus-sized index streams map-side against broadcast batch keys —
+    * it never shuffles).
+    *
+    * Idempotence is DOC-keyed, not batch-stamped: the index ingests
+    * first-write-wins on doc id, so a replayed micro-batch left-anti
+    * drops to empty and appends nothing — re-delivery cannot corrupt the
+    * index or duplicate pairs. Pairing contract (the sibling-sink rule):
+    * a crash between the internal index append and this sink's pairs
+    * append loses THAT batch's pairs on replay (the index stays
+    * consistent); a downstream needing the lost pairs re-derives them
+    * from the index state, or pairs this sink with its own transactional
+    * log. */
+  def minhashIndexSink(docs: DataFrame, store: graft.store.TableStore,
+      name: String, pairsName: String, checkpointDir: String,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = graft.ext.IncrementalDedup
+          .indexIncrement(batch, store, name, threshold)
+        if (!pairs.isEmpty)
+          store.append(pairsName, pairs.withColumn("__batch", lit(batchId)))
+        ()
+      }
+      .start()
+
   /** Streaming centroid assignment: embeddings arriving on a stream are
     * scored against a TRAINED centroid table ([[graft.ext.KMeans]] `fit`
     * output) — the online half of the fit-batch/score-stream pattern

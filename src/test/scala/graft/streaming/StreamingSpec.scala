@@ -231,6 +231,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash index sink: cross-batch near-dup pairs, doc-keyed idempotence") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val docs = MemoryStream[(Long, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("mh-sink-store").toString)
+    val ckpt = Files.createTempDirectory("mh-sink-ckpt").toString
+    val q = EventStreams.minhashIndexSink(
+      docs.toDF().toDF("doc_id", "text"), store, "mhidx", "pairs", ckpt,
+      threshold = 0.5, trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: the near-dup pair arrives together
+      docs.addData((1L, base), (2L, nearDup), (3L, distinct))
+      q.processAllAvailable()
+      // batch 2: a later copy of base pairs against BOTH indexed docs,
+      // plus a re-delivered doc 1 (first-write-wins: no self-pair)
+      docs.addData((4L, base), (1L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = store.read("pairs")
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // the index carries each doc exactly once despite the re-delivery
+    val indexed = store.read("mhidx_sigs").select("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(indexed.sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming novelty gate drops known digests, agrees with the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
