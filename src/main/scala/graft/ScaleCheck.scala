@@ -65,6 +65,10 @@ object ScaleCheck {
     // r13 shared-scan refactors: one-tokenization eval chains + the
     // self-trained classifier gate in funnel v3
     "q_dedup_fingerprint_eval", "q_curation_funnel3",
+    // r13 new operators: sketch-only dedup (+calibration/eval), KN LM,
+    // span excision, n-sweep contamination profile
+    "q_dedup_sketchonly", "q_dedup_sketchonly_eval", "q_dedup_minhash_calib",
+    "q_text_lm_kn", "q_decontam_excise", "q_decontam_profile",
     // r12 batch 11: frame-window shot detection and the full-scan
     // correlation pass (scripts/benford/regression are one-pass
     // projections/aggregates — covered by the scan-bound family)
