@@ -235,6 +235,53 @@ object Dedup {
     laneAgreement(sig, cands).filter(col("lanes_eq") >= minLanes)
   }
 
+  /** Sketch-estimated CONTAINMENT pairs — the asymmetric complement of
+    * [[minhashSketchOnlyDups]]: minhash lanes estimate Jaccard, and with
+    * per-doc set sizes (one count per doc — a 16-byte aggregate, not a
+    * second text pass) containment is derivable,
+    *   c(a→b) = i/|a|,  i = J·(|a|+|b|)/(1+J)  with  J ≈ k_eq/k
+    *   ⇒ c_est = k_eq·(|a|+|b|) / ((k+k_eq)·|a|)
+    * on the exact 4-decimal lattice. Both directions of every LSH
+    * candidate are scored with their own denominators, mirroring
+    * [[containmentPairs]]' ordered-pair contract (id, container_id).
+    *
+    * No verify join, no postings self-join: after the one shingle pass
+    * the plan touches signatures (64 B/doc) and sizes (16 B/doc) only —
+    * the quotes/excerpt screen a 100 TB run can afford to run corpus-wide
+    * (caveat: LSH candidates bound recall by SYMMETRIC similarity, so a
+    * tiny excerpt inside a huge doc may never band together — the
+    * measured recall in q_dedup_containment_est_eval prices exactly
+    * that). */
+  def containmentEstFromPostings(sh: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val sig = minhashSignatures(sh).localCheckpoint(true)
+    val cands = lshCandidates(lshBands(sig))
+    val agree = laneAgreement(sig, cands).localCheckpoint(true)
+    val both = agree
+      .select(col("id_a").as("id"), col("id_b").as("container_id"),
+        col("lanes_eq"))
+      .unionByName(agree.select(col("id_b").as("id"),
+        col("id_a").as("container_id"), col("lanes_eq")))
+    val est = both
+      .join(sizes.select(col("id"), col("sz")), Seq("id"))
+      .join(sizes.select(col("id").as("container_id"),
+        col("sz").as("sz_c")), Seq("container_id"))
+      .select(col("id"), col("container_id"), {
+        val num = col("lanes_eq") * (col("sz") + col("sz_c")) * lit(10000L)
+        val den = (lit(numHashes.toLong) + col("lanes_eq")) * col("sz")
+        (((num - pmod(num, den)) / den).cast("double") / 10000.0)
+          .as("containment_est")
+      })
+    est.filter(col("containment_est") >= threshold)
+  }
+
+  /** [[containmentEstFromPostings]] from documents. */
+  def containmentEstPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    containmentEstFromPostings(
+      shingles(docs).localCheckpoint(true), threshold)
+
   /** [[ngramJaccardPairs]] starting from already-materialized shingle
     * postings (id, shingle), checkpointed by the caller — the shared-scan
     * face for callers that need the same postings twice (eval queries

@@ -757,6 +757,23 @@ object ExtQueries {
   def qDedupContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.8)
 
+  /** Sketch-estimated containment pairs (lanes + sizes, no verify join,
+    * no postings self-join) at the same 0.8 threshold. */
+  def qDedupContainmentEst(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentEstPairs(docs(s, dir), threshold = 0.8)
+
+  /** The containment estimate graded against the exact df-capped index
+    * on ONE shared tokenization — prices both the estimator error and
+    * the symmetric-LSH recall bound for asymmetric pairs. */
+  def qDedupContainmentEstEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = Dedup.shingles(d, 3).localCheckpoint(true)
+    def ordered(df: DataFrame): DataFrame =
+      df.select(col("id").as("id_a"), col("container_id").as("id_b"))
+    pairSetEval(ordered(Dedup.containmentFromPostings(sh, threshold = 0.8)),
+      ordered(Dedup.containmentEstFromPostings(sh, threshold = 0.8)))
+  }
+
   /** Incremental containment (VERDICT r10 #6): the corpus arrives as two
     * increments, each shingled exactly once into the standing postings
     * index; the state readout's verdicts are identical to the batch
@@ -1762,6 +1779,8 @@ object ExtQueries {
     "q_dedup_minhash_calib" -> (qDedupMinhashCalib _),
     "q_dedup_sketchonly" -> (qDedupSketchonly _),
     "q_dedup_sketchonly_eval" -> (qDedupSketchonlyEval _),
+    "q_dedup_containment_est" -> (qDedupContainmentEst _),
+    "q_dedup_containment_est_eval" -> (qDedupContainmentEstEval _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_bpe_compression" -> (qBpeCompression _),
     "q_langid_kappa" -> (qLangidKappa _),
@@ -3337,6 +3356,54 @@ object ExtQueries {
        |  CAST(cq4 - rq4 AS DOUBLE) / 10000.0 AS margin
        |FROM ch JOIN rj USING (source, lang)
        |WHERE n > 1 AND cq4 > rq4""".stripMargin
+
+  /** Sketch-containment oracle: the identical lanes+sizes rational on
+    * the 4-decimal lattice, both directions of every LSH candidate. */
+  private val dedupContainmentEstSql: String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      s"SELECT id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val laneSum = (0 until numHashes)
+      .map(i => s"CASE WHEN la.mh$i = lb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+       |h AS (SELECT id, ${hexIntSql("shingle")} AS h FROM sh),
+       |sig AS (SELECT id, $mins FROM h GROUP BY id),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+       |est AS (SELECT c.id_a, c.id_b, CAST($laneSum AS BIGINT) AS lanes_eq
+       |  FROM cands c JOIN sig la ON la.id = c.id_a JOIN sig lb ON lb.id = c.id_b),
+       |bidir AS (SELECT id_a AS id, id_b AS container_id, lanes_eq FROM est
+       |  UNION ALL SELECT id_b, id_a, lanes_eq FROM est),
+       |sc AS (SELECT b.id, b.container_id,
+       |    CAST((b.lanes_eq * (sa.sz + sb.sz) * 10000)
+       |         // (($numHashes + b.lanes_eq) * sa.sz) AS DOUBLE) / 10000.0
+       |      AS containment_est
+       |  FROM bidir b JOIN sizes sa ON sa.id = b.id
+       |  JOIN sizes sb ON sb.id = b.container_id)
+       |SELECT id, container_id, containment_est FROM sc
+       |WHERE containment_est >= 0.8""".stripMargin
+  }
+
+  // lazy: interpolates dedupContainmentSql, which initializes later in
+  // this object — a strict val here would bake in "null"
+  private lazy val dedupContainmentEstEvalSql: String =
+    s"""WITH t AS (SELECT id AS id_a, container_id AS id_b
+       |  FROM ($dedupContainmentSql)),
+       |p AS (SELECT id AS id_a, container_id AS id_b
+       |  FROM ($dedupContainmentEstSql)),
+       |tpc AS (SELECT count(*) AS tp FROM p JOIN t USING (id_a, id_b)),
+       |ntc AS (SELECT count(*) AS n_true FROM t),
+       |npc AS (SELECT count(*) AS n_pred FROM p)
+       |SELECT n_true, n_pred, tp,
+       |  ${frac4Sql("tp", "n_pred")} AS precision,
+       |  ${frac4Sql("tp", "n_true")} AS recall,
+       |  ${frac4Sql("2 * tp", "n_true + n_pred")} AS f1
+       |FROM ntc, npc, tpc""".stripMargin
 
   private val dedupContainmentSql =
     s"""WITH $shingleCtes,
@@ -5437,6 +5504,8 @@ object ExtQueries {
     "q_dedup_minhash_calib" -> dedupMinhashCalibSql,
     "q_dedup_sketchonly" -> dedupSketchonlySql,
     "q_dedup_sketchonly_eval" -> dedupSketchonlyEvalSql,
+    "q_dedup_containment_est" -> dedupContainmentEstSql,
+    "q_dedup_containment_est_eval" -> dedupContainmentEstEvalSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_bpe_compression" -> bpeCompressionSql,
     "q_langid_kappa" -> langidKappaSql,

@@ -88,6 +88,23 @@ class DedupSpec extends SparkSpec {
     assert(strict.toSet.subsetOf(all.toSet))
   }
 
+  test("containment estimate: identical pair at 1.0 both ways; subset direction dominates") {
+    val base = (1 to 28).map(i => s"w$i").mkString(" ")
+    val sup = (1 to 34).map(i => s"w$i").mkString(" ")
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> sup, 4L -> distinct)
+    val est = Dedup.containmentEstPairs(d, threshold = 0.0).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    // identical docs: all 16 lanes agree, c = 16·2s/(32·s) = 1.0 both ways
+    assert(est((2L, 1L)) === 1.0 && est((1L, 2L)) === 1.0)
+    // subset pair: c(base→sup) strictly dominates c(sup→base) — the
+    // asymmetric readout symmetric Jaccard can't give
+    assert(est((3L, 1L)) > est((1L, 3L)),
+      s"directionality lost: ${est((3L, 1L))} vs ${est((1L, 3L))}")
+    // the unrelated doc never bands with anything
+    assert(!est.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
     val t = "alpha beta gamma delta epsilon zeta"
     val d = docs(1L -> t, 2L -> t)
