@@ -271,7 +271,12 @@ object Dedup {
       .select(col("id"), col("container_id"), {
         val num = col("lanes_eq") * (col("sz") + col("sz_c")) * lit(10000L)
         val den = (lit(numHashes.toLong) + col("lanes_eq")) * col("sz")
-        (((num - pmod(num, den)) / den).cast("double") / 10000.0)
+        // clamped to the containment range: the estimator is EXACTLY 1
+        // for a true subset under exact J, but k_eq/k sampling error can
+        // push the rational above 1 (a 16/16 agreement between docs of
+        // very different sizes) — containment is ≤ 1 by definition
+        least(lit(1.0),
+          ((num - pmod(num, den)) / den).cast("double") / 10000.0)
           .as("containment_est")
       })
     est.filter(col("containment_est") >= threshold)

@@ -3380,8 +3380,8 @@ object ExtQueries {
        |bidir AS (SELECT id_a AS id, id_b AS container_id, lanes_eq FROM est
        |  UNION ALL SELECT id_b, id_a, lanes_eq FROM est),
        |sc AS (SELECT b.id, b.container_id,
-       |    CAST((b.lanes_eq * (sa.sz + sb.sz) * 10000)
-       |         // (($numHashes + b.lanes_eq) * sa.sz) AS DOUBLE) / 10000.0
+       |    least(1.0, CAST((b.lanes_eq * (sa.sz + sb.sz) * 10000)
+       |         // (($numHashes + b.lanes_eq) * sa.sz) AS DOUBLE) / 10000.0)
        |      AS containment_est
        |  FROM bidir b JOIN sizes sa ON sa.id = b.id
        |  JOIN sizes sb ON sb.id = b.container_id)

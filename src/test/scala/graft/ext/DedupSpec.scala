@@ -103,6 +103,9 @@ class DedupSpec extends SparkSpec {
       s"directionality lost: ${est((3L, 1L))} vs ${est((1L, 3L))}")
     // the unrelated doc never bands with anything
     assert(!est.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // estimates stay inside the containment range (clamped: sampling
+    // error on k_eq/k cannot push past 1.0)
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0), est)
   }
 
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
