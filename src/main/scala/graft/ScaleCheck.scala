@@ -70,6 +70,7 @@ object ScaleCheck {
     "q_dedup_sketchonly", "q_dedup_sketchonly_eval", "q_dedup_minhash_calib",
     "q_text_lm_kn", "q_decontam_excise", "q_decontam_profile",
     "q_dedup_containment_est", "q_dedup_containment_est_eval",
+    "q_dedup_sketchonly_clusters",
     // r12 batch 11: frame-window shot detection and the full-scan
     // correlation pass (scripts/benford/regression are one-pass
     // projections/aggregates — covered by the scan-bound family)

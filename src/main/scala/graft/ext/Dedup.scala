@@ -418,9 +418,29 @@ object Dedup {
     * "Connected Components in MapReduce and Beyond", SoCC'14) without
     * changing the contract. Singletons label themselves. */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", maxIters: Int = 50): DataFrame =
+    clustersFromPairs(docs,
+      minhashNearDups(docs, threshold).select(col("id_a"), col("id_b")),
+      idCol, maxIters)
+
+  /** [[duplicateClusters]] over sketch-only pairs
+    * ([[minhashSketchOnlyDups]] at the calibrated lane cutoff) — the
+    * END-TO-END dedup pipeline with no exact-verify join anywhere:
+    * shingle once → signatures → banded candidates → lane-agreement
+    * threshold → connected components. After the one shingle pass
+    * nothing text-wide or postings-wide survives in the plan; the
+    * cluster loop state is O(|pairs|). */
+  def sketchOnlyClusters(docs: DataFrame, minLanes: Int = 13,
+      idCol: String = "doc_id", maxIters: Int = 50): DataFrame =
+    clustersFromPairs(docs,
+      minhashSketchOnlyDups(docs, minLanes).select(col("id_a"), col("id_b")),
+      idCol, maxIters)
+
+  /** Min-label connected components over an arbitrary (id_a, id_b) pair
+    * graph — the loop shared by the verified and sketch-only cluster
+    * faces. */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
-    val pairs = minhashNearDups(docs, threshold)
-      .select(col("id_a"), col("id_b"))
     // localCheckpoint (eager) materializes AND truncates lineage. In an
     // iterative DataFrame algorithm plain persist() is not enough: every
     // round's logical plan embeds the previous rounds' (the self-join

@@ -893,6 +893,12 @@ object ExtQueries {
   def qDedupSketchonly(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSketchOnlyDups(docs(s, dir), minLanes = 8)
 
+  /** End-to-end sketch-only dedup: connected components over the
+    * calibrated-cutoff (lanes ≥ 13) pair graph — duplicate clusters with
+    * no exact-verify join anywhere in the pipeline. */
+  def qDedupSketchonlyClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.sketchOnlyClusters(docs(s, dir), minLanes = 13)
+
   /** The sketch-only path graded against the exact df-capped ground
     * truth at TWO operating points — the naive cutoff that mirrors the
     * 0.5 threshold (lanes ≥ 8/16) and the calibrated cutoff read off the
@@ -1781,6 +1787,7 @@ object ExtQueries {
     "q_dedup_sketchonly_eval" -> (qDedupSketchonlyEval _),
     "q_dedup_containment_est" -> (qDedupContainmentEst _),
     "q_dedup_containment_est_eval" -> (qDedupContainmentEstEval _),
+    "q_dedup_sketchonly_clusters" -> (qDedupSketchonlyClusters _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_bpe_compression" -> (qBpeCompression _),
     "q_langid_kappa" -> (qLangidKappa _),
@@ -1947,7 +1954,9 @@ object ExtQueries {
   /** Sketch-only pairs oracle: signature/band/candidate CTEs + lane
     * agreement ≥ 8, no exact-verify join — mirrors
     * Dedup.minhashSketchOnlyDups(minLanes=8). */
-  private val dedupSketchonlySql: String = {
+  private val dedupSketchonlySql: String = dedupSketchonlySqlAt(8)
+
+  private def dedupSketchonlySqlAt(cut: Int): String = {
     val mins = (0 until numHashes)
       .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
@@ -1965,7 +1974,7 @@ object ExtQueries {
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
        |est AS (SELECT c.id_a, c.id_b, CAST($laneSum AS BIGINT) AS lanes_eq
        |  FROM cands c JOIN sig la ON la.id = c.id_a JOIN sig lb ON lb.id = c.id_b)
-       |SELECT id_a, id_b, lanes_eq FROM est WHERE lanes_eq >= 8""".stripMargin
+       |SELECT id_a, id_b, lanes_eq FROM est WHERE lanes_eq >= $cut""".stripMargin
   }
 
   /** df-capped chain mirroring Dedup.ngramJaccardPairs (maxDocFreq=64):
@@ -2652,6 +2661,18 @@ object ExtQueries {
     * declarative twin of Dedup.duplicateClusters' label propagation. */
   private val dedupClustersSql =
     s"""WITH RECURSIVE p AS ($dedupMinhashSql),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
+  /** Sketch-only clusters oracle: same recursive transitive closure as
+    * dedupClustersSql, over the lanes ≥ 13 pair graph. */
+  private lazy val dedupSketchonlyClustersSql: String =
+    s"""WITH RECURSIVE p AS (${dedupSketchonlySqlAt(13)}),
        |edges AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b, id_a FROM p),
        |reach(a, b) AS (
@@ -5506,6 +5527,7 @@ object ExtQueries {
     "q_dedup_sketchonly_eval" -> dedupSketchonlyEvalSql,
     "q_dedup_containment_est" -> dedupContainmentEstSql,
     "q_dedup_containment_est_eval" -> dedupContainmentEstEvalSql,
+    "q_dedup_sketchonly_clusters" -> dedupSketchonlyClustersSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_bpe_compression" -> bpeCompressionSql,
     "q_langid_kappa" -> langidKappaSql,

@@ -108,6 +108,16 @@ class DedupSpec extends SparkSpec {
     assert(est.values.forall(v => v >= 0.0 && v <= 1.0), est)
   }
 
+  test("sketch-only clusters: transitive family collapses, singleton labels itself") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    // 1-2-4 are byte-identical (16/16 lanes pairwise); 3 is unrelated
+    val d = docs(1L -> base, 2L -> base, 3L -> distinct, 4L -> base)
+    val r = Dedup.sketchOnlyClusters(d, minLanes = 13).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L))
+  }
+
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
     val t = "alpha beta gamma delta epsilon zeta"
     val d = docs(1L -> t, 2L -> t)
