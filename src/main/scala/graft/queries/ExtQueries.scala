@@ -890,14 +890,22 @@ object ExtQueries {
   /** Sketch-only near-dup pairs at lane agreement ≥ 8/16 (estimated
     * Jaccard ≥ 0.5) — no exact-verify join; the fast path the
     * calibration table prices. */
+  /** Sketch-only operating points shared by the Spark queries AND
+    * interpolated into their oracles, so engine and SQL cutoffs cannot
+    * desync (the prIters pattern): the NAIVE cutoff mirrors the 0.5
+    * threshold (8/16), the CALIBRATED one is read off the
+    * q_dedup_minhash_calib gap. */
+  private val naiveLanes = 8
+  private val calibratedLanes = 13
+
   def qDedupSketchonly(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSketchOnlyDups(docs(s, dir), minLanes = 8)
+    Dedup.minhashSketchOnlyDups(docs(s, dir), minLanes = naiveLanes)
 
   /** End-to-end sketch-only dedup: connected components over the
     * calibrated-cutoff (lanes ≥ 13) pair graph — duplicate clusters with
     * no exact-verify join anywhere in the pipeline. */
   def qDedupSketchonlyClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.sketchOnlyClusters(docs(s, dir), minLanes = 13)
+    Dedup.sketchOnlyClusters(docs(s, dir), minLanes = calibratedLanes)
 
   /** The sketch-only path graded against the exact df-capped ground
     * truth at TWO operating points — the naive cutoff that mirrors the
@@ -913,11 +921,11 @@ object ExtQueries {
       .localCheckpoint(true)
     val truth = Dedup.ngramJaccardFromPostings(sh, threshold = 0.5)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    pairSetEval(truth, agree.filter(col("lanes_eq") >= 8))
-      .withColumn("strategy", lit("lanes_ge_8"))
+    pairSetEval(truth, agree.filter(col("lanes_eq") >= naiveLanes))
+      .withColumn("strategy", lit(s"lanes_ge_$naiveLanes"))
       .unionByName(
-        pairSetEval(truth, agree.filter(col("lanes_eq") >= 13))
-          .withColumn("strategy", lit("lanes_ge_13")))
+        pairSetEval(truth, agree.filter(col("lanes_eq") >= calibratedLanes))
+          .withColumn("strategy", lit(s"lanes_ge_$calibratedLanes")))
   }
 
   /** Template-hub centrality: PageRank (3 exact integer iterations) over
@@ -1954,7 +1962,7 @@ object ExtQueries {
   /** Sketch-only pairs oracle: signature/band/candidate CTEs + lane
     * agreement ≥ 8, no exact-verify join — mirrors
     * Dedup.minhashSketchOnlyDups(minLanes=8). */
-  private val dedupSketchonlySql: String = dedupSketchonlySqlAt(8)
+  private lazy val dedupSketchonlySql: String = dedupSketchonlySqlAt(naiveLanes)
 
   private def dedupSketchonlySqlAt(cut: Int): String = {
     val mins = (0 until numHashes)
@@ -2672,7 +2680,7 @@ object ExtQueries {
   /** Sketch-only clusters oracle: same recursive transitive closure as
     * dedupClustersSql, over the lanes ≥ 13 pair graph. */
   private lazy val dedupSketchonlyClustersSql: String =
-    s"""WITH RECURSIVE p AS (${dedupSketchonlySqlAt(13)}),
+    s"""WITH RECURSIVE p AS (${dedupSketchonlySqlAt(calibratedLanes)}),
        |edges AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b, id_a FROM p),
        |reach(a, b) AS (
@@ -3575,9 +3583,9 @@ object ExtQueries {
          |   WHERE e.lanes_eq >= $cut)""".stripMargin
     s"""WITH est AS ($dedupSketchonlySql),
        |t AS (SELECT id_a, id_b FROM ($dedupNgramJaccardSql))
-       |${arm("lanes_ge_8", 8)}
+       |${arm(s"lanes_ge_$naiveLanes", naiveLanes)}
        |UNION ALL
-       |${arm("lanes_ge_13", 13)}""".stripMargin
+       |${arm(s"lanes_ge_$calibratedLanes", calibratedLanes)}""".stripMargin
   }
 
   /** PageRank oracle: the identical integer iterations unrolled as CTEs
