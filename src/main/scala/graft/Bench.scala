@@ -107,13 +107,20 @@ object Bench {
     * 87-query run. The explicit GC lets the cleaner reap everything the
     * dropped plans still pin. */
   private def runOne(spark: SparkSession, name: String, sfDir: String,
-                     explain: Boolean): Double = {
+                     explain: Boolean,
+                     setupFailed: scala.collection.mutable.Set[String] = null)
+      : Double = {
     // untimed setup (VERDICT r12 #3): indexed-search queries build their
     // persisted index here so the timed sample below is search-only on
     // cold and warm scratch alike
     try SparkEntry.benchSetup.get(name).foreach(f => f(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] $name setup failed: ${e.getMessage}")
+      // surface in the artifact (ADVICE r13): a failed setup means the
+      // timed sample below lazily folds the index build back in — a gate
+      // breach on this query must be attributable to that, not read as a
+      // plan regression
+      if (setupFailed != null) setupFailed += name
     }
     val t0 = System.nanoTime()
     try {
@@ -143,14 +150,23 @@ object Bench {
   private def longLine(results: Seq[(String, Double)], sfDir: String,
       rerun: Map[String, Double] = Map.empty,
       probe: Double = -1.0, env: String = "unknown",
-      diag: String = "{}"): String = {
+      diag: String = "{}", nPairs: Map[String, Long] = Map.empty,
+      setupFailed: Seq[String] = Nil): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = rerun.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val np = nPairs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val pb = SparkEntry.pairBounded.toSeq.sortBy(_._1)
+      .filter { case (q, c) => results.exists(_._1 == q) && nPairs.contains(c) }
+      .map { case (q, c) => "\"" + q + "\":\"" + c + "\"" }
+      .mkString("{", ",", "}")
+    val sfj = setupFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"probe":$probe,"env":"$env","diag":$diag,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"n_pairs":$np,"pair_bounded":$pb,"setup_failed":$sfj,"probe":$probe,"env":"$env","diag":$diag,"sf":"$sfDir"}"""
   }
 
   /** Feed a bench line to tools/benchgate.py; returns (verdict, names that
@@ -215,13 +231,26 @@ object Bench {
       case None => "unknown"
       case Some(e) => if (p > math.max(2.0 * e, e + 0.5)) "contended" else "ok"
     }
+    val setupFailed = scala.collection.mutable.Set.empty[String]
     var results = names.zipWithIndex.map { case (name, i) =>
       if (i > 0 && restartEvery > 0 && i % restartEvery == 0) {
         restart()
         probeMax = math.max(probeMax, calibrationProbe(spark))
       }
-      name -> runOne(spark, name, sfDir, explain)
+      name -> runOne(spark, name, sfDir, explain, setupFailed)
     }
+    // untimed draw-volume counters (VERDICT r13 #1b): one value per
+    // counter referenced by a pair-bounded query in this run; the gate
+    // scales those queries' limits by pair-count ratio vs the baseline
+    val nPairs: Map[String, Long] = SparkEntry.pairBounded
+      .filter { case (q, _) => names.contains(q) }.values.toSet.toSeq.sorted
+      .flatMap { c =>
+        try Some(c -> SparkEntry.pairCounters(c)(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] counter $c failed: ${e.getMessage}")
+          None
+        }
+      }.toMap
     // mechanical per-query regression gate (VERDICT r6 #1) with a built-in
     // second sample (VERDICT r7 #1): a full 164-query run is exposed to
     // machine contention — its official r7/r8 outings flagged 4 and 11
@@ -234,18 +263,22 @@ object Bench {
     // sample, and let the final verdict reflect reproducible regressions
     // only. A query that is genuinely slower fails twice and still fails
     // the gate; a contention artifact does not.
-    var (gate, breached) = runGate(longLine(results, sfDir))
+    var (gate, breached) =
+      runGate(longLine(results, sfDir, nPairs = nPairs,
+        setupFailed = setupFailed.toSeq))
     var second = Map.empty[String, Double]
     if (gate == "fail" && breached.nonEmpty && !noRerun) {
       println(s"[benchgate] re-running ${breached.size} breaching " +
         "queries on a fresh session for a second sample")
       restart()
       probeMax = math.max(probeMax, calibrationProbe(spark))
-      second = breached.map(n => n -> runOne(spark, n, sfDir, explain)).toMap
+      second = breached.map(n =>
+        n -> runOne(spark, n, sfDir, explain, setupFailed)).toMap
       results = results.map { case (n, t) =>
         n -> math.min(t, second.getOrElse(n, t))
       }
-      val g2 = runGate(longLine(results, sfDir, second))
+      val g2 = runGate(longLine(results, sfDir, second, nPairs = nPairs,
+        setupFailed = setupFailed.toSeq))
       gate = g2._1
       breached = g2._2
     }
@@ -274,18 +307,29 @@ object Bench {
           val drawShift = ratio <= 15.0
           println(f"[benchgate] $n: sf0.1 $tBig%.2fs / sf0.01 $tSmall%.2fs" +
             f" = $ratio%.1fx -> ${if (drawShift) "draw_shift" else "scale-shaped regression"}")
+          // Locale.ROOT: the f-interpolator is default-locale-sensitive
+          // and a comma-decimal locale would corrupt the artifact line
           "\"" + n + "\":{\"sf001\":" + tSmall + ",\"ratio\":" +
-            (if (ratio.isNaN) "null" else f"$ratio%.2f") +
+            (if (ratio.isNaN) "null"
+             else String.format(java.util.Locale.ROOT, "%.2f",
+               Double.box(ratio))) +
             ",\"draw_shift\":" + drawShift + "}"
         }.mkString("{", ",", "}")
       }
     }
     val env = envOf(probeMax)
-    if (gate == "fail" && env == "contended")
+    if (gate == "fail" && env == "contended") {
       println(s"[benchgate] NOTE probe ${f"$probeMax%.2f"}s exceeds the " +
         "committed envelope: this window is CONTENDED — treat the FAIL " +
         "as machine noise unless it reproduces on an ok-probe run")
-    val fullLine = longLine(results, sfDir, second, probeMax, env, diag)
+      // self-adjudicating verdict (VERDICT r13 #7): when every breach
+      // coincides with a probe outside the committed envelope, the
+      // artifact stamps the distinction itself instead of leaving a
+      // bare "fail" for a human to reconcile against the probe numbers
+      gate = "fail-contended"
+    }
+    val fullLine = longLine(results, sfDir, second, probeMax, env, diag,
+      nPairs, setupFailed.toSeq)
     println(fullLine)
     // the driver's BENCH_r*.json keeps only a truncated tail of the long
     // line (~60 of 227 queries survive), so ALSO persist the complete

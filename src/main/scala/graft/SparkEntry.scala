@@ -36,6 +36,16 @@ object SparkEntry {
   def benchSetup: Map[String, (SparkSession, String) => Unit] =
     graft.queries.ExtQueries.benchSetup
 
+  /** Pair-bounded queries (query → counter name) and the counters that
+    * measure the current draw's candidate-pair volume. Bench records
+    * the counter values untimed; the gate normalizes the mapped
+    * queries' limits by pair-count ratio (VERDICT r13 #1b). */
+  def pairBounded: Map[String, String] =
+    graft.queries.ExtQueries.pairBounded
+
+  def pairCounters: Map[String, (SparkSession, String) => Long] =
+    graft.queries.ExtQueries.pairCounters
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

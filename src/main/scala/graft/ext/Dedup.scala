@@ -197,6 +197,39 @@ object Dedup {
           col("n_pairs")).cast("long").as("mean_j4"))
   }
 
+  /** Derive the calibrated sketch-only lane cutoff from the data
+    * (VERDICT r13 #2 — the operating point was a hardcoded readout of
+    * one draw's calibration table): run [[minhashEstCalibration]] over a
+    * deterministic hash-bucket SAMPLE of the corpus, collect the
+    * lanes-sized table (≤ numHashes+1 rows — a bounded collect), and
+    * return the smallest lane level whose suffix (this level and every
+    * stricter one) keeps mean exact Jaccard on/above `minMeanJ4`
+    * (default 5000 = the 0.5 dedup threshold). Corpora with no
+    * qualifying level fall back to `numHashes` (only exact-signature
+    * agreement trusted).
+    *
+    * Sampling is what keeps the sketch-only lane's 100 TB story intact:
+    * the calibration's exact-verify join runs over the sample's
+    * candidates only (both endpoints must fall in the sample, so a 1/m
+    * doc sample keeps ~1/m² of the pairs); production would size m so
+    * the sample is a few million docs. The derivation is deterministic
+    * (hash-bucketed sample, integer lattice), so the DuckDB oracle
+    * re-derives the identical cutoff in SQL. */
+  def calibratedLaneCutoff(docs: DataFrame, sampleMod: Int = 2,
+      minMeanJ4: Long = 5000L, idCol: String = "doc_id"): Int = {
+    val sample = docs.filter(pmod(hexInt(
+      concat(lit("calib:"), col(idCol).cast("string"))), lit(sampleMod)) === 0)
+    val rows = minhashEstCalibration(sample)
+      .select(col("lanes_eq"), col("mean_j4")).collect()
+    var sfxMin = Long.MaxValue
+    var cut = numHashes
+    rows.sortBy(-_.getLong(0)).foreach { r =>
+      sfxMin = math.min(sfxMin, r.getLong(1))
+      if (sfxMin >= minMeanJ4) cut = r.getLong(0).toInt
+    }
+    cut
+  }
+
   /** (id_a, id_b, lanes_eq): minhash lane agreement per candidate pair —
     * two broadcast-size joins against the signature table, no re-scan of
     * the corpus. */

@@ -140,8 +140,18 @@ object Eval {
     // minhashNearDups would re-run its whole LSH pipeline per branch
     // (pair lists are near-dup-sized, bounded ≪ corpus)
     val pairs = pairsIn.localCheckpoint(true)
+    // only pair-member docs contribute to any output row, so the gram
+    // index never needs the rest of the corpus: a semi-join against the
+    // (≤ 2·pairs)-row id list prunes the explode+aggregate to the docs
+    // under grading — O(pairs · grams-per-doc) end to end instead of a
+    // corpus-wide gram aggregate feeding a pair-bounded join (r13 gate:
+    // the corpus term dominated q_eval_ngram_overlap's 8 s)
+    val pairDocs = docs.join(
+      pairs.select(col("id_a").as(idCol))
+        .unionByName(pairs.select(col("id_b").as(idCol))).distinct(),
+      Seq(idCol), "left_semi")
     val ws = Hashing.words(col(textCol))
-    def gramIndex(n: Int): DataFrame = docs
+    def gramIndex(n: Int): DataFrame = pairDocs
       .select(col(idCol).as("id"),
         explode(Hashing.ngrams(ws, n)).as("gram"))
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
@@ -280,7 +290,13 @@ object Eval {
   def rougeL(pairsIn: DataFrame, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pairs = pairsIn.localCheckpoint(true)
-    val sents = docs.select(col(idCol).as("id"),
+    // pair-member docs only, as in [[ngramPrecision]]: the sentence
+    // split+hash pass is pruned by a semi-join before it runs
+    val pairDocs = docs.join(
+      pairs.select(col("id_a").as(idCol))
+        .unionByName(pairs.select(col("id_b").as(idCol))).distinct(),
+      Seq(idCol), "left_semi")
+    val sents = pairDocs.select(col(idCol).as("id"),
         transform(TextAnalysis.sentences(col(textCol)),
           s => Hashing.hexInt(s)).as("sh"))
       .localCheckpoint(true) // one sentence+hash pass feeds both sides

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 
 import graft.store.TableStore
 
@@ -34,7 +34,7 @@ object PqIndex {
     store.overwriteClustered(s"${name}_codes",
       KMeans.pqAssignments(emb, cents, subspaces, subDim, idCol, embCol),
       Seq("id"))
-    markComplete(store, emb, name)
+    markComplete(store, emb, name, idCol, embCol)
   }
 
   /** Build the plain PQ index at most once per (process, store) —
@@ -49,7 +49,7 @@ object PqIndex {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
     lock.synchronized {
-      if (!isComplete(store, name))
+      if (!isCurrent(store, emb, name, idCol, embCol))
         build(store, emb, name, subspaces, subDim, k, iters, idCol, embCol)
     }
   }
@@ -59,7 +59,7 @@ object PqIndex {
       name: String = "ivfpq"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
     lock.synchronized {
-      if (!isComplete(store, name)) buildIvf(store, emb, name)
+      if (!isCurrent(store, emb, name)) buildIvf(store, emb, name)
     }
   }
 
@@ -132,7 +132,7 @@ object PqIndex {
       name: String = "ivfpqr"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
     lock.synchronized {
-      if (!isComplete(store, name)) buildIvfResidual(store, emb, name)
+      if (!isCurrent(store, emb, name)) buildIvfResidual(store, emb, name)
     }
   }
 
@@ -147,10 +147,43 @@ object PqIndex {
     lock.synchronized { buildIvfResidual(store, emb, name) }
   }
 
+  /** Corpus fingerprint recorded in the completion marker (ADVICE r13):
+    * row count plus an order-independent content hash (bit_xor of a
+    * per-row xxhash64 over id + embedding — commutative, so partition
+    * layout doesn't matter). One embeddings scan per check — trivia
+    * next to the build it guards, and what makes a marker say "an index
+    * OF THIS DATA finished" rather than "some build once finished here":
+    * scratch paths are keyed on (PID, data-dir hash), the driver
+    * regenerates the data in place each round, and scratch outlives it. */
+  private def fingerprint(emb: DataFrame, idCol: String,
+      embCol: String): (Long, Long) = {
+    val r = emb.agg(count(lit(1)).as("n"),
+      expr(s"coalesce(bit_xor(xxhash64(`$idCol`, `$embCol`)), 0L)").as("fp"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Does a completed marker exist AND fingerprint-match `emb`? A stale
+    * marker (regenerated data, legacy schema, PID reuse) reads as
+    * not-current and forces a rebuild. */
+  def isCurrent(store: TableStore, emb: DataFrame, name: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Boolean =
+    isComplete(store, name) && {
+      val m = store.read(s"${name}_complete")
+      m.columns.sorted.sameElements(Array("fp", "n")) && {
+        m.select(col("n"), col("fp")).collect().headOption.exists(r =>
+          !r.isNullAt(0) && !r.isNullAt(1) &&
+            (r.getLong(0), r.getLong(1)) == fingerprint(emb, idCol, embCol))
+      }
+    }
+
   private def markComplete(store: TableStore, emb: DataFrame,
-      name: String): Unit =
+      name: String, idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val (n, fp) = fingerprint(emb, idCol, embCol)
     store.overwrite(s"${name}_complete",
-      emb.sparkSession.range(1).toDF("ok"))
+      emb.sparkSession.range(1).select(lit(n).as("n"), lit(fp).as("fp")))
+  }
 
   def buildIvf(store: TableStore, emb: DataFrame, name: String = "ivfpq",
       coarseK: Int = 8, subspaces: Int = 8, subDim: Int = 8, pqK: Int = 16,
@@ -165,7 +198,7 @@ object PqIndex {
     // to ~128 MB/file; 0 lets range partitioning/AQE decide)
     store.overwriteClustered(s"${name}_codes", codes, Seq("cell", "id"),
       codesFiles)
-    markComplete(store, emb, name)
+    markComplete(store, emb, name, idCol, embCol)
   }
 
   /** Search the persisted IVF-PQ index. Hash-identical to a fresh
@@ -202,7 +235,7 @@ object PqIndex {
     store.overwrite(s"${name}_codebook", pqCents)
     store.overwriteClustered(s"${name}_codes", codes, Seq("cell", "id"),
       codesFiles)
-    markComplete(store, emb, name)
+    markComplete(store, emb, name, idCol, embCol)
   }
 
   /** Search the persisted residual index — the per-cell residual dtab

@@ -890,22 +890,37 @@ object ExtQueries {
   /** Sketch-only near-dup pairs at lane agreement ≥ 8/16 (estimated
     * Jaccard ≥ 0.5) — no exact-verify join; the fast path the
     * calibration table prices. */
-  /** Sketch-only operating points shared by the Spark queries AND
-    * interpolated into their oracles, so engine and SQL cutoffs cannot
-    * desync (the prIters pattern): the NAIVE cutoff mirrors the 0.5
-    * threshold (8/16), the CALIBRATED one is read off the
-    * q_dedup_minhash_calib gap. */
+  /** Sketch-only operating points. The NAIVE cutoff is a DEFINITION —
+    * 8/16 lanes mirrors the 0.5 dedup threshold — and is shared as a
+    * constant between the Spark queries and their oracles (the prIters
+    * pattern). The CALIBRATED cutoff is a MEASUREMENT and is therefore
+    * DERIVED at run time (VERDICT r13 #2 — r13 hardcoded 13, a readout
+    * of one draw's q_dedup_minhash_calib table, which a materially
+    * different corpus would silently invalidate): both engines run the
+    * identical sampled-calibration chain and read off the same suffix
+    * rule, so the operating point tracks the data and can never desync
+    * between query and oracle. Clamped to ≥ naiveLanes: calibration can
+    * only tell the sketch-only lane to be STRICTER than the threshold
+    * it screens for, never looser. */
   private val naiveLanes = 8
-  private val calibratedLanes = 13
+  private val calibSampleMod = 2
+  private val calibMinMeanJ4 = 5000L
+
+  private def calibratedLanesOf(s: SparkSession, dir: String): Int =
+    math.max(naiveLanes,
+      Dedup.calibratedLaneCutoff(docs(s, dir), calibSampleMod,
+        calibMinMeanJ4))
 
   def qDedupSketchonly(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSketchOnlyDups(docs(s, dir), minLanes = naiveLanes)
 
   /** End-to-end sketch-only dedup: connected components over the
-    * calibrated-cutoff (lanes ≥ 13) pair graph — duplicate clusters with
-    * no exact-verify join anywhere in the pipeline. */
+    * calibrated-cutoff pair graph — duplicate clusters whose only
+    * corpus-scale verify join is the sampled calibration pass that
+    * derives the cutoff. */
   def qDedupSketchonlyClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.sketchOnlyClusters(docs(s, dir), minLanes = calibratedLanes)
+    Dedup.sketchOnlyClusters(docs(s, dir),
+      minLanes = calibratedLanesOf(s, dir))
 
   /** The sketch-only path graded against the exact df-capped ground
     * truth at TWO operating points — the naive cutoff that mirrors the
@@ -916,6 +931,7 @@ object ExtQueries {
     * once; the cutoffs are filters over the same pair list). */
   def qDedupSketchonlyEval(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    val calibrated = calibratedLanesOf(s, dir)
     val sh = Dedup.shingles(d, 3).localCheckpoint(true)
     val agree = Dedup.minhashSketchOnlyFromPostings(sh, minLanes = 0)
       .localCheckpoint(true)
@@ -924,8 +940,8 @@ object ExtQueries {
     pairSetEval(truth, agree.filter(col("lanes_eq") >= naiveLanes))
       .withColumn("strategy", lit(s"lanes_ge_$naiveLanes"))
       .unionByName(
-        pairSetEval(truth, agree.filter(col("lanes_eq") >= calibratedLanes))
-          .withColumn("strategy", lit(s"lanes_ge_$calibratedLanes")))
+        pairSetEval(truth, agree.filter(col("lanes_eq") >= calibrated))
+          .withColumn("strategy", lit(s"lanes_ge_$calibrated")))
   }
 
   /** Template-hub centrality: PageRank (3 exact integer iterations) over
@@ -1041,21 +1057,32 @@ object ExtQueries {
         col("source")),
       Seq("lang", "len_bucket"), "source", l = 3)
 
+  /** Deterministic candidate cap for the pair-graded eval queries
+    * (VERDICT r13 #1): the driver re-rolls the corpus every round, and a
+    * dup-heavy draw multiplies the near-dup pair count — twice running,
+    * a pair-proportional eval query rode the bench gate edge on nothing
+    * but draw luck. Capping at the first N pairs in (id_a, id_b) order
+    * (a total order on the pair key, so both engines pick the same set)
+    * bounds grading cost regardless of draw density; the oracle carries
+    * the same ORDER BY/LIMIT. N is far above the synthetic draws'
+    * typical pair counts (~10³ at sf0.1), so the cap only bites
+    * pathological draws — exactly the case the gate must survive. */
+  private val evalPairCap = 2000
+
+  private def cappedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b")).limit(evalPairCap)
+
   /** BLEU-style clipped n-gram precision grading the MinHash near-dup
     * candidates — overlap as an interpretable per-pair score. */
   def qEvalNgramOverlap(s: SparkSession, dir: String): DataFrame =
-    Eval.ngramPrecision(
-      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
-        .select(col("id_a"), col("id_b")),
-      docs(s, dir))
+    Eval.ngramPrecision(cappedNearDupPairs(s, dir), docs(s, dir))
 
   /** Sentence-level ROUGE-L over the same candidate pairs — the
     * order-aware complement to q_eval_ngram_overlap. */
   def qEvalRougeL(s: SparkSession, dir: String): DataFrame =
-    Eval.rougeL(
-      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5)
-        .select(col("id_a"), col("id_b")),
-      docs(s, dir))
+    Eval.rougeL(cappedNearDupPairs(s, dir), docs(s, dir))
 
   /** Fleiss' kappa over three deterministic annotators: gold lang,
     * full-text langId, and the first-200-chars langId (the
@@ -1699,6 +1726,27 @@ object ExtQueries {
     "q_sim_ivfpq_res_indexed" -> ((s, dir) =>
       graft.ext.PqIndex.ensureIvfResidual(resIndexStore(s, dir), emb(s, dir))))
 
+  /** Draw-sensitivity instrumentation (VERDICT r13 #1b): queries whose
+    * cost is proportional to the draw's near-dup pair count, keyed to
+    * the counter that measures it. graft.Bench records the counter
+    * (untimed) in the artifact; tools/benchgate.py scales these queries'
+    * per-query limits by the pair-count ratio vs the baseline's, so a
+    * dup-heavy re-roll reads as "more work", not "regression". */
+  val pairBounded: Map[String, String] = Map(
+    "q_eval_ngram_overlap" -> "minhash_pairs_05",
+    "q_eval_rouge_l" -> "minhash_pairs_05",
+    "q_dedup_minhash" -> "minhash_pairs_05",
+    "q_dedup_minhash_eval" -> "minhash_pairs_05",
+    "q_dedup_fingerprint_eval" -> "minhash_pairs_05",
+    "q_dedup_simhash_eval" -> "minhash_pairs_05",
+    "q_graph_pagerank" -> "minhash_pairs_05")
+
+  /** The counters [[pairBounded]] refers to — each one bench-run scan,
+    * far cheaper than the queries it adjudicates. */
+  def pairCounters: Map[String, (SparkSession, String) => Long] = Map(
+    "minhash_pairs_05" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5).count()))
+
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -1881,10 +1929,12 @@ object ExtQueries {
       | ELSE [] END""".stripMargin
 
   /** Shared CTE prefix: words → distinct shingles → 32-bit shingle hash. */
-  private val shingleCtes =
-    s"""ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w FROM documents),
+  private def shingleCtesFrom(src: String) =
+    s"""ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w FROM $src),
        |sh AS (SELECT id, unnest(list_distinct($shinglesSql)) AS shingle FROM ws),
        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
+
+  private val shingleCtes = shingleCtesFrom("documents")
 
   private val dedupExactSql =
     """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
@@ -1929,7 +1979,7 @@ object ExtQueries {
     * (lane counts, floor-divided means) — and every aggregate output is
     * CAST to BIGINT so DuckDB's HUGEINT never crosses the pandas
     * compare (the r12 q_sample_weighted lesson). */
-  private val dedupMinhashCalibSql: String = {
+  private def dedupMinhashCalibSqlFrom(src: String): String = {
     val mins = (0 until numHashes)
       .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
@@ -1939,7 +1989,7 @@ object ExtQueries {
     val laneSum = (0 until numHashes)
       .map(i => s"CASE WHEN la.mh$i = lb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtesFrom(src)},
        |h AS (SELECT id, ${hexIntSql("shingle")} AS h FROM sh),
        |sig AS (SELECT id, $mins FROM h GROUP BY id),
        |bands AS ($bandSelects),
@@ -1959,12 +2009,33 @@ object ExtQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  private val dedupMinhashCalibSql: String =
+    dedupMinhashCalibSqlFrom("documents")
+
+  /** CTE fragment re-deriving the CALIBRATED lane cutoff in SQL — the
+    * oracle twin of Dedup.calibratedLaneCutoff + the naiveLanes clamp
+    * (spliced after WITH; yields CTEs `cd` (hash-bucket doc sample),
+    * `calib` (sampled calibration table) and `cut` (the 1-row cutoff)).
+    * Suffix rule: smallest lane level whose running min of mean_j4 from
+    * the strict end stays ≥ calibMinMeanJ4; empty/never-qualifying →
+    * numHashes. */
+  private lazy val calibCutCtes: String =
+    s"""cd AS (SELECT * FROM documents
+       |  WHERE ${hexIntSql("('calib:' || CAST(doc_id AS VARCHAR))")} % $calibSampleMod = 0),
+       |calib AS MATERIALIZED (${dedupMinhashCalibSqlFrom("cd")}),
+       |cut AS (SELECT CAST(greatest(coalesce(min(lanes_eq), $numHashes),
+       |    $naiveLanes) AS BIGINT) AS c
+       |  FROM (SELECT lanes_eq,
+       |      min(mean_j4) OVER (ORDER BY lanes_eq DESC) AS sfx FROM calib)
+       |  WHERE sfx >= $calibMinMeanJ4)""".stripMargin
+
   /** Sketch-only pairs oracle: signature/band/candidate CTEs + lane
     * agreement ≥ 8, no exact-verify join — mirrors
     * Dedup.minhashSketchOnlyDups(minLanes=8). */
-  private lazy val dedupSketchonlySql: String = dedupSketchonlySqlAt(naiveLanes)
+  private lazy val dedupSketchonlySql: String =
+    dedupSketchonlySqlAt(naiveLanes.toString)
 
-  private def dedupSketchonlySqlAt(cut: Int): String = {
+  private def dedupSketchonlySqlAt(cut: String): String = {
     val mins = (0 until numHashes)
       .map(i => s"min(${minhashSql("h", i)}) AS mh$i").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
@@ -2678,9 +2749,11 @@ object ExtQueries {
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
   /** Sketch-only clusters oracle: same recursive transitive closure as
-    * dedupClustersSql, over the lanes ≥ 13 pair graph. */
+    * dedupClustersSql, over the pair graph at the SQL-re-derived
+    * calibrated cutoff (calibCutCtes — no literal operating point). */
   private lazy val dedupSketchonlyClustersSql: String =
-    s"""WITH RECURSIVE p AS (${dedupSketchonlySqlAt(calibratedLanes)}),
+    s"""WITH RECURSIVE $calibCutCtes,
+       |p AS (${dedupSketchonlySqlAt("(SELECT c FROM cut)")}),
        |edges AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b, id_a FROM p),
        |reach(a, b) AS (
@@ -3570,10 +3643,14 @@ object ExtQueries {
   private val dedupFingerprintEvalSql =
     pairEvalSqlOf(dedupNgramJaccardSql, dedupFingerprintSql)
   /** Two operating points over ONE est CTE: the naive lanes ≥ 8 cutoff
-    * and the calibrated lanes ≥ 13 one. */
+    * (a shared constant — it IS the 0.5 threshold) and the calibrated
+    * one, re-derived in SQL by calibCutCtes so query and oracle read
+    * the same data-driven operating point. est is filtered at
+    * naiveLanes, which is safe for both arms: the calibrated cutoff is
+    * clamped to ≥ naiveLanes on both sides. */
   private val dedupSketchonlyEvalSql: String = {
-    def arm(label: String, cut: Int): String =
-      s"""SELECT '$label' AS strategy, n_true, n_pred, tp,
+    def arm(labelSql: String, cut: String): String =
+      s"""SELECT $labelSql AS strategy, n_true, n_pred, tp,
          |  ${frac4Sql("tp", "n_pred")} AS precision,
          |  ${frac4Sql("tp", "n_true")} AS recall,
          |  ${frac4Sql("2 * tp", "n_true + n_pred")} AS f1
@@ -3581,11 +3658,13 @@ object ExtQueries {
          |  (SELECT count(*) AS n_pred FROM est WHERE lanes_eq >= $cut),
          |  (SELECT count(*) AS tp FROM est e JOIN t USING (id_a, id_b)
          |   WHERE e.lanes_eq >= $cut)""".stripMargin
-    s"""WITH est AS ($dedupSketchonlySql),
+    s"""WITH $calibCutCtes,
+       |est AS ($dedupSketchonlySql),
        |t AS (SELECT id_a, id_b FROM ($dedupNgramJaccardSql))
-       |${arm(s"lanes_ge_$naiveLanes", naiveLanes)}
+       |${arm(s"'lanes_ge_$naiveLanes'", naiveLanes.toString)}
        |UNION ALL
-       |${arm(s"lanes_ge_$calibratedLanes", calibratedLanes)}""".stripMargin
+       |${arm("'lanes_ge_' || CAST((SELECT c FROM cut) AS VARCHAR)",
+              "(SELECT c FROM cut)")}""".stripMargin
   }
 
   /** PageRank oracle: the identical integer iterations unrolled as CTEs
@@ -4090,7 +4169,8 @@ object ExtQueries {
 
   private val evalNgramOverlapSql =
     s"""WITH mh AS MATERIALIZED ($dedupMinhashSql),
-       |p AS (SELECT id_a, id_b FROM mh),
+       |p AS (SELECT id_a, id_b FROM mh
+       |  ORDER BY id_a, id_b LIMIT $evalPairCap),
        |$ngramPrecisionCtes
        |SELECT id_a, id_b, clip1, tot1, p1_ppm, clip2, tot2, p2_ppm
        |FROM pp""".stripMargin
@@ -4584,7 +4664,8 @@ object ExtQueries {
     * ppm ratios via integer `//` floors, F1 from the ppm ints. */
   private val evalRougeLSql =
     s"""WITH mh AS MATERIALIZED ($dedupMinhashSql),
-       |p AS (SELECT id_a, id_b FROM mh),
+       |p AS (SELECT id_a, id_b FROM mh
+       |  ORDER BY id_a, id_b LIMIT $evalPairCap),
        |$sentencesCte,
        |sh AS MATERIALIZED (SELECT doc_id AS id,
        |  list_transform(ss, s -> ${Hashing.hexIntSql("s")}) AS sh FROM ssx),

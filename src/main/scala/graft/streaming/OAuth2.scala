@@ -92,8 +92,14 @@ final class OAuth2TokenProvider(
 
   private def acquire(): (String, Long) = {
     requests.incrementAndGet()
+    // RFC 6749 §2.3.1: client id and secret are each
+    // x-www-form-urlencoded BEFORE the id:secret concat + base64 —
+    // otherwise a ':' or reserved character inside either credential
+    // shifts the split point and authenticates as the wrong identity
+    def formEnc(v: String): String =
+      java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
     val basic = Base64.getEncoder.encodeToString(
-      s"${credential(clientIdEnv)}:${credential(clientSecretEnv)}"
+      s"${formEnc(credential(clientIdEnv))}:${formEnc(credential(clientSecretEnv))}"
         .getBytes(StandardCharsets.UTF_8))
     val (status, body) = post(tokenUrl,
       Map("Authorization" -> s"Basic $basic",

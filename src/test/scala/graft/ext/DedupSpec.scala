@@ -118,6 +118,36 @@ class DedupSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L))
   }
 
+  test("calibrated lane cutoff: suffix rule over the lattice table, numHashes fallback (VERDICT r13 #2)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> distinct, 4L -> base)
+    val cut = Dedup.calibratedLaneCutoff(d, sampleMod = 1)
+    // independent re-application of the documented rule on the same
+    // lattice table: smallest lane level whose suffix keeps the running
+    // min of mean_j4 at/above 5000
+    val rows = Dedup.minhashEstCalibration(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(-_._1)
+    var sfx = Long.MaxValue
+    var expect = 16
+    rows.foreach { case (l, m) =>
+      sfx = math.min(sfx, m)
+      if (sfx >= 5000L) expect = l.toInt
+    }
+    assert(cut === expect)
+    // the tripwire contract (VERDICT r13 #2): at and above the derived
+    // cutoff, mean exact Jaccard never drops below the 0.5 threshold —
+    // the property whose silent violation the hardcoded 13 risked
+    assert(rows.filter(_._1 >= cut).forall(_._2 >= 5000L),
+      s"cutoff $cut admits a level with mean exact J < 0.5: ${rows.toSeq}")
+    // the near-dup corpus has real signal: some level qualifies
+    assert(rows.nonEmpty && cut <= 16)
+    // no banded candidates at all -> fall back to exact-signature-only
+    val lonely = docs(1L -> base, 2L -> distinct)
+    assert(Dedup.calibratedLaneCutoff(lonely, sampleMod = 1) === 16)
+  }
+
   test("simhash: identical docs at hamming 0; fingerprint is stable") {
     val t = "alpha beta gamma delta epsilon zeta"
     val d = docs(1L -> t, 2L -> t)

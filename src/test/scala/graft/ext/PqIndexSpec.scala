@@ -130,4 +130,34 @@ class PqIndexSpec extends SparkSpec {
     assert(PqIndex.isComplete(store, "ivfpqr"))
     e.unpersist()
   }
+
+  test("a fingerprint-mismatched marker reads stale and ensure rebuilds (ADVICE r13)") {
+    // the r13 finding: scratch dirs are keyed on (PID, data-dir hash),
+    // outlive the driver's in-place data regeneration, and PID reuse can
+    // resurrect them — an existence-only marker then serves an index of
+    // the OLD embeddings. The marker now records (row count, content
+    // hash) and a mismatch forces a rebuild.
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val store = tmpStore()
+    PqIndex.buildIvfResidual(store, e)
+    assert(PqIndex.isComplete(store, "ivfpqr"))
+    assert(PqIndex.isCurrent(store, e, "ivfpqr"))
+    // "regenerated" corpus: one row dropped — same path, different data
+    val shifted = e.filter(col("vec_id") =!= 0).cache()
+    assert(!PqIndex.isCurrent(store, shifted, "ivfpqr"),
+      "marker must not claim completeness for different embeddings")
+    // a legacy existence-only marker (pre-fingerprint schema) is stale too
+    store.overwrite("ivfpqr_complete", spark.range(1).toDF("ok"))
+    assert(!PqIndex.isCurrent(store, e, "ivfpqr"))
+    // ensure on the shifted corpus rebuilds and the index serves it
+    PqIndex.ensureIvfResidual(store, shifted)
+    assert(PqIndex.isCurrent(store, shifted, "ivfpqr"))
+    val q = shifted.filter(col("vec_id") < 8)
+    val got = PqIndex.searchIvfResidual(store, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = KMeans.ivfPqResidualTopK(shifted, q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    shifted.unpersist(); e.unpersist()
+  }
 }

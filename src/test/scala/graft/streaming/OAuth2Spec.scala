@@ -60,6 +60,19 @@ class OAuth2Spec extends AnyFunSuite {
     assert(srv.lastBody == "grant_type=client_credentials")
   }
 
+  test("form-urlencodes credentials with reserved characters (RFC 6749 §2.3.1)") {
+    val srv = new FakeAuthServer()
+    new OAuth2TokenProvider("https://auth.example/token", "CID", "CSEC",
+      post = srv.post,
+      env = Map("CID" -> "id:with colon", "CSEC" -> "s&cret+/=").get,
+      nowMs = () => 0L).token()
+    // each credential is x-www-form-urlencoded BEFORE the ':' concat, so
+    // the split point is unambiguous even with a ':' inside the id
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      "id%3Awith+colon:s%26cret%2B%2F%3D".getBytes("UTF-8"))
+    assert(srv.lastBasic == s"Basic $expected")
+  }
+
   test("refreshes after expiry minus the skew margin") {
     val srv = new FakeAuthServer(expiresIn = Some(60L))
     var clock = 0L

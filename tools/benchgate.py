@@ -71,13 +71,33 @@ def gate() -> int:
         print("benchgate: no bench JSON line with a queries map found")
         return 2
 
+    # pair-count normalization (VERDICT r13 #1b): for queries declared
+    # pair-bounded, scale the baseline by the draw's candidate-pair ratio
+    # vs the baseline draw's — a dup-heavy re-roll is "more work", not a
+    # regression. Ratio is clamped to >= 1 so a light draw still gets the
+    # full 2x contract, and the scaled term never hides a genuine plan
+    # regression on an equal-volume draw.
+    pair_bounded = {**base_doc.get("pair_bounded", {}),
+                    **cur_doc.get("pair_bounded", {})}
+    np_base = base_doc.get("n_pairs", {})
+    np_cur = cur_doc.get("n_pairs", {})
+
+    def pair_scale(name: str) -> float:
+        c = pair_bounded.get(name)
+        if c is None or c not in np_base or c not in np_cur:
+            return 1.0
+        if np_base[c] <= 0 or np_cur[c] <= 0:
+            return 1.0
+        return max(1.0, np_cur[c] / np_base[c])
+
     failed, new, gone = [], [], []
     for name, sec in sorted(cur.items()):
         base = baseline.get(name)
         if base is None:
             new.append(name)
             continue
-        limit = max(2.0 * base, base + 1.0, base + MAD_K * mad.get(name, 0.0))
+        eff = base * pair_scale(name)
+        limit = max(2.0 * eff, eff + 1.0, eff + MAD_K * mad.get(name, 0.0))
         if sec > limit:
             failed.append((name, base, sec, limit))
     for name in sorted(baseline):

@@ -27,27 +27,38 @@ def one_run(i: int) -> tuple:
     t0 = time.time()
     p = subprocess.run([os.path.join(ROOT, "tools/run.sh"), "graft.Bench"],
                        env=env, capture_output=True, text=True, cwd=ROOT)
-    qs, probe = None, None
+    qs, probe, n_pairs, pair_bounded = None, None, {}, {}
     for line in p.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
             doc = json.loads(line)
             qs = doc["queries"]
             probe = doc.get("probe")
+            n_pairs = doc.get("n_pairs", {})
+            pair_bounded = doc.get("pair_bounded", {})
     if qs is None:
         sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-2000:] + "\n")
         raise SystemExit(f"run {i}: no bench line found")
     print(f"run {i}: {sum(qs.values()):.1f} s over {len(qs)} queries "
           f"(probe {probe}, {time.time() - t0:.0f} s wall)")
-    return qs, probe
+    return qs, probe, n_pairs, pair_bounded
 
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     note_extra = " ".join(sys.argv[2:])
     pairs = [one_run(i + 1) for i in range(runs)]
-    samples = [qs for qs, _ in pairs]
-    probes = [p for _, p in pairs if p is not None and p > 0]
+    samples = [qs for qs, _, _, _ in pairs]
+    probes = [p for _, p, _, _ in pairs if p is not None and p > 0]
+    # pair-count counters (VERDICT r13 #1b): the baseline draw's
+    # candidate-pair volume, per counter — benchgate scales pair-bounded
+    # queries' limits by (current / baseline) counter ratio
+    counter_names = sorted(set().union(*[set(np) for _, _, np, _ in pairs]))
+    n_pairs = {c: int(statistics.median(
+        [np[c] for _, _, np, _ in pairs if c in np])) for c in counter_names}
+    pair_bounded = {}
+    for _, _, _, pb in pairs:
+        pair_bounded.update(pb)
     names = sorted(set().union(*[set(s) for s in samples]))
     queries, mad = {}, {}
     for n in names:
@@ -60,6 +71,9 @@ def main() -> None:
             f"(SPARK_GRAFT_NO_RERUN=1, local[32]) over {len(names)} queries; "
             f"refresh with tools/record_baseline.py. {note_extra}").strip()
     doc = {"sf": sf, "note": note, "queries": queries, "mad": mad}
+    if n_pairs:
+        doc["n_pairs"] = n_pairs
+        doc["pair_bounded"] = pair_bounded
     if probes:
         # calibration-probe envelope: a future Bench run whose probe
         # exceeds max(2x, +0.5s) of this stamps itself "env":"contended"
