@@ -250,6 +250,59 @@ object Decontamination {
           .as("is_contaminated"))
   }
 
+  /** ANN-routed face of [[semanticOverlap]] for eval sets past
+    * broadcast size (VERDICT r13 #3 — semanticOverlap's own docstring
+    * caveat, now an operator): the TRAIN corpus is indexed ONCE
+    * (persisted cell-clustered IVF-PQ via [[PqIndex]] — the corpus-scale
+    * job, amortized), the eval vectors run as QUERIES against it
+    * (cell-probed ADC: ~|eval|·nProbe/coarseK code lookups, never
+    * eval × corpus), and the surviving candidates — ≤ |eval|·topK rows,
+    * bounded — are re-scored with the EXACT rounded cosine and reduced
+    * per train item under the same (max cos, smallest eval id) rule.
+    *
+    * Output schema and flag semantics identical to [[semanticOverlap]].
+    * Because the threshold decision re-runs on exact cosines, the
+    * indexed flag set is a SUBSET of the exact one (precision 1 by
+    * construction); what the routing can lose is RECALL — a
+    * contaminated train item can sit outside an eval query's probed
+    * cells or below its topK. That loss is measured, not assumed:
+    * `q_decontam_semantic_indexed_eval` grades this path against the
+    * broadcast-exact one (the q_sim_recall_eval discipline). */
+  def semanticOverlapIndexed(store: graft.store.TableStore, emb: DataFrame,
+      evalEmb: DataFrame, threshold: Double = 0.4, topK: Int = 32,
+      nProbe: Int = 3, name: String = "ivfpq",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import Similarity.{cosine, dot, norm, toDouble}
+    PqIndex.ensureIvf(store, emb, name)
+    val cands = PqIndex.searchIvf(store, evalEmb, topK, name, nProbe,
+        idCol = idCol, embCol = embCol)
+      .select(col("query_id").as("eval_id"), col("neighbor_id"))
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        toDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val q = evalEmb.select(col(idCol).as("eval_id"),
+        toDouble(col(embCol)).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val scored = cands
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("eval_id"))
+      .select(col("neighbor_id").as(idCol),
+        cosine(dot(col("c_emb"), col("q_emb")),
+          col("c_norm"), col("q_norm")).as("cos"),
+        col("eval_id"))
+    val best = scored.groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg"))).as("best"))
+    // left join onto the full train id list: never-retrieved items
+    // report clean with null best/cos — the semanticOverlap contract
+    emb.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        (-col("best.neg")).as("best_eval_id"),
+        col("best.cos").as("max_cos"),
+        when(col("best.cos") >= threshold, 1L).otherwise(0L)
+          .as("is_contaminated"))
+  }
+
   /** Literal-baked twin of [[semanticOverlap]] — the STREAMING face: the
     * eval matrix collects to the driver ONCE (metadata-sized by the same
     * contract that lets the batch side broadcast it) and bakes into the

@@ -290,6 +290,45 @@ object ExtQueries {
       threshold = 0.4)
   }
 
+  private def dcIndexStore(s: SparkSession, dir: String) =
+    new graft.store.TableStore(s, CoreQueries.scratch(dir, "decontam_index"))
+
+  /** Semantic decontamination routed through the persisted IVF-PQ index
+    * (VERDICT r13 #3): same output contract as q_decontaminate_semantic,
+    * but the eval side runs as index queries instead of broadcasting —
+    * the shape that survives an eval set past broadcast size. */
+  def qDecontamSemanticIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Decontamination.semanticOverlapIndexed(dcIndexStore(s, dir),
+      e.filter(col("vec_id") % 97 =!= 0), e.filter(col("vec_id") % 97 === 0))
+  }
+
+  /** The indexed decontamination path graded against the broadcast-exact
+    * one on the flagged-item set — recall is the routing's price
+    * (precision is 1 by construction: the indexed path re-scores exact
+    * cosines over a candidate subset). */
+  def qDecontamSemanticIndexedEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+    val evalE = e.filter(col("vec_id") % 97 === 0)
+    val t = Decontamination.semanticOverlap(train, evalE)
+      .filter(col("is_contaminated") === 1L).select(col("vec_id"))
+      .localCheckpoint(true)
+    val p = Decontamination.semanticOverlapIndexed(dcIndexStore(s, dir),
+        train, evalE)
+      .filter(col("is_contaminated") === 1L).select(col("vec_id"))
+      .localCheckpoint(true)
+    val nT = t.agg(count(lit(1)).as("n_true"))
+    val nP = p.agg(count(lit(1)).as("n_pred"))
+    val tp = p.join(t, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    nT.crossJoin(nP).crossJoin(tp).select(
+      col("n_true"), col("n_pred"), col("tp"),
+      frac4Col(col("tp"), col("n_pred")).as("precision"),
+      frac4Col(col("tp"), col("n_true")).as("recall"),
+      frac4Col(col("tp") * 2L, col("n_true") + col("n_pred")).as("f1"))
+  }
+
   /** Gopher-style repetition battery over word bigrams. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), n = 2)
@@ -1724,7 +1763,13 @@ object ExtQueries {
     "q_sim_ivfpq_indexed" -> ((s, dir) =>
       graft.ext.PqIndex.ensureIvf(ivfIndexStore(s, dir), emb(s, dir))),
     "q_sim_ivfpq_res_indexed" -> ((s, dir) =>
-      graft.ext.PqIndex.ensureIvfResidual(resIndexStore(s, dir), emb(s, dir))))
+      graft.ext.PqIndex.ensureIvfResidual(resIndexStore(s, dir), emb(s, dir))),
+    "q_decontam_semantic_indexed" -> ((s, dir) =>
+      graft.ext.PqIndex.ensureIvf(dcIndexStore(s, dir),
+        emb(s, dir).filter(col("vec_id") % 97 =!= 0))),
+    "q_decontam_semantic_indexed_eval" -> ((s, dir) =>
+      graft.ext.PqIndex.ensureIvf(dcIndexStore(s, dir),
+        emb(s, dir).filter(col("vec_id") % 97 =!= 0))))
 
   /** Draw-sensitivity instrumentation (VERDICT r13 #1b): queries whose
     * cost is proportional to the draw's near-dup pair count, keyed to
@@ -1773,6 +1818,8 @@ object ExtQueries {
     "q_decontam_profile" -> (qDecontamProfile _),
     "q_decontam_incr" -> (qDecontamIncr _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
+    "q_decontam_semantic_indexed" -> (qDecontamSemanticIndexed _),
+    "q_decontam_semantic_indexed_eval" -> (qDecontamSemanticIndexedEval _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_gopher" -> (qTextGopher _),
     "q_text_hashvec" -> (qTextHashvec _),
@@ -2803,6 +2850,98 @@ object ExtQueries {
        |  CAST(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END AS BIGINT)
        |    AS is_contaminated
        |FROM r WHERE rn = 1""".stripMargin
+
+  /** Indexed semantic-decontamination oracle: the full IVF-PQ chain
+    * trained on the TRAIN split (coarse g-prefixed kmeans + PQ codebook
+    * — the same parameterized CTE builders as q_sim_ivfpq's oracle),
+    * the EVAL split probed and ADC-ranked as queries, candidates
+    * re-scored with the exact rounded cosine, per-train-item argmax,
+    * and a left join back onto the train ids (never-retrieved → clean,
+    * null best/cos). */
+  private lazy val decontamSemanticIndexedSql: String = {
+    // nProbe/topK match semanticOverlapIndexed's defaults: the ADC
+    // funnel ranks by quantized L2 while the flag is exact cosine, so
+    // the candidate list needs headroom (the 2/8 point measured recall
+    // 0.25 on the sf0.01 draw; 3/32 prices at 0.75 — see
+    // q_decontam_semantic_indexed_eval for the current draw's number)
+    val (nProbe, topK, d) = (3, 32, 8)
+    def dd(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+         |    i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])
+         |       * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)""".stripMargin
+    val trainEf =
+      s"""SELECT vec_id AS id,
+         |  list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qf
+         |  FROM embeddings WHERE vec_id % 97 <> 0""".stripMargin
+    s"""WITH ${kmeansCtes(8, 2, " WHERE vec_id % 97 <> 0", "g")},
+       |${kmeansAssignSql("gf", "gc2", "ge")},
+       |${pqChainCtes(8, d, 16, 2, trainEf)},
+       |qv AS (SELECT vec_id AS query_id,
+       |  list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qf
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |pr AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |  FROM (SELECT qv.query_id, c.cent_id AS cell,
+       |    ${dd("qv.qf", "c.cq")} AS d2
+       |    FROM qv CROSS JOIN gc2 c)) WHERE rn <= $nProbe),
+       |cl AS (SELECT id AS neighbor_id, cent_id AS cell FROM gf),
+       |qe2 AS (SELECT query_id, sub, qf[(sub*$d+1):(sub*$d+$d)] AS qq
+       |  FROM qv CROSS JOIN sb),
+       |dt AS (SELECT qe2.query_id, qe2.sub, c.cent_id,
+       |  ${dd("qe2.qq", "c.cq")} AS dq
+       |  FROM qe2 JOIN p2 c USING (sub)),
+       |sc AS (SELECT dt.query_id, pf.id AS neighbor_id,
+       |    CAST(sum(dt.dq) AS BIGINT) AS adc
+       |  FROM pf JOIN cl ON pf.id = cl.neighbor_id
+       |  JOIN pr ON pr.cell = cl.cell
+       |  JOIN dt ON pf.sub = dt.sub AND pf.cent_id = dt.cent_id
+       |    AND dt.query_id = pr.query_id
+       |  WHERE pf.id <> dt.query_id GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS "rank" FROM sc),
+       |cand AS (SELECT query_id AS eval_id, neighbor_id FROM rk
+       |  WHERE "rank" <= $topK),
+       |cn AS (SELECT vec_id, ce,
+       |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnorm
+       |  FROM (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |    FROM embeddings WHERE vec_id % 97 <> 0)),
+       |qn AS (SELECT eval_id, qe,
+       |    sqrt(list_sum(list_transform(qe, x -> x * x))) AS qnorm
+       |  FROM (SELECT vec_id AS eval_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |    FROM embeddings WHERE vec_id % 97 = 0)),
+       |scored AS (SELECT cn.vec_id, qn.eval_id,
+       |    round($dotSql / (cnorm * qnorm), 6) AS cos
+       |  FROM cand JOIN cn ON cn.vec_id = cand.neighbor_id
+       |  JOIN qn ON qn.eval_id = cand.eval_id),
+       |r AS (SELECT vec_id, eval_id, cos, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM scored),
+       |b AS (SELECT vec_id, eval_id, cos FROM r WHERE rn = 1)
+       |SELECT t.vec_id, b.eval_id AS best_eval_id, b.cos AS max_cos,
+       |  CAST(CASE WHEN b.cos >= 0.4 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_contaminated
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 97 <> 0) t
+       |LEFT JOIN b USING (vec_id)""".stripMargin
+  }
+
+  /** Indexed-vs-exact decontamination grade: flagged-set counts from
+    * both chains, precision/recall/F1 on the frac4 lattice. */
+  private lazy val decontamSemanticIndexedEvalSql: String =
+    s"""WITH x AS MATERIALIZED ($decontamSemanticIndexedSql),
+       |e AS MATERIALIZED ($decontaminateSemanticSql)
+       |SELECT n_true, n_pred, tp,
+       |  ${frac4Sql("tp", "n_pred")} AS precision,
+       |  ${frac4Sql("tp", "n_true")} AS recall,
+       |  ${frac4Sql("2 * tp", "n_true + n_pred")} AS f1
+       |FROM (SELECT count(*) AS n_true FROM e WHERE is_contaminated = 1),
+       |  (SELECT count(*) AS n_pred FROM x WHERE is_contaminated = 1),
+       |  (SELECT count(*) AS tp FROM x JOIN e USING (vec_id)
+       |   WHERE x.is_contaminated = 1 AND e.is_contaminated = 1)""".stripMargin
 
   private val simTopKSql =
     s"""WITH $simCtes,
@@ -5537,6 +5676,8 @@ object ExtQueries {
     // the incremental path must reproduce the one-shot recompute exactly
     "q_decontam_incr" -> decontaminateSql,
     "q_decontaminate_semantic" -> decontaminateSemanticSql,
+    "q_decontam_semantic_indexed" -> decontamSemanticIndexedSql,
+    "q_decontam_semantic_indexed_eval" -> decontamSemanticIndexedEvalSql,
     "q_dedup_fuzzy" -> dedupFuzzySql,
     "q_text_repetition" -> textRepetitionSql,
     "q_sample_mix" -> sampleMixSql,

@@ -127,6 +127,36 @@ class DecontaminationSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("indexed semantic gate: flags are a subset of exact, all train ids present, exact cosines") {
+    val e = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val train = e.filter($"vec_id" % 97 =!= 0)
+    val evalE = e.filter($"vec_id" % 97 === 0)
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-dcx").toString)
+    val exact = Decontamination.semanticOverlap(train, evalE, 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getLong(3))).toMap
+    val idx = Decontamination.semanticOverlapIndexed(store, train, evalE)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getLong(3))).toMap
+    // every train id reports exactly once on both faces
+    assert(idx.keySet === exact.keySet)
+    // the indexed flag set is a SUBSET of the exact one (the routing
+    // re-scores exact cosines over a candidate subset — it can miss,
+    // never over-flag), and a retrieved max_cos never exceeds the exact
+    // max (it is the same rounded cosine over fewer eval candidates)
+    idx.foreach { case (id, (cos, flag)) =>
+      if (flag == 1L) assert(exact(id)._2 === 1L,
+        s"indexed flagged $id which exact did not")
+      if (!cos.isNaN && !exact(id)._1.isNaN)
+        assert(cos <= exact(id)._1 + 1e-9,
+          s"indexed max_cos for $id exceeds the exact max")
+    }
+    assert(exact.values.count(_._2 == 1L) >= 1, "fixture has contamination")
+  }
+
   test("incremental decontamination: increments compose to the full recompute") {
     val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val eval = d.filter($"doc_id" % 97 === 0)
