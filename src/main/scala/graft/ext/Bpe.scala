@@ -85,7 +85,10 @@ object Bpe {
     }
   }
 
-  private def pieces(text: Column): Column =
+  /** Shared pre-tokenizer (letter runs / single digits / single punct
+    * over lowercased text) — [[Unigram]] reuses it so the two learned
+    * tokenizers segment the same word stream. */
+  private[ext] def pieces(text: Column): Column =
     regexp_extract_all(lower(text), lit(TextAnalysis.bpeTokenRegex), lit(0))
 
   /** Subword tokens of `text` as an array<string>. */
@@ -318,7 +321,7 @@ object Bpe {
     }
   }
 
-  private def piecesSql(textExpr: String): String =
+  private[ext] def piecesSql(textExpr: String): String =
     s"regexp_extract_all(lower($textExpr), '[a-z]+|[0-9]|[^a-z0-9\\s]')"
 
   /** list<varchar> of subword tokens. */

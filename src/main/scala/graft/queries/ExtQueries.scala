@@ -329,6 +329,54 @@ object ExtQueries {
       frac4Col(col("tp") * 2L, col("n_true") + col("n_pred")).as("f1"))
   }
 
+  /** Unigram-LM (SentencePiece-family) tokenization under the COMMITTED
+    * vocabulary — the Viterbi complement to q_text_bpe (VERDICT r13 #4). */
+  def qTextUnigram(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Unigram.tokenize(docs(s, dir), graft.ext.Unigram.pieces)
+
+  /** The learned unigram vocabulary (EM + prune on the whole-bit
+    * surprisal lattice): (piece, cost, uses) — the q_bpe_train face. */
+  def qUnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.ext.Unigram.train(docs(s, dir))
+    import s.implicits._
+    m.toDF("piece", "cost", "uses")
+  }
+
+  /** End-to-end learned unigram tokenizer: EM-train on the corpus, then
+    * tokenize the same corpus under the learned vocabulary. */
+  def qTextUnigramTrained(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val learned = graft.ext.Unigram.train(d).map(x => (x._1, x._2))
+    graft.ext.Unigram.tokenize(d, learned)
+  }
+
+  /** Token-parity readout: trained BPE (12 merges) vs trained unigram
+    * (12 multi-char pieces — the SAME vocabulary budget) per source
+    * stratum; chars-per-token on the frac4 lattice is the compression
+    * number a pipeline owner compares tokenizers by. */
+  def qTextTokenizerParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Bpe, Unigram}
+    val d = docs(s, dir)
+    val bm = Bpe.train(d, numMerges = 12).map { case (l, r, _) => (l, r) }
+    val b = d.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("nc"),
+      size(Bpe.tokensWith(col("text"), bm)).cast("long").as("bt"))
+    val uv = Unigram.train(d).map(x => (x._1, x._2))
+    val u = Unigram.tokenize(d, uv)
+      .select(col("doc_id"), col("n_tokens").as("ut"))
+    b.join(u, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("nc")).as("n_chars"),
+        sum(col("bt")).as("n_tokens_bpe"),
+        sum(col("ut")).as("n_tokens_unigram"))
+      .select(col("source"), col("n_chars"),
+        col("n_tokens_bpe"), col("n_tokens_unigram"),
+        frac4Col(col("n_chars"), col("n_tokens_bpe"))
+          .as("bpe_chars_per_token"),
+        frac4Col(col("n_chars"), col("n_tokens_unigram"))
+          .as("unigram_chars_per_token"))
+  }
+
   /** Gopher-style repetition battery over word bigrams. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), n = 2)
@@ -1810,6 +1858,10 @@ object ExtQueries {
     "q_text_bpe" -> (qTextBpe _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_bpe_trained" -> (qTextBpeTrained _),
+    "q_text_unigram" -> (qTextUnigram _),
+    "q_unigram_train" -> (qUnigramTrain _),
+    "q_text_unigram_trained" -> (qTextUnigramTrained _),
+    "q_text_tokenizer_parity" -> (qTextTokenizerParity _),
     "q_text_chunks_bpe" -> (qTextChunksBpe _),
     "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
@@ -2747,6 +2799,32 @@ object ExtQueries {
   private val textBpeTrainedSql =
     graft.ext.Bpe.tokenizeTrainedSqlOf("documents", "doc_id", "text",
       numMerges = 12)
+
+  private lazy val textUnigramSql =
+    graft.ext.Unigram.tokenizeSqlOf("documents", "doc_id", "text")
+
+  private lazy val unigramTrainSql =
+    graft.ext.Unigram.trainSqlOf("documents", "text")
+
+  private lazy val textUnigramTrainedSql =
+    graft.ext.Unigram.tokenizeTrainedSqlOf("documents", "doc_id", "text")
+
+  /** Parity oracle: both trained tokenizers re-derived in one statement
+    * (their oracles compose as scoped sub-WITHs), aggregated per source. */
+  private lazy val tokenizerParitySql =
+    s"""WITH b AS MATERIALIZED ($textBpeTrainedSql),
+       |u AS MATERIALIZED ($textUnigramTrainedSql),
+       |j AS (SELECT d.source, CAST(length(d.text) AS BIGINT) AS nc,
+       |    b.n_tokens AS bt, u.n_tokens AS ut
+       |  FROM documents d JOIN b USING (doc_id) JOIN u USING (doc_id)),
+       |a AS (SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+       |    CAST(sum(bt) AS BIGINT) AS n_tokens_bpe,
+       |    CAST(sum(ut) AS BIGINT) AS n_tokens_unigram
+       |  FROM j GROUP BY 1)
+       |SELECT source, n_chars, n_tokens_bpe, n_tokens_unigram,
+       |  ${frac4Sql("n_chars", "n_tokens_bpe")} AS bpe_chars_per_token,
+       |  ${frac4Sql("n_chars", "n_tokens_unigram")} AS unigram_chars_per_token
+       |FROM a""".stripMargin
 
   /** textChunksSql in BPE units: same window arithmetic over the replayed
     * subword list, chunk text re-joined with the empty string. */
@@ -5667,6 +5745,10 @@ object ExtQueries {
     "q_text_bpe" -> textBpeSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_text_bpe_trained" -> textBpeTrainedSql,
+    "q_text_unigram" -> textUnigramSql,
+    "q_unigram_train" -> unigramTrainSql,
+    "q_text_unigram_trained" -> textUnigramTrainedSql,
+    "q_text_tokenizer_parity" -> tokenizerParitySql,
     "q_text_chunks_bpe" -> textChunksBpeSql,
     "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,
