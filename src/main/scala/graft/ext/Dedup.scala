@@ -233,7 +233,7 @@ object Dedup {
   /** (id_a, id_b, lanes_eq): minhash lane agreement per candidate pair —
     * two broadcast-size joins against the signature table, no re-scan of
     * the corpus. */
-  private def laneAgreement(sig: DataFrame, cands: DataFrame): DataFrame = {
+  private[ext] def laneAgreement(sig: DataFrame, cands: DataFrame): DataFrame = {
     val aCols = col("id").as("id_a") +:
       (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))
     val bCols = col("id").as("id_b") +:
@@ -292,6 +292,18 @@ object Dedup {
     val sig = minhashSignatures(sh).localCheckpoint(true)
     val cands = lshCandidates(lshBands(sig))
     val agree = laneAgreement(sig, cands).localCheckpoint(true)
+    containmentFromAgreement(agree, sizes, threshold)
+  }
+
+  /** The size-corrected containment estimate over an already-computed
+    * lane-agreement pair list — shared by the batch path above and the
+    * streaming standing-index sink ([[graft.streaming.EventStreams
+    * .containmentIndexSink]], VERDICT r13 #5), so both faces score the
+    * identical rational on the identical lattice. `agree` carries
+    * (id_a, id_b, lanes_eq); `sizes` carries (id, sz) distinct-shingle
+    * counts. Both directions of every pair are scored. */
+  private[graft] def containmentFromAgreement(agree: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
     val both = agree
       .select(col("id_a").as("id"), col("id_b").as("container_id"),
         col("lanes_eq"))

@@ -37,6 +37,7 @@ object IncrementalDedup {
 
   private def bandsName(name: String) = s"${name}_bands"
   private def sigsName(name: String) = s"${name}_sigs"
+  private def sizesName(name: String) = s"${name}_sizes"
 
   private val sigsSchema = StructType(
     StructField("id", LongType) +:
@@ -45,6 +46,11 @@ object IncrementalDedup {
     StructField("id", LongType),
     StructField("band", IntegerType, nullable = false),
     StructField("bh", StringType)))
+  // distinct-shingle count per doc — 16 B/doc, the only extra state the
+  // containment face needs (VERDICT r13 #5)
+  private val sizesSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sz", LongType)))
 
   /** Ingest one increment: returns near-dup pairs (new-vs-index and
     * new-vs-new, estimated Jaccard ≥ threshold), then appends the
@@ -59,7 +65,11 @@ object IncrementalDedup {
     // first-write-wins: drop increment rows whose id is already indexed
     val fresh = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(oldSigs.select(col("id")), Seq("id"), "left_anti")
-    val sh = Dedup.shingles(fresh, 3, "id", "text")
+    // checkpointed: feeds the signatures AND the sizes column the
+    // containment face reads — one shingle pass either way
+    val sh = Dedup.shingles(fresh, 3, "id", "text").localCheckpoint(true)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
     val sigs = Dedup.minhashSignatures(sh).localCheckpoint(true)
     val newBands = Dedup.lshBands(sigs).localCheckpoint(true)
 
@@ -96,6 +106,60 @@ object IncrementalDedup {
 
     store.append(bandsName(name), newBands)
     store.append(sigsName(name), sigs)
+    store.append(sizesName(name), sizes)
+    pairs
+  }
+
+  /** Ingest one increment and return CONTAINMENT-estimate pairs — the
+    * streaming/incremental face of [[Dedup.containmentEstFromPostings]]
+    * (VERDICT r13 #5): the same standing (bands, signatures, sizes)
+    * index, the same LSH candidates (new-vs-index + new-vs-new), scored
+    * with the size-corrected lane estimator instead of symmetric
+    * Jaccard — excerpt/quote detection at O(increment) cost. Both
+    * directions of every candidate are returned ((id, container_id,
+    * containment_est), the [[Dedup.containmentPairs]] orientation).
+    * First-write-wins idempotence and the index-never-shuffles
+    * discipline are inherited verbatim from [[indexIncrement]]; docs
+    * indexed before the sizes column existed simply drop out of
+    * containment scoring (inner join on sizes) rather than erroring. */
+  def containmentEstIncrement(newDocs: DataFrame, store: TableStore,
+      name: String, threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val oldBands = store.readOrEmpty(bandsName(name), bandsSchema)
+    val oldSigs = store.readOrEmpty(sigsName(name), sigsSchema)
+    val oldSizes = store.readOrEmpty(sizesName(name), sizesSchema)
+
+    val fresh = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(oldSigs.select(col("id")), Seq("id"), "left_anti")
+    val sh = Dedup.shingles(fresh, 3, "id", "text").localCheckpoint(true)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val sigs = Dedup.minhashSignatures(sh).localCheckpoint(true)
+    val newBands = Dedup.lshBands(sigs).localCheckpoint(true)
+
+    val vsOld = oldBands.as("l").join(broadcast(newBands.as("r")),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val vsNew = Dedup.lshCandidates(newBands)
+    val cands = vsOld.unionByName(vsNew).distinct()
+      .localCheckpoint(true)
+
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val sigsNeeded = oldSigs.unionByName(sigs)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val sizesNeeded = oldSizes.unionByName(sizes)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+    val agree = Dedup.laneAgreement(sigsNeeded, cands)
+    val pairs = Dedup
+      .containmentFromAgreement(agree, sizesNeeded, threshold)
+      .localCheckpoint(true) // pin results BEFORE the index mutates below
+
+    store.append(bandsName(name), newBands)
+    store.append(sigsName(name), sigs)
+    store.append(sizesName(name), sizes)
     pairs
   }
 

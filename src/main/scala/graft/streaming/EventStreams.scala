@@ -476,6 +476,36 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming excerpt/quote detection (VERDICT r13 #5): each
+    * micro-batch runs through the SAME standing MinHash-LSH index as
+    * [[minhashIndexSink]] — extended by one 16 B/doc sizes column — and
+    * appends size-corrected CONTAINMENT-estimate pairs
+    * ([[graft.ext.IncrementalDedup.containmentEstIncrement]]): both
+    * directions of every LSH candidate whose estimated containment
+    * clears the threshold, at O(batch) increment cost. Doc-keyed
+    * first-write-wins idempotence and the sibling-sink pairing contract
+    * are inherited verbatim from [[minhashIndexSink]]; the two sinks can
+    * share one index `name` (the state tables are identical plus
+    * sizes). Finite-input results equal the batch twin
+    * [[graft.ext.Dedup.containmentEstPairs]] — asserted in
+    * StreamingSpec. */
+  def containmentIndexSink(docs: DataFrame, store: graft.store.TableStore,
+      name: String, pairsName: String, checkpointDir: String,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = graft.ext.IncrementalDedup
+          .containmentEstIncrement(batch, store, name, threshold)
+        if (!pairs.isEmpty)
+          store.append(pairsName, pairs.withColumn("__batch", lit(batchId)))
+        ()
+      }
+      .start()
+
   /** Streaming centroid assignment: embeddings arriving on a stream are
     * scored against a TRAINED centroid table ([[graft.ext.KMeans]] `fit`
     * output) — the online half of the fit-batch/score-stream pattern

@@ -263,6 +263,45 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.sorted === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming containment sink equals the batch estimator; re-delivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 25).map(i => s"w$i").mkString(" ") // prefix quote
+    val distinct = (100 to 130).map(i => s"v$i").mkString(" ")
+    val docs = MemoryStream[(Long, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("ct-sink-store").toString)
+    val ckpt = Files.createTempDirectory("ct-sink-ckpt").toString
+    val q = EventStreams.containmentIndexSink(
+      docs.toDF().toDF("doc_id", "text"), store, "ctidx", "cpairs", ckpt,
+      threshold = 0.8, trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData((1L, base), (3L, distinct))
+      q.processAllAvailable()
+      // the excerpt arrives a batch later and must pair against the
+      // INDEXED base; doc 1 is re-delivered (first-write-wins: no-op)
+      docs.addData((2L, excerpt), (1L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = store.read("cpairs")
+      .select(col("id"), col("container_id"), col("containment_est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // finite-input equivalence with the batch twin on the same corpus
+    val batch = graft.ext.Dedup.containmentEstPairs(
+        Seq((1L, base), (2L, excerpt), (3L, distinct)).toDF("doc_id", "text"),
+        threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === batch)
+    // the quote direction is flagged: excerpt ⊂ base
+    assert(got.exists { case (id, cid, _) => id == 2L && cid == 1L },
+      s"excerpt→container pair missing: $got")
+    // doc-keyed idempotence: index carries each doc once, sizes too
+    assert(store.read("ctidx_sigs").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(store.read("ctidx_sizes").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("streaming novelty gate drops known digests, agrees with the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     val docs = MemoryStream[(Long, String)]
