@@ -80,7 +80,13 @@ object ScaleCheck {
     // r12 batch 15: snapshot write+read and the two-exceptAll CDC diff
     "q_store_timetravel", "q_store_cdc",
     // r12 batch 16: pair-bounded leakage matrix over the LSH generator
-    "q_dedup_source_matrix")
+    "q_dedup_source_matrix",
+    // r14 new operators: ANN-routed semantic decontamination (+grade),
+    // the unigram-LM tokenizer family (distinct-word Viterbi DP,
+    // driver-side EM train), and the BPE-vs-unigram parity readout
+    "q_decontam_semantic_indexed", "q_decontam_semantic_indexed_eval",
+    "q_text_unigram", "q_unigram_train", "q_text_unigram_trained",
+    "q_text_tokenizer_parity")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -44,9 +44,39 @@ def one_run(i: int) -> tuple:
     return qs, probe, n_pairs, pair_bounded
 
 
+def parse_cross(argv):
+    """Pop --cross <bench-local.json> [--cross-exclude q1,q2,...] flags.
+
+    Cross-draw variance folding (VERDICT r13 #6): the driver regenerates
+    the sf0.1 testdata every round, so a prior round's committed quiet
+    BENCH_LOCAL.json is a per-query sample on an INDEPENDENT draw. For
+    every query present in both (and not excluded because its
+    implementation changed between the rounds — the prior time would
+    price code, not draw), the |median_now − prior| spread folds into
+    the MAD column as spread/6, so benchgate's base + 6·MAD limit
+    tolerates at least one observed cross-draw swing.
+    """
+    cross, excl = {}, set()
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--cross" and i + 1 < len(argv):
+            doc = json.load(open(argv[i + 1]))
+            cross = doc.get("queries", {})
+            i += 2
+        elif argv[i] == "--cross-exclude" and i + 1 < len(argv):
+            excl = set(argv[i + 1].split(","))
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    return cross, excl, rest
+
+
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    note_extra = " ".join(sys.argv[2:])
+    cross, cross_excl, argv = parse_cross(sys.argv[1:])
+    runs = int(argv[0]) if argv else 3
+    note_extra = " ".join(argv[1:])
     pairs = [one_run(i + 1) for i in range(runs)]
     samples = [qs for qs, _, _, _ in pairs]
     probes = [p for _, p, _, _ in pairs if p is not None and p > 0]
@@ -61,15 +91,29 @@ def main() -> None:
         pair_bounded.update(pb)
     names = sorted(set().union(*[set(s) for s in samples]))
     queries, mad = {}, {}
+    n_folded = 0
     for n in names:
         xs = sorted(s[n] for s in samples if n in s)
         med = statistics.median(xs)
         queries[n] = round(med, 3)
-        mad[n] = round(statistics.median([abs(x - med) for x in xs]), 3)
+        m = statistics.median([abs(x - med) for x in xs])
+        # cross-draw spread fold (see parse_cross): 6·MAD must cover at
+        # least one observed independent-draw swing
+        if n in cross and n not in cross_excl:
+            spread = abs(med - cross[n])
+            if spread / 6.0 > m:
+                m = spread / 6.0
+                n_folded += 1
+        mad[n] = round(m, 3)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cross_note = (f" Cross-draw MAD folded from a prior-round quiet run "
+                  f"({len(cross)} queries available, {n_folded} widened, "
+                  f"{len(cross_excl)} excluded as code-changed)."
+                  if cross else "")
     note = (f"per-query median + MAD of {runs} restart-enabled Bench runs "
             f"(SPARK_GRAFT_NO_RERUN=1, local[32]) over {len(names)} queries; "
-            f"refresh with tools/record_baseline.py. {note_extra}").strip()
+            f"refresh with tools/record_baseline.py.{cross_note} "
+            f"{note_extra}").strip()
     doc = {"sf": sf, "note": note, "queries": queries, "mad": mad}
     if n_pairs:
         doc["n_pairs"] = n_pairs
