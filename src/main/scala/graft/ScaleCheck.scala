@@ -86,7 +86,10 @@ object ScaleCheck {
     // driver-side EM train), and the BPE-vs-unigram parity readout
     "q_decontam_semantic_indexed", "q_decontam_semantic_indexed_eval",
     "q_text_unigram", "q_unigram_train", "q_text_unigram_trained",
-    "q_text_tokenizer_parity")
+    "q_text_tokenizer_parity",
+    // r14 batch 2: greedy tokenizer faces + the truncation recall eval
+    "q_text_wordpiece", "q_text_wordpiece_trained",
+    "q_tokenizer_greedy_gap", "q_sim_matryoshka_recall")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

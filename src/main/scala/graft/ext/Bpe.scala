@@ -252,7 +252,7 @@ object Bpe {
     * [[tokenizeTrainedSqlOf]]: v0/s0 (weighted vocab, char state) then
     * per step k the pair count (p k), arg-max (m k) and updated state
     * (s k). */
-  private def trainStepsSql(docsTable: String, textExpr: String,
+  private[ext] def trainStepsSql(docsTable: String, textExpr: String,
       numMerges: Int): String = {
     val se = s"'$S$E'"   // trim set
     val es = s"'$E$S'"   // token separator

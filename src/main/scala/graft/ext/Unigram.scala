@@ -137,10 +137,11 @@ object Unigram {
     * substring that is in the vocabulary, plus the UNK fallback for
     * single chars outside it. The vocabulary is broadcast-joined — at
     * 100 TB a 32k-piece table is KBs. */
-  private def candFrame(words: DataFrame, vocab: DataFrame): DataFrame = {
+  private[ext] def candFrame(words: DataFrame, vocab: DataFrame,
+      maxLen: Int = maxPieceLen): DataFrame = {
     val jl = explode(flatten(transform(
       sequence(lit(1), length(col("w"))),
-      j => transform(sequence(lit(1), least(lit(maxPieceLen), j)),
+      j => transform(sequence(lit(1), least(lit(maxLen), j)),
         l => struct(j.as("j"), l.as("l"))))))
     words.select(col("w"), jl.as("jl"))
       .select(col("w"), col("jl.j").as("j"), col("jl.l").as("l"),
@@ -158,7 +159,18 @@ object Unigram {
     * tok_digest) — the same output contract as the [[Bpe]] faces (null
     * text → null digest; empty text → 0 tokens, md5 of ""). */
   def tokenize(docs: DataFrame, vocab: Seq[(String, Long)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenizeWith(docs, vocab, cf => cf
+      .withColumn("dp", dpCol(col("w"), col("cands")))
+      .select(col("w"), walkCol(col("w"), col("dp")).as("toks")),
+      idCol, textCol)
+
+  /** The shared occurrence/rejoin scaffolding around a pluggable
+    * per-distinct-word segmenter (`segment`: (w, cands) → (w, toks)) —
+    * [[WordPiece]] runs its greedy matcher through the same plan. */
+  private[ext] def tokenizeWith(docs: DataFrame, vocab: Seq[(String, Long)],
+      segment: DataFrame => DataFrame, idCol: String, textCol: String,
+      maxLen: Int = maxPieceLen): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vdf = vocab.toDF("piece", "pcost")
@@ -168,9 +180,7 @@ object Unigram {
       .select(col(idCol), posexplode(Bpe.pieces(col(textCol)))
         .as(Seq("pos", "w")))
       .localCheckpoint(true)
-    val seg = candFrame(occ.select(col("w")).distinct(), vdf)
-      .withColumn("dp", dpCol(col("w"), col("cands")))
-      .select(col("w"), walkCol(col("w"), col("dp")).as("toks"))
+    val seg = segment(candFrame(occ.select(col("w")).distinct(), vdf, maxLen))
     val perDoc = occ.join(seg, Seq("w"))
       .groupBy(col(idCol))
       .agg(flatten(transform(
@@ -202,7 +212,7 @@ object Unigram {
     * both count CODE POINTS, Java's String counts UTF-16 units — the
     * driver DP must speak the engines' unit or a non-BMP character
     * desyncs the three implementations. */
-  private def cps(w: String): Array[String] =
+  private[ext] def cps(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
   /** Driver-side Viterbi — the exact mirror of [[dpCol]]/[[walkCol]]
@@ -362,10 +372,13 @@ object Unigram {
   private def log2Sql(n: String): String =
     s"CAST(len(printf('%b', CAST($n AS BIGINT))) - 1 AS BIGINT)"
 
-  /** Tokenize-chain CTEs reading vocabulary CTE `vocabCte(piece,
-    * pcost)`; emits `${p}doc(id, toks)`. */
-  private def tokenizeCtes(p: String, docsTable: String, idCol: String,
-      textExpr: String, vocabCte: String): String =
+  /** Candidate-chain CTEs reading vocabulary CTE `vocabCte(piece,
+    * pcost)`; emits `${p}occ(id, pos, w)` and `${p}cl(w, cands)` — the
+    * shared front half of every distinct-word segmenter ([[WordPiece]]
+    * reuses it). */
+  private[ext] def candCtes(p: String, docsTable: String, idCol: String,
+      textExpr: String, vocabCte: String,
+      maxLen: Int = maxPieceLen): String =
     s"""${p}ps AS (SELECT $idCol AS id, ${Bpe.piecesSql(textExpr)} AS ps
        |  FROM $docsTable),
        |${p}occ AS (SELECT id, CAST(pos AS BIGINT) AS pos,
@@ -374,7 +387,7 @@ object Unigram {
        |        FROM ${p}ps)),
        |${p}w AS (SELECT DISTINCT w FROM ${p}occ),
        |${p}jl AS (SELECT w, j, l FROM (
-       |  SELECT w, j, unnest(range(1, least($maxPieceLen, j) + 1)) AS l
+       |  SELECT w, j, unnest(range(1, least($maxLen, j) + 1)) AS l
        |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS j FROM ${p}w))),
        |${p}cd AS (SELECT c.w, {'j': c.j, 'l': c.l,
        |    'cost': coalesce(v.pcost, $unkCost)} AS cand
@@ -384,14 +397,24 @@ object Unigram {
        |  LEFT JOIN $vocabCte v USING (piece)
        |  WHERE v.pcost IS NOT NULL OR c.l = 1),
        |${p}cl AS (SELECT w, list(cand ORDER BY cand.j, cand.l) AS cands
-       |  FROM ${p}cd GROUP BY w),
-       |${p}dp AS (SELECT w, ${dpSqlOf("w", "cands")} AS dp FROM ${p}cl),
-       |${p}sg AS (SELECT w, ${walkSqlOf("w", "dp")} AS toks FROM ${p}dp),
-       |${p}doc AS (SELECT o.id, flatten(list(s.toks ORDER BY o.pos)) AS toks
+       |  FROM ${p}cd GROUP BY w)""".stripMargin
+
+  /** Order-preserving per-doc rejoin over `${p}sg(w, toks)`. */
+  private[ext] def docCte(p: String): String =
+    s"""${p}doc AS (SELECT o.id, flatten(list(s.toks ORDER BY o.pos)) AS toks
        |  FROM ${p}occ o JOIN ${p}sg s USING (w) GROUP BY o.id)""".stripMargin
 
+  /** Tokenize-chain CTEs reading vocabulary CTE `vocabCte(piece,
+    * pcost)`; emits `${p}doc(id, toks)`. */
+  private def tokenizeCtes(p: String, docsTable: String, idCol: String,
+      textExpr: String, vocabCte: String): String =
+    s"""${candCtes(p, docsTable, idCol, textExpr, vocabCte)},
+       |${p}dp AS (SELECT w, ${dpSqlOf("w", "cands")} AS dp FROM ${p}cl),
+       |${p}sg AS (SELECT w, ${walkSqlOf("w", "dp")} AS toks FROM ${p}dp),
+       |${docCte(p)}""".stripMargin
+
   /** Final per-doc projection over `${p}doc` (the Bpe output contract). */
-  private def tokenizeSelect(p: String, docsTable: String, idCol: String,
+  private[ext] def tokenizeSelect(p: String, docsTable: String, idCol: String,
       textExpr: String): String =
     s"""SELECT d.$idCol, CAST(coalesce(len(u.toks), 0) AS BIGINT) AS n_tokens,
        |  CASE WHEN $textExpr IS NULL THEN NULL

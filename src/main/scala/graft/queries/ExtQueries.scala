@@ -377,6 +377,66 @@ object ExtQueries {
           .as("unigram_chars_per_token"))
   }
 
+  /** WordPiece greedy longest-match tokenize under the COMMITTED
+    * unigram vocabulary — the trio's third segmentation rule on the
+    * same pieces, so greedy and min-cost are directly comparable. */
+  def qTextWordpiece(s: SparkSession, dir: String): DataFrame =
+    graft.ext.WordPiece.tokenize(docs(s, dir), graft.ext.Unigram.pieces)
+
+  /** WordPiece under the BPE→WordPiece converted vocabulary (every
+    * corpus char + every trained merge output — the HF shipping path). */
+  def qTextWordpieceTrained(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ext.WordPiece.tokenize(d,
+      graft.ext.WordPiece.vocabFromBpe(d, numMerges = 12))
+  }
+
+  /** Greedy-vs-optimal segmentation gap per source: both tokenizers on
+    * the SAME committed vocabulary — token totals and how many docs
+    * segment differently (digest mismatch). The number that says what
+    * WordPiece's O(1)-lookahead rule costs against the Viterbi optimum. */
+  def qTokenizerGreedyGap(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Unigram, WordPiece}
+    val d = docs(s, dir)
+    val u = Unigram.tokenize(d, Unigram.pieces)
+      .select(col("doc_id"), col("n_tokens").as("ut"),
+        col("tok_digest").as("ud"))
+    val w = WordPiece.tokenize(d, Unigram.pieces)
+      .select(col("doc_id"), col("n_tokens").as("wt"),
+        col("tok_digest").as("wd"))
+    d.select(col("doc_id"), col("source"))
+      .join(u, Seq("doc_id")).join(w, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ut")).as("n_tokens_unigram"),
+        sum(col("wt")).as("n_tokens_wordpiece"),
+        sum(when(col("ud") <=> col("wd"), 0L).otherwise(1L))
+          .as("n_docs_differ"))
+  }
+
+  /** Matryoshka truncation recall (Kusupati et al. 2022 evaluation
+    * shape): exact cosine top-5 using only the FIRST 16 of 64 dims,
+    * graded against the full-dim exact top-5 per query — the readout
+    * that says whether prefix-truncated embeddings (4× cheaper to
+    * scan, shuffle and index) retrieve the same neighbors. */
+  def qSimMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val e16 = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val truth = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val pred = Similarity
+      .bruteForceTopK(e16, e16.filter(col("vec_id") < 8), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pred.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k"),
+        frac4Col(coalesce(col("hits"), lit(0L)), col("k")).as("recall"))
+  }
+
   /** Gopher-style repetition battery over word bigrams. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), n = 2)
@@ -1862,6 +1922,10 @@ object ExtQueries {
     "q_unigram_train" -> (qUnigramTrain _),
     "q_text_unigram_trained" -> (qTextUnigramTrained _),
     "q_text_tokenizer_parity" -> (qTextTokenizerParity _),
+    "q_text_wordpiece" -> (qTextWordpiece _),
+    "q_text_wordpiece_trained" -> (qTextWordpieceTrained _),
+    "q_tokenizer_greedy_gap" -> (qTokenizerGreedyGap _),
+    "q_sim_matryoshka_recall" -> (qSimMatryoshkaRecall _),
     "q_text_chunks_bpe" -> (qTextChunksBpe _),
     "q_text_pack_bpe" -> (qTextPackBpe _),
     "q_sample_per_group" -> (qSamplePerGroup _),
@@ -3020,6 +3084,60 @@ object ExtQueries {
        |  (SELECT count(*) AS n_pred FROM x WHERE is_contaminated = 1),
        |  (SELECT count(*) AS tp FROM x JOIN e USING (vec_id)
        |   WHERE x.is_contaminated = 1 AND e.is_contaminated = 1)""".stripMargin
+
+  private lazy val textWordpieceSql =
+    graft.ext.WordPiece.tokenizeSqlOf("documents", "doc_id", "text")
+
+  private lazy val textWordpieceTrainedSql =
+    graft.ext.WordPiece.tokenizeTrainedSqlOf("documents", "doc_id", "text")
+
+  /** Greedy-vs-optimal gap oracle: both tokenize chains (scoped
+    * sub-WITHs) joined per doc, digest mismatch counted per source. */
+  private lazy val tokenizerGreedyGapSql =
+    s"""WITH u AS MATERIALIZED ($textUnigramSql),
+       |w AS MATERIALIZED ($textWordpieceSql),
+       |j AS (SELECT d.source, u.n_tokens AS ut, w.n_tokens AS wt,
+       |    CASE WHEN u.tok_digest IS NOT DISTINCT FROM w.tok_digest
+       |      THEN 0 ELSE 1 END AS df
+       |  FROM documents d JOIN u USING (doc_id) JOIN w USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ut) AS BIGINT) AS n_tokens_unigram,
+       |  CAST(sum(wt) AS BIGINT) AS n_tokens_wordpiece,
+       |  CAST(sum(df) AS BIGINT) AS n_docs_differ
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** Matryoshka recall oracle: the exact top-5 chain twice — full dims
+    * and the [1:16] prefix — then hits per query. */
+  private val simMatryoshkaSql = {
+    def chain(p: String, sliceExpr: String): String =
+      s"""${p}f AS (SELECT vec_id, $sliceExpr AS v FROM
+         |  (SELECT vec_id,
+         |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+         |   FROM embeddings)),
+         |${p}q AS (SELECT vec_id AS query_id, v AS qv,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+         |  FROM ${p}f WHERE vec_id < 8),
+         |${p}c AS (SELECT vec_id AS neighbor_id, v AS cv,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+         |  FROM ${p}f),
+         |${p}s AS (SELECT query_id, neighbor_id,
+         |    round(list_sum(list_transform(range(1, len(cv) + 1),
+         |      i -> cv[i] * qv[i])) / (cn * qn), 6) AS cos
+         |  FROM ${p}c CROSS JOIN ${p}q WHERE neighbor_id <> query_id),
+         |${p}t AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM ${p}s) WHERE rn <= 5)""".stripMargin
+    s"""WITH ${chain("mf", "fv")},
+       |${chain("mt", "fv[1:16]")},
+       |h AS (SELECT t.query_id, count(*) AS hits
+       |  FROM mtt t JOIN mft f USING (query_id, neighbor_id) GROUP BY 1),
+       |kk AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+       |  FROM mft GROUP BY 1)
+       |SELECT kk.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  kk.k, ${frac4Sql("coalesce(h.hits, 0)", "kk.k")} AS recall
+       |FROM kk LEFT JOIN h USING (query_id)""".stripMargin
+  }
 
   private val simTopKSql =
     s"""WITH $simCtes,
@@ -5749,6 +5867,10 @@ object ExtQueries {
     "q_unigram_train" -> unigramTrainSql,
     "q_text_unigram_trained" -> textUnigramTrainedSql,
     "q_text_tokenizer_parity" -> tokenizerParitySql,
+    "q_text_wordpiece" -> textWordpieceSql,
+    "q_text_wordpiece_trained" -> textWordpieceTrainedSql,
+    "q_tokenizer_greedy_gap" -> tokenizerGreedyGapSql,
+    "q_sim_matryoshka_recall" -> simMatryoshkaSql,
     "q_text_chunks_bpe" -> textChunksBpeSql,
     "q_text_pack_bpe" -> textPackBpeSql,
     "q_sample_per_group" -> samplePerGroupSql,

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WordPiece greedy longest-match: hand cases, the greedy-vs-Viterbi
+  * divergence, engine/driver parity, and the BPE→WordPiece vocab
+  * conversion. */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocabSet = Unigram.pieces.map(_._1).toSet
+
+  test("greedy longest match: hand cases and the divergence from min-cost") {
+    assert(WordPiece.segmentGreedy("the", vocabSet) === List("the"))
+    // greedy grabs 'ati' first; Viterbi prefers at|ion (cost 8+11 beats
+    // ati|on 12+8) — same piece count, different boundaries: the exact
+    // shape q_tokenizer_greedy_gap counts via digest mismatch
+    assert(WordPiece.segmentGreedy("ation", vocabSet) === List("ati", "on"))
+    assert(Unigram.segmentWord("ation", Unigram.pieces.toMap) ===
+      List("at", "ion"))
+    // chars outside the vocabulary pass through as single-char pieces
+    assert(WordPiece.segmentGreedy("#", vocabSet) === List("#"))
+    assert(WordPiece.segmentGreedy("", vocabSet) === Nil)
+  }
+
+  test("engine tokenize equals the driver greedy word by word") {
+    val d = Seq((1L, "the quick brown fox"), (2L, "ation stations, 42!"),
+      (3L, ""), (4L, "a😀b"))
+      .toDF("doc_id", "text")
+    val got = WordPiece.tokenize(d, Unigram.pieces).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def expect(t: String): (Long, String) = {
+      val words = "[a-z]+|[0-9]|[^a-z0-9\\s]".r
+        .findAllIn(t.toLowerCase).toList
+      val toks = words.flatMap(w => WordPiece.segmentGreedy(w, vocabSet))
+      (toks.size.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.mkString(Bpe.sep).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    Seq(1L -> "the quick brown fox", 2L -> "ation stations, 42!",
+      3L -> "", 4L -> "a😀b").foreach { case (id, t) =>
+      assert(got(id) === expect(t), s"doc $id")
+    }
+  }
+
+  test("BPE→WordPiece conversion: chars plus merge outputs, apply round-trips") {
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val vocab = WordPiece.vocabFromBpe(d, numMerges = 12)
+    val merges = Bpe.train(d, 12).map { case (l, r, _) => l + r }
+    val vs = vocab.map(_._1).toSet
+    merges.foreach(m => assert(vs.contains(m), s"merge output '$m' missing"))
+    assert(vocab.forall(_._1.nonEmpty))
+    // single chars of every corpus word are present (greedy never stalls)
+    assert(vs.exists(_.length == 1))
+    val t = WordPiece.tokenize(d, vocab)
+    assert(t.filter(col("n_tokens") <= 0L).count() === 0L)
+    // engine ≡ driver on a sampled word set under the learned vocabulary
+    val words = d.select(explode(Bpe.pieces(col("text"))).as("w"))
+      .distinct().limit(50).collect().map(_.getString(0))
+    val fromEngine = WordPiece
+      .tokenize(words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toSeq.toDF("doc_id", "text"), vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(fromEngine(i.toLong) ===
+        WordPiece.segmentGreedy(w, vs).size.toLong, s"word '$w'")
+    }
+  }
+}
