@@ -748,4 +748,38 @@ class PlanSpec extends SparkSpec {
     // the lag window must partition by media_id, never run globally
     assert(p.contains("media_id"), p.take(3000))
   }
+
+  test("unigram tokenize: broadcast vocab join, distinct-word DP, no product") {
+    val p = plan("q_text_unigram")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the vocabulary side must broadcast into the candidate join —
+    // shuffling corpus substrings against a KB-sized piece table would
+    // be the 100 TB mistake. (The final per-doc rejoin is doc_id ⋈
+    // doc_id between two corpus-sized relations — sort-merge is the
+    // RIGHT shape there, so only the vocab join is pinned.)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("wordpiece tokenize shares the unigram plan shape") {
+    val p = plan("q_text_wordpiece")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("indexed semantic decontamination: probed cells push into the codes scan") {
+    val p = plan("q_decontam_semantic_indexed")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the probed-cell list collects and pushes as an IN filter over the
+    // cell-clustered codes table — the pruning that makes IVF an index
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(cell")), p.take(4000))
+  }
+
+  test("matryoshka recall: both arms broadcast the 8-query side") {
+    val p = plan("q_sim_matryoshka_recall")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // corpus × queries runs as a broadcast nested-loop over the tiny
+    // query side in each arm, never a shuffled product
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
