@@ -89,7 +89,8 @@ object ScaleCheck {
     "q_text_tokenizer_parity",
     // r14 batch 2: greedy tokenizer faces + the truncation recall eval
     "q_text_wordpiece", "q_text_wordpiece_trained",
-    "q_tokenizer_greedy_gap", "q_sim_matryoshka_recall")
+    "q_tokenizer_greedy_gap", "q_sim_matryoshka_recall",
+    "q_sample_priority")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

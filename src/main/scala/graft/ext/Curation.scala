@@ -853,6 +853,39 @@ object Curation {
       .select(col("id").as(idCol), col("w"), col("cw"), col("n_picks"))
   }
 
+  /** Deterministic weighted PRIORITY sample — bounded-k, mergeable: every
+    * row gets an integer priority ⌊hash·10⁴ / w⌋ (hash = the salted
+    * 32-bit content-free id hash; w > 0 the weight), and the sample is
+    * the k smallest (priority, id) rows. Heavier rows divide their hash
+    * by more, land lower, and enter the sample more often — the
+    * deterministic-lattice analogue of Efraimidis–Spirakis u^(1/w)
+    * priority sampling (DOCUMENTED approximation: h/w ordering is
+    * weight-monotone but not exactly ES-distributed — the ln() an exact
+    * ES key needs does not survive cross-engine integer determinism,
+    * the same trade as Unigram's whole-bit costs).
+    *
+    * Why this shape matters operationally: top-k by a row-intrinsic
+    * priority is a commutative, IDEMPOTENT monoid — merge(top-k(A),
+    * top-k(B)) = top-k(A ∪ B), replays fold to themselves — so the same
+    * rule runs as a TakeOrderedAndProject here (no global sort: per-
+    * partition heaps + one k-row merge at the driver), a per-shard
+    * pre-sample at 100 TB, and a streaming sink
+    * ([[graft.streaming.EventStreams.prioritySampleSink]]) whose state
+    * is exactly k rows. Zero/negative weights are unsampleable and drop
+    * up front. */
+  def prioritySample(docs: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", salt: String = "pri"): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val dec = "decimal(38,0)"
+    val w = col(weightCol).cast("long")
+    val h = hexInt(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val num = h.cast(dec) * lit(10000L)
+    val pri = ((num - pmod(num, w.cast(dec))) / w.cast(dec)).cast("long")
+    docs.filter(w > 0L)
+      .select(col(idCol), w.as("weight"), pri.as("priority"))
+      .orderBy(col("priority"), col(idCol)).limit(k)
+  }
+
   /** Preference-pair construction (the DPO/RLHF data-prep step): within
     * every stratum, pair the highest-quality document (chosen) against
     * the lowest-quality one (rejected), with the quality gap as the

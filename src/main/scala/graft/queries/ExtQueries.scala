@@ -894,6 +894,13 @@ object ExtQueries {
   def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
     Curation.weightedSystematicSample(docs(s, dir), "n_chars", k = 100)
 
+  /** Deterministic weighted priority sample (byte-weighted, k = 100):
+    * the bounded-k mergeable complement to q_sample_weighted's
+    * systematic pointers — the rule a per-shard pre-sample and the
+    * streaming sink share. */
+  def qSamplePriority(s: SparkSession, dir: String): DataFrame =
+    Curation.prioritySample(docs(s, dir), k = 100, weightCol = "n_chars")
+
   /** DPO-style preference pairs: per (source, lang) stratum, best-vs-
     * worst quality with the gap as margin. */
   def qPrefPairs(s: SparkSession, dir: String): DataFrame =
@@ -1994,6 +2001,7 @@ object ExtQueries {
     "q_decontam_matrix" -> (qDecontamMatrix _),
     "q_dedup_impact" -> (qDedupImpact _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_sample_priority" -> (qSamplePriority _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_containment_incr" -> (qDedupContainmentIncr _),
@@ -3747,6 +3755,15 @@ object ExtQueries {
        |       WHEN ${hexIntSql("('gsplit:' || source)")} % 100 < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
+
+  /** Priority-sample oracle: ⌊salted-hash·10⁴ / w⌋ per row, global
+    * (priority, id) top-100 — one ORDER BY/LIMIT over the lattice. */
+  private val samplePrioritySql =
+    s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |  (${hexIntSql("('pri:' || CAST(doc_id AS VARCHAR))")} * 10000)
+       |    // CAST(n_chars AS BIGINT) AS priority
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
 
   /** Systematic weighted sampling twin of
     * Curation.weightedSystematicSample: the oracle's cumulative sum is a
@@ -5949,6 +5966,7 @@ object ExtQueries {
     "q_decontam_matrix" -> decontamMatrixSql,
     "q_dedup_impact" -> dedupImpactSql,
     "q_sample_weighted" -> sampleWeightedSql,
+    "q_sample_priority" -> samplePrioritySql,
     "q_pref_pairs" -> prefPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_containment_incr" -> dedupContainmentSql,

@@ -506,6 +506,40 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming bounded weighted sample: fold each micro-batch into a
+    * k-row priority-sample state table — the streaming face of
+    * [[graft.ext.Curation.prioritySample]]. Because top-k by a
+    * row-intrinsic priority is a commutative IDEMPOTENT monoid
+    * (merge(top-k(A), top-k(B)) = top-k(A ∪ B), and a re-delivered row
+    * re-derives the identical (priority, weight) and dedups away), the
+    * state after any micro-batch slicing equals one global
+    * prioritySample over all rows — no batch stamp needed, unlike the
+    * counting sinks. Per trigger the work is O(batch) + O(k): the batch
+    * pre-samples to k rows before touching state. */
+  def prioritySampleSink(docs: DataFrame, store: graft.store.TableStore,
+      name: String, k: Int, weightCol: String, checkpointDir: String,
+      idCol: String = "doc_id", salt: String = "pri",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inc = graft.ext.Curation
+          .prioritySample(batch, k, weightCol, idCol, salt)
+        val merged =
+          if (store.exists(name))
+            store.read(name).unionByName(inc)
+              // same id ⇒ byte-identical row (priority and weight are
+              // derived), so the dedup pick is content-deterministic
+              .dropDuplicates(idCol)
+              .orderBy(col("priority"), col(idCol)).limit(k)
+          else inc
+        store.overwrite(name, merged)
+        ()
+      }
+      .start()
+
   /** Streaming centroid assignment: embeddings arriving on a stream are
     * scored against a TRAINED centroid table ([[graft.ext.KMeans]] `fit`
     * output) — the online half of the fit-batch/score-stream pattern

@@ -7,6 +7,36 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("priority sample: bounded k, zero-weight drop, and the top-k merge law") {
+    val docs = (1L to 500L).map(i => (i, (i % 7) * 100L))
+      .toDF("doc_id", "n_chars")
+    val full = Curation.prioritySample(docs, 50, "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full.size === 50)
+    // zero-weight rows (i % 7 == 0) can never be sampled
+    assert(full.forall(_._2 > 0L))
+    // deterministic
+    val again = Curation.prioritySample(docs, 50, "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === full)
+    // the monoid law the streaming sink rests on: top-k of the union ==
+    // top-k over the two halves' top-k samples
+    val a = Curation.prioritySample(docs.filter($"doc_id" <= 250), 50, "n_chars")
+    val b = Curation.prioritySample(docs.filter($"doc_id" > 250), 50, "n_chars")
+    val merged = a.unionByName(b)
+      .orderBy(col("priority"), col("doc_id")).limit(50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === full)
+    // priorities sit on the documented lattice: floor(h * 10^4 / w)
+    def hexIntOf(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+    full.foreach { case (id, w, pri) =>
+      assert(pri === hexIntOf(s"pri:$id") * 10000L / w, s"doc $id")
+    }
+  }
+
   test("stratified sample is deterministic, rate-bounded, and stratum-aware") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "the a of" else "zz qq"))
       .toDF("doc_id", "text")

@@ -263,6 +263,34 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.sorted === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming priority-sample sink: state equals the batch sample on any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 400L).map(i => (i, (i % 5) * 37L + (i % 3)))
+    val docs = MemoryStream[(Long, Long)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("pri-sink-store").toString)
+    val ckpt = Files.createTempDirectory("pri-sink-ckpt").toString
+    val q = EventStreams.prioritySampleSink(
+      docs.toDF().toDF("doc_id", "n_chars"), store, "prisample", 40,
+      "n_chars", ckpt, trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      // second batch includes a replayed slice of the first — the
+      // idempotent merge law must absorb it
+      docs.addData(rows.drop(150) ++ rows.slice(100, 150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = store.read("prisample")
+      .select(col("doc_id"), col("weight"), col("priority")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ext.Curation.prioritySample(
+        rows.toDF("doc_id", "n_chars"), 40, "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got.size === 40)
+  }
+
   test("streaming containment sink equals the batch estimator; re-delivery is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
