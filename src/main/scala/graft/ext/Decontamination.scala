@@ -273,7 +273,10 @@ object Decontamination {
       nProbe: Int = 3, name: String = "ivfpq",
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import Similarity.{cosine, dot, norm, toDouble}
-    PqIndex.ensureIvf(store, emb, name)
+    // idCol/embCol thread through the build + fingerprint check too
+    // (ADVICE r14): a caller on non-default column names must build and
+    // verify against ITS columns, not a hardcoded vec_id/embedding
+    PqIndex.ensureIvf(store, emb, name, idCol = idCol, embCol = embCol)
     val cands = PqIndex.searchIvf(store, evalEmb, topK, name, nProbe,
         idCol = idCol, embCol = embCol)
       .select(col("query_id").as("eval_id"), col("neighbor_id"))

@@ -49,17 +49,22 @@ object PqIndex {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
     lock.synchronized {
-      if (!isCurrent(store, emb, name, idCol, embCol))
+      if (!verifiedOnce(store, emb, name, idCol, embCol) &&
+          !isCurrent(store, emb, name, idCol, embCol))
         build(store, emb, name, subspaces, subDim, k, iters, idCol, embCol)
+      markVerified(store, emb, name, idCol, embCol)
     }
   }
 
   /** [[ensure]] for the IVF-PQ triple. */
-  def ensureIvf(store: TableStore, emb: DataFrame,
-      name: String = "ivfpq"): Unit = {
+  def ensureIvf(store: TableStore, emb: DataFrame, name: String = "ivfpq",
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
     lock.synchronized {
-      if (!isCurrent(store, emb, name)) buildIvf(store, emb, name)
+      if (!verifiedOnce(store, emb, name, idCol, embCol) &&
+          !isCurrent(store, emb, name, idCol, embCol))
+        buildIvf(store, emb, name, idCol = idCol, embCol = embCol)
+      markVerified(store, emb, name, idCol, embCol)
     }
   }
 
@@ -122,6 +127,33 @@ object PqIndex {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Fingerprint verdicts already established THIS process (ADVICE r14
+    * medium): `isCurrent` runs a full-corpus aggregate, and the ensure*
+    * calls sit inside TIMED search bodies — at 100 TB an O(corpus)
+    * verification per search negates the index amortization the
+    * persisted tables exist for. Key = store path + the corpus
+    * DataFrame's analyzed semantic hash (a DIFFERENT corpus handed to
+    * the same store path re-verifies; the same logical source does
+    * not). Within one process the data under a verified path cannot
+    * silently change — the driver regenerates testdata only between
+    * process lifetimes — so one successful fingerprint check (or a
+    * completed build) is authoritative for the rest of the run. */
+  private val verifiedFp =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def verifyKey(store: TableStore, emb: DataFrame, name: String,
+      idCol: String, embCol: String): String =
+    store.path(name) + "#" + idCol + "," + embCol + "#" +
+      emb.queryExecution.analyzed.semanticHash()
+
+  private def verifiedOnce(store: TableStore, emb: DataFrame, name: String,
+      idCol: String, embCol: String): Boolean =
+    verifiedFp.contains(verifyKey(store, emb, name, idCol, embCol))
+
+  private def markVerified(store: TableStore, emb: DataFrame, name: String,
+      idCol: String, embCol: String): Unit =
+    verifiedFp.add(verifyKey(store, emb, name, idCol, embCol))
+
   /** Build the residual index at most ONCE per (process, store), skipping
     * when a completed build is already on disk. Concurrent callers — the
     * build benchmark and a lazily-rebuilding searcher can share one store
@@ -129,10 +161,14 @@ object PqIndex {
     * search can never race a mid-build table swap, and a partial index
     * (no completion marker) is always rebuilt before anyone reads it. */
   def ensureIvfResidual(store: TableStore, emb: DataFrame,
-      name: String = "ivfpqr"): Unit = {
+      name: String = "ivfpqr",
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
     lock.synchronized {
-      if (!isCurrent(store, emb, name)) buildIvfResidual(store, emb, name)
+      if (!verifiedOnce(store, emb, name, idCol, embCol) &&
+          !isCurrent(store, emb, name, idCol, embCol))
+        buildIvfResidual(store, emb, name, idCol = idCol, embCol = embCol)
+      markVerified(store, emb, name, idCol, embCol)
     }
   }
 
@@ -144,7 +180,10 @@ object PqIndex {
   def rebuildIvfResidual(store: TableStore, emb: DataFrame,
       name: String = "ivfpqr"): Unit = {
     val lock = buildLocks.computeIfAbsent(store.path(name), _ => new Object)
-    lock.synchronized { buildIvfResidual(store, emb, name) }
+    lock.synchronized {
+      buildIvfResidual(store, emb, name)
+      markVerified(store, emb, name, "vec_id", "embedding")
+    }
   }
 
   /** Corpus fingerprint recorded in the completion marker (ADVICE r13):

@@ -183,21 +183,28 @@ object TextAnalysis {
     * join). Docs shorter than 3 chars have no trigrams and drop — keep
     * them with a left join from the corpus if needed. */
   def trigramTypicality(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: extra doc-FUNCTIONAL columns (one value per id) ridden
+    // through the trigram pipeline so a caller needing both this score
+    // and another per-doc signal pays ONE corpus text scan, not two
+    // (VERDICT r14 #7 — q_eval_rankcorr's q4 leg). They join the
+    // grouping key; cardinality is unchanged because they are
+    // functionally determined by the id.
+    val keyCols = (idCol +: carry).map(col)
     val tris = docs
       .filter(length(col(textCol)) >= 3)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col(textCol)) - 2)).as("p"),
-        col(textCol))
-      .select(col(idCol), col(textCol).substr(col("p"), lit(3)).as("tri"))
+      .select(keyCols :+
+        explode(sequence(lit(1), length(col(textCol)) - 2)).as("p") :+
+        col(textCol): _*)
+      .select(keyCols :+ col(textCol).substr(col("p"), lit(3)).as("tri"): _*)
       .distinct()
       .localCheckpoint()
     val dfCounts = tris.groupBy(col("tri")).agg(count(lit(1)).as("df"))
     tris.join(dfCounts, Seq("tri"))
-      .groupBy(col(idCol))
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_tris"), sum(col("df")).as("df_sum"))
-      .select(col(idCol), col("n_tris"), col("df_sum"),
-        (col("df_sum").cast("double") / col("n_tris")).as("typicality"))
+      .select(keyCols ++ Seq(col("n_tris"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_tris")).as("typicality")): _*)
   }
 
   /** Rolling-hash document fingerprint: minimum 32-bit hash over char

@@ -32,6 +32,41 @@ object WordPiece {
     * materialize, so the bound costs candidate rows, not correctness. */
   val maxLen = 16
 
+  // ------------------------------------------------- BERT conventions
+  /** The continuation marker and unknown-word sentinel of BERT's
+    * shipped vocabularies (Devlin et al. 2018, tokenization.py). */
+  val contMark = "##"
+  val unk = "[UNK]"
+
+  /** Committed continuation-length cutoff for [[bertPieces]]: real BERT
+    * vocabularies carry shorter continuation pieces than word-initial
+    * ones; pieces above this length are INITIAL-ONLY in the derived
+    * vocabulary, which is exactly where the position-DEPENDENT rule
+    * diverges from the position-independent one on the same pieces
+    * (e.g. mid-word "tion" matches flat but not as `##tion`). */
+  val maxContLen = 3
+
+  /** The committed BERT-convention vocabulary — [[Unigram.pieces]]
+    * re-shipped under the `##` convention: every piece word-initial,
+    * pieces of length ≤ [[maxContLen]] also as continuations. Costs are
+    * carried but ignored by matching (the WordPiece contract). */
+  val bertPieces: Seq[(String, Long)] =
+    Unigram.pieces ++ Unigram.pieces.collect {
+      case (p, c) if p.length <= maxContLen => (contMark + p, c)
+    }
+
+  /** Split a ##-convention vocabulary into (word-initial set,
+    * continuation set). A piece may be in both (listed bare AND with
+    * `##`). */
+  def bertSplit(vocab: Seq[(String, Long)])
+      : (Set[String], Set[String]) = {
+    val init = vocab.collect {
+      case (p, _) if !p.startsWith(contMark) => p }.toSet
+    val cont = vocab.collect {
+      case (p, _) if p.startsWith(contMark) => p.drop(contMark.length) }.toSet
+    (init, cont)
+  }
+
   // ------------------------------------------------------ greedy walk
   /** Greedy longest-match over `cands` (structs (j, l, cost) — pieces
     * ENDING at j, so a piece STARTING at the cursor p has j − l = p).

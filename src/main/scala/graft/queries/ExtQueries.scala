@@ -1430,19 +1430,23 @@ object ExtQueries {
   def qEvalRankcorr(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val dec = "decimal(38,0)"
+    // ONE corpus text pass (VERDICT r14 #7): the q4 quality score is a
+    // pure per-doc projection, so it rides the typicality pipeline as a
+    // carried column instead of a second full scan + join. Both signals
+    // land in the same per-doc aggregate row; sub-3-char docs (no
+    // trigrams) drop exactly as the former inner join dropped them.
+    val typ = TextAnalysis.trigramTypicality(
+      d.select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScoreQ4(col("text")).cast("long").as("q4")),
+      carry = Seq("q4"))
     // typicality ordered on the exact q6 lattice (⌊df_sum·10⁶/n_tris⌋) —
     // the double ratio itself never orders anything
-    val typ = TextAnalysis.trigramTypicality(d).select(col("doc_id"), {
+    val both = typ.select(col("doc_id"), col("q4"), {
       val n6 = col("df_sum").cast(dec) * lit(1000000L)
       ((n6 - pmod(n6, col("n_tris").cast(dec))) / col("n_tris").cast(dec))
         .cast("long").as("t6")
     })
-    // correlate within the JOINED subset (typicality drops sub-3-char docs)
-    graft.ext.Eval.spearman(
-      d.select(col("doc_id"),
-          TextAnalysis.qualityScoreQ4(col("text")).cast("long").as("q4"))
-        .join(typ, "doc_id"),
-      "doc_id", "q4", "t6")
+    graft.ext.Eval.spearman(both, "doc_id", "q4", "t6")
   }
 
   /** Mixture epoch plan: a 100k-char budget split across sources with
@@ -1886,26 +1890,62 @@ object ExtQueries {
       graft.ext.PqIndex.ensureIvf(dcIndexStore(s, dir),
         emb(s, dir).filter(col("vec_id") % 97 =!= 0))))
 
-  /** Draw-sensitivity instrumentation (VERDICT r13 #1b): queries whose
-    * cost is proportional to the draw's near-dup pair count, keyed to
-    * the counter that measures it. graft.Bench records the counter
-    * (untimed) in the artifact; tools/benchgate.py scales these queries'
-    * per-query limits by the pair-count ratio vs the baseline's, so a
-    * dup-heavy re-roll reads as "more work", not "regression". */
+  /** Draw-sensitivity instrumentation — named WORK COUNTERS (VERDICT
+    * r13 #1b pairs; generalized r15 per VERDICT r14 #1): queries whose
+    * cost is proportional to a measurable property of the DRAW — the
+    * near-dup pair count, the distinct word-type count, a per-group
+    * distinct cardinality — keyed to the counter that measures it.
+    * graft.Bench records each referenced counter (untimed) in the
+    * artifact; tools/benchgate.py scales these queries' per-query limits
+    * by the counter ratio vs the baseline's (clamped to [1, 10]), so a
+    * heavy re-roll reads as "more work", not "regression", while an
+    * equal-volume draw still gets the full 2× contract. The artifact
+    * keys stay `n_pairs`/`pair_bounded` (baseline-format compat). */
   val pairBounded: Map[String, String] = Map(
+    // pair-bounded: cost tracks the draw's candidate near-dup pairs
     "q_eval_ngram_overlap" -> "minhash_pairs_05",
     "q_eval_rouge_l" -> "minhash_pairs_05",
     "q_dedup_minhash" -> "minhash_pairs_05",
     "q_dedup_minhash_eval" -> "minhash_pairs_05",
     "q_dedup_fingerprint_eval" -> "minhash_pairs_05",
     "q_dedup_simhash_eval" -> "minhash_pairs_05",
-    "q_graph_pagerank" -> "minhash_pairs_05")
+    "q_graph_pagerank" -> "minhash_pairs_05",
+    // cardinality-bounded (VERDICT r14 #1: q_sketch_hll_merge breached
+    // 2.09× on a heavier distinct-value draw, committed-draw time 0.85 s):
+    // both HLL profiles pay per (event_type, value_cents) distinct
+    "q_sketch_hll" -> "hll_value_cardinality",
+    "q_sketch_hll_merge" -> "hll_value_cardinality",
+    // type-bounded: the per-DISTINCT-word segmenters/trainers (Unigram
+    // DP, WordPiece greedy walk, BPE/unigram vocab induction) do their
+    // work once per word TYPE — a vocabulary-heavy draw is more work
+    "q_text_unigram" -> "distinct_words",
+    "q_text_unigram_trained" -> "distinct_words",
+    "q_unigram_train" -> "distinct_words",
+    "q_text_wordpiece" -> "distinct_words",
+    "q_text_wordpiece_trained" -> "distinct_words",
+    "q_text_tokenizer_parity" -> "distinct_words",
+    "q_tokenizer_greedy_gap" -> "distinct_words",
+    "q_bpe_train" -> "distinct_words",
+    "q_text_bpe_trained" -> "distinct_words")
 
   /** The counters [[pairBounded]] refers to — each one bench-run scan,
     * far cheaper than the queries it adjudicates. */
   def pairCounters: Map[String, (SparkSession, String) => Long] = Map(
     "minhash_pairs_05" -> ((s, dir) =>
-      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5).count()))
+      Dedup.minhashNearDups(docs(s, dir), threshold = 0.5).count()),
+    // distinct word types under the tokenizers' own pre-tokenization
+    // (Bpe.pieces — the unit tokenizeWith segments per)
+    "distinct_words" -> ((s, dir) =>
+      graft.ext.Bpe.distinctPieceCount(docs(s, dir))),
+    // Σ over event_type of countDistinct(value_cents) — the unit both
+    // HLL register builds and their exact comparison side pay per
+    "hll_value_cardinality" -> ((s, dir) =>
+      graft.Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("decimal(18,0)").cast("long")
+            .as("value_cents"))
+        .distinct().count()))
 
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),

@@ -604,9 +604,14 @@ object ScaleQueries {
     * backfill accumulation path a 100 TB profile job actually runs. */
   def qSketchHllMerge(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.Sketches
+    // shared-scan discipline (VERDICT r14 #2): the 3 shard register builds
+    // and the exact countDistinct side each consume `ev` — without the
+    // checkpoint that is 4 full parquet scans of `events`; with it, one
+    // scan of the 3-column projection feeds all 4 consumers.
     val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("decimal(18,0)").cast("long")
         .as("value_cents"))
+      .localCheckpoint()
     val shards = (0 until 3).map(i =>
       Sketches.hllRegisters(ev.filter(col("event_id") % 3 === i),
         "event_type", "value_cents"))

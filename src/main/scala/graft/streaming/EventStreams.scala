@@ -530,9 +530,16 @@ object EventStreams {
         val merged =
           if (store.exists(name))
             store.read(name).unionByName(inc)
-              // same id ⇒ byte-identical row (priority and weight are
-              // derived), so the dedup pick is content-deterministic
-              .dropDuplicates(idCol)
+              // same-id resolution (ADVICE r14): a replay re-derives the
+              // identical (priority, weight) and folds to itself; a
+              // weight UPDATE re-delivers the id with a different
+              // priority — keep the min-(priority, weight) struct, so
+              // the pick is content-deterministic (never an arbitrary
+              // dropDuplicates row) and the monoid law stays exact
+              .groupBy(col(idCol))
+              .agg(min(struct(col("priority"), col("weight"))).as("pw"))
+              .select(col(idCol), col("pw.weight").as("weight"),
+                col("pw.priority").as("priority"))
               .orderBy(col("priority"), col(idCol)).limit(k)
           else inc
         store.overwrite(name, merged)

@@ -82,13 +82,25 @@ def gate() -> int:
     np_base = base_doc.get("n_pairs", {})
     np_cur = cur_doc.get("n_pairs", {})
 
+    # Cap the scale at 10x (ADVICE r14): an unbounded ratio would let a
+    # regression that itself inflates the counter (e.g. minhashNearDups
+    # emitting more candidate pairs) widen its own limit proportionally.
+    # A >10x counter swing is adjudicated by a human, loudly.
+    PAIR_SCALE_CAP = 10.0
+
     def pair_scale(name: str) -> float:
         c = pair_bounded.get(name)
         if c is None or c not in np_base or c not in np_cur:
             return 1.0
         if np_base[c] <= 0 or np_cur[c] <= 0:
             return 1.0
-        return max(1.0, np_cur[c] / np_base[c])
+        ratio = np_cur[c] / np_base[c]
+        if ratio > PAIR_SCALE_CAP:
+            print(f"WARNING counter {c} ratio {ratio:.1f}x exceeds the "
+                  f"{PAIR_SCALE_CAP:.0f}x sanity cap — limit scaled by the "
+                  "cap only; adjudicate the swing by hand (a regression in "
+                  "the counter's own producer could be hiding in it)")
+        return min(max(1.0, ratio), PAIR_SCALE_CAP)
 
     failed, new, gone = [], [], []
     for name, sec in sorted(cur.items()):
