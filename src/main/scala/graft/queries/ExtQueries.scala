@@ -391,6 +391,38 @@ object ExtQueries {
       graft.ext.WordPiece.vocabFromBpe(d, numMerges = 12))
   }
 
+  /** WordPiece under the FULL BERT conventions (VERDICT r14 #4):
+    * `##`-marked continuation pieces, whole-word `[UNK]` on unmatched
+    * positions — per-doc token counts, unk counts, and the exact
+    * segmentation digest under the committed ##-convention vocabulary. */
+  def qTextWordpieceBert(s: SparkSession, dir: String): DataFrame =
+    graft.ext.WordPiece.tokenizeBert(docs(s, dir),
+      graft.ext.WordPiece.bertPieces)
+
+  /** BERT-vs-flat parity readout on the SAME bare pieces: what the
+    * position-dependent rule (initial-only long pieces, `##`
+    * continuations, whole-word [UNK]) costs against the
+    * position-independent greedy, per source — token totals, unk words,
+    * and docs whose token count moved. */
+  def qTokenizerBertParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Unigram, WordPiece}
+    val d = docs(s, dir)
+    val f = WordPiece.tokenize(d, Unigram.pieces)
+      .select(col("doc_id"), col("n_tokens").as("ft"))
+    val b = WordPiece.tokenizeBert(d, WordPiece.bertPieces)
+      .select(col("doc_id"), col("n_tokens").as("bt"),
+        col("n_unk_words").as("bu"))
+    d.select(col("doc_id"), col("source"))
+      .join(f, Seq("doc_id")).join(b, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ft")).as("n_tokens_flat"),
+        sum(col("bt")).as("n_tokens_bert"),
+        sum(col("bu")).as("n_unk_words"),
+        sum(when(col("ft") =!= col("bt"), 1L).otherwise(0L))
+          .as("n_docs_differ"))
+  }
+
   /** Greedy-vs-optimal segmentation gap per source: both tokenizers on
     * the SAME committed vocabulary — token totals and how many docs
     * segment differently (digest mismatch). The number that says what
@@ -1923,6 +1955,8 @@ object ExtQueries {
     "q_unigram_train" -> "distinct_words",
     "q_text_wordpiece" -> "distinct_words",
     "q_text_wordpiece_trained" -> "distinct_words",
+    "q_text_wordpiece_bert" -> "distinct_words",
+    "q_tokenizer_bert_parity" -> "distinct_words",
     "q_text_tokenizer_parity" -> "distinct_words",
     "q_tokenizer_greedy_gap" -> "distinct_words",
     "q_bpe_train" -> "distinct_words",
@@ -1971,6 +2005,8 @@ object ExtQueries {
     "q_text_tokenizer_parity" -> (qTextTokenizerParity _),
     "q_text_wordpiece" -> (qTextWordpiece _),
     "q_text_wordpiece_trained" -> (qTextWordpieceTrained _),
+    "q_text_wordpiece_bert" -> (qTextWordpieceBert _),
+    "q_tokenizer_bert_parity" -> (qTokenizerBertParity _),
     "q_tokenizer_greedy_gap" -> (qTokenizerGreedyGap _),
     "q_sim_matryoshka_recall" -> (qSimMatryoshkaRecall _),
     "q_text_chunks_bpe" -> (qTextChunksBpe _),
@@ -3138,6 +3174,12 @@ object ExtQueries {
 
   private lazy val textWordpieceTrainedSql =
     graft.ext.WordPiece.tokenizeTrainedSqlOf("documents", "doc_id", "text")
+
+  private lazy val textWordpieceBertSql =
+    graft.ext.WordPiece.tokenizeBertSqlOf("documents", "doc_id", "text")
+
+  private lazy val tokenizerBertParitySql =
+    graft.ext.WordPiece.bertParitySqlOf("documents", "doc_id", "text")
 
   /** Greedy-vs-optimal gap oracle: both tokenize chains (scoped
     * sub-WITHs) joined per doc, digest mismatch counted per source. */
@@ -5926,6 +5968,8 @@ object ExtQueries {
     "q_text_tokenizer_parity" -> tokenizerParitySql,
     "q_text_wordpiece" -> textWordpieceSql,
     "q_text_wordpiece_trained" -> textWordpieceTrainedSql,
+    "q_text_wordpiece_bert" -> textWordpieceBertSql,
+    "q_tokenizer_bert_parity" -> tokenizerBertParitySql,
     "q_tokenizer_greedy_gap" -> tokenizerGreedyGapSql,
     "q_sim_matryoshka_recall" -> simMatryoshkaSql,
     "q_text_chunks_bpe" -> textChunksBpeSql,

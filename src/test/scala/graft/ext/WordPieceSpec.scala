@@ -69,4 +69,60 @@ class WordPieceSpec extends SparkSpec {
         WordPiece.segmentGreedy(w, vs).size.toLong, s"word '$w'")
     }
   }
+
+  // --------------------------------------------------- BERT conventions
+
+  private val (bInit, bCont) = WordPiece.bertSplit(WordPiece.bertPieces)
+
+  test("BERT walk: ## marking, initial-only long pieces, whole-word [UNK]") {
+    // continuation pieces carry ## in the output
+    assert(WordPiece.segmentBert("the", bInit, bCont) === List("the"))
+    assert(WordPiece.segmentBert("ation", bInit, bCont) ===
+      List("ati", "##on"))
+    // 'tion' (len 4 > maxContLen) is INITIAL-ONLY: flat greedy takes it
+    // mid-word, BERT must settle for shorter continuations — the exact
+    // divergence q_tokenizer_bert_parity counts
+    assert(WordPiece.segmentGreedy("option", vocabSet) ===
+      List("o", "p", "tion"))
+    assert(WordPiece.segmentBert("option", bInit, bCont) ===
+      List("o", "##p", "##ti", "##on"))
+    // a char absent from the vocabulary fails the WHOLE word (flat keeps
+    // it as a lossless single-char fallback)
+    assert(WordPiece.segmentGreedy("a#b", vocabSet) === List("a", "#", "b"))
+    assert(WordPiece.segmentBert("#", bInit, bCont) ===
+      List(WordPiece.unk))
+    assert(WordPiece.segmentBert("a#b", bInit, bCont) ===
+      List(WordPiece.unk))
+    // unmatched only past position 0 — still the whole word
+    assert(WordPiece.segmentBert("the#", bInit, bCont) ===
+      List(WordPiece.unk))
+    assert(WordPiece.segmentBert("", bInit, bCont) === Nil)
+  }
+
+  test("BERT engine tokenize equals the driver mirror, with unk counts") {
+    val d = Seq((1L, "the quick brown fox"), (2L, "ation stations, 42!"),
+      (3L, ""), (4L, "a😀b"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = WordPiece.tokenizeBert(d, WordPiece.bertPieces).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    def expect(t: String): (Long, Long, Option[String]) = {
+      val words = "[a-z]+|[0-9]|[^a-z0-9\\s]".r
+        .findAllIn(t.toLowerCase).toList
+      val toks = words.flatMap(w => WordPiece.segmentBert(w, bInit, bCont))
+      (toks.size.toLong, toks.count(_ == WordPiece.unk).toLong,
+        Some(java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.mkString(Bpe.sep).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString))
+    }
+    Seq(1L -> "the quick brown fox", 2L -> "ation stations, 42!",
+      3L -> "", 4L -> "a😀b").foreach { case (id, t) =>
+      assert(got(id) === expect(t), s"doc $id")
+    }
+    // punctuation / emoji words are [UNK] under BERT (absent chars)
+    assert(got(2L)._2 >= 2L) // ',' and '!'
+    assert(got(4L)._2 === 1L) // the emoji word
+    // null text: 0 tokens, null digest (the shared contract)
+    assert(got(5L) === ((0L, 0L, None)))
+  }
 }
