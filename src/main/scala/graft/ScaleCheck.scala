@@ -90,7 +90,13 @@ object ScaleCheck {
     // r14 batch 2: greedy tokenizer faces + the truncation recall eval
     "q_text_wordpiece", "q_text_wordpiece_trained",
     "q_tokenizer_greedy_gap", "q_sim_matryoshka_recall",
-    "q_sample_priority")
+    "q_sample_priority",
+    // r15 additions: BERT-convention WordPiece faces, the memoized
+    // incremental tokenizer (the sf1 row prices the FULL two-increment
+    // recompute — the incremental win shows in the per-increment spec,
+    // not here), and the trigram-KN perplexity filter
+    "q_text_wordpiece_bert", "q_tokenizer_bert_parity",
+    "q_text_unigram_incr", "q_text_lm_kn3")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

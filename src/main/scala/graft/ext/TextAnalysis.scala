@@ -414,6 +414,96 @@ object TextAnalysis {
         coalesce(col("kn_ppm"), lit(0L)).as("kn_ppm"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM LM score (VERDICT r14 #5) — the
+    * recursion of [[lmScoreKn]] extended one level, which is the order
+    * real perplexity filtering runs at (CCNet scores with a 5-gram
+    * KenLM; n = 3 already separates phrase structure from word salad
+    * where a bigram can't):
+    *
+    *   P(w3|w1w2) = (c123−d)/c12 + d·N1+(w1w2·)/c12 · P(w3|w2)
+    *   P(w3|w2)   = (N1+(·w2w3)−d)/N1+(·w2·)
+    *                + d·N1+(w2·)/N1+(·w2·) · N1+(·w3)/N1+(··)
+    *
+    * Every lower-order quantity is a CONTINUATION count (type counts,
+    * not token counts — the Kneser–Ney insight), and every one derives
+    * from the single trigram-count table: N1+(·w2w3) = distinct-w1
+    * types per (w2,w3); N1+(·w2·) = trigram types with middle w2;
+    * N1+(w2·) = distinct (w2,w3) types per w2; N1+(·w3) = distinct
+    * (w2,w3) types per w3; N1+(··) = total (w2,w3) types. The corpus
+    * trains the model that scores it, so c123 ≥ 1 and N1+(·w2w3) ≥ 1
+    * for every scored occurrence — both max(·−d, 0) clamps are vacuous
+    * and dropped.
+    *
+    * Exact integer lattice, d = 3/4 (4×-scaled as in [[lmScoreKn]]):
+    *   ppm = ⌊10⁶·[(4·c123−3)·4·M·B + 3·N12·((4·N23−3)·B + 3·N2·N3)]
+    *             / (16·c12·M·B)⌋
+    * with M = N1+(·w2·), B = N1+(··). Products run in decimal(38,0):
+    * the den term 16·c12·M·B·10⁶ stays inside 38 digits for per-shard
+    * counts up to ~10¹⁰ — beyond that, train per language/source shard
+    * (the shape a 100 TB perplexity filter has anyway: one LM per
+    * language, never one LM over the union).
+    *
+    * Scale shape identical to [[lmScoreKn]]: ONE corpus trigram-count
+    * shuffle; the four continuation tables are type-bounded aggregates
+    * DERIVED from the checkpointed model (no second corpus pass); B is
+    * a 1-row broadcast; scoring is one occurrences⋈model equi-join +
+    * per-doc sum. Docs with < 3 words score 0 over 0 trigrams. */
+  def lmScoreKn3(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    // checkpointed occurrence stream: one corpus tokenization feeds both
+    // the model counts and the scoring join
+    val t = docs.select(col(idCol),
+      explode(ngrams(words(col(textCol)), 3)).as("tg"))
+      .localCheckpoint(true)
+    val c123 = t.groupBy(col("tg")).agg(count(lit(1)).as("c123"))
+      .localCheckpoint(true)
+    val w12of = substring_index(col("tg"), " ", 2)
+    val w23of = substring_index(col("tg"), " ", -2)
+    val w2of = substring_index(substring_index(col("tg"), " ", 2), " ", -1)
+    val w3of = substring_index(col("tg"), " ", -1)
+    // top-order context totals and type counts
+    val top = c123.groupBy(w12of.as("w12"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n12"))
+    // (w2,w3) continuation types — checkpointed: feeds the mid/bottom
+    // aggregates, the global type count, AND the model join
+    val bt = c123.groupBy(w23of.as("w23")).agg(count(lit(1)).as("n23"))
+      .localCheckpoint(true)
+    val mid = bt.groupBy(substring_index(col("w23"), " ", 1).as("w2m"))
+      .agg(sum(col("n23")).as("nmid2"), count(lit(1)).as("n2"))
+    val bot = bt.groupBy(substring_index(col("w23"), " ", -1).as("w3b"))
+      .agg(count(lit(1)).as("n3"))
+    val nbb = bt.agg(count(lit(1)).as("nbb"))
+    val model = c123
+      .join(top, w12of === col("w12"))
+      .join(bt, w23of === col("w23"))
+      .join(mid, w2of === col("w2m"))
+      .join(bot, w3of === col("w3b"))
+      .crossJoin(broadcast(nbb))
+      .select(col("tg"), {
+        val b = col("nbb").cast(dec)
+        val pmidNum = (col("n23") * 4 - 3).cast(dec) * b +
+          lit(3).cast(dec) * col("n2").cast(dec) * col("n3").cast(dec)
+        val pmidDen = lit(4).cast(dec) * col("nmid2").cast(dec) * b
+        val num = ((col("c123") * 4 - 3).cast(dec) * pmidDen +
+          lit(3).cast(dec) * col("n12").cast(dec) * pmidNum) *
+          lit(1000000L).cast(dec)
+        val den = lit(4).cast(dec) * col("c12").cast(dec) * pmidDen
+        // exact floor: subtract the decimal remainder before dividing
+        ((num - pmod(num, den)) / den).cast("long").as("ppm")
+      })
+    val scored = t.join(model, Seq("tg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("ppm")).as("s"))
+      .select(col(idCol), col("n_trigrams"),
+        ((col("s") - pmod(col("s"), col("n_trigrams"))) / col("n_trigrams"))
+          .cast("long").as("kn3_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("kn3_ppm"), lit(0L)).as("kn3_ppm"))
+  }
+
   /** Terminator-run sentence split: `[.!?]+\s+`. Deliberately
     * lookbehind-free — RE2 engines (DuckDB) reject lookbehind, and the
     * oracle must split with the IDENTICAL pattern; each sentence's

@@ -155,33 +155,36 @@ object Unigram {
       .agg(sort_array(collect_list(col("cand"))).as("cands"))
   }
 
+  /** The Viterbi segmenter as a frame transform: (w, cands) → (w, toks)
+    * — the default `segment` of [[tokenizeWith]], exposed so the
+    * incremental memoizer ([[IncrementalTokens]]) can run the identical
+    * DP over just the NEW distinct words of an increment. */
+  private[ext] def segmentFrame(cf: DataFrame): DataFrame = cf
+    .withColumn("dp", dpCol(col("w"), col("cands")))
+    .select(col("w"), walkCol(col("w"), col("dp")).as("toks"))
+
   /** Tokenize a corpus under a (piece, cost) vocabulary: (id, n_tokens,
     * tok_digest) — the same output contract as the [[Bpe]] faces (null
     * text → null digest; empty text → 0 tokens, md5 of ""). */
   def tokenize(docs: DataFrame, vocab: Seq[(String, Long)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    tokenizeWith(docs, vocab, cf => cf
-      .withColumn("dp", dpCol(col("w"), col("cands")))
-      .select(col("w"), walkCol(col("w"), col("dp")).as("toks")),
-      idCol, textCol)
+    tokenizeWith(docs, vocab, segmentFrame, idCol, textCol)
 
-  /** The shared occurrence/rejoin scaffolding around a pluggable
-    * per-distinct-word segmenter (`segment`: (w, cands) → (w, toks)) —
-    * [[WordPiece]] runs its greedy matcher through the same plan. */
-  private[ext] def tokenizeWith(docs: DataFrame, vocab: Seq[(String, Long)],
-      segment: DataFrame => DataFrame, idCol: String, textCol: String,
-      maxLen: Int = maxPieceLen): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vdf = vocab.toDF("piece", "pcost")
-    // one corpus pass; checkpointed because it feeds the distinct-word
-    // DP AND the order-preserving rejoin
-    val occ = docs
-      .select(col(idCol), posexplode(Bpe.pieces(col(textCol)))
-        .as(Seq("pos", "w")))
-      .localCheckpoint(true)
-    val seg = segment(candFrame(occ.select(col("w")).distinct(), vdf, maxLen))
-    val perDoc = occ.join(seg, Seq("w"))
+  /** One corpus pass: (id, pos, w) word occurrences, checkpointed —
+    * it always feeds at least the distinct-word segmentation AND the
+    * order-preserving rejoin. */
+  private[ext] def occurrences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = docs
+    .select(col(idCol), posexplode(Bpe.pieces(col(textCol)))
+      .as(Seq("pos", "w")))
+    .localCheckpoint(true)
+
+  /** The Bpe-contract projection over a (w, toks) relation: rejoin
+    * occurrences by word, reassemble per-doc token streams in position
+    * order, and emit (id, n_tokens, tok_digest). */
+  private[ext] def contract(docs: DataFrame, occ: DataFrame,
+      wordToks: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = occ.join(wordToks, Seq("w"))
       .groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("toks")))),
@@ -195,6 +198,20 @@ object Unigram {
           .otherwise(md5(concat_ws(Bpe.sep,
             coalesce(col("toks"), array_repeat(lit(""), 0)))))
           .as("tok_digest"))
+  }
+
+  /** The shared occurrence/rejoin scaffolding around a pluggable
+    * per-distinct-word segmenter (`segment`: (w, cands) → (w, toks)) —
+    * [[WordPiece]] runs its greedy matcher through the same plan. */
+  private[ext] def tokenizeWith(docs: DataFrame, vocab: Seq[(String, Long)],
+      segment: DataFrame => DataFrame, idCol: String, textCol: String,
+      maxLen: Int = maxPieceLen): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vdf = vocab.toDF("piece", "pcost")
+    val occ = occurrences(docs, idCol, textCol)
+    val seg = segment(candFrame(occ.select(col("w")).distinct(), vdf, maxLen))
+    contract(docs, occ, seg, idCol, textCol)
   }
 
   // ---------------------------------------------------------- training

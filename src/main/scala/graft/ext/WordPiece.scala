@@ -87,14 +87,18 @@ object WordPiece {
               array(w.substr(p + lit(1), lmax))).as("out")))
       }).getField("out")
 
+  /** The greedy matcher as a frame transform: (w, cands) → (w, toks) —
+    * the WordPiece analogue of [[Unigram.segmentFrame]], shared by the
+    * batch path and [[IncrementalTokens]]' memoized face. */
+  private[ext] def segmentFrame(cf: DataFrame): DataFrame = cf
+    .select(col("w"), greedyCol(col("w"), col("cands")).as("toks"))
+
   /** Tokenize a corpus by greedy longest match under a vocabulary
     * (costs ignored): (id, n_tokens, tok_digest), the shared tokenizer
     * output contract. */
   def tokenize(docs: DataFrame, vocab: Seq[(String, Long)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Unigram.tokenizeWith(docs, vocab, cf => cf
-      .select(col("w"), greedyCol(col("w"), col("cands")).as("toks")),
-      idCol, textCol, maxLen)
+    Unigram.tokenizeWith(docs, vocab, segmentFrame, idCol, textCol, maxLen)
 
   // -------------------------------------------- BERT-parity apply rule
   /** Position-DEPENDENT greedy walk (BERT's rule): at the word start

@@ -334,6 +334,24 @@ object ExtQueries {
   def qTextUnigram(s: SparkSession, dir: String): DataFrame =
     graft.ext.Unigram.tokenize(docs(s, dir), graft.ext.Unigram.pieces)
 
+  /** Memoized incremental tokenization (VERDICT r14 #3): the corpus
+    * arrives as two increments against a standing word→tokens memo —
+    * only each increment's NEW word types run the Viterbi DP. The union
+    * of the increments' outputs is identical to the batch recompute
+    * (memo rows are pure functions of the word), so the oracle is
+    * q_text_unigram's whole-corpus SQL. */
+  def qTextUnigramIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "unigram_incr"))
+    store.drop("ug_wordtoks")
+    val inc1 = graft.ext.IncrementalTokens.tokenizeIncrement(
+      d.filter(col("doc_id") < 250), store, "ug")
+    val inc2 = graft.ext.IncrementalTokens.tokenizeIncrement(
+      d.filter(col("doc_id") >= 250), store, "ug")
+    inc1.unionByName(inc2)
+  }
+
   /** The learned unigram vocabulary (EM + prune on the whole-bit
     * surprisal lattice): (piece, cost, uses) — the q_bpe_train face. */
   def qUnigramTrain(s: SparkSession, dir: String): DataFrame = {
@@ -1176,6 +1194,12 @@ object ExtQueries {
   def qTextLmKn(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScoreKn(docs(s, dir))
 
+  /** Trigram interpolated Kneser–Ney LM score (VERDICT r14 #5): the
+    * perplexity-filter order — one corpus trigram shuffle, all four
+    * continuation tables derived from the checkpointed model. */
+  def qTextLmKn3(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScoreKn3(docs(s, dir))
+
   /** DSIR importance resampling weights: target = the English subcorpus,
     * raw = everything; 256-bucket hashed-unigram model (10⁶ buckets at
     * production scale — bucket count only shifts the smoothing mass). */
@@ -1951,6 +1975,7 @@ object ExtQueries {
     // DP, WordPiece greedy walk, BPE/unigram vocab induction) do their
     // work once per word TYPE — a vocabulary-heavy draw is more work
     "q_text_unigram" -> "distinct_words",
+    "q_text_unigram_incr" -> "distinct_words",
     "q_text_unigram_trained" -> "distinct_words",
     "q_unigram_train" -> "distinct_words",
     "q_text_wordpiece" -> "distinct_words",
@@ -2000,6 +2025,7 @@ object ExtQueries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_bpe_trained" -> (qTextBpeTrained _),
     "q_text_unigram" -> (qTextUnigram _),
+    "q_text_unigram_incr" -> (qTextUnigramIncr _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_text_unigram_trained" -> (qTextUnigramTrained _),
     "q_text_tokenizer_parity" -> (qTextTokenizerParity _),
@@ -2110,6 +2136,7 @@ object ExtQueries {
     "q_graph_kcore" -> (qGraphKcore _),
     "q_text_lm_score" -> (qTextLmScore _),
     "q_text_lm_kn" -> (qTextLmKn _),
+    "q_text_lm_kn3" -> (qTextLmKn3 _),
     "q_curation_dsir" -> (qCurationDsir _),
     "q_select_kcenter" -> (qSelectKcenter _),
     "q_text_blocklist" -> (qTextBlocklist _),
@@ -4224,6 +4251,51 @@ object ExtQueries {
        |  coalesce(sc.kn_ppm, 0) AS kn_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Trigram-KN oracle: the identical 4×-scaled integer rational over
+    * the same five continuation tables, all derived from one trigram
+    * count CTE — HUGEINT products, floor-div. Middle/edge words come
+    * from split_part with POSITIVE indexes only (trigrams are exactly 3
+    * tokens, so index arithmetic never straddles the Spark/DuckDB
+    * negative-index divergence). */
+  private val textLmKn3Sql =
+    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 3)}) AS tg
+       |  FROM w),
+       |c AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123
+       |  FROM t GROUP BY 1),
+       |top AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+       |    AS w12, CAST(sum(c123) AS BIGINT) AS c12,
+       |    CAST(count(*) AS BIGINT) AS n12 FROM c GROUP BY 1),
+       |bt AS (SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+       |    AS w23, CAST(count(*) AS BIGINT) AS n23 FROM c GROUP BY 1),
+       |mid AS (SELECT split_part(w23, ' ', 1) AS w2,
+       |    CAST(sum(n23) AS BIGINT) AS nmid2,
+       |    CAST(count(*) AS BIGINT) AS n2 FROM bt GROUP BY 1),
+       |bot AS (SELECT split_part(w23, ' ', 2) AS w3,
+       |    CAST(count(*) AS BIGINT) AS n3 FROM bt GROUP BY 1),
+       |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bt),
+       |m AS (SELECT tg, CAST(
+       |    ((CAST(c123 AS HUGEINT) * 4 - 3)
+       |        * (4 * CAST(nmid2 AS HUGEINT) * nbb)
+       |      + 3 * CAST(n12 AS HUGEINT)
+       |        * ((4 * CAST(n23 AS HUGEINT) - 3) * nbb
+       |           + 3 * CAST(n2 AS HUGEINT) * n3)) * 1000000
+       |    // (16 * CAST(c12 AS HUGEINT) * nmid2 * nbb) AS BIGINT) AS ppm
+       |  FROM c
+       |  JOIN top ON split_part(c.tg, ' ', 1) || ' ' ||
+       |    split_part(c.tg, ' ', 2) = top.w12
+       |  JOIN bt ON split_part(c.tg, ' ', 2) || ' ' ||
+       |    split_part(c.tg, ' ', 3) = bt.w23
+       |  JOIN mid ON split_part(c.tg, ' ', 2) = mid.w2
+       |  JOIN bot ON split_part(c.tg, ' ', 3) = bot.w3, nbb),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CAST(ppm AS HUGEINT)) // count(*) AS BIGINT) AS kn3_ppm
+       |  FROM t JOIN m USING (tg) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+       |  coalesce(sc.kn3_ppm, 0) AS kn3_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   private val textLmScoreSql =
     s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
        |  FROM documents),
@@ -5963,6 +6035,9 @@ object ExtQueries {
     "q_bpe_train" -> bpeTrainSql,
     "q_text_bpe_trained" -> textBpeTrainedSql,
     "q_text_unigram" -> textUnigramSql,
+    // increment-union == batch-recompute law: the incremental memoized
+    // tokenizer's oracle IS the whole-corpus committed-vocab statement
+    "q_text_unigram_incr" -> textUnigramSql,
     "q_unigram_train" -> unigramTrainSql,
     "q_text_unigram_trained" -> textUnigramTrainedSql,
     "q_text_tokenizer_parity" -> tokenizerParitySql,
@@ -6083,6 +6158,7 @@ object ExtQueries {
     "q_graph_kcore" -> graphKcoreSql,
     "q_text_lm_score" -> textLmScoreSql,
     "q_text_lm_kn" -> textLmKnSql,
+    "q_text_lm_kn3" -> textLmKn3Sql,
     "q_curation_dsir" -> curationDsirSql,
     "q_select_kcenter" -> selectKcenterSql,
     "q_text_blocklist" -> textBlocklistSql,

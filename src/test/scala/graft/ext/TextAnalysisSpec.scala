@@ -128,6 +128,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L)))
   }
 
+  test("trigram Kneser-Ney: hand-computed lattice; seen-successor mass sums to 1") {
+    import spark.implicits._
+    // trigrams: "a b c"×2, "a b d"×1. Context "a b": c12=3, n12=2.
+    // Continuation types: bt={(b c):1, (b d):1}; mid(b): nmid2=2, n2=2;
+    // bot: n3(c)=n3(d)=1; nbb=2. pmidDen = 4·2·2 = 16.
+    // ppm(abc) = ((4·2−3)·16 + 3·2·((4−3)·2 + 3·2·1))·10⁶ // (4·3·16)
+    //          = 128·10⁶ // 192 = 666666
+    // ppm(abd) = (16 + 6·8)·10⁶ // 192 = 64·10⁶ // 192 = 333333
+    // P(c|ab)+P(d|ab) = (128+64)/192 = 1: discounted mass is conserved
+    // over the seen successors of a closed vocabulary.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKn3(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 666666L)))
+    assert(out(2L) === ((1L, 666666L)))
+    assert(out(3L) === ((1L, 333333L)))
+    assert(out(4L) === ((0L, 0L)))      // 2 words: no trigrams
+    assert(out(5L) === ((0L, 0L)))      // null text
+  }
+
+  test("trigram Kneser-Ney separates phrase structure a bigram can't") {
+    import spark.implicits._
+    // Both test docs have IDENTICAL bigram multisets relative to the
+    // training corpus ("a b" and "b c" both seen), but only one has the
+    // trained trigram "a b c"; the scrambled doc's "c b a" path scores
+    // on different trigram types. The trigram model must rank the
+    // in-order doc strictly higher.
+    val train = (1L to 6L).map(i => (i, "a b c a b c"))
+    val docs = (train :+ ((10L, "a b c")) :+ ((11L, "c b a"))
+      :+ ((12L, "c a b"))).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKn3(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(10L) > out(11L),
+      s"in-order ${out(10L)} must outscore scrambled ${out(11L)}")
+  }
+
   test("Kneser-Ney rewards versatile continuations over context-bound ones") {
     import spark.implicits._
     // "sf" is frequent but only ever follows "san"; "cat" follows many

@@ -263,6 +263,45 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.sorted === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming tokenize sink: memoized output equals the batch tokenizer on any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "the theater is near"), (2L, "near the gate"),
+      (3L, "gates and theaters"), (4L, "entirely fresh wording"))
+    val docs = MemoryStream[(Long, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("tok-sink-store").toString)
+    val ckpt = Files.createTempDirectory("tok-sink-ckpt").toString
+    val q = EventStreams.tokenizeSink(
+      docs.toDF().toDF("doc_id", "text"), store, "tokmemo", "toks", ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      // second batch overlaps word types with the first (memo hits) and
+      // re-delivers doc 1 — the memo must not accrete duplicates
+      docs.addData(rows.drop(2) :+ rows.head: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-doc results equal the batch twin (latest batch per doc id —
+    // the re-delivered doc 1 re-emits identically, batch-stamped)
+    val got = store.read("toks")
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("__batch"), col("n_tokens"), col("tok_digest")))
+        .as("s"))
+      .select(col("doc_id"), col("s.n_tokens"), col("s.tok_digest"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val batch = graft.ext.Unigram
+      .tokenize(rows.toDF("doc_id", "text"), graft.ext.Unigram.pieces)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got === batch)
+    // memo carries each word type exactly once despite the overlap
+    val memo = store.read("tokmemo_wordtoks").select("w").collect()
+      .map(_.getString(0)).toSeq
+    assert(memo.distinct.size === memo.size)
+  }
+
   test("streaming priority-sample sink: state equals the batch sample on any slicing") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1L to 400L).map(i => (i, (i % 5) * 37L + (i % 3)))
