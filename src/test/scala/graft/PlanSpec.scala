@@ -775,6 +775,17 @@ class PlanSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("In(cell")), p.take(4000))
   }
 
+  test("trigram KN: type-keyed equi-joins only; the global type count broadcasts") {
+    val p = plan("q_text_lm_kn3")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // N1+(··) is a 1-row aggregate crossed in as a broadcast — never a
+    // shuffled product; every other model join is a vocab-keyed equi-join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    // the scoring join + per-doc mean keep partial/final aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("matryoshka recall: both arms broadcast the 8-query side") {
     val p = plan("q_sim_matryoshka_recall")
     assert(!p.contains("CartesianProduct"), p.take(3000))
