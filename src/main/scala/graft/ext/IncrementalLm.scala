@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.store.TableStore
+
+/** Prequential (online) Kneser–Ney LM scoring — the LM face of the
+  * incremental triad ([[IncrementalDedup]] index, [[IncrementalTokens]]
+  * memo, this): a standing bigram-count state lets each increment of a
+  * growing corpus be perplexity-scored against the model of EVERYTHING
+  * ingested so far, at O(increment + model) cost — the corpus is never
+  * re-tokenized. This is Dawid's prequential evaluation shape (each
+  * batch scored by the model trained on data up to and including it),
+  * and the form a continuous CCNet-style quality filter has in
+  * production: the LM sharpens as the crawl grows, and early documents
+  * are never re-read.
+  *
+  * Semantics (the PREFIX LAW, asserted in IncrementalLmSpec and by the
+  * q_text_lm_kn_incr oracle): increment i's output rows are EXACTLY
+  * [[TextAnalysis.lmScoreKn]] computed over the union of increments
+  * 1..i, restricted to increment i's documents — prequential-inclusive,
+  * so every scored bigram has c12 ≥ 1 and the KN clamps stay vacuous,
+  * exactly as in the batch operator. The final state's counts equal the
+  * batch model's counts under any slicing.
+  *
+  * Why Kneser–Ney and not add-one: EVERY quantity interpolated KN needs
+  * (c12, c1 = Σ_w2 c12, N1+(w1·), N1+(·w2), N1+(··)) derives from the
+  * bigram-count table alone — the state is ONE table; add-one would
+  * additionally need the out-of-context vocabulary. The model table is
+  * vocab²-bounded and heavy-tailed SMALL (Zipf does the bounding — the
+  * same argument as [[TextAnalysis.lmScoreKn]]'s one-shuffle shape), so
+  * the per-increment model aggregate is a model-sized shuffle, never a
+  * corpus-sized one.
+  *
+  * State (two tables in a [[TableStore]]):
+  *  - `<name>_bg`:   (bg, c) — per-increment pre-aggregated bigram
+  *    counts, APPENDED (merge happens at read: a groupBy-sum over
+  *    state ∪ increment — append keeps every increment O(increment)
+  *    on the write side and replay-auditable);
+  *  - `<name>_docs`: (id) — the ingested-document ledger; re-delivered
+  *    ids are FIRST-WRITE-WINS (a replayed increment scores and counts
+  *    nothing — the [[IncrementalDedup]] idempotence contract).
+  */
+object IncrementalLm {
+
+  private def bgName(name: String) = s"${name}_bg"
+  private def docsName(name: String) = s"${name}_docs"
+
+  private val bgSchema = StructType(Seq(
+    StructField("bg", StringType),
+    StructField("c", LongType)))
+  private def docsSchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType)))
+
+  /** Score one increment against the accumulated model (prequential-
+    * inclusive: the increment's own counts fold in first), then append
+    * its counts and doc ids to the state. Returns (id, n_bigrams,
+    * kn_ppm) for the increment's FRESH documents — the
+    * [[TextAnalysis.lmScoreKn]] output contract. */
+  def scoreIncrement(newDocs: DataFrame, store: TableStore, name: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ledger = store.readOrEmpty(docsName(name), docsSchema(idCol))
+    // first-write-wins: the ledger is corpus-sized and NEVER shuffles —
+    // increment ids broadcast into a semi-join that extracts the hits,
+    // and the increment anti-joins those (the IncrementalDedup shape)
+    val incIds = newDocs.select(col(idCol)).distinct().localCheckpoint(true)
+    val seen = ledger.join(broadcast(incIds), Seq(idCol), "left_semi")
+    val fresh = newDocs
+      .join(broadcast(seen), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true) // feeds occurrences, the output left join,
+                             // and the ledger append
+    // one increment tokenization: feeds the increment counts AND the
+    // scoring join (the lmScore checkpoint discipline)
+    val b = fresh.select(col(idCol),
+      explode(Hashing.ngrams(Hashing.words(col(textCol)), 2)).as("bg"))
+      .localCheckpoint(true)
+    val incCounts = b.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the model merge AND the state append
+    // accumulated model: state ∪ increment, re-reduced — a model-sized
+    // aggregate (vocab²-bounded, heavy-tail small), never corpus-sized
+    val c12 = store.readOrEmpty(bgName(name), bgSchema)
+      .unionByName(incCounts)
+      .groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+      .localCheckpoint(true)
+    // identical KN lattice as TextAnalysis.lmScoreKn, over the
+    // accumulated counts
+    val w1of = substring_index(col("bg"), " ", 1)
+    val w2of = substring_index(col("bg"), " ", -1)
+    val left = c12.groupBy(w1of.as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+    val cont = c12.groupBy(w2of.as("w2"))
+      .agg(count(lit(1)).as("n1w2"))
+    val nbi = c12.agg(count(lit(1)).as("nbi"))
+    val model = c12
+      .join(left, w1of === col("w1"))
+      .join(cont, w2of === col("w2"))
+      .crossJoin(broadcast(nbi))
+      .select(col("bg"), {
+        val num = ((col("c12") * 4 - 3).cast(dec) * col("nbi").cast(dec) +
+          lit(3).cast(dec) * col("n1w1").cast(dec) * col("n1w2").cast(dec)) *
+          lit(1000000L).cast(dec)
+        val den = lit(4).cast(dec) * col("c1").cast(dec) * col("nbi").cast(dec)
+        ((num - pmod(num, den)) / den).cast("long").as("ppm")
+      })
+    val scored = b.join(model, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        ((col("s") - pmod(col("s"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long").as("kn_ppm"))
+    val out = fresh.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_ppm"), lit(0L)).as("kn_ppm"))
+      .localCheckpoint(true) // pin results BEFORE the state mutates below
+    store.append(bgName(name), incCounts)
+    store.append(docsName(name), fresh.select(col(idCol)))
+    out
+  }
+
+  /** The accumulated model's bigram counts — equals the batch model
+    * over everything ingested, under any slicing (the state half of
+    * the prefix law). */
+  def modelState(store: TableStore, name: String): DataFrame =
+    store.readOrEmpty(bgName(name), bgSchema)
+      .groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+}

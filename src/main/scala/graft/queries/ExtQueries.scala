@@ -1200,6 +1200,24 @@ object ExtQueries {
   def qTextLmKn3(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScoreKn3(docs(s, dir))
 
+  /** Prequential (online) KN scoring: the corpus arrives as two
+    * increments against a standing bigram-count state — each increment
+    * is scored by the model of everything ingested up to and including
+    * it (Dawid's prequential shape; the continuous CCNet-filter form).
+    * The prefix law makes each half a plain batch chain in the oracle. */
+  def qTextLmKnIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "lm_incr"))
+    store.drop("kn_bg")
+    store.drop("kn_docs")
+    val inc1 = graft.ext.IncrementalLm.scoreIncrement(
+      d.filter(col("doc_id") < 250), store, "kn")
+    val inc2 = graft.ext.IncrementalLm.scoreIncrement(
+      d.filter(col("doc_id") >= 250), store, "kn")
+    inc1.unionByName(inc2)
+  }
+
   /** DSIR importance resampling weights: target = the English subcorpus,
     * raw = everything; 256-bucket hashed-unigram model (10⁶ buckets at
     * production scale — bucket count only shifts the smoothing mass). */
@@ -2137,6 +2155,7 @@ object ExtQueries {
     "q_text_lm_score" -> (qTextLmScore _),
     "q_text_lm_kn" -> (qTextLmKn _),
     "q_text_lm_kn3" -> (qTextLmKn3 _),
+    "q_text_lm_kn_incr" -> (qTextLmKnIncr _),
     "q_curation_dsir" -> (qCurationDsir _),
     "q_select_kcenter" -> (qSelectKcenter _),
     "q_text_blocklist" -> (qTextBlocklist _),
@@ -4225,31 +4244,57 @@ object ExtQueries {
     * negative index differs from Spark's substring_index(-1) only on
     * >2-token strings, and bigrams are exactly 2 tokens, so the
     * 2nd-token form is used explicitly). */
-  private val textLmKnSql =
-    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
-       |  FROM documents),
-       |b AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 2)}) AS bg
-       |  FROM w),
-       |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
-       |  FROM b GROUP BY 1),
-       |lft AS (SELECT split_part(bg, ' ', 1) AS w1,
+  /** The bigram-KN train+score chain as prefixed CTEs over `documents`
+    * rows matching `srcWhere` (empty = whole corpus) — emits `${p}sc
+    * (doc_id, n_bigrams, kn_ppm)`. Shared by the batch oracle and the
+    * prequential-incremental one (which instantiates it per prefix). */
+  private def knChainCtes(p: String, srcWhere: String): String =
+    s"""${p}w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
+       |  FROM documents$srcWhere),
+       |${p}b AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 2)}) AS bg
+       |  FROM ${p}w),
+       |${p}c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+       |  FROM ${p}b GROUP BY 1),
+       |${p}lft AS (SELECT split_part(bg, ' ', 1) AS w1,
        |    CAST(sum(c12) AS BIGINT) AS c1,
-       |    CAST(count(*) AS BIGINT) AS n1w1 FROM c12 GROUP BY 1),
-       |cont AS (SELECT split_part(bg, ' ', 2) AS w2,
-       |    CAST(count(*) AS BIGINT) AS n1w2 FROM c12 GROUP BY 1),
-       |nbi AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM c12),
-       |m AS (SELECT bg,
+       |    CAST(count(*) AS BIGINT) AS n1w1 FROM ${p}c12 GROUP BY 1),
+       |${p}cont AS (SELECT split_part(bg, ' ', 2) AS w2,
+       |    CAST(count(*) AS BIGINT) AS n1w2 FROM ${p}c12 GROUP BY 1),
+       |${p}nbi AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM ${p}c12),
+       |${p}m AS (SELECT bg,
        |    CAST((((c12 * 4 - 3) * nbi + 3 * n1w1 * n1w2) * 1000000)
        |         // (4 * c1 * nbi) AS BIGINT) AS ppm
-       |  FROM c12
-       |  JOIN lft ON split_part(c12.bg, ' ', 1) = lft.w1
-       |  JOIN cont ON split_part(c12.bg, ' ', 2) = cont.w2, nbi),
-       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  FROM ${p}c12
+       |  JOIN ${p}lft ON split_part(${p}c12.bg, ' ', 1) = ${p}lft.w1
+       |  JOIN ${p}cont ON split_part(${p}c12.bg, ' ', 2) = ${p}cont.w2,
+       |  ${p}nbi),
+       |${p}sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(sum(ppm) // count(*) AS BIGINT) AS kn_ppm
-       |  FROM b JOIN m USING (bg) GROUP BY 1)
+       |  FROM ${p}b JOIN ${p}m USING (bg) GROUP BY 1)""".stripMargin
+
+  private val textLmKnSql =
+    s"""WITH ${knChainCtes("", "")}
        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
        |  coalesce(sc.kn_ppm, 0) AS kn_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** Prequential-incremental KN oracle (the PREFIX LAW): increment 1
+    * (doc_id < 250) scores against the model of increment 1 alone;
+    * increment 2 scores against the model of the WHOLE corpus — each
+    * half is the plain batch chain over its prefix, restricted to its
+    * own documents. */
+  private val textLmKnIncrSql =
+    s"""WITH ${knChainCtes("k1", " WHERE doc_id < 250")},
+       |${knChainCtes("k2", "")}
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.kn_ppm, 0) AS kn_ppm
+       |FROM documents d LEFT JOIN k1sc sc USING (doc_id)
+       |WHERE d.doc_id < 250
+       |UNION ALL
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.kn_ppm, 0) AS kn_ppm
+       |FROM documents d LEFT JOIN k2sc sc USING (doc_id)
+       |WHERE d.doc_id >= 250""".stripMargin
 
   /** Trigram-KN oracle: the identical 4×-scaled integer rational over
     * the same five continuation tables, all derived from one trigram
@@ -6159,6 +6204,7 @@ object ExtQueries {
     "q_text_lm_score" -> textLmScoreSql,
     "q_text_lm_kn" -> textLmKnSql,
     "q_text_lm_kn3" -> textLmKn3Sql,
+    "q_text_lm_kn_incr" -> textLmKnIncrSql,
     "q_curation_dsir" -> curationDsirSql,
     "q_select_kcenter" -> selectKcenterSql,
     "q_text_blocklist" -> textBlocklistSql,

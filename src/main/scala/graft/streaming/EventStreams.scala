@@ -541,6 +541,33 @@ object EventStreams {
       }
       .start()
 
+  /** Prequential LM scoring on the stream (the continuous CCNet-filter
+    * shape): each micro-batch of documents is Kneser–Ney-scored against
+    * the model of everything the stream has carried so far — including
+    * the batch itself — via the standing bigram-count state
+    * ([[graft.ext.IncrementalLm.scoreIncrement]]); per-doc scores
+    * append batch-stamped. The LM sharpens as the stream ages; a
+    * re-delivered document is doc-ledger first-write-wins (scores
+    * nothing, counts nothing), so replay cannot inflate the model.
+    * Finite-input outputs obey the prefix law vs the batch
+    * [[graft.ext.TextAnalysis.lmScoreKn]] — asserted in StreamingSpec. */
+  def lmScoreSink(docs: DataFrame, store: graft.store.TableStore,
+      name: String, outName: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.ext.IncrementalLm
+          .scoreIncrement(batch, store, name, idCol, textCol)
+        if (!out.isEmpty)
+          store.append(outName, out.withColumn("__batch", lit(batchId)))
+        ()
+      }
+      .start()
+
   /** Streaming bounded weighted sample: fold each micro-batch into a
     * k-row priority-sample state table — the streaming face of
     * [[graft.ext.Curation.prioritySample]]. Because top-k by a

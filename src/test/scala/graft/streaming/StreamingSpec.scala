@@ -263,6 +263,40 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.sorted === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming LM sink: prequential scores obey the prefix law; replay adds nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "a b a b a c"), (2L, "a b x"), (3L, "z"),
+      (4L, "a c a b"), (5L, "x a b"))
+    val docs = MemoryStream[(Long, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("lm-sink-store").toString)
+    val ckpt = Files.createTempDirectory("lm-sink-ckpt").toString
+    val q = EventStreams.lmScoreSink(
+      docs.toDF().toDF("doc_id", "text"), store, "kn", "scores", ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1 alongside new docs — ledgered away
+      docs.addData(rows.drop(3) :+ rows.head: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = store.read("scores")
+      .select(col("doc_id"), col("n_bigrams"), col("kn_ppm")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // prefix law: batch-1 docs score as batch KN over rows 1-3; batch-2
+    // docs as batch KN over all rows, restricted to their ids
+    val pre = graft.ext.TextAnalysis
+      .lmScoreKn(rows.take(3).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val whole = graft.ext.TextAnalysis
+      .lmScoreKn(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 5) // doc 1 scored once, not twice
+    assert((1L to 3L).forall(i => got(i) === pre(i)))
+    assert((4L to 5L).forall(i => got(i) === whole(i)))
+  }
+
   test("streaming tokenize sink: memoized output equals the batch tokenizer on any slicing") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq((1L, "the theater is near"), (2L, "near the gate"),
