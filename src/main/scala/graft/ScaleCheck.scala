@@ -96,7 +96,8 @@ object ScaleCheck {
     // recompute — the incremental win shows in the per-increment spec,
     // not here), and the trigram-KN perplexity filter
     "q_text_wordpiece_bert", "q_tokenizer_bert_parity",
-    "q_text_unigram_incr", "q_text_lm_kn3", "q_text_lm_kn_incr")
+    "q_text_unigram_incr", "q_text_lm_kn3", "q_text_lm_kn_incr",
+    "q_text_lm_kn3_incr")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -35,10 +35,11 @@ import graft.store.TableStore
   * corpus-sized one.
   *
   * State (two tables in a [[TableStore]]):
-  *  - `<name>_bg`:   (bg, c) — per-increment pre-aggregated bigram
+  *  - `<name>_bg`:   (g, c) — per-increment pre-aggregated n-gram
   *    counts, APPENDED (merge happens at read: a groupBy-sum over
   *    state ∪ increment — append keeps every increment O(increment)
-  *    on the write side and replay-auditable);
+  *    on the write side and replay-auditable); one store per n-gram
+  *    order ([[scoreIncrement]] n=2, [[scoreIncrement3]] n=3);
   *  - `<name>_docs`: (id) — the ingested-document ledger; re-delivered
   *    ids are FIRST-WRITE-WINS (a replayed increment scores and counts
   *    nothing — the [[IncrementalDedup]] idempotence contract).
@@ -49,19 +50,40 @@ object IncrementalLm {
   private def docsName(name: String) = s"${name}_docs"
 
   private val bgSchema = StructType(Seq(
-    StructField("bg", StringType),
+    StructField("g", StringType),
     StructField("c", LongType)))
   private def docsSchema(idCol: String) = StructType(Seq(
     StructField(idCol, LongType)))
 
-  /** Score one increment against the accumulated model (prequential-
-    * inclusive: the increment's own counts fold in first), then append
-    * its counts and doc ids to the state. Returns (id, n_bigrams,
-    * kn_ppm) for the increment's FRESH documents — the
+  /** Score one increment against the accumulated BIGRAM model
+    * (prequential-inclusive: the increment's own counts fold in first),
+    * then append its counts and doc ids to the state. Returns (id,
+    * n_bigrams, kn_ppm) for the increment's FRESH documents — the
     * [[TextAnalysis.lmScoreKn]] output contract. */
   def scoreIncrement(newDocs: DataFrame, store: TableStore, name: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dec = "decimal(38,0)"
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWith(newDocs, store, name, 2,
+      c => TextAnalysis.knPpmFromCounts(c.withColumnRenamed("c", "c12")
+        .withColumnRenamed("g", "bg")).withColumnRenamed("bg", "g"),
+      "n_bigrams", "kn_ppm", idCol, textCol)
+
+  /** The TRIGRAM face: the same state mechanics over trigram counts,
+    * scored with the [[TextAnalysis.lmScoreKn3]] lattice — online
+    * perplexity filtering at the order real filters run at. One store
+    * per n-gram order (the counts tables must never mix). */
+  def scoreIncrement3(newDocs: DataFrame, store: TableStore, name: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWith(newDocs, store, name, 3,
+      c => TextAnalysis.kn3PpmFromCounts(c.withColumnRenamed("c", "c123")
+        .withColumnRenamed("g", "tg")).withColumnRenamed("tg", "g"),
+      "n_trigrams", "kn3_ppm", idCol, textCol)
+
+  /** The shared prequential mechanics around a pluggable count-table →
+    * (g, ppm) model — ledger first-write-wins, one increment
+    * tokenization, model-sized count merge, score, pin, append. */
+  private def scoreWith(newDocs: DataFrame, store: TableStore, name: String,
+      n: Int, ppmOf: DataFrame => DataFrame, nOut: String, ppmOut: String,
+      idCol: String, textCol: String): DataFrame = {
     val ledger = store.readOrEmpty(docsName(name), docsSchema(idCol))
     // first-write-wins: the ledger is corpus-sized and NEVER shuffles —
     // increment ids broadcast into a semi-join that extracts the hits,
@@ -76,56 +98,36 @@ object IncrementalLm {
     // one increment tokenization: feeds the increment counts AND the
     // scoring join (the lmScore checkpoint discipline)
     val b = fresh.select(col(idCol),
-      explode(Hashing.ngrams(Hashing.words(col(textCol)), 2)).as("bg"))
+      explode(Hashing.ngrams(Hashing.words(col(textCol)), n)).as("g"))
       .localCheckpoint(true)
-    val incCounts = b.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val incCounts = b.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // feeds the model merge AND the state append
     // accumulated model: state ∪ increment, re-reduced — a model-sized
-    // aggregate (vocab²-bounded, heavy-tail small), never corpus-sized
-    val c12 = store.readOrEmpty(bgName(name), bgSchema)
+    // aggregate (vocabⁿ-bounded, heavy-tail small), never corpus-sized
+    val counts = store.readOrEmpty(bgName(name), bgSchema)
       .unionByName(incCounts)
-      .groupBy(col("bg")).agg(sum(col("c")).as("c12"))
-      .localCheckpoint(true)
-    // identical KN lattice as TextAnalysis.lmScoreKn, over the
-    // accumulated counts
-    val w1of = substring_index(col("bg"), " ", 1)
-    val w2of = substring_index(col("bg"), " ", -1)
-    val left = c12.groupBy(w1of.as("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
-    val cont = c12.groupBy(w2of.as("w2"))
-      .agg(count(lit(1)).as("n1w2"))
-    val nbi = c12.agg(count(lit(1)).as("nbi"))
-    val model = c12
-      .join(left, w1of === col("w1"))
-      .join(cont, w2of === col("w2"))
-      .crossJoin(broadcast(nbi))
-      .select(col("bg"), {
-        val num = ((col("c12") * 4 - 3).cast(dec) * col("nbi").cast(dec) +
-          lit(3).cast(dec) * col("n1w1").cast(dec) * col("n1w2").cast(dec)) *
-          lit(1000000L).cast(dec)
-        val den = lit(4).cast(dec) * col("c1").cast(dec) * col("nbi").cast(dec)
-        ((num - pmod(num, den)) / den).cast("long").as("ppm")
-      })
-    val scored = b.join(model, Seq("bg"))
+      .groupBy(col("g")).agg(sum(col("c")).as("c"))
+      .localCheckpoint(true) // the model derivations read it 4-6 times
+    val scored = b.join(ppmOf(counts), Seq("g"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
-      .select(col(idCol), col("n_bigrams"),
-        ((col("s") - pmod(col("s"), col("n_bigrams"))) / col("n_bigrams"))
-          .cast("long").as("kn_ppm"))
+      .agg(count(lit(1)).as(nOut), sum(col("ppm")).as("s"))
+      .select(col(idCol), col(nOut),
+        ((col("s") - pmod(col("s"), col(nOut))) / col(nOut))
+          .cast("long").as(ppmOut))
     val out = fresh.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("kn_ppm"), lit(0L)).as("kn_ppm"))
+        coalesce(col(nOut), lit(0L)).as(nOut),
+        coalesce(col(ppmOut), lit(0L)).as(ppmOut))
       .localCheckpoint(true) // pin results BEFORE the state mutates below
     store.append(bgName(name), incCounts)
     store.append(docsName(name), fresh.select(col(idCol)))
     out
   }
 
-  /** The accumulated model's bigram counts — equals the batch model
-    * over everything ingested, under any slicing (the state half of
-    * the prefix law). */
+  /** The accumulated model's n-gram counts (g, c) — equals the batch
+    * model over everything ingested, under any slicing (the state half
+    * of the prefix law). */
   def modelState(store: TableStore, name: String): DataFrame =
     store.readOrEmpty(bgName(name), bgSchema)
-      .groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+      .groupBy(col("g")).agg(sum(col("c")).as("c"))
 }

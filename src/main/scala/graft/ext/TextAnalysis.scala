@@ -373,7 +373,6 @@ object TextAnalysis {
     * pass); scoring is one occurrences⋈model equi-join + per-doc sum. */
   def lmScoreKn(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val dec = "decimal(38,0)"
     // checkpointed occurrence stream: one corpus tokenization feeds both
     // the model counts and the scoring join (as in [[lmScore]])
     val b = docs.select(col(idCol),
@@ -381,6 +380,25 @@ object TextAnalysis {
       .localCheckpoint(true)
     val c12 = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
+    val scored = b.join(knPpmFromCounts(c12), Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        ((col("s") - pmod(col("s"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long").as("kn_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_ppm"), lit(0L)).as("kn_ppm"))
+  }
+
+  /** The bigram-KN model from a (bg, c12) count table — (bg, ppm) on
+    * the exact lattice. Shared by [[lmScoreKn]] (counts from this
+    * corpus pass) and [[IncrementalLm]] (counts accumulated across
+    * increments); the input must be pinned by the caller (it is read
+    * four times: three derivation aggregates + the model join). */
+  private[ext] def knPpmFromCounts(c12: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val w1of = substring_index(col("bg"), " ", 1)
     val w2of = substring_index(col("bg"), " ", -1)
     // context totals and type counts, all from the bigram model
@@ -389,7 +407,7 @@ object TextAnalysis {
     val cont = c12.groupBy(w2of.as("w2"))
       .agg(count(lit(1)).as("n1w2"))
     val nbi = c12.agg(count(lit(1)).as("nbi"))
-    val model = c12
+    c12
       .join(left, w1of === col("w1"))
       .join(cont, w2of === col("w2"))
       .crossJoin(broadcast(nbi))
@@ -402,16 +420,6 @@ object TextAnalysis {
         // division so no quotient rounding can cross a lattice point
         ((num - pmod(num, den)) / den).cast("long").as("ppm")
       })
-    val scored = b.join(model, Seq("bg"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
-      .select(col(idCol), col("n_bigrams"),
-        ((col("s") - pmod(col("s"), col("n_bigrams"))) / col("n_bigrams"))
-          .cast("long").as("kn_ppm"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("kn_ppm"), lit(0L)).as("kn_ppm"))
   }
 
   /** Interpolated Kneser–Ney TRIGRAM LM score (VERDICT r14 #5) — the
@@ -450,7 +458,6 @@ object TextAnalysis {
     * per-doc sum. Docs with < 3 words score 0 over 0 trigrams. */
   def lmScoreKn3(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val dec = "decimal(38,0)"
     // checkpointed occurrence stream: one corpus tokenization feeds both
     // the model counts and the scoring join
     val t = docs.select(col(idCol),
@@ -458,6 +465,24 @@ object TextAnalysis {
       .localCheckpoint(true)
     val c123 = t.groupBy(col("tg")).agg(count(lit(1)).as("c123"))
       .localCheckpoint(true)
+    val scored = t.join(kn3PpmFromCounts(c123), Seq("tg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("ppm")).as("s"))
+      .select(col(idCol), col("n_trigrams"),
+        ((col("s") - pmod(col("s"), col("n_trigrams"))) / col("n_trigrams"))
+          .cast("long").as("kn3_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("kn3_ppm"), lit(0L)).as("kn3_ppm"))
+  }
+
+  /** The trigram-KN model from a (tg, c123) count table — (tg, ppm) on
+    * the exact lattice; the five continuation tables derive inside.
+    * Shared by [[lmScoreKn3]] and [[IncrementalLm.scoreIncrement3]];
+    * the input must be pinned by the caller. */
+  private[ext] def kn3PpmFromCounts(c123: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val w12of = substring_index(col("tg"), " ", 2)
     val w23of = substring_index(col("tg"), " ", -2)
     val w2of = substring_index(substring_index(col("tg"), " ", 2), " ", -1)
@@ -474,7 +499,7 @@ object TextAnalysis {
     val bot = bt.groupBy(substring_index(col("w23"), " ", -1).as("w3b"))
       .agg(count(lit(1)).as("n3"))
     val nbb = bt.agg(count(lit(1)).as("nbb"))
-    val model = c123
+    c123
       .join(top, w12of === col("w12"))
       .join(bt, w23of === col("w23"))
       .join(mid, w2of === col("w2m"))
@@ -492,16 +517,6 @@ object TextAnalysis {
         // exact floor: subtract the decimal remainder before dividing
         ((num - pmod(num, den)) / den).cast("long").as("ppm")
       })
-    val scored = t.join(model, Seq("tg"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"), sum(col("ppm")).as("s"))
-      .select(col(idCol), col("n_trigrams"),
-        ((col("s") - pmod(col("s"), col("n_trigrams"))) / col("n_trigrams"))
-          .cast("long").as("kn3_ppm"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        coalesce(col("kn3_ppm"), lit(0L)).as("kn3_ppm"))
   }
 
   /** Terminator-run sentence split: `[.!?]+\s+`. Deliberately

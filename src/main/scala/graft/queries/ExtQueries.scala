@@ -1218,6 +1218,21 @@ object ExtQueries {
     inc1.unionByName(inc2)
   }
 
+  /** The trigram instance of the prequential prefix law — online
+    * perplexity filtering at the order real filters run at. */
+  def qTextLmKn3Incr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "lm3_incr"))
+    store.drop("kn3_bg")
+    store.drop("kn3_docs")
+    val inc1 = graft.ext.IncrementalLm.scoreIncrement3(
+      d.filter(col("doc_id") < 250), store, "kn3")
+    val inc2 = graft.ext.IncrementalLm.scoreIncrement3(
+      d.filter(col("doc_id") >= 250), store, "kn3")
+    inc1.unionByName(inc2)
+  }
+
   /** DSIR importance resampling weights: target = the English subcorpus,
     * raw = everything; 256-bucket hashed-unigram model (10⁶ buckets at
     * production scale — bucket count only shifts the smoothing mass). */
@@ -2156,6 +2171,7 @@ object ExtQueries {
     "q_text_lm_kn" -> (qTextLmKn _),
     "q_text_lm_kn3" -> (qTextLmKn3 _),
     "q_text_lm_kn_incr" -> (qTextLmKnIncr _),
+    "q_text_lm_kn3_incr" -> (qTextLmKn3Incr _),
     "q_curation_dsir" -> (qCurationDsir _),
     "q_select_kcenter" -> (qSelectKcenter _),
     "q_text_blocklist" -> (qTextBlocklist _),
@@ -4302,44 +4318,68 @@ object ExtQueries {
     * from split_part with POSITIVE indexes only (trigrams are exactly 3
     * tokens, so index arithmetic never straddles the Spark/DuckDB
     * negative-index divergence). */
-  private val textLmKn3Sql =
-    s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
-       |  FROM documents),
-       |t AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 3)}) AS tg
-       |  FROM w),
-       |c AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123
-       |  FROM t GROUP BY 1),
-       |top AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
-       |    AS w12, CAST(sum(c123) AS BIGINT) AS c12,
-       |    CAST(count(*) AS BIGINT) AS n12 FROM c GROUP BY 1),
-       |bt AS (SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
-       |    AS w23, CAST(count(*) AS BIGINT) AS n23 FROM c GROUP BY 1),
-       |mid AS (SELECT split_part(w23, ' ', 1) AS w2,
+  /** The trigram-KN train+score chain as prefixed CTEs (the kn3
+    * analogue of `knChainCtes`) — emits `${p}sc (doc_id, n_trigrams,
+    * kn3_ppm)`; shared by the batch and prequential-incremental
+    * oracles. */
+  private def kn3ChainCtes(p: String, srcWhere: String): String =
+    s"""${p}w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
+       |  FROM documents$srcWhere),
+       |${p}t AS (SELECT doc_id, unnest(${Hashing.ngramsSql("ws", 3)}) AS tg
+       |  FROM ${p}w),
+       |${p}c AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123
+       |  FROM ${p}t GROUP BY 1),
+       |${p}top AS (SELECT split_part(tg, ' ', 1) || ' ' ||
+       |    split_part(tg, ' ', 2) AS w12, CAST(sum(c123) AS BIGINT) AS c12,
+       |    CAST(count(*) AS BIGINT) AS n12 FROM ${p}c GROUP BY 1),
+       |${p}bt AS (SELECT split_part(tg, ' ', 2) || ' ' ||
+       |    split_part(tg, ' ', 3) AS w23,
+       |    CAST(count(*) AS BIGINT) AS n23 FROM ${p}c GROUP BY 1),
+       |${p}mid AS (SELECT split_part(w23, ' ', 1) AS w2,
        |    CAST(sum(n23) AS BIGINT) AS nmid2,
-       |    CAST(count(*) AS BIGINT) AS n2 FROM bt GROUP BY 1),
-       |bot AS (SELECT split_part(w23, ' ', 2) AS w3,
-       |    CAST(count(*) AS BIGINT) AS n3 FROM bt GROUP BY 1),
-       |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bt),
-       |m AS (SELECT tg, CAST(
+       |    CAST(count(*) AS BIGINT) AS n2 FROM ${p}bt GROUP BY 1),
+       |${p}bot AS (SELECT split_part(w23, ' ', 2) AS w3,
+       |    CAST(count(*) AS BIGINT) AS n3 FROM ${p}bt GROUP BY 1),
+       |${p}nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM ${p}bt),
+       |${p}m AS (SELECT tg, CAST(
        |    ((CAST(c123 AS HUGEINT) * 4 - 3)
        |        * (4 * CAST(nmid2 AS HUGEINT) * nbb)
        |      + 3 * CAST(n12 AS HUGEINT)
        |        * ((4 * CAST(n23 AS HUGEINT) - 3) * nbb
        |           + 3 * CAST(n2 AS HUGEINT) * n3)) * 1000000
        |    // (16 * CAST(c12 AS HUGEINT) * nmid2 * nbb) AS BIGINT) AS ppm
-       |  FROM c
-       |  JOIN top ON split_part(c.tg, ' ', 1) || ' ' ||
-       |    split_part(c.tg, ' ', 2) = top.w12
-       |  JOIN bt ON split_part(c.tg, ' ', 2) || ' ' ||
-       |    split_part(c.tg, ' ', 3) = bt.w23
-       |  JOIN mid ON split_part(c.tg, ' ', 2) = mid.w2
-       |  JOIN bot ON split_part(c.tg, ' ', 3) = bot.w3, nbb),
-       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  FROM ${p}c
+       |  JOIN ${p}top ON split_part(${p}c.tg, ' ', 1) || ' ' ||
+       |    split_part(${p}c.tg, ' ', 2) = ${p}top.w12
+       |  JOIN ${p}bt ON split_part(${p}c.tg, ' ', 2) || ' ' ||
+       |    split_part(${p}c.tg, ' ', 3) = ${p}bt.w23
+       |  JOIN ${p}mid ON split_part(${p}c.tg, ' ', 2) = ${p}mid.w2
+       |  JOIN ${p}bot ON split_part(${p}c.tg, ' ', 3) = ${p}bot.w3,
+       |  ${p}nbb),
+       |${p}sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        |    CAST(sum(CAST(ppm AS HUGEINT)) // count(*) AS BIGINT) AS kn3_ppm
-       |  FROM t JOIN m USING (tg) GROUP BY 1)
+       |  FROM ${p}t JOIN ${p}m USING (tg) GROUP BY 1)""".stripMargin
+
+  private val textLmKn3Sql =
+    s"""WITH ${kn3ChainCtes("", "")}
        |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
        |  coalesce(sc.kn3_ppm, 0) AS kn3_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** Prequential-incremental trigram-KN oracle — the kn3 instance of
+    * the prefix law (see textLmKnIncrSql). */
+  private val textLmKn3IncrSql =
+    s"""WITH ${kn3ChainCtes("k1", " WHERE doc_id < 250")},
+       |${kn3ChainCtes("k2", "")}
+       |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+       |  coalesce(sc.kn3_ppm, 0) AS kn3_ppm
+       |FROM documents d LEFT JOIN k1sc sc USING (doc_id)
+       |WHERE d.doc_id < 250
+       |UNION ALL
+       |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+       |  coalesce(sc.kn3_ppm, 0) AS kn3_ppm
+       |FROM documents d LEFT JOIN k2sc sc USING (doc_id)
+       |WHERE d.doc_id >= 250""".stripMargin
 
   private val textLmScoreSql =
     s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
@@ -6205,6 +6245,7 @@ object ExtQueries {
     "q_text_lm_kn" -> textLmKnSql,
     "q_text_lm_kn3" -> textLmKn3Sql,
     "q_text_lm_kn_incr" -> textLmKnIncrSql,
+    "q_text_lm_kn3_incr" -> textLmKn3IncrSql,
     "q_curation_dsir" -> curationDsirSql,
     "q_select_kcenter" -> selectKcenterSql,
     "q_text_blocklist" -> textBlocklistSql,

@@ -46,6 +46,40 @@ class IncrementalLmSpec extends SparkSpec {
     assert(state === batchCounts) // state law: counts equal batch
   }
 
+  test("trigram face obeys the same prefix law on the same slicing") {
+    val store = freshStore()
+    val docs = corpus.toDF("doc_id", "text")
+    val pre = docs.filter($"doc_id" <= 4L)
+    val inc1 = IncrementalLm.scoreIncrement3(pre, store, "kn3")
+    val inc2 = IncrementalLm.scoreIncrement3(
+      docs.filter($"doc_id" > 4L), store, "kn3")
+    assert(asMap(inc1) === asMap(TextAnalysis.lmScoreKn3(pre)))
+    val whole = asMap(TextAnalysis.lmScoreKn3(docs))
+    assert(asMap(inc2) === whole.view.filterKeys(_ > 4L).toMap)
+  }
+
+  test("prefix law holds under arbitrary slicings (three-way, skewed, singleton)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val all = corpus.map(_._1)
+    for (cuts <- Seq(Seq(2L, 4L), Seq(1L), Seq(6L), Seq(1L, 2L, 6L))) {
+      val store = freshStore()
+      val bounds = (Seq(Long.MinValue) ++ cuts ++ Seq(Long.MaxValue))
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        val ids = all.filter(i => i > lo && i <= hi)
+        if (ids.nonEmpty) {
+          val inc = IncrementalLm.scoreIncrement(
+            docs.filter($"doc_id".isin(ids: _*)), store, "kn")
+          // batch over the prefix ingested so far, restricted to this slice
+          val prefix = all.filter(_ <= hi)
+          val want = asMap(TextAnalysis.lmScoreKn(
+            docs.filter($"doc_id".isin(prefix: _*))))
+          assert(asMap(inc) === want.view.filterKeys(ids.contains).toMap,
+            s"slicing $cuts failed at ($lo, $hi]")
+        }
+      }
+    }
+  }
+
   test("replayed increment scores nothing and leaves the state unchanged") {
     val store = freshStore()
     val docs = corpus.toDF("doc_id", "text")
