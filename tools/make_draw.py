@@ -25,9 +25,9 @@ Distribution model (verified against the 2026-08-16 sf0.1 draw):
              shipdate uniform day 1995-01-02..2001-11-04
   events     ts = 2024-01-01 + cumsum(Exp(mean 30d/n)); user U{0..15000*sf};
              type U{5}; value round(Exp(50),2); props '{"k": U{0..99}}'
-  documents  5%% of positions are near-dups (random earlier doc + " dup",
+  documents  5% of positions are near-dups (random earlier doc + " dup",
              chains possible); fresh docs U{10..100} words from the fixed
-             30-word vocab; lang {en:.4, zh/es/fr/de:.15}; source = id%%20
+             30-word vocab; lang {en:.4, zh/es/fr/de:.15}; source = id%20
   embeddings N(0,1,64) float32 L2-normalized; label U{0..9}
   region/nation copied from the live draw (fixed dimensions)
 
