@@ -91,6 +91,22 @@ class IncrementalLmSpec extends SparkSpec {
     assert(IncrementalLm.modelState(store, "kn").collect().toSet === before)
   }
 
+  test("degenerate increments: empty, bigram-less, then a scoring increment") {
+    val store = freshStore()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(IncrementalLm.scoreIncrement(empty, store, "kn").count() === 0)
+    // single-word / null docs: rows emit with (0, 0), no counts accrue
+    val degenerate = Seq((1L, "z"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = asMap(IncrementalLm.scoreIncrement(degenerate, store, "kn"))
+    assert(out === Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
+    assert(IncrementalLm.modelState(store, "kn").count() === 0L)
+    // the next increment trains the first usable model and scores by it
+    val real = Seq((3L, "a b a b")).toDF("doc_id", "text")
+    assert(asMap(IncrementalLm.scoreIncrement(real, store, "kn")) ===
+      asMap(TextAnalysis.lmScoreKn(real)))
+  }
+
   test("partial replay: only genuinely new docs score and count") {
     val store = freshStore()
     val docs = corpus.toDF("doc_id", "text")

@@ -65,6 +65,23 @@ class IncrementalTokensSpec extends SparkSpec {
     assert(got === asMap(WordPiece.tokenize(docs, Unigram.pieces)))
   }
 
+  test("degenerate increments: empty frame, null-only text, then real docs") {
+    val store = freshStore()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(IncrementalTokens.tokenizeIncrement(empty, store, "m").count() === 0)
+    assert(IncrementalTokens.memoSize(store, "m") === 0L)
+    // null-only increment: rows come back (null digest), memo stays empty
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = asMap(IncrementalTokens.tokenizeIncrement(nulls, store, "m"))
+    assert(out(1L) === ((0L, null)))
+    assert(IncrementalTokens.memoSize(store, "m") === 0L)
+    // a real increment afterwards behaves exactly like a first one
+    val real = asMap(IncrementalTokens.tokenizeIncrement(
+      Seq((2L, "alpha beta")).toDF("doc_id", "text"), store, "m"))
+    assert(real(2L)._1 > 0L)
+    assert(IncrementalTokens.memoSize(store, "m") === 2L)
+  }
+
   test("memoized and fresh segmentations are bit-identical across runs") {
     // the SAME word tokenized via the memo (run 2) and via the DP
     // (fresh store) must produce one digest — the pure-function law
