@@ -1,20 +1,29 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExecBase
 
 /** Whole-registry physical-plan sweep — the standing form of the audit
   * the per-round verdicts run by hand ("whole-registry explain sweep
   * remains CartesianProduct-free"): build EVERY registered query at a
-  * small sf, explain it, and report scale smells:
+  * small sf and report scale smells, detected on the physical plan
+  * NODES (ADVICE r15: Spark never prints the "PartitionSpec: []" label
+  * the old string grep looked for, so the grep could never fire):
   *
-  *  - `CartesianProduct` — an unbounded all-pairs term (broadcast
+  *  - [[CartesianProductExec]] — an unbounded all-pairs term (broadcast
   *    nested-loop over a bounded side is fine and NOT flagged);
-  *  - `Window` with an empty partition spec — a corpus-wide
-  *    single-task funnel (Spark's own WindowExec warning, grepped from
-  *    the plan: "PartitionSpec: []" outside a driver-bounded frame);
-  *  - `GlobalLimit` over `Sort` is fine (TakeOrdered), but a global
-  *    `Sort` NOT under a limit in the final plan is reported for eyes.
+  *  - [[WindowExecBase]] with an empty partition spec — a corpus-wide
+  *    single-task funnel;
+  *  - a global [[SortExec]] NOT under a limit operator ([[GlobalLimitExec]]
+  *    / [[CollectLimitExec]] / [[TakeOrderedAndProjectExec]]) — a
+  *    whole-result range sort, reported for eyes (a range-partitioned
+  *    sort is distributed, but at 100 TB it is a full extra exchange;
+  *    fine when the frame is bounded or the sort IS the product, e.g. a
+  *    curriculum ordering).
   *
   * Exit 1 if any query carries a CartesianProduct — the one shape with
   * no 100 TB excuse. The others print as warnings for adjudication
@@ -26,6 +35,61 @@ import org.apache.spark.sql.execution.FormattedMode
   * runs real code, which is the point.)
   */
 object PlanSweep {
+
+  /** The scale smells one query's physical plan carries. */
+  case class Smells(cartesian: Int, globalWindows: Int, unlimitedSorts: Int)
+
+  /** Detect smells on `df`'s executed physical plan, with AQE wrappers
+    * unwrapped (an [[AdaptiveSparkPlanExec]] is a LEAF to `collect` —
+    * its current plan is only reachable through `executedPlan`, which
+    * before the first job is the initial physical plan) and subquery
+    * plans swept too (a cartesian hiding in a scalar subquery is still
+    * a cartesian; `sparkPlan` would NOT do — subqueries are planned in
+    * the executedPlan preparation, so at that stage a subquery
+    * expression still holds a LOGICAL plan and casts blow up). */
+  def smellsOf(df: DataFrame): Smells = {
+    val plan = df.queryExecution.executedPlan
+    // every physical node, descending through AQE wrappers and into
+    // planned subquery expressions (ScalarSubquery/InSubqueryExec hold
+    // a BaseSubqueryExec — itself a SparkPlan)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ =>
+        val subs = p.expressions.flatMap(_.collect {
+          case pe: PlanExpression[_] => pe.plan
+        }).collect { case sp: SparkPlan => sp }
+        p +: (p.children ++ subs).flatMap(nodes)
+    }
+    val all = nodes(plan)
+    val cartesian = all.count(_.isInstanceOf[CartesianProductExec])
+    val globalWindows = all.count {
+      case w: WindowExecBase => w.partitionSpec.isEmpty
+      case _ => false
+    }
+    // global Sort with no limit ancestor: walk with a limit flag — a
+    // Sort directly under GlobalLimit/CollectLimit is a top-k in
+    // disguise (and TakeOrderedAndProject never plans a SortExec at
+    // all). Subquery trees restart with no limit ancestry.
+    def unlimitedSorts(p: SparkPlan, underLimit: Boolean): Int = p match {
+      case a: AdaptiveSparkPlanExec => unlimitedSorts(a.executedPlan, underLimit)
+      case _ =>
+        val here = p match {
+          case s: SortExec if s.global && !underLimit => 1
+          case _ => 0
+        }
+        val ul = underLimit || (p match {
+          case _: GlobalLimitExec | _: CollectLimitExec |
+               _: TakeOrderedAndProjectExec => true
+          case _ => false
+        })
+        val subs = p.expressions.flatMap(_.collect {
+          case pe: PlanExpression[_] => pe.plan
+        }).collect { case sp: SparkPlan => sp }
+        here + p.children.map(unlimitedSorts(_, ul)).sum +
+          subs.map(unlimitedSorts(_, underLimit = false)).sum
+    }
+    Smells(cartesian, globalWindows, unlimitedSorts(plan, underLimit = false))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -43,17 +107,14 @@ object PlanSweep {
       .filter(n => only.isEmpty || only(n))
     var products = List.empty[String]
     var globalWindows = List.empty[String]
+    var sorts = List.empty[String]
     var failed = List.empty[String]
     names.foreach { n =>
       try {
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        val p = df.queryExecution.explainString(FormattedMode)
-        if (p.contains("CartesianProduct")) products ::= n
-        // WindowExec prints its spec; an empty partition list means the
-        // whole input funnels into one task
-        if (p.linesIterator.exists(l =>
-            l.contains("Window") && l.contains("PartitionSpec: []")))
-          globalWindows ::= n
+        val s = smellsOf(SparkEntry.queries(n)(spark, sfDir))
+        if (s.cartesian > 0) products ::= n
+        if (s.globalWindows > 0) globalWindows ::= n
+        if (s.unlimitedSorts > 0) sorts ::= n
       } catch {
         case e: Throwable =>
           failed ::= s"$n: ${e.getClass.getSimpleName} ${e.getMessage}"
@@ -65,6 +126,9 @@ object PlanSweep {
     if (globalWindows.nonEmpty)
       println("global-window (adjudicate — fine only on driver-bounded " +
         s"frames): ${globalWindows.sorted.mkString(", ")}")
+    if (sorts.nonEmpty)
+      println("global-sort-no-limit (adjudicate — fine when the ordering " +
+        s"is the product or the frame is bounded): ${sorts.sorted.mkString(", ")}")
     failed.sorted.foreach(f => println(s"BUILD FAILED: $f"))
     if (products.isEmpty && failed.isEmpty) println("sweep clean")
     spark.stop()

@@ -43,6 +43,20 @@ import graft.store.TableStore
   *  - `<name>_docs`: (id) — the ingested-document ledger; re-delivered
   *    ids are FIRST-WRITE-WINS (a replayed increment scores and counts
   *    nothing — the [[IncrementalDedup]] idempotence contract).
+  *
+  * Crash ordering (ADVICE r15): the commit sequence is scores-out →
+  * docs ledger → counts, each via [[TableStore.appendStaged]], so any
+  * single crash + at-least-once retry biases toward UNDER-counting,
+  * never inflation or lost output:
+  *  - crash before the ledger lands → the retry re-derives the same
+  *    docs as fresh and re-emits identical rows (the standing model is
+  *    untouched, so the recompute is bit-identical; batch-stamped
+  *    outputs dedup the duplicate emission downstream);
+  *  - crash between ledger and counts → the docs' scores are already
+  *    out, the retry skips them (ledgered), and the model under-counts
+  *    that increment — the safe direction for a quality filter. The
+  *    counts-first order this replaced could double-count an increment
+  *    on replay; ledger-first cannot.
   */
 object IncrementalLm {
 
@@ -59,31 +73,37 @@ object IncrementalLm {
     * (prequential-inclusive: the increment's own counts fold in first),
     * then append its counts and doc ids to the state. Returns (id,
     * n_bigrams, kn_ppm) for the increment's FRESH documents — the
-    * [[TextAnalysis.lmScoreKn]] output contract. */
+    * [[TextAnalysis.lmScoreKn]] output contract. `emit` runs on the
+    * pinned output BEFORE any state mutates — sinks durable-write their
+    * scores through it so a crash mid-commit can never lose a scored
+    * batch (see the crash-ordering contract above). */
   def scoreIncrement(newDocs: DataFrame, store: TableStore, name: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      emit: DataFrame => Unit = _ => ()): DataFrame =
     scoreWith(newDocs, store, name, 2,
       c => TextAnalysis.knPpmFromCounts(c.withColumnRenamed("c", "c12")
         .withColumnRenamed("g", "bg")).withColumnRenamed("bg", "g"),
-      "n_bigrams", "kn_ppm", idCol, textCol)
+      "n_bigrams", "kn_ppm", idCol, textCol, emit)
 
   /** The TRIGRAM face: the same state mechanics over trigram counts,
     * scored with the [[TextAnalysis.lmScoreKn3]] lattice — online
     * perplexity filtering at the order real filters run at. One store
     * per n-gram order (the counts tables must never mix). */
   def scoreIncrement3(newDocs: DataFrame, store: TableStore, name: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      emit: DataFrame => Unit = _ => ()): DataFrame =
     scoreWith(newDocs, store, name, 3,
       c => TextAnalysis.kn3PpmFromCounts(c.withColumnRenamed("c", "c123")
         .withColumnRenamed("g", "tg")).withColumnRenamed("tg", "g"),
-      "n_trigrams", "kn3_ppm", idCol, textCol)
+      "n_trigrams", "kn3_ppm", idCol, textCol, emit)
 
   /** The shared prequential mechanics around a pluggable count-table →
     * (g, ppm) model — ledger first-write-wins, one increment
-    * tokenization, model-sized count merge, score, pin, append. */
+    * tokenization, model-sized count merge, score, pin, emit, then
+    * commit state in the crash-safe order (ledger before counts). */
   private def scoreWith(newDocs: DataFrame, store: TableStore, name: String,
       n: Int, ppmOf: DataFrame => DataFrame, nOut: String, ppmOut: String,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String, emit: DataFrame => Unit): DataFrame = {
     val ledger = store.readOrEmpty(docsName(name), docsSchema(idCol))
     // first-write-wins: the ledger is corpus-sized and NEVER shuffles —
     // increment ids broadcast into a semi-join that extracts the hits,
@@ -119,8 +139,14 @@ object IncrementalLm {
         coalesce(col(nOut), lit(0L)).as(nOut),
         coalesce(col(ppmOut), lit(0L)).as(ppmOut))
       .localCheckpoint(true) // pin results BEFORE the state mutates below
-    store.append(bgName(name), incCounts)
-    store.append(docsName(name), fresh.select(col(idCol)))
+    // commit order is load-bearing (ADVICE r15 — see the class doc):
+    // scores out first (a retry after a crash here recomputes the same
+    // rows), then the docs ledger, then counts — so no single crash can
+    // inflate the model or lose a scored batch. Staged appends keep a
+    // mid-write crash from leaving half-visible increments.
+    emit(out)
+    store.appendStaged(docsName(name), fresh.select(col(idCol)))
+    store.appendStaged(bgName(name), incCounts)
     out
   }
 

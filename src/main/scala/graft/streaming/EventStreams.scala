@@ -550,7 +550,18 @@ object EventStreams {
     * re-delivered document is doc-ledger first-write-wins (scores
     * nothing, counts nothing), so replay cannot inflate the model.
     * Finite-input outputs obey the prefix law vs the batch
-    * [[graft.ext.TextAnalysis.lmScoreKn]] — asserted in StreamingSpec. */
+    * [[graft.ext.TextAnalysis.lmScoreKn]] — asserted in StreamingSpec.
+    *
+    * Crash safety (ADVICE r15): the scores land in `outName` through
+    * scoreIncrement's `emit` hook — i.e. BEFORE the doc ledger or the
+    * model counts commit. A crash after the output append but before
+    * the state commit makes the foreachBatch retry re-score the batch
+    * against the unchanged standing model (bit-identical rows, same
+    * batch stamp — the (__batch, id) dedup read absorbs them); a crash
+    * after the state commit finds the scores already durable. The old
+    * order (state inside, output after) could permanently lose a
+    * batch's scores: the retry saw every doc ledgered and emitted
+    * nothing — at-most-once output under at-least-once delivery. */
   def lmScoreSink(docs: DataFrame, store: graft.store.TableStore,
       name: String, outName: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -560,10 +571,11 @@ object EventStreams {
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = graft.ext.IncrementalLm
-          .scoreIncrement(batch, store, name, idCol, textCol)
-        if (!out.isEmpty)
-          store.append(outName, out.withColumn("__batch", lit(batchId)))
+        graft.ext.IncrementalLm.scoreIncrement(batch, store, name,
+          idCol, textCol,
+          emit = out =>
+            if (!out.isEmpty)
+              store.append(outName, out.withColumn("__batch", lit(batchId))))
         ()
       }
       .start()

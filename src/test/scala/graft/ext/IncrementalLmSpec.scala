@@ -107,6 +107,68 @@ class IncrementalLmSpec extends SparkSpec {
       asMap(TextAnalysis.lmScoreKn(real)))
   }
 
+  test("crash before state commit (emit throws): retry re-scores identically") {
+    // ADVICE r15: the output emit runs BEFORE any state mutates, so a
+    // crash during the output append leaves the state untouched and the
+    // at-least-once retry recomputes bit-identical rows — scores are
+    // never lost
+    val store = freshStore()
+    val docs = corpus.toDF("doc_id", "text")
+    val pre = docs.filter($"doc_id" <= 4L)
+    intercept[RuntimeException] {
+      IncrementalLm.scoreIncrement(pre, store, "kn",
+        emit = _ => throw new RuntimeException("sink died mid-append"))
+    }
+    // nothing committed: no ledger, no counts
+    assert(IncrementalLm.modelState(store, "kn").count() === 0L)
+    assert(!store.exists("kn_docs") || store.read("kn_docs").count() === 0L)
+    // the retry scores the full batch, identical to a clean first run
+    var emitted: Option[DataFrame] = None
+    val out = IncrementalLm.scoreIncrement(pre, store, "kn",
+      emit = o => emitted = Some(o))
+    assert(asMap(out) === asMap(TextAnalysis.lmScoreKn(pre)))
+    assert(asMap(emitted.get) === asMap(out))
+  }
+
+  test("crash between ledger and counts: under-counts, never inflates") {
+    // ledger-first commit order (ADVICE r15): counts dying after the
+    // ledger landed means the retry skips the increment (scores already
+    // emitted) and the model under-counts it — the old counts-first
+    // order re-counted the increment on retry, permanently inflating
+    val failing = new TableStore(spark,
+        Files.createTempDirectory("graft-inclm-crash").toString) {
+      private var armed = true
+      override def appendStaged(name: String, df: DataFrame): Unit = {
+        if (name == "kn_bg" && armed) {
+          armed = false
+          throw new RuntimeException("crash before counts commit")
+        }
+        super.appendStaged(name, df)
+      }
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val pre = docs.filter($"doc_id" <= 4L)
+    var firstEmit: Option[Map[Long, (Long, Long)]] = None
+    intercept[RuntimeException] {
+      IncrementalLm.scoreIncrement(pre, failing, "kn",
+        emit = o => firstEmit = Some(asMap(o)))
+    }
+    // the scores WERE emitted before the crash — nothing lost
+    assert(firstEmit.get === asMap(TextAnalysis.lmScoreKn(pre)))
+    // ledger landed, counts did not
+    assert(failing.read("kn_docs").count() === 4L)
+    assert(IncrementalLm.modelState(failing, "kn").count() === 0L)
+    // retry: every doc is ledgered → scores nothing, counts nothing —
+    // the model can only UNDER-count, never double-count
+    assert(IncrementalLm.scoreIncrement(pre, failing, "kn").count() === 0L)
+    assert(IncrementalLm.modelState(failing, "kn").count() === 0L)
+    // later increments still work against the (under-counted) state
+    val later = IncrementalLm.scoreIncrement(
+      docs.filter($"doc_id" === 7L), failing, "kn")
+    assert(asMap(later) === asMap(
+      TextAnalysis.lmScoreKn(docs.filter($"doc_id" === 7L))))
+  }
+
   test("partial replay: only genuinely new docs score and count") {
     val store = freshStore()
     val docs = corpus.toDF("doc_id", "text")
