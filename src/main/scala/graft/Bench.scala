@@ -68,6 +68,26 @@ object Bench {
           "case when x.c > acc.c then x else acc end).l as best")
       .groupBy("best").count()
       .write.format("noop").mode("overwrite").save()
+    // decimal-lattice + null-key + range-sort leg (VERDICT r15 #1/#2):
+    // the first query compiling a decimal(38,0) arithmetic tree, hashing
+    // a NULL join key through a null-safe equi-join, or planning a
+    // repartitionByRange pays the cold evaluator/compiler cost — the
+    // committed quiet samples showed q_j_nullsafe 2.64s cold vs 1.16s
+    // warm and q_eval_rankcorr 5.56s cold vs 2.0s warm on the SAME data.
+    // Those shapes are this leg, on 2048 rows.
+    val lat = spark.range(2048)
+      .selectExpr("id", "nullif(cast(id % 5 as string), '3') as k",
+        "cast(id * 1000003 as decimal(38,0)) as d")
+      .selectExpr("id", "k",
+        "cast((d * 10000 - pmod(d * 10000, cast(id + 7 as decimal(38,0)))) " +
+          "/ cast(id + 7 as decimal(38,0)) as long) as q",
+        "explode(sequence(1, 1 + cast(id % 3 as int))) as p")
+    lat.join(lat.selectExpr("k as k2").distinct(),
+        lat("k") <=> org.apache.spark.sql.functions.col("k2"))
+      .repartitionByRange(4, lat("q"))
+      .selectExpr("k", "q", "substr(cast(q as string), p, 3) as tri")
+      .groupBy("tri").count()
+      .write.format("noop").mode("overwrite").save()
   }
 
   /** Machine-health calibration probe (VERDICT r10 #8): a fixed, timed

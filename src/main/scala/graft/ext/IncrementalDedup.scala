@@ -32,6 +32,24 @@ import Hashing.numHashes
   * verification can always re-read the two documents' text by id.
   * Determinism: same content ⇒ same signatures ⇒ same pairs, regardless
   * of which increment a document arrived in.
+  *
+  * Crash ordering (the [[IncrementalLm]] contract, ADVICE r15): every
+  * mutating face commits output (through `emit`) → first-write-wins
+  * ledger → derived state, each via [[TableStore.appendStaged]], so a
+  * single crash + at-least-once retry biases toward UNDER-detection and
+  * can never duplicate index rows or emit conflicting outputs:
+  *  - crash before the ledger lands → the retry recomputes against the
+  *    unchanged index and re-emits bit-identical rows (batch-stamped
+  *    sinks dedup the duplicate emission);
+  *  - crash after the ledger, before the derived tables → the retry
+  *    skips the increment (output already out); the docs sit in the
+  *    ledger without bands/sizes, so future candidates can miss them —
+  *    a detection hole, not corruption. [[rebuildBands]] re-derives the
+  *    whole bands table from signatures (bands are a pure function of
+  *    them) to close the hole.
+  * The ledger-LAST alternative re-appends the derived rows on retry —
+  * duplicate bands double candidate generation and duplicate sizes
+  * double containment pair rows; inflation is the worse failure.
   */
 object IncrementalDedup {
 
@@ -55,10 +73,12 @@ object IncrementalDedup {
   /** Ingest one increment: returns near-dup pairs (new-vs-index and
     * new-vs-new, estimated Jaccard ≥ threshold), then appends the
     * increment's bands+signatures to the index. Pair orientation: id_a is
-    * always the already-indexed (or lower-id) side. */
+    * always the already-indexed (or lower-id) side. `emit` runs on the
+    * pinned pairs BEFORE the index mutates (the crash-ordering contract
+    * above) — sinks durable-write their pairs through it. */
   def indexIncrement(newDocs: DataFrame, store: TableStore, name: String,
       threshold: Double = 0.5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", emit: DataFrame => Unit = _ => ()): DataFrame = {
     val oldBands = store.readOrEmpty(bandsName(name), bandsSchema)
     val oldSigs = store.readOrEmpty(sigsName(name), sigsSchema)
 
@@ -104,11 +124,22 @@ object IncrementalDedup {
       .filter(col("est_jaccard") >= threshold)
       .localCheckpoint(true) // pin results BEFORE the index mutates below
 
-    store.append(bandsName(name), newBands)
-    store.append(sigsName(name), sigs)
-    store.append(sizesName(name), sizes)
+    // output → ledger (sigs: the first-write-wins key) → derived state
+    emit(pairs)
+    store.appendStaged(sigsName(name), sigs)
+    store.appendStaged(bandsName(name), newBands)
+    store.appendStaged(sizesName(name), sizes)
     pairs
   }
+
+  /** Re-derive the bands table from the signatures ledger — closes the
+    * detection hole a crash between the sigs and bands appends leaves
+    * (see the crash-ordering contract above). Bands are a pure function
+    * of signatures, so the rebuild is total and idempotent; the
+    * tmp-then-swap overwrite keeps readers consistent throughout. */
+  def rebuildBands(store: TableStore, name: String): Unit =
+    store.overwrite(bandsName(name),
+      Dedup.lshBands(store.readOrEmpty(sigsName(name), sigsSchema)))
 
   /** Ingest one increment and return CONTAINMENT-estimate pairs — the
     * streaming/incremental face of [[Dedup.containmentEstFromPostings]]
@@ -118,13 +149,14 @@ object IncrementalDedup {
     * Jaccard — excerpt/quote detection at O(increment) cost. Both
     * directions of every candidate are returned ((id, container_id,
     * containment_est), the [[Dedup.containmentPairs]] orientation).
-    * First-write-wins idempotence and the index-never-shuffles
-    * discipline are inherited verbatim from [[indexIncrement]]; docs
-    * indexed before the sizes column existed simply drop out of
-    * containment scoring (inner join on sizes) rather than erroring. */
+    * First-write-wins idempotence, the index-never-shuffles discipline
+    * and the emit-first crash ordering are inherited verbatim from
+    * [[indexIncrement]]; docs indexed before the sizes column existed
+    * simply drop out of containment scoring (inner join on sizes)
+    * rather than erroring. */
   def containmentEstIncrement(newDocs: DataFrame, store: TableStore,
       name: String, threshold: Double = 0.8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", emit: DataFrame => Unit = _ => ()): DataFrame = {
     val oldBands = store.readOrEmpty(bandsName(name), bandsSchema)
     val oldSigs = store.readOrEmpty(sigsName(name), sigsSchema)
     val oldSizes = store.readOrEmpty(sizesName(name), sizesSchema)
@@ -157,9 +189,11 @@ object IncrementalDedup {
       .containmentFromAgreement(agree, sizesNeeded, threshold)
       .localCheckpoint(true) // pin results BEFORE the index mutates below
 
-    store.append(bandsName(name), newBands)
-    store.append(sigsName(name), sigs)
-    store.append(sizesName(name), sizes)
+    // output → ledger (sigs) → derived state — the class contract
+    emit(pairs)
+    store.appendStaged(sigsName(name), sigs)
+    store.appendStaged(bandsName(name), newBands)
+    store.appendStaged(sizesName(name), sizes)
     pairs
   }
 
@@ -192,10 +226,18 @@ object IncrementalDedup {
     * semi-join that extracts only the hit rows (one digest-column
     * pruned scan of the state), and the increment anti-joins those
     * hits, again broadcast. Keep-first within the increment is the same
-    * min-struct aggregate as the batch operator. */
+    * min-struct aggregate as the batch operator.
+    *
+    * Crash ordering (class contract): emit → doc ledger → kept digests.
+    * A crash between ledger and digests leaves a digest hole — a later
+    * increment may re-keep a paragraph that was already emitted (under-
+    * dedup). The digests-FIRST order this replaced was strictly worse:
+    * the retry saw its own digests as "already kept by an earlier
+    * increment" and emitted every paragraph as dropped — a WRONG
+    * cleaned_text for the whole increment, not just a weaker dedup. */
   def paragraphDedupIncrement(store: TableStore, name: String,
       newDocs: DataFrame, sep: String = "\n", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", emit: DataFrame => Unit = _ => ()): DataFrame = {
     val oldDg = store.readOrEmpty(paraDigestsName(name), paraDigestsSchema)
     val seenIds = store.readOrEmpty(paraDocsName(name), paraDocsSchema(idCol))
     val fresh = newDocs.select(col(idCol), col(textCol).as("t"))
@@ -232,8 +274,9 @@ object IncrementalDedup {
         (col("n_paragraphs") - coalesce(col("n_kept"), lit(0L)))
           .as("n_dropped_paras"))
       .localCheckpoint(true) // pin results BEFORE the state mutates
-    store.append(paraDigestsName(name), kept.select(col("dg")))
-    store.append(paraDocsName(name), fresh.select(col(idCol)))
+    emit(out)
+    store.appendStaged(paraDocsName(name), fresh.select(col(idCol)))
+    store.appendStaged(paraDigestsName(name), kept.select(col("dg")))
     out
   }
 
@@ -257,7 +300,11 @@ object IncrementalDedup {
     val fresh = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(old.select(col("id")), Seq("id"), "left_anti")
     val sh = Dedup.shingles(fresh, n, "id", "text").localCheckpoint(true)
-    store.append(contShName(name), sh)
+    // postings double as the first-write-wins ledger: repartition by id
+    // so each doc's postings land in ONE staged file — a torn move
+    // leaves whole docs only, and the retry re-ingests exactly the
+    // missing ones (appendStaged's co-located-key contract)
+    store.appendStaged(contShName(name), sh.repartition(col("id")))
     sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
   }
 

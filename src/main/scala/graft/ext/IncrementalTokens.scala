@@ -101,7 +101,12 @@ object IncrementalTokens {
     val out = Unigram
       .contract(newDocs, occ, hits.unionByName(fresh), idCol, textCol)
       .localCheckpoint(true) // pin results BEFORE the memo mutates below
-    store.append(wordtoksName(name), fresh)
+    // staged append (ADVICE r15 sweep): each memo row is a complete
+    // (w, toks) fact, so a torn move leaves whole words only and the
+    // retry's anti-join re-derives exactly the missing types — replay
+    // cannot duplicate a word or lose the increment's output (the
+    // output is recomputed identically from memo ∪ fresh either way)
+    store.appendStaged(wordtoksName(name), fresh)
     out
   }
 

@@ -2018,7 +2018,13 @@ object ExtQueries {
     "q_text_tokenizer_parity" -> "distinct_words",
     "q_tokenizer_greedy_gap" -> "distinct_words",
     "q_bpe_train" -> "distinct_words",
-    "q_text_bpe_trained" -> "distinct_words")
+    "q_text_bpe_trained" -> "distinct_words",
+    // trigram-volume-bounded (VERDICT r15 #1): trigramTypicality's
+    // explode → DISTINCT shuffle → df join all scale with the draw's
+    // char-trigram position count — a longer-text draw is more work at
+    // the same sf, not a regression
+    "q_eval_rankcorr" -> "trigram_positions",
+    "q_text_typicality" -> "trigram_positions")
 
   /** The counters [[pairBounded]] refers to — each one bench-run scan,
     * far cheaper than the queries it adjudicates. */
@@ -2037,7 +2043,15 @@ object ExtQueries {
         .select(col("event_type"),
           round(col("value") * 100).cast("decimal(18,0)").cast("long")
             .as("value_cents"))
-        .distinct().count()))
+        .distinct().count()),
+    // Σ over docs of the char-trigram position count (len−2, len ≥ 3) —
+    // the row volume trigramTypicality explodes, DISTINCT-shuffles and
+    // df-joins. Pure scan aggregate (no shuffle): pennies next to the
+    // queries it adjudicates
+    "trigram_positions" -> ((s, dir) =>
+      docs(s, dir)
+        .agg(sum(greatest(length(col("text")) - 2, lit(0))).cast("long"))
+        .collect()(0).getLong(0)))
 
   def queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),

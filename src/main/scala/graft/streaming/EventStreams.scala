@@ -453,12 +453,17 @@ object EventStreams {
     * Idempotence is DOC-keyed, not batch-stamped: the index ingests
     * first-write-wins on doc id, so a replayed micro-batch left-anti
     * drops to empty and appends nothing — re-delivery cannot corrupt the
-    * index or duplicate pairs. Pairing contract (the sibling-sink rule):
-    * a crash between the internal index append and this sink's pairs
-    * append loses THAT batch's pairs on replay (the index stays
-    * consistent); a downstream needing the lost pairs re-derives them
-    * from the index state, or pairs this sink with its own transactional
-    * log. */
+    * index or duplicate pairs.
+    *
+    * Crash safety (ADVICE r15, the [[lmScoreSink]] contract): the pairs
+    * land in `pairsName` through indexIncrement's `emit` hook — BEFORE
+    * the index ingests the batch. A crash after the pairs append but
+    * before the index commit makes the retry recompute against the
+    * unchanged index (bit-identical pairs, same batch stamp — the
+    * (__batch, id_a, id_b) dedup read absorbs them); a crash after the
+    * index commit finds the pairs already durable. The old order (index
+    * inside, pairs after) permanently lost a crashed batch's pairs: the
+    * replay anti-joined to empty and emitted nothing. */
   def minhashIndexSink(docs: DataFrame, store: graft.store.TableStore,
       name: String, pairsName: String, checkpointDir: String,
       threshold: Double = 0.5,
@@ -468,10 +473,12 @@ object EventStreams {
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = graft.ext.IncrementalDedup
-          .indexIncrement(batch, store, name, threshold)
-        if (!pairs.isEmpty)
-          store.append(pairsName, pairs.withColumn("__batch", lit(batchId)))
+        graft.ext.IncrementalDedup.indexIncrement(batch, store, name,
+          threshold,
+          emit = pairs =>
+            if (!pairs.isEmpty)
+              store.append(pairsName,
+                pairs.withColumn("__batch", lit(batchId))))
         ()
       }
       .start()
@@ -483,7 +490,7 @@ object EventStreams {
     * ([[graft.ext.IncrementalDedup.containmentEstIncrement]]): both
     * directions of every LSH candidate whose estimated containment
     * clears the threshold, at O(batch) increment cost. Doc-keyed
-    * first-write-wins idempotence and the sibling-sink pairing contract
+    * first-write-wins idempotence and the emit-first crash contract
     * are inherited verbatim from [[minhashIndexSink]]; the two sinks can
     * share one index `name` (the state tables are identical plus
     * sizes). Finite-input results equal the batch twin
@@ -498,10 +505,14 @@ object EventStreams {
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = graft.ext.IncrementalDedup
-          .containmentEstIncrement(batch, store, name, threshold)
-        if (!pairs.isEmpty)
-          store.append(pairsName, pairs.withColumn("__batch", lit(batchId)))
+        // pairs land via the emit hook BEFORE the index ingests — the
+        // minhashIndexSink crash contract, inherited verbatim
+        graft.ext.IncrementalDedup.containmentEstIncrement(batch, store,
+          name, threshold,
+          emit = pairs =>
+            if (!pairs.isEmpty)
+              store.append(pairsName,
+                pairs.withColumn("__batch", lit(batchId))))
         ()
       }
       .start()

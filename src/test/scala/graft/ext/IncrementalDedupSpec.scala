@@ -122,4 +122,98 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.containmentIncrement(store, "c", docs)
     assert(store.read("c_contsh").count() === expected)
   }
+
+  // ---- crash-ordering contract (ADVICE r15): emit → ledger → derived
+
+  test("crash before index commit (emit throws): retry re-emits identical pairs") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-inc").toString)
+    IncrementalDedup.indexIncrement(Seq((1L, base)).toDF("doc_id", "text"),
+      store, "idx")
+    val day2 = Seq((10L, base)).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      IncrementalDedup.indexIncrement(day2, store, "idx",
+        emit = _ => throw new RuntimeException("pairs append died"))
+    }
+    // index untouched: doc 10 not ingested
+    assert(store.read("idx_sigs").count() === 1)
+    // retry: identical pairs, index ingests once
+    var emitted = Set.empty[(Long, Long)]
+    val retry = IncrementalDedup.indexIncrement(day2, store, "idx",
+      emit = p => emitted =
+        p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(emitted === Set((1L, 10L)))
+    assert(retry.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === emitted)
+    assert(store.read("idx_sigs").count() === 2)
+  }
+
+  test("crash between sigs and bands: no duplication; rebuildBands closes the hole") {
+    val failing = new TableStore(spark,
+        Files.createTempDirectory("graft-inc-crash").toString) {
+      private var armed = true
+      override def appendStaged(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (name == "idx_bands" && armed) {
+          armed = false
+          throw new RuntimeException("crash before bands commit")
+        }
+        super.appendStaged(name, df)
+      }
+    }
+    var firstPairs: Option[Long] = None
+    intercept[RuntimeException] {
+      IncrementalDedup.indexIncrement(Seq((1L, base)).toDF("doc_id", "text"),
+        failing, "idx", emit = p => firstPairs = Some(p.count()))
+    }
+    assert(firstPairs === Some(0L)) // output was out before the crash
+    // ledger (sigs) landed; bands did not — a detection hole, NOT dup rows
+    assert(failing.read("idx_sigs").count() === 1)
+    assert(!failing.exists("idx_bands") ||
+      failing.read("idx_bands").count() === 0)
+    // retry skips the ledgered doc: nothing duplicates, nothing re-emits
+    assert(IncrementalDedup.indexIncrement(
+      Seq((1L, base)).toDF("doc_id", "text"), failing, "idx").count() === 0)
+    assert(failing.read("idx_sigs").count() === 1)
+    // the documented bias: doc 1 is un-banded, so a copy finds NO pair...
+    IncrementalDedup.indexIncrement(
+      Seq((2L, base)).toDF("doc_id", "text"), failing, "idx")
+    // ...until rebuildBands re-derives bands from the sigs ledger
+    IncrementalDedup.rebuildBands(failing, "idx")
+    assert(failing.read("idx_bands").count() === 2 * Hashing.bands)
+    val p = IncrementalDedup.indexIncrement(
+      Seq((3L, base)).toDF("doc_id", "text"), failing, "idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === Set((1L, 3L), (2L, 3L)))
+  }
+
+  test("paragraph crash between ledger and digests: under-dedups, never wrong output") {
+    val failing = new TableStore(spark,
+        Files.createTempDirectory("graft-inc-crash").toString) {
+      private var armed = true
+      override def appendStaged(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (name == "p_paradigests" && armed) {
+          armed = false
+          throw new RuntimeException("crash before digests commit")
+        }
+        super.appendStaged(name, df)
+      }
+    }
+    val inc1 = paraDocs.filter($"doc_id" <= 2)
+    var emitted: Option[Set[(Long, String)]] = None
+    intercept[RuntimeException] {
+      IncrementalDedup.paragraphDedupIncrement(failing, "p", inc1,
+        emit = o => emitted = Some(o.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet))
+    }
+    // the emitted output is the CORRECT cleaned text (matches a clean
+    // batch run over the same docs) — the old digests-first order made
+    // the retry see every paragraph as already kept and emit all-dropped
+    val want = Dedup.paragraphDedup(inc1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(emitted.get === want)
+    // retry: docs ledgered → emits nothing (output already out), digest
+    // hole documented as under-dedup, not corruption
+    assert(IncrementalDedup.paragraphDedupIncrement(failing, "p", inc1)
+      .count() === 0)
+    assert(failing.read("p_paradocs").count() === 2)
+  }
 }
