@@ -97,7 +97,11 @@ object ScaleCheck {
     // not here), and the trigram-KN perplexity filter
     "q_text_wordpiece_bert", "q_tokenizer_bert_parity",
     "q_text_unigram_incr", "q_text_lm_kn3", "q_text_lm_kn_incr",
-    "q_text_lm_kn3_incr")
+    "q_text_lm_kn3_incr",
+    // r16 additions: the LSH-composed corpus×corpus bitext miner (the
+    // band-candidate volume is the scale claim) and the one-pass
+    // per-lang fertility table
+    "q_sim_bitext_lsh", "q_tok_fertility")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -156,4 +156,17 @@ object IncrementalLm {
   def modelState(store: TableStore, name: String): DataFrame =
     store.readOrEmpty(bgName(name), bgSchema)
       .groupBy(col("g")).agg(sum(col("c")).as("c"))
+
+  /** Compact the count state to one row per n-gram: the `<name>_bg`
+    * table accretes one appended slice PER INCREMENT (that is what
+    * keeps the write side O(increment)), so after many increments the
+    * read-side merge re-reduces ever more rows and the directory
+    * collects ever more small files. Folding the table to its
+    * [[modelState]] is semantics-preserving (groupBy-sum is the merge
+    * the readers run anyway) and atomic ([[TableStore.overwrite]]'s
+    * tmp-then-swap), so it can run as table maintenance between
+    * increments — the LM-state analogue of [[TableStore.compact]],
+    * which rewrites files but not rows. */
+  def compactModel(store: TableStore, name: String): Unit =
+    store.overwrite(bgName(name), modelState(store, name))
 }

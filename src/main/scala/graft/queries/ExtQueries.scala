@@ -119,6 +119,27 @@ object ExtQueries {
       Bpe.tokenDigest(col("text")).as("tok_digest"))
   }
 
+  /** Tokenizer fertility per language — the standard tokenizer-choice
+    * readout (tokens per word, chars per token): a high-fertility
+    * language pays more sequence length per word under the committed
+    * vocabulary, the per-language table every multilingual tokenizer
+    * eval tabulates before freezing a vocab. One corpus pass — the
+    * per-doc BPE token, word and char counts are pure projections
+    * riding one scan; per-lang sums map-side combine; both ratios land
+    * on the frac4 lattice from exact integer sums. */
+  def qTokFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Hashing.words(col("text"))).cast("long")).as("n_words"),
+        sum(Bpe.tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        frac4Col(col("n_tokens"), col("n_words")).as("fertility"),
+        frac4Col(col("n_chars"), col("n_tokens")).as("chars_per_token"))
+  }
+
   /** BPE vocabulary induction: learn 12 merges from the corpus (one
     * corpus-wide word-count shuffle, then cheap iterations over the
     * cached weighted vocab). The result is the ranked merges table a
@@ -1350,6 +1371,13 @@ object ExtQueries {
   def qSimBitext(s: SparkSession, dir: String): DataFrame =
     Similarity.bitextMine(docs(s, dir), emb(s, dir), srcLang = "en")
 
+  /** Corpus×corpus bitext mining through the sign-LSH band prefilter —
+    * the scale path [[Similarity.bitextMineLsh]]: candidates from band
+    * collisions (no |src|·|tgt| stream), ratio margins over candidates
+    * only. */
+  def qSimBitextLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.bitextMineLsh(docs(s, dir), emb(s, dir), srcLang = "en")
+
   /** Lexical diversity (type-token ratio) per source stratum. */
   def qTextTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenRatio(docs(s, dir), col("source"))
@@ -2069,6 +2097,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_tok_fertility" -> (qTokFertility _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_bpe_trained" -> (qTextBpeTrained _),
     "q_text_unigram" -> (qTextUnigram _),
@@ -2198,6 +2227,7 @@ object ExtQueries {
     "q_curation_dsir_freeze" -> (qCurationDsirFreeze _),
     "q_curation_shards" -> (qCurationShards _),
     "q_sim_bitext" -> (qSimBitext _),
+    "q_sim_bitext_lsh" -> (qSimBitextLsh _),
     "q_privacy_redact" -> (qPrivacyRedact _),
     "q_privacy_ldiv" -> (qPrivacyLdiv _),
     "q_eval_ngram_overlap" -> (qEvalNgramOverlap _),
@@ -3011,6 +3041,21 @@ object ExtQueries {
        |  md5(array_to_string(${Bpe.tokensSqlOf("text")}, '${Bpe.sep}'))
        |    AS tok_digest
        |FROM documents""".stripMargin
+  }
+
+  /** Fertility oracle: identical one-pass per-lang integer sums, frac4
+    * ratios over the aggregated sums. */
+  private val tokFertilitySql = {
+    import graft.ext.Bpe
+    s"""WITH t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(${wordsSqlOf("text")})) AS BIGINT) AS n_words,
+       |    CAST(sum(${Bpe.tokenCountSqlOf("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       |  ${frac4Sql("n_tokens", "n_words")} AS fertility,
+       |  ${frac4Sql("n_chars", "n_tokens")} AS chars_per_token
+       |FROM t""".stripMargin
   }
 
   /** BPE-training oracle: 12 unrolled learn steps, each picking the
@@ -4688,6 +4733,61 @@ object ExtQueries {
        |FROM b WHERE rn = 1""".stripMargin
   }
 
+  /** LSH-composed bitext oracle: the simBitextSql margin chain with the
+    * CROSS JOIN replaced by the sign-LSH band candidate equi-join
+    * (simNearDupSql's banded chain, split src-vs-tgt) — the k-NN sums
+    * run over candidates only, the operator's documented contract.
+    * LAZY: bandBucketSql reads oracleDim, declared later in this object
+    * (the dedupClustersSql initialization-order rule). */
+  private lazy val simBitextLshSql = {
+    val k = 4
+    val dotTS =
+      "list_sum(list_transform(range(1, len(tv) + 1), i -> tv[i] * sv[i]))"
+    val num = s"(${2 * k} * cos6 * 1000000)"
+    def bandSelects(from: String, idAs: String) =
+      (0 until Similarity.neardupBands).map { b =>
+        s"SELECT $idAs AS id, $b AS band, " +
+          s"${bandBucketSql("v", b, Similarity.neardupPlanesPerBand)} AS bh " +
+          s"FROM $from"
+      }.mkString(" UNION ALL ")
+    s"""WITH lv AS (SELECT d.doc_id AS id, d.lang,
+       |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |ln2 AS (SELECT id, lang, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM lv),
+       |src AS (SELECT id AS src_id, v AS sv, nv AS sn FROM ln2
+       |  WHERE lang = 'en'),
+       |tgt AS (SELECT id AS tgt_id, v AS tv, nv AS tn FROM ln2
+       |  WHERE lang <> 'en'),
+       |bs AS (${bandSelects("(SELECT src_id AS id, sv AS v FROM src)", "id")}),
+       |bt AS (${bandSelects("(SELECT tgt_id AS id, tv AS v FROM tgt)", "id")}),
+       |cands AS (SELECT DISTINCT l.id AS src_id, r.id AS tgt_id
+       |  FROM bs l JOIN bt r ON l.band = r.band AND l.bh = r.bh),
+       |scored AS MATERIALIZED (SELECT src_id, tgt_id,
+       |    CAST(round(round($dotTS / (tn * sn), 6) * 1000000) AS BIGINT) AS cos6
+       |  FROM cands JOIN src USING (src_id) JOIN tgt USING (tgt_id)),
+       |ax AS (SELECT src_id, CAST(sum(cos6) AS BIGINT) AS sx FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY src_id
+       |     ORDER BY cos6 DESC, tgt_id) AS rn FROM scored)
+       |  WHERE rn <= $k GROUP BY 1),
+       |ay AS (SELECT tgt_id, CAST(sum(cos6) AS BIGINT) AS sy FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |     ORDER BY cos6 DESC, src_id) AS rn FROM scored)
+       |  WHERE rn <= $k GROUP BY 1),
+       |m AS (SELECT src_id, tgt_id, cos6,
+       |    CASE WHEN sx + sy > 0
+       |      THEN CAST(($num - ((($num % (sx + sy)) + (sx + sy)) % (sx + sy)))
+       |             // (sx + sy) AS BIGINT)
+       |      ELSE 0 END AS margin_ppm
+       |  FROM scored JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+       |b AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |   ORDER BY margin_ppm DESC, tgt_id) AS rn FROM m)
+       |SELECT src_id, tgt_id, cos6, margin_ppm,
+       |  CAST(CASE WHEN margin_ppm > 1000000 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_parallel
+       |FROM b WHERE rn = 1""".stripMargin
+  }
+
   /** PII-redaction oracle: plant the identical (doc_id, lang)-derived
     * emails/IPs/account numbers, then run the same three-stage
     * regexp_replace chain ('g' flag — DuckDB defaults to first-match,
@@ -6131,6 +6231,7 @@ object ExtQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
     "q_text_bpe" -> textBpeSql,
+    "q_tok_fertility" -> tokFertilitySql,
     "q_bpe_train" -> bpeTrainSql,
     "q_text_bpe_trained" -> textBpeTrainedSql,
     "q_text_unigram" -> textUnigramSql,
@@ -6272,6 +6373,7 @@ object ExtQueries {
     "q_curation_dsir_freeze" -> curationDsirFreezeSql,
     "q_curation_shards" -> curationShardsSql,
     "q_sim_bitext" -> simBitextSql,
+    "q_sim_bitext_lsh" -> simBitextLshSql,
     "q_privacy_redact" -> privacyRedactSql,
     "q_privacy_ldiv" -> privacyLdivSql,
     "q_eval_ngram_overlap" -> evalNgramOverlapSql,

@@ -107,6 +107,27 @@ class IncrementalLmSpec extends SparkSpec {
       asMap(TextAnalysis.lmScoreKn(real)))
   }
 
+  test("compactModel folds the per-increment slices; scoring is unchanged") {
+    val store = freshStore()
+    val docs = corpus.toDF("doc_id", "text")
+    IncrementalLm.scoreIncrement(docs.filter($"doc_id" <= 2L), store, "kn")
+    IncrementalLm.scoreIncrement(docs.filter($"doc_id".isin(3L, 5L)), store, "kn")
+    val before = IncrementalLm.modelState(store, "kn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // the raw table carries per-increment slices (more rows than grams)
+    assert(store.read("kn_bg").count() > before.size)
+    IncrementalLm.compactModel(store, "kn")
+    assert(store.read("kn_bg").count() === before.size)
+    assert(IncrementalLm.modelState(store, "kn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === before)
+    // the next increment scores exactly as if no compaction happened
+    val inc = IncrementalLm.scoreIncrement(
+      docs.filter($"doc_id".isin(6L, 7L)), store, "kn")
+    val want = asMap(TextAnalysis.lmScoreKn(
+      docs.filter($"doc_id".isin(1L, 2L, 3L, 5L, 6L, 7L))))
+    assert(asMap(inc) === want.view.filterKeys(k => k == 6L || k == 7L).toMap)
+  }
+
   test("crash before state commit (emit throws): retry re-scores identically") {
     // ADVICE r15: the output emit runs BEFORE any state mutates, so a
     // crash during the output append leaves the state untouched and the

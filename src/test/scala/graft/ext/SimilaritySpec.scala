@@ -345,6 +345,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("LSH-composed bitext: candidate-restricted margins, no cartesian") {
+    import spark.implicits._
+    // real-ish vectors from the sf0.001 fixture so band collisions are
+    // non-trivial; the LSH face must (a) plan no CartesianProduct,
+    // (b) agree with the exact face's cos6 on every pair both scored,
+    // (c) emit at most one row per source doc
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val lsh = Similarity.bitextMineLsh(d, e, "en")
+    val s = graft.PlanSweep.smellsOf(lsh)
+    assert(s.cartesian === 0, "LSH face must never plan a cartesian")
+    val got = lsh.collect()
+    val bySrc = got.groupBy(_.getLong(0))
+    assert(bySrc.values.forall(_.length == 1))
+    // cos6 equality on common picks: where the LSH face's best pick
+    // coincides with the exact face's, the lattice cosine is identical
+    // (the margins legitimately differ — candidate-restricted k-NN sums)
+    val exact = Similarity.bitextMine(d, e, "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val common = got.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
+    assert(common.nonEmpty)
+    common.foreach { r =>
+      assert(r.getLong(2) === exact((r.getLong(0), r.getLong(1))))
+    }
+  }
+
   test("hard negatives: pos/hardest/semi-hard split with sentinels") {
     import spark.implicits._
     // anchor 1 (label 0): positive id2 (cos .993884); id3 (label 1) is
