@@ -99,9 +99,10 @@ object ScaleCheck {
     "q_text_unigram_incr", "q_text_lm_kn3", "q_text_lm_kn_incr",
     "q_text_lm_kn3_incr",
     // r16 additions: the LSH-composed corpus×corpus bitext miner (the
-    // band-candidate volume is the scale claim) and the one-pass
-    // per-lang fertility table
-    "q_sim_bitext_lsh", "q_tok_fertility")
+    // band-candidate volume is the scale claim), its graded eval
+    // (deliberately runs the exact quadratic side too), and the
+    // one-pass per-lang fertility table
+    "q_sim_bitext_lsh", "q_sim_bitext_lsh_eval", "q_tok_fertility")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -1378,6 +1378,57 @@ object ExtQueries {
   def qSimBitextLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.bitextMineLsh(docs(s, dir), emb(s, dir), srcLang = "en")
 
+  /** LSH-bitext approximation eval — the graded twin every other
+    * approximation in the engine carries (minhash/simhash/sketchonly/
+    * containment evals): the LSH face's per-source picks and mined
+    * parallel pairs scored against the exact face's. Deliberately runs
+    * BOTH faces (the exact side's linear term is the point of the eval
+    * — the q_dedup_*_eval adjudication); production runs the LSH face
+    * alone. One row: pick agreement over common sources, and
+    * precision/recall of (src, tgt, parallel) mines vs the exact
+    * mines, all on the frac4 lattice.
+    *
+    * Reading the number: on THIS synthetic corpus agreement is low
+    * (~13% at sf0.01) — the embeddings carry no true parallel
+    * structure, cross-cosines are flat, so the margin argmax has no
+    * sharp winner and the candidate-restricted k-NN sums legitimately
+    * reshuffle it (common picks still carry bit-identical cos6 —
+    * SimilaritySpec). That is the eval DOING ITS JOB: it is the gate
+    * that says "raise bands / k, or don't trust the approximate miner
+    * on this corpus" — on a real bitext corpus the margin has a sharp
+    * mode on true pairs and banded mining is the standard production
+    * path (CCMatrix). */
+  def qSimBitextLshEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val e = emb(s, dir)
+    val ex = Similarity.bitextMine(d, e, srcLang = "en")
+      .select(col("src_id"), col("tgt_id").as("te"),
+        col("is_parallel").as("pe"))
+      .localCheckpoint(true) // per-src output frame: small, reused twice
+    val ls = Similarity.bitextMineLsh(d, e, srcLang = "en")
+      .select(col("src_id"), col("tgt_id").as("tl"),
+        col("is_parallel").as("pl"))
+      .localCheckpoint(true)
+    val nEx = ex.agg(count(lit(1)).as("n_exact"),
+      sum(col("pe")).as("n_par_exact"))
+    val nLs = ls.agg(count(lit(1)).as("n_lsh"),
+      sum(col("pl")).as("n_par_lsh"))
+    val j = ex.join(ls, Seq("src_id"))
+      .agg(count(lit(1)).as("n_common_src"),
+        sum(when(col("te") === col("tl"), 1L).otherwise(0L))
+          .as("n_same_pick"),
+        sum(when(col("te") === col("tl") && col("pe") === 1L &&
+            col("pl") === 1L, 1L).otherwise(0L)).as("n_par_hits"))
+    // three 1-row aggregates combined broadcast-style (the J3 shape)
+    j.crossJoin(broadcast(nEx)).crossJoin(broadcast(nLs))
+      .select(col("n_exact"), col("n_lsh"), col("n_common_src"),
+        col("n_same_pick"),
+        frac4Col(col("n_same_pick"), col("n_common_src")).as("pick_agree"),
+        col("n_par_exact"), col("n_par_lsh"), col("n_par_hits"),
+        frac4Col(col("n_par_hits"), col("n_par_lsh")).as("par_precision"),
+        frac4Col(col("n_par_hits"), col("n_par_exact")).as("par_recall"))
+  }
+
   /** Lexical diversity (type-token ratio) per source stratum. */
   def qTextTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenRatio(docs(s, dir), col("source"))
@@ -2228,6 +2279,7 @@ object ExtQueries {
     "q_curation_shards" -> (qCurationShards _),
     "q_sim_bitext" -> (qSimBitext _),
     "q_sim_bitext_lsh" -> (qSimBitextLsh _),
+    "q_sim_bitext_lsh_eval" -> (qSimBitextLshEval _),
     "q_privacy_redact" -> (qPrivacyRedact _),
     "q_privacy_ldiv" -> (qPrivacyLdiv _),
     "q_eval_ngram_overlap" -> (qEvalNgramOverlap _),
@@ -4788,6 +4840,30 @@ object ExtQueries {
        |FROM b WHERE rn = 1""".stripMargin
   }
 
+  /** LSH-bitext eval oracle: both chains composed, identical count and
+    * frac4 grading. Lazy — embeds simBitextLshSql. */
+  private lazy val simBitextLshEvalSql =
+    s"""WITH ex AS (SELECT src_id, tgt_id AS te, is_parallel AS pe
+       |  FROM ($simBitextSql)),
+       |ls AS (SELECT src_id, tgt_id AS tl, is_parallel AS pl
+       |  FROM ($simBitextLshSql)),
+       |j AS (SELECT CAST(count(*) AS BIGINT) AS n_common_src,
+       |    CAST(sum(CASE WHEN te = tl THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_same_pick,
+       |    CAST(sum(CASE WHEN te = tl AND pe = 1 AND pl = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_par_hits
+       |  FROM ex JOIN ls USING (src_id)),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(pe) AS BIGINT) AS n_par_exact FROM ex),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh,
+       |  CAST(sum(pl) AS BIGINT) AS n_par_lsh FROM ls)
+       |SELECT n_exact, n_lsh, n_common_src, n_same_pick,
+       |  ${frac4Sql("n_same_pick", "n_common_src")} AS pick_agree,
+       |  n_par_exact, n_par_lsh, n_par_hits,
+       |  ${frac4Sql("n_par_hits", "n_par_lsh")} AS par_precision,
+       |  ${frac4Sql("n_par_hits", "n_par_exact")} AS par_recall
+       |FROM j CROSS JOIN ne CROSS JOIN nl""".stripMargin
+
   /** PII-redaction oracle: plant the identical (doc_id, lang)-derived
     * emails/IPs/account numbers, then run the same three-stage
     * regexp_replace chain ('g' flag — DuckDB defaults to first-match,
@@ -6374,6 +6450,7 @@ object ExtQueries {
     "q_curation_shards" -> curationShardsSql,
     "q_sim_bitext" -> simBitextSql,
     "q_sim_bitext_lsh" -> simBitextLshSql,
+    "q_sim_bitext_lsh_eval" -> simBitextLshEvalSql,
     "q_privacy_redact" -> privacyRedactSql,
     "q_privacy_ldiv" -> privacyLdivSql,
     "q_eval_ngram_overlap" -> evalNgramOverlapSql,
