@@ -371,6 +371,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH bitext edge paths: empty source side, single-language corpus") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // no docs in the source language → nothing to mine, no crash
+    val deOnly = Seq((1L, "de"), (2L, "de")).toDF("doc_id", "lang")
+    assert(Similarity.bitextMineLsh(deOnly, emb, "en").count() === 0)
+    // ALL docs in the source language → no targets → empty
+    val enOnly = Seq((1L, "en"), (2L, "en")).toDF("doc_id", "lang")
+    assert(Similarity.bitextMineLsh(enOnly, emb, "en").count() === 0)
+  }
+
   test("hard negatives: pos/hardest/semi-hard split with sentinels") {
     import spark.implicits._
     // anchor 1 (label 0): positive id2 (cos .993884); id3 (label 1) is
