@@ -91,6 +91,26 @@ object PlanSweep {
     Smells(cartesian, globalWindows, unlimitedSorts(plan, underLimit = false))
   }
 
+  /** Warnings already adjudicated bounded (query → why). A smell on a
+    * query NOT in this map prints as NEW — the sweep is a regression
+    * detector for plan funnels, and a fresh unreviewed global window
+    * must not blend into a known list. Adjudications live here (next to
+    * the detector, reviewed with it) and are mirrored in SCALE.md's
+    * r16 plan-sweep note. */
+  val adjudicated: Map[String, String] = Map(
+    "q_corpus_report_kmv" ->
+      "rollup windows over kept KMV states (sources×k rows)",
+    "q_eval_auc" ->
+      "cumulative window over the ≤10⁴+1-value quality-score lattice",
+    "q_eval_roc" ->
+      "cumulative window over the ≤10⁴+1-value quality-score lattice",
+    "q_sample_weighted" ->
+      "window over ≤1024 per-bucket totals; the corpus prefix sum is bucket-partitioned",
+    "q_stats_gini" -> "window over per-source totals (facet-sized)",
+    "q_sql_q11" -> "TPC-H presentation ORDER BY over the value-filtered group frame",
+    "q_sql_q20" -> "TPC-H presentation ORDER BY over the supplier-bounded result",
+    "q_sql_q21" -> "TPC-H presentation ORDER BY over the supplier-bounded result")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
@@ -123,14 +143,23 @@ object PlanSweep {
     println(s"swept ${names.size} queries at $sfDir")
     if (products.nonEmpty)
       println(s"CARTESIAN PRODUCT (fail): ${products.sorted.mkString(", ")}")
-    if (globalWindows.nonEmpty)
-      println("global-window (adjudicate — fine only on driver-bounded " +
-        s"frames): ${globalWindows.sorted.mkString(", ")}")
-    if (sorts.nonEmpty)
-      println("global-sort-no-limit (adjudicate — fine when the ordering " +
-        s"is the product or the frame is bounded): ${sorts.sorted.mkString(", ")}")
+    def report(kind: String, hint: String, hits: List[String]): List[String] = {
+      val (known, fresh) = hits.sorted.partition(adjudicated.contains)
+      if (known.nonEmpty)
+        println(s"$kind (adjudicated bounded): " + known.map(n =>
+          s"$n [${adjudicated(n)}]").mkString("; "))
+      if (fresh.nonEmpty)
+        println(s"$kind NEW ($hint): ${fresh.mkString(", ")} — adjudicate " +
+          "and add to PlanSweep.adjudicated, or fix the funnel")
+      fresh
+    }
+    val newWindows = report("global-window",
+      "fine only on driver-bounded frames", globalWindows)
+    val newSorts = report("global-sort-no-limit",
+      "fine when the ordering is the product or the frame is bounded", sorts)
     failed.sorted.foreach(f => println(s"BUILD FAILED: $f"))
-    if (products.isEmpty && failed.isEmpty) println("sweep clean")
+    if (products.isEmpty && failed.isEmpty &&
+        newWindows.isEmpty && newSorts.isEmpty) println("sweep clean")
     spark.stop()
     if (products.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
