@@ -52,4 +52,23 @@ class PlanSweepSpec extends SparkSpec {
     assert(s.cartesian === 0)
     assert(s.globalWindows === 0)
   }
+
+  test("every adjudicated warning names a registered query") {
+    // a renamed/retired query must not leave a stale adjudication that
+    // would silently swallow a NEW smell under the old name
+    val reg = SparkEntry.queries.keySet
+    val stale = PlanSweep.adjudicated.keySet.diff(reg)
+    assert(stale.isEmpty, s"stale adjudications: $stale")
+  }
+
+  test("trigram_positions counter equals the volume trigramTypicality explodes") {
+    // the counter prices q_eval_rankcorr/q_text_typicality's gate limit;
+    // it must track the actual exploded row count, not an approximation
+    val n = SparkEntry.pairCounters("trigram_positions")(spark, sf())
+    val exploded = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(length(col("text")) >= 3)
+      .select(explode(sequence(lit(1), length(col("text")) - 2)))
+      .count()
+    assert(n === exploded)
+  }
 }

@@ -107,6 +107,16 @@ class IncrementalLmSpec extends SparkSpec {
       asMap(TextAnalysis.lmScoreKn(real)))
   }
 
+  test("compactModel on an empty/absent store is a harmless no-op") {
+    val store = freshStore()
+    IncrementalLm.compactModel(store, "kn") // no state yet: no crash
+    assert(IncrementalLm.modelState(store, "kn").count() === 0L)
+    // and scoring still bootstraps normally afterwards
+    val real = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(asMap(IncrementalLm.scoreIncrement(real, store, "kn")) ===
+      asMap(TextAnalysis.lmScoreKn(real)))
+  }
+
   test("compactModel folds the per-increment slices; scoring is unchanged") {
     val store = freshStore()
     val docs = corpus.toDF("doc_id", "text")
