@@ -119,6 +119,44 @@ object ExtQueries {
       Bpe.tokenDigest(col("text")).as("tok_digest"))
   }
 
+  /** Quality-score drift between two corpus slices — the number a
+    * quality-filter owner watches across crawl snapshots: per source,
+    * the TOTAL-VARIATION distance between the two slices' quality
+    * histograms (q4 score bucketed to 10 bins; slices = even/odd
+    * doc_id, standing in for old-crawl vs new-crawl). TVD is the
+    * exact-lattice drift metric — PSI and KL need `ln`, which would
+    * hash-flake across engines, while ½·Σ|p−q| reduces to one integer
+    * floor division: tvd_q4 = ⌊10⁴·Σ|aᵢ·nb − bᵢ·na| / (2·na·nb)⌋ with
+    * every product exact in decimal(38,0). Shape: one corpus pass to
+    * (source, bin, slice) counts (map-side combined), per-source totals
+    * broadcast back — everything after the first aggregate is
+    * facet-sized. A source present in only one slice reports TVD 1. */
+  def qQualityDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q4 = TextAnalysis.qualityScoreQ4(col("text"))
+    val d = docs(s, dir).select(col("source"),
+      pmod(col("doc_id"), lit(2L)).as("slice"),
+      ((q4 - pmod(q4, lit(1000L))) / 1000L).cast("long").as("bin"))
+    val counts = d.groupBy(col("source"), col("bin"))
+      .agg(sum(when(col("slice") === 0L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("slice") === 1L, 1L).otherwise(0L)).as("b"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val num = abs(col("a").cast(dec) * col("nb").cast(dec) -
+      col("b").cast(dec) * col("na").cast(dec))
+    counts.join(broadcast(totals), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(num).as("s"))
+      .select(col("source"), col("n_a"), col("n_b"), {
+        val den = lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec)
+        val scaled = col("s").cast(dec) * lit(10000L).cast(dec)
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+          .otherwise(lit(1.0)).as("tvd")
+      })
+  }
+
   /** Tokenizer fertility per language — the standard tokenizer-choice
     * readout (tokens per word, chars per token): a high-fertility
     * language pays more sequence length per word under the committed
@@ -2149,6 +2187,7 @@ object ExtQueries {
     "q_text_chunks" -> (qTextChunks _),
     "q_text_bpe" -> (qTextBpe _),
     "q_tok_fertility" -> (qTokFertility _),
+    "q_quality_drift" -> (qQualityDrift _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_bpe_trained" -> (qTextBpeTrained _),
     "q_text_unigram" -> (qTextUnigram _),
@@ -3094,6 +3133,33 @@ object ExtQueries {
        |    AS tok_digest
        |FROM documents""".stripMargin
   }
+
+  /** Quality-drift oracle: identical (source, bin, slice) counts,
+    * per-source totals, and the one HUGEINT floor division of
+    * Σ|aᵢ·nb − bᵢ·na| over 2·na·nb. */
+  private val qualityDriftSql =
+    s"""WITH base AS (SELECT source, doc_id % 2 AS slice,
+       |    (q4 - (q4 % 1000)) // 1000 AS bin
+       |  FROM (SELECT source, doc_id, ${qualityQ4Sql("text", "ws", "h_en")} AS q4
+       |    FROM (SELECT source, doc_id, text, ws,
+       |      len(list_filter(wl, x -> list_contains(${stopLists("en")}, x))) AS h_en
+       |      FROM (SELECT source, doc_id, text, ${wordsSqlOf("text")} AS ws,
+       |        ${wordsSqlOf("lower(text)")} AS wl FROM documents)))),
+       |c AS (SELECT source, bin,
+       |    CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM base GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(a) AS BIGINT) AS n_a,
+       |    CAST(sum(b) AS BIGINT) AS n_b FROM c GROUP BY 1),
+       |agg AS (SELECT c.source, n_a, n_b,
+       |    sum(abs(CAST(a AS HUGEINT) * n_b - CAST(b AS HUGEINT) * n_a)) AS s
+       |  FROM c JOIN t ON c.source = t.source GROUP BY 1, 2, 3)
+       |SELECT source, n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN CAST((s * 10000) // (CAST(2 AS HUGEINT) * n_a * n_b)
+       |      AS DOUBLE) / 10000.0
+       |    ELSE 1.0 END AS tvd
+       |FROM agg""".stripMargin
 
   /** Fertility oracle: identical one-pass per-lang integer sums, frac4
     * ratios over the aggregated sums. */
@@ -6308,6 +6374,7 @@ object ExtQueries {
     "q_text_chunks" -> textChunksSql,
     "q_text_bpe" -> textBpeSql,
     "q_tok_fertility" -> tokFertilitySql,
+    "q_quality_drift" -> qualityDriftSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_text_bpe_trained" -> textBpeTrainedSql,
     "q_text_unigram" -> textUnigramSql,
