@@ -213,4 +213,37 @@ object Stats {
           col("n_groups").cast(dec) * col("n_total").cast(dec))
           .cast("long").as("gini_q6"))
   }
+
+  /** Histogram drift per group: the TOTAL-VARIATION distance between
+    * two slices' distributions of a bucketed value — the drift metric a
+    * continuous quality filter monitors across crawl snapshots. TVD is
+    * chosen over PSI/KL because ½·Σ|p−q| reduces to ONE integer floor
+    * division, tvd_q4 = ⌊10⁴·Σ|aᵢ·nb − bᵢ·na| / (2·na·nb)⌋, with every
+    * product exact in decimal(38,0) — `ln` would hash-flake across
+    * engines. `sliceCol` must be 0/1; `binCol` any discrete bucket.
+    * One pass to (group, bin, slice) counts (map-side combined);
+    * everything after is facet-sized, per-group totals broadcast. A
+    * group present in only one slice reports the maximal drift 1. */
+  def histogramDrift(df: DataFrame, groupCol: String, sliceCol: String,
+      binCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(binCol))
+      .agg(sum(when(col(sliceCol) === 0L, 1L).otherwise(0L)).as("a"),
+        sum(when(col(sliceCol) === 1L, 1L).otherwise(0L)).as("b"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val num = abs(col("a").cast(dec) * col("nb").cast(dec) -
+      col("b").cast(dec) * col("na").cast(dec))
+    counts.join(broadcast(totals), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(num).as("s"))
+      .select(col(groupCol), col("n_a"), col("n_b"), {
+        val den = lit(2L).cast(dec) * col("n_a").cast(dec) *
+          col("n_b").cast(dec)
+        val scaled = col("s").cast(dec) * lit(10000L).cast(dec)
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floorDiv(scaled, den).cast("double") / 10000.0)
+          .otherwise(lit(1.0)).as("tvd")
+      })
+  }
 }

@@ -132,29 +132,12 @@ object ExtQueries {
     * broadcast back — everything after the first aggregate is
     * facet-sized. A source present in only one slice reports TVD 1. */
   def qQualityDrift(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val q4 = TextAnalysis.qualityScoreQ4(col("text"))
-    val d = docs(s, dir).select(col("source"),
-      pmod(col("doc_id"), lit(2L)).as("slice"),
-      ((q4 - pmod(q4, lit(1000L))) / 1000L).cast("long").as("bin"))
-    val counts = d.groupBy(col("source"), col("bin"))
-      .agg(sum(when(col("slice") === 0L, 1L).otherwise(0L)).as("a"),
-        sum(when(col("slice") === 1L, 1L).otherwise(0L)).as("b"))
-    val totals = counts.groupBy(col("source"))
-      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
-    val num = abs(col("a").cast(dec) * col("nb").cast(dec) -
-      col("b").cast(dec) * col("na").cast(dec))
-    counts.join(broadcast(totals), Seq("source"))
-      .groupBy(col("source"))
-      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
-        sum(num).as("s"))
-      .select(col("source"), col("n_a"), col("n_b"), {
-        val den = lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec)
-        val scaled = col("s").cast(dec) * lit(10000L).cast(dec)
-        when(col("n_a") > 0L && col("n_b") > 0L,
-          ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
-          .otherwise(lit(1.0)).as("tvd")
-      })
+    graft.ext.Stats.histogramDrift(
+      docs(s, dir).select(col("source"),
+        pmod(col("doc_id"), lit(2L)).as("slice"),
+        ((q4 - pmod(q4, lit(1000L))) / 1000L).cast("long").as("bin")),
+      "source", "slice", "bin")
   }
 
   /** Tokenizer fertility per language — the standard tokenizer-choice

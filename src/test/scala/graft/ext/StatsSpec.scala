@@ -92,4 +92,29 @@ class StatsSpec extends SparkSpec {
     assert(out(2L) === ((10L, 250000L, 176091L, 73909L)))
     assert(out.size === 2) // digits that never lead are absent
   }
+
+  test("histogram drift: hand TVD lattice, identical/disjoint/one-slice groups") {
+    // g_same: identical distributions across slices → TVD 0
+    // g_disj: disjoint bins → TVD 1
+    // g_half: slice0 = {b0:2, b1:2}, slice1 = {b0:1, b1:3}
+    //   → ½(|2/4−1/4| + |2/4−3/4|) = 1/4 → 0.25 exactly on the lattice
+    // g_only: present in slice 0 only → maximal drift 1 by convention
+    val rows =
+      Seq.tabulate(4)(i => ("g_same", i.toLong / 2, i.toLong % 2)) ++
+      Seq(("g_disj", 0L, 0L), ("g_disj", 0L, 0L),
+        ("g_disj", 1L, 1L), ("g_disj", 1L, 1L)) ++
+      Seq(("g_half", 0L, 0L), ("g_half", 0L, 0L),
+        ("g_half", 0L, 1L), ("g_half", 0L, 1L),
+        ("g_half", 1L, 0L), ("g_half", 1L, 1L),
+        ("g_half", 1L, 1L), ("g_half", 1L, 1L)) ++
+      Seq(("g_only", 0L, 0L))
+    val out = Stats.histogramDrift(
+        rows.toDF("g", "slice", "bin"), "g", "slice", "bin")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("g_same") === ((2L, 2L, 0.0)))
+    assert(out("g_disj") === ((2L, 2L, 1.0)))
+    assert(out("g_half") === ((4L, 4L, 0.25)))
+    assert(out("g_only") === ((1L, 0L, 1.0)))
+  }
 }
