@@ -302,6 +302,47 @@ object Bench {
       gate = g2._1
       breached = g2._2
     }
+    // transient-probe adjudication (VERDICT r15 #5): probeMax is the
+    // WORST probe across session restarts, so ONE transient spike would
+    // otherwise decide the artifact (a genuine regression would stamp
+    // fail-contended and read as machine noise). When breaches survive
+    // the rerun AND the worst probe is out of envelope, restart and
+    // probe once more: a quiet re-probe means the machine is fine NOW —
+    // re-time the surviving breaches on that window (keeping the better
+    // sample) and re-gate; a breach that reproduces there is a real
+    // regression and must stay a plain "fail", while a still-contended
+    // re-probe leaves the fail-contended stamp to the env block below.
+    var quietAdjudicated = false
+    if (gate == "fail" && breached.nonEmpty && !noRerun &&
+        envOf(probeMax) == "contended") {
+      println("[benchgate] surviving breaches under an out-of-envelope " +
+        "probe — re-probing once before the env stamp decides")
+      restart()
+      val p2 = calibrationProbe(spark)
+      println(f"[benchgate] re-probe: $p2%.2fs vs envelope " +
+        f"${probeEnvelope().getOrElse(-1.0)}%.2fs -> ${envOf(p2)}")
+      if (envOf(p2) == "ok") {
+        quietAdjudicated = true
+        val third = breached.sorted
+          .map(n => n -> runOne(spark, n, sfDir, explain, setupFailed)).toMap
+        // fold into the adjudication-sample map (best sample wins) so
+        // the artifact records that these values are multi-sample
+        second = (second.keySet ++ third.keySet).map { n =>
+          n -> math.min(second.getOrElse(n, Double.MaxValue),
+            third.getOrElse(n, Double.MaxValue))
+        }.toMap
+        results = results.map { case (n, t) =>
+          n -> math.min(t, third.getOrElse(n, t))
+        }
+        val g3 = runGate(longLine(results, sfDir, second, nPairs = nPairs,
+          setupFailed = setupFailed.toSeq))
+        gate = g3._1
+        breached = g3._2
+        if (gate == "fail")
+          println("[benchgate] NOTE breaches reproduced on the in-envelope " +
+            "re-probe window — a plain fail, not contention")
+      } else probeMax = math.max(probeMax, p2)
+    }
     // draw-shift diagnosis (VERDICT r12 #6): the driver regenerates the
     // testdata each round, and twice in a row a content-sensitive query
     // jumped ~2x on a heavier draw while its PLAN was unchanged. For each
@@ -342,7 +383,7 @@ object Bench {
       }
     }
     val env = envOf(probeMax)
-    if (gate == "fail" && env == "contended") {
+    if (gate == "fail" && env == "contended" && !quietAdjudicated) {
       println(s"[benchgate] NOTE probe ${f"$probeMax%.2f"}s exceeds the " +
         "committed envelope: this window is CONTENDED — treat the FAIL " +
         "as machine noise unless it reproduces on an ok-probe run")

@@ -91,25 +91,31 @@ object PlanSweep {
     Smells(cartesian, globalWindows, unlimitedSorts(plan, underLimit = false))
   }
 
-  /** Warnings already adjudicated bounded (query → why). A smell on a
-    * query NOT in this map prints as NEW — the sweep is a regression
+  /** Smell kinds, used as the second half of the adjudication key. */
+  val KindWindow = "global-window"
+  val KindSort = "global-sort-no-limit"
+
+  /** Warnings already adjudicated bounded ((query, smell-kind) → why).
+    * A smell NOT in this map prints as NEW — the sweep is a regression
     * detector for plan funnels, and a fresh unreviewed global window
-    * must not blend into a known list. Adjudications live here (next to
-    * the detector, reviewed with it) and are mirrored in SCALE.md's
-    * r16 plan-sweep note. */
-  val adjudicated: Map[String, String] = Map(
-    "q_corpus_report_kmv" ->
+    * must not blend into a known list. Keyed by KIND as well as query
+    * (ADVICE r16): a query adjudicated for a bounded window must not
+    * also silently mask a fresh unlimited sort on the same query.
+    * Adjudications live here (next to the detector, reviewed with it)
+    * and are mirrored in SCALE.md's r16 plan-sweep note. */
+  val adjudicated: Map[(String, String), String] = Map(
+    ("q_corpus_report_kmv", KindWindow) ->
       "rollup windows over kept KMV states (sources×k rows)",
-    "q_eval_auc" ->
+    ("q_eval_auc", KindWindow) ->
       "cumulative window over the ≤10⁴+1-value quality-score lattice",
-    "q_eval_roc" ->
+    ("q_eval_roc", KindWindow) ->
       "cumulative window over the ≤10⁴+1-value quality-score lattice",
-    "q_sample_weighted" ->
+    ("q_sample_weighted", KindWindow) ->
       "window over ≤1024 per-bucket totals; the corpus prefix sum is bucket-partitioned",
-    "q_stats_gini" -> "window over per-source totals (facet-sized)",
-    "q_sql_q11" -> "TPC-H presentation ORDER BY over the value-filtered group frame",
-    "q_sql_q20" -> "TPC-H presentation ORDER BY over the supplier-bounded result",
-    "q_sql_q21" -> "TPC-H presentation ORDER BY over the supplier-bounded result")
+    ("q_stats_gini", KindWindow) -> "window over per-source totals (facet-sized)",
+    ("q_sql_q11", KindSort) -> "TPC-H presentation ORDER BY over the value-filtered group frame",
+    ("q_sql_q20", KindSort) -> "TPC-H presentation ORDER BY over the supplier-bounded result",
+    ("q_sql_q21", KindSort) -> "TPC-H presentation ORDER BY over the supplier-bounded result")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -144,23 +150,29 @@ object PlanSweep {
     if (products.nonEmpty)
       println(s"CARTESIAN PRODUCT (fail): ${products.sorted.mkString(", ")}")
     def report(kind: String, hint: String, hits: List[String]): List[String] = {
-      val (known, fresh) = hits.sorted.partition(adjudicated.contains)
+      // only THIS kind's adjudications apply — a query adjudicated for a
+      // bounded window still reports a fresh sort as NEW (ADVICE r16)
+      val (known, fresh) = hits.sorted.partition(n => adjudicated.contains((n, kind)))
       if (known.nonEmpty)
         println(s"$kind (adjudicated bounded): " + known.map(n =>
-          s"$n [${adjudicated(n)}]").mkString("; "))
+          s"$n [${adjudicated((n, kind))}]").mkString("; "))
       if (fresh.nonEmpty)
         println(s"$kind NEW ($hint): ${fresh.mkString(", ")} — adjudicate " +
           "and add to PlanSweep.adjudicated, or fix the funnel")
       fresh
     }
-    val newWindows = report("global-window",
+    val newWindows = report(KindWindow,
       "fine only on driver-bounded frames", globalWindows)
-    val newSorts = report("global-sort-no-limit",
+    val newSorts = report(KindSort,
       "fine when the ordering is the product or the frame is bounded", sorts)
     failed.sorted.foreach(f => println(s"BUILD FAILED: $f"))
     if (products.isEmpty && failed.isEmpty &&
         newWindows.isEmpty && newSorts.isEmpty) println("sweep clean")
     spark.stop()
+    // exit contract (ADVICE r16: NEW smells must be machine-visible, not
+    // just a printed line): 1 = hard fail (cartesian / build failure),
+    // 2 = fresh unadjudicated smells — a CI gate keyed on rc catches both.
     if (products.nonEmpty || failed.nonEmpty) sys.exit(1)
+    if (newWindows.nonEmpty || newSorts.nonEmpty) sys.exit(2)
   }
 }

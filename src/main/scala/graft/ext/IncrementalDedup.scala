@@ -43,10 +43,12 @@ import Hashing.numHashes
   *    sinks dedup the duplicate emission);
   *  - crash after the ledger, before the derived tables → the retry
   *    skips the increment (output already out); the docs sit in the
-  *    ledger without bands/sizes, so future candidates can miss them —
-  *    a detection hole, not corruption. [[rebuildBands]] re-derives the
-  *    whole bands table from signatures (bands are a pure function of
-  *    them) to close the hole.
+  *    ledger without sizes/bands, so future candidates can miss them —
+  *    a detection hole, not corruption. Derived state commits sizes
+  *    BEFORE bands (ADVICE r16): sizes (shingle counts) are not
+  *    recoverable from signatures, but bands are a pure function of
+  *    them — so whichever single append the crash tears, the hole is in
+  *    a table [[rebuildBands]] fully repairs.
   * The ledger-LAST alternative re-appends the derived rows on retry —
   * duplicate bands double candidate generation and duplicate sizes
   * double containment pair rows; inflation is the worse failure.
@@ -124,11 +126,15 @@ object IncrementalDedup {
       .filter(col("est_jaccard") >= threshold)
       .localCheckpoint(true) // pin results BEFORE the index mutates below
 
-    // output → ledger (sigs: the first-write-wins key) → derived state
+    // output → ledger (sigs: the first-write-wins key) → derived state.
+    // Within derived state, sizes commit BEFORE bands (ADVICE r16): bands
+    // are rebuildable from sigs ([[rebuildBands]]) but sizes (shingle
+    // counts) are NOT recoverable from signatures — with bands last, any
+    // single-crash hole lands in the repairable table.
     emit(pairs)
     store.appendStaged(sigsName(name), sigs)
-    store.appendStaged(bandsName(name), newBands)
     store.appendStaged(sizesName(name), sizes)
+    store.appendStaged(bandsName(name), newBands)
     pairs
   }
 
@@ -189,11 +195,12 @@ object IncrementalDedup {
       .containmentFromAgreement(agree, sizesNeeded, threshold)
       .localCheckpoint(true) // pin results BEFORE the index mutates below
 
-    // output → ledger (sigs) → derived state — the class contract
+    // output → ledger (sigs) → sizes → bands — the class contract
+    // (sizes before bands so the only possible hole is rebuildable)
     emit(pairs)
     store.appendStaged(sigsName(name), sigs)
-    store.appendStaged(bandsName(name), newBands)
     store.appendStaged(sizesName(name), sizes)
+    store.appendStaged(bandsName(name), newBands)
     pairs
   }
 

@@ -677,11 +677,15 @@ object Similarity {
       k: Int = 4, bands: Int = neardupBands,
       planesPerBand: Int = neardupPlanesPerBand, idCol: String = "doc_id",
       vecIdCol: String = "vec_id"): DataFrame = {
+    // NOT checkpointed (ADVICE r16): lv is corpus-sized (every embedding
+    // vector) — materializing it on executor storage is exactly what the
+    // exact face and DSIR document avoiding; the docs⋈emb projection is
+    // one cheap equi-join to recompute per consumer, and the frame worth
+    // pinning is the candidate-sized `scored` below (which is).
     val lv = docs.select(col(idCol).as("id"), col("lang"))
       .join(emb.select(col(vecIdCol).as("id"),
         toDouble(col("embedding")).as("v")), Seq("id"))
       .withColumn("nv", norm(col("v")))
-      .localCheckpoint(true) // feeds both band projections + both sides
     def banded(side: DataFrame): DataFrame =
       side.select(col("id"), explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),

@@ -57,8 +57,13 @@ class PlanSweepSpec extends SparkSpec {
     // a renamed/retired query must not leave a stale adjudication that
     // would silently swallow a NEW smell under the old name
     val reg = SparkEntry.queries.keySet
-    val stale = PlanSweep.adjudicated.keySet.diff(reg)
+    val stale = PlanSweep.adjudicated.keySet.filterNot { case (q, _) => reg(q) }
     assert(stale.isEmpty, s"stale adjudications: $stale")
+    // and every adjudication names a real smell kind — a typo'd kind
+    // would silently never match its report partition
+    val kinds = Set(PlanSweep.KindWindow, PlanSweep.KindSort)
+    val badKind = PlanSweep.adjudicated.keySet.filterNot { case (_, k) => kinds(k) }
+    assert(badKind.isEmpty, s"unknown smell kinds: $badKind")
   }
 
   test("trigram_positions counter equals the volume trigramTypicality explodes") {

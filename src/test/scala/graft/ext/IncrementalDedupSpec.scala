@@ -169,6 +169,10 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(failing.read("idx_sigs").count() === 1)
     assert(!failing.exists("idx_bands") ||
       failing.read("idx_bands").count() === 0)
+    // sizes committed BEFORE bands (ADVICE r16): the hole is confined to
+    // the one table rebuildBands fully repairs — sizes, which is NOT
+    // recoverable from signatures, is already durable
+    assert(failing.read("idx_sizes").count() === 1)
     // retry skips the ledgered doc: nothing duplicates, nothing re-emits
     assert(IncrementalDedup.indexIncrement(
       Seq((1L, base)).toDF("doc_id", "text"), failing, "idx").count() === 0)
@@ -183,6 +187,40 @@ class IncrementalDedupSpec extends SparkSpec {
       Seq((3L, base)).toDF("doc_id", "text"), failing, "idx").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p === Set((1L, 3L), (2L, 3L)))
+  }
+
+  test("crash on the sizes append: bands never commit ahead of sizes") {
+    // the sizes → bands order means a crash tearing sizes ALSO leaves no
+    // bands for the doc — there is no reachable state where a doc has
+    // bands (so generates candidates) but silently drops out of
+    // containment scoring for want of a size row (ADVICE r16)
+    val failing = new TableStore(spark,
+        Files.createTempDirectory("graft-inc-crash").toString) {
+      private var armed = true
+      override def appendStaged(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (name == "idx_sizes" && armed) {
+          armed = false
+          throw new RuntimeException("crash before sizes commit")
+        }
+        super.appendStaged(name, df)
+      }
+    }
+    intercept[RuntimeException] {
+      IncrementalDedup.containmentEstIncrement(
+        Seq((1L, base)).toDF("doc_id", "text"), failing, "idx")
+    }
+    assert(failing.read("idx_sigs").count() === 1)
+    assert(!failing.exists("idx_sizes") ||
+      failing.read("idx_sizes").count() === 0)
+    assert(!failing.exists("idx_bands") ||
+      failing.read("idx_bands").count() === 0)
+    // rebuildBands closes the candidate hole; the doc then scores again
+    // in the containment face only if its size is recoverable — it isn't
+    // from sigs, but the doc also never appears as a candidate until the
+    // bands rebuild, so scoring stays consistent (inner join on sizes
+    // drops it, the documented under-detection bias)
+    IncrementalDedup.rebuildBands(failing, "idx")
+    assert(failing.read("idx_bands").count() === Hashing.bands.toLong)
   }
 
   test("paragraph crash between ledger and digests: under-dedups, never wrong output") {

@@ -35,6 +35,34 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# Refuse a silent/torn dump (VERDICT r16 #1: the driver artifact landed
+# empty with no evidence of why). Verify writes _MANIFEST.json LAST —
+# a missing manifest means the dump was killed mid-run; a manifest with
+# failures or with fewer ok rows than it selected means queries died.
+# Either way this gate must scream, not grade the survivors as if they
+# were the whole registry. An INTENTIONAL subset dump (Verify ran with
+# query args for local iteration) is graded as exactly that subset,
+# with a loud banner.
+manifest_path = f"{out_dir}/_MANIFEST.json"
+if not os.path.exists(manifest_path):
+    print(f"REFUSED: {manifest_path} missing — Verify did not finish "
+          f"(check {out_dir}/_progress.jsonl for how far it got)")
+    sys.exit(2)
+manifest = json.load(open(manifest_path))
+if manifest.get("failed", 0) or manifest.get("ok", 0) < manifest.get("queries", 0) \
+        or manifest.get("ok", 0) == 0:
+    print(f"REFUSED: manifest says ok={manifest.get('ok')} of "
+          f"{manifest.get('queries')} selected, failed={manifest.get('failed')}; "
+          f"errors: {manifest.get('errors')}")
+    sys.exit(2)
+dumped = set(manifest.get("rows", {}))
+subset = {n for n in oracle if n not in dumped}
+if subset:
+    print(f"SUBSET RUN: grading {len(dumped)} dumped queries; "
+          f"{len(subset)} registered oracles not in this dump "
+          "(fine for local iteration; the driver's full run must have 0 here)")
+    oracle = {n: q for n, q in oracle.items() if n in dumped}
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
