@@ -317,6 +317,119 @@ object Bpe {
        |FROM $docsTable CROSS JOIN mm""".stripMargin
   }
 
+  // ------------------------------------------------- byte-level face
+  // GPT-2/tiktoken convention (Radford et al. 2019, encoder.py
+  // bytes_to_unicode; VERDICT r15 #4): the working alphabet is the 256
+  // UTF-8 BYTES, each aliased to a printable single codepoint, so ANY
+  // string tokenizes with no [UNK] by construction — the alphabet is
+  // closed at 256 regardless of what unicode the crawl throws at it.
+  // The merge machinery (sentinel wrap, rank-ordered global replaces)
+  // is tokensWith's scaffold verbatim, just over alias chars.
+
+  /** The byte→printable-alias table, exactly GPT-2's `bytes_to_unicode`:
+    * visually-printable latin-1 bytes (33–126, 161–172, 174–255) alias
+    * to their own codepoint; the other 68 bytes get codepoints 256+k in
+    * ascending byte order. 256 DISTINCT printable chars — index b holds
+    * byte b's alias. */
+  val byteAliases: IndexedSeq[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar else { n += 1; (256 + n).toChar }
+    }
+  }
+  private val aliasAlphabet: String = byteAliases.mkString
+
+  /** A string's byte-alias form: UTF-8 bytes, each through
+    * [[byteAliases]] — driver-side twin of [[byteAlias]], used to carry
+    * the committed [[merges]] into alias space (ASCII parts alias to
+    * themselves, so the char table IS a valid byte table). */
+  private[ext] def aliasOf(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => byteAliases(b & 0xff)))
+
+  /** Column form: word → alias string. encode → hex → 2-char groups →
+    * base-16 `conv` → one substr into the alias alphabet — a pure
+    * codegen projection, no UDF, no shuffle (the 100 TB tokenize-pass
+    * discipline of the char face, kept). */
+  private[ext] def byteAlias(w: Column): Column =
+    array_join(transform(
+      regexp_extract_all(hex(encode(w, "UTF-8")), lit(".."), lit(0)),
+      p => lit(aliasAlphabet).substr(
+        conv(p, 16, 10).cast("int") + 1, lit(1))), "")
+
+  private lazy val aliasMerges: Seq[(String, String)] =
+    merges.map { case (l, r) => aliasOf(l) -> aliasOf(r) }
+
+  /** Byte-level subword tokens (alias space). Same pre-tokenizer as the
+    * char face ([[pieces]]) and the same committed [[merges]] carried
+    * through [[aliasOf]] — on ASCII text the two faces emit IDENTICAL
+    * token sequences (alias of an ASCII char is itself), which
+    * q_bpe_bytes_parity pins corpus-wide; on non-ASCII text the byte
+    * face degrades to multiple byte tokens where the char face holds
+    * one opaque char, never to [UNK]. */
+  def tokensBytes(text: Column): Column =
+    flatten(transform(pieces(text), w => {
+      val init = regexp_replace(byteAlias(w), "(.)", s"$S$$1$E")
+      val f = aliasMerges.foldLeft(init) { case (acc, (l, r)) =>
+        replace(acc, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
+      }
+      split(trim(f, S + E), E + S)
+    }))
+
+  /** Byte-level token count — end-sentinels per word, summed (no token
+    * array materialization), mirroring [[tokenCount]]. */
+  def tokenCountBytes(text: Column): Column =
+    coalesce(aggregate(
+      transform(pieces(text), w => {
+        val init = regexp_replace(byteAlias(w), "(.)", s"$S$$1$E")
+        val f = aliasMerges.foldLeft(init) { case (acc, (l, r)) =>
+          replace(acc, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
+        }
+        (size(split(f, E)) - 1).cast("long")
+      }),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+
+  /** Order-sensitive digest of the byte-level token sequence (alias
+    * space) — same NULL gating as [[tokenDigest]]. */
+  def tokenDigestBytes(text: Column): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(sep, tokensBytes(text))))
+
+  // byte-face DuckDB twins --------------------------------------------
+
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** DuckDB twin of [[byteAlias]]: hex(encode(w)) pairs → strpos
+    * arithmetic (DuckDB has no base-16 conv) → substr into the same
+    * alias-alphabet literal. */
+  private def byteAliasSql(w: String): String = {
+    val hx = "0123456789ABCDEF"
+    s"array_to_string(list_transform(" +
+      s"regexp_extract_all(hex(encode($w)), '..'), " +
+      s"p -> substr('${sqlQuote(aliasAlphabet)}', " +
+      s"(strpos('$hx', substr(p, 1, 1)) - 1) * 16 + " +
+      s"strpos('$hx', substr(p, 2, 1)), 1)), '')"
+  }
+
+  private def foldedBytesSql(w: String): String = {
+    val init = s"regexp_replace(${byteAliasSql(w)}, '(.)', '$S\\1$E', 'g')"
+    aliasMerges.foldLeft(init) { case (acc, (l, r)) =>
+      s"replace($acc, '${sqlQuote(s"$S$l$E$S$r$E")}', " +
+        s"'${sqlQuote(s"$S$l$r$E")}')"
+    }
+  }
+
+  /** list<varchar> of byte-level subword tokens (alias space). */
+  def tokensBytesSqlOf(textExpr: String): String =
+    s"flatten(list_transform(${piecesSql(textExpr)}, " +
+      s"w -> string_split(trim(${foldedBytesSql("w")}, '$S$E'), '$E$S')))"
+
+  /** BIGINT byte-level token count. */
+  def tokenCountBytesSqlOf(textExpr: String): String =
+    s"CAST(coalesce(list_sum(list_transform(${piecesSql(textExpr)}, " +
+      s"w -> len(string_split(${foldedBytesSql("w")}, '$E')) - 1)), 0) AS BIGINT)"
+
   // ------------------------------------------------------------ oracle
   // DuckDB twins generated from the SAME merges table (single source of
   // truth): nested replace() chain, same sentinels, same regexes. The

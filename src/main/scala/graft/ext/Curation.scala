@@ -587,6 +587,43 @@ object Curation {
           .cast("double").divide(lit(1000000.0)).as("pct"))
   }
 
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per
+    * group (CCNet: per language; here the caller picks), split the
+    * score distribution at its terciles — "head" is the best-scoring
+    * third, the slice CCNet keeps outright; "middle" is sampled; "tail"
+    * dropped. Cutoffs are by VALUE, not rank: c_head = max v with
+    * 3·count(score ≥ v) ≥ n, c_mid likewise at 2n/3 — ties land in one
+    * bucket together (deterministic, no row_number coin flip), head is
+    * the minimal value-closed set of at least n/3 docs.
+    *
+    * Scale shape (the [[calibrateQuality]] discipline, NOT a per-group
+    * ntile window over the corpus): scores live on an integer lattice,
+    * so per-(group, score) counts aggregate first (map-side combined),
+    * the cumulative sweep runs on that lattice-sized frame, and the
+    * corpus is bucketed by one broadcast equi-join on group + two
+    * comparisons — the corpus itself is never sorted or windowed. */
+  def headMiddleTail(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("n"))
+    val wcum = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col(groupCol))))
+    val cuts = cum.groupBy(col(groupCol)).agg(
+      max(when(col("cum") * 3 >= col("tot"), col(scoreCol))).as("c_head"),
+      max(when(col("cum") * 3 >= col("tot") * 2, col(scoreCol))).as("c_mid"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("c_head"), "head")
+          .when(col(scoreCol) >= col("c_mid"), "middle")
+          .otherwise("tail"))
+      .drop("c_head", "c_mid")
+  }
+
   def capPerGroup(docs: DataFrame, stratum: Column, cap: Int,
       idCol: String = "doc_id", textCol: String = "text",
       saltFactor: Int = 16): DataFrame = {

@@ -119,6 +119,31 @@ object ExtQueries {
       Bpe.tokenDigest(col("text")).as("tok_digest"))
   }
 
+  /** Byte-level BPE tokenization (GPT-2/tiktoken convention, VERDICT
+    * r15 #4): the same committed merges replayed over the 256-byte
+    * alias alphabet — no [UNK] by construction. Same per-doc count +
+    * order-sensitive digest contract as q_text_bpe. */
+  def qTextBpeBytes(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    docs(s, dir).select(col("doc_id"),
+      Bpe.tokenCountBytes(col("text")).as("n_tokens"),
+      Bpe.tokenDigestBytes(col("text")).as("tok_digest"))
+  }
+
+  /** Byte-face vs char-face parity: on ASCII text the byte aliases ARE
+    * the chars, so the two faces must emit identical token sequences —
+    * tokens_match pins that per doc (the fixture corpus is all-ASCII,
+    * so corpus-wide 1s; a non-ASCII doc would diverge by byte-splitting
+    * its multi-byte chars, never by emitting [UNK]). */
+  def qBpeBytesParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    docs(s, dir).select(col("doc_id"),
+      Bpe.tokenCount(col("text")).as("n_tokens_char"),
+      Bpe.tokenCountBytes(col("text")).as("n_tokens_bytes"),
+      (Bpe.tokenDigest(col("text")) === Bpe.tokenDigestBytes(col("text")))
+        .cast("int").cast("long").as("tokens_match"))
+  }
+
   /** Quality-score drift between two corpus slices — the number a
     * quality-filter owner watches across crawl snapshots: per source,
     * the TOTAL-VARIATION distance between the two slices' quality
@@ -1484,6 +1509,25 @@ object ExtQueries {
     Curation.capPerGroup(kept, col("source"), cap = 2)
   }
 
+  /** Curation funnel v5 — the CCNet operating point (Wenzek et al.
+    * 2020; VERDICT r15 #3): score every doc with the corpus-trained
+    * trigram-KN LM, tercile-bucket per source into head/middle/tail by
+    * mean per-trigram probability (high kn3_ppm = low perplexity =
+    * head), then keep the head outright, sample the middle 1-in-2 by
+    * doc-id parity, drop the tail. One trigram shuffle (the LM), a
+    * lattice-histogram cutoff sweep, a broadcast bucket join — the
+    * corpus is never rank-windowed (Curation.headMiddleTail). */
+  def qCurationFunnel5(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sc2 = d.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.lmScoreKn3(d).select(col("doc_id"), col("kn3_ppm")),
+        Seq("doc_id"))
+    Curation.headMiddleTail(sc2, "source", "kn3_ppm")
+      .filter(col("bucket") === "head" ||
+        (col("bucket") === "middle" && pmod(col("doc_id"), lit(2)) === 0))
+      .select(col("doc_id"), col("source"), col("bucket"), col("kn3_ppm"))
+  }
+
   /** Character-concentration (Herfindahl) gibberish score, ppm lattice. */
   def qTextCharHhi(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2099,6 +2143,12 @@ object ExtQueries {
     "q_dedup_fingerprint_eval" -> "minhash_pairs_05",
     "q_dedup_simhash_eval" -> "minhash_pairs_05",
     "q_graph_pagerank" -> "minhash_pairs_05",
+    // clusters: the label-propagation loop's per-ROUND cost is O(edges)
+    // = O(pairs); round count (log component diameter) is also a draw
+    // quantity but needs the loop itself to measure — the edge counter
+    // protects against dup-heavy draws, the re-priced baseline MAD
+    // carries the round-count variance (VERDICT r16 #2)
+    "q_dedup_clusters" -> "minhash_pairs_05",
     // cardinality-bounded (VERDICT r14 #1: q_sketch_hll_merge breached
     // 2.09× on a heavier distinct-value draw, committed-draw time 0.85 s):
     // both HLL profiles pay per (event_type, value_cents) distinct
@@ -2169,6 +2219,9 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_chunks" -> (qTextChunks _),
     "q_text_bpe" -> (qTextBpe _),
+    "q_text_bpe_bytes" -> (qTextBpeBytes _),
+    "q_bpe_bytes_parity" -> (qBpeBytesParity _),
+    "q_curation_funnel5" -> (qCurationFunnel5 _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_quality_drift" -> (qQualityDrift _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -3114,6 +3167,27 @@ object ExtQueries {
        |  ${Bpe.tokenCountSqlOf("text")} AS n_tokens,
        |  md5(array_to_string(${Bpe.tokensSqlOf("text")}, '${Bpe.sep}'))
        |    AS tok_digest
+       |FROM documents""".stripMargin
+  }
+
+  private val textBpeBytesSql = {
+    import graft.ext.Bpe
+    s"""SELECT doc_id,
+       |  ${Bpe.tokenCountBytesSqlOf("text")} AS n_tokens,
+       |  md5(array_to_string(${Bpe.tokensBytesSqlOf("text")}, '${Bpe.sep}'))
+       |    AS tok_digest
+       |FROM documents""".stripMargin
+  }
+
+  private val bpeBytesParitySql = {
+    import graft.ext.Bpe
+    s"""SELECT doc_id,
+       |  ${Bpe.tokenCountSqlOf("text")} AS n_tokens_char,
+       |  ${Bpe.tokenCountBytesSqlOf("text")} AS n_tokens_bytes,
+       |  CAST(CASE WHEN
+       |    md5(array_to_string(${Bpe.tokensSqlOf("text")}, '${Bpe.sep}')) =
+       |    md5(array_to_string(${Bpe.tokensBytesSqlOf("text")}, '${Bpe.sep}'))
+       |  THEN 1 ELSE 0 END AS BIGINT) AS tokens_match
        |FROM documents""".stripMargin
   }
 
@@ -4541,6 +4615,34 @@ object ExtQueries {
        |FROM documents d LEFT JOIN k2sc sc USING (doc_id)
        |WHERE d.doc_id >= 250""".stripMargin
 
+  /** CCNet funnel oracle: the kn3 chain CTEs, a per-(source, kn3_ppm)
+    * histogram with cumulative-from-top counts, value cutoffs at the
+    * terciles (max v with 3·cum ≥ tot / 2·tot), bucket by comparison,
+    * keep head + even-id middle. Intermediate sums run HUGEINT — only
+    * the output columns must be driver-compare-safe. */
+  private val curationFunnel5Sql =
+    s"""WITH ${kn3ChainCtes("", "")},
+       |sc2 AS (SELECT d.doc_id, d.source, coalesce(sc.kn3_ppm, 0) AS kn3_ppm
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |hist AS (SELECT source, kn3_ppm, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc2 GROUP BY 1, 2),
+       |cum AS (SELECT source, kn3_ppm,
+       |    sum(n) OVER (PARTITION BY source ORDER BY kn3_ppm DESC) AS cum,
+       |    sum(n) OVER (PARTITION BY source) AS tot
+       |  FROM hist),
+       |cuts AS (SELECT source,
+       |    max(CASE WHEN cum * 3 >= tot THEN kn3_ppm END) AS c_head,
+       |    max(CASE WHEN cum * 3 >= tot * 2 THEN kn3_ppm END) AS c_mid
+       |  FROM cum GROUP BY 1),
+       |b AS (SELECT s.doc_id, s.source, s.kn3_ppm,
+       |    CASE WHEN s.kn3_ppm >= c.c_head THEN 'head'
+       |         WHEN s.kn3_ppm >= c.c_mid THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM sc2 s JOIN cuts c USING (source))
+       |SELECT doc_id, source, bucket, kn3_ppm FROM b
+       |WHERE bucket = 'head'
+       |   OR (bucket = 'middle' AND doc_id % 2 = 0)""".stripMargin
+
   private val textLmScoreSql =
     s"""WITH w AS (SELECT doc_id, ${wordsSqlOf("text")} AS ws
        |  FROM documents),
@@ -4834,13 +4936,35 @@ object ExtQueries {
        |FROM b WHERE rn = 1""".stripMargin
   }
 
+  /** Test-corpus embedding dimensionality. The Spark operator handles any
+    * dim ≤ Similarity.maxDim (dot truncates); the oracle unrolls the plane
+    * dot products to flat ±v[j] sums, so it pins the dim of the shared
+    * parquet tables. */
+  private val oracleDim = 64
+
+  /** Plane dot as a flat signed sum: 0.0 ± v[1] ± v[2] … — multiplication
+    * by ±1.0 is exact and addition is left-assoc in both engines, so this
+    * is bit-identical to Spark's sequential-fold DotProduct against the
+    * ±1 plane literal. */
+  private def planeDotSql(e: String, p: Int): String =
+    "0.0 " + (0 until oracleDim).map { j =>
+      val sign = if (Similarity.planeSignValue(p, j) > 0) "+" else "-"
+      s"$sign $e[${j + 1}]"
+    }.mkString(" ")
+
+  /** Band bucket of embedding list `e` — replicates Similarity.bandBucket:
+    * bit j of band b set iff dot(e, plane_{b·r+j}) > 0. */
+  private def bandBucketSql(e: String, band: Int, planesPerBand: Int): String =
+    (0 until planesPerBand).map { j =>
+      s"(CASE WHEN (${planeDotSql(e, band * planesPerBand + j)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** LSH-composed bitext oracle: the simBitextSql margin chain with the
     * CROSS JOIN replaced by the sign-LSH band candidate equi-join
     * (simNearDupSql's banded chain, split src-vs-tgt) — the k-NN sums
-    * run over candidates only, the operator's documented contract.
-    * LAZY: bandBucketSql reads oracleDim, declared later in this object
-    * (the dedupClustersSql initialization-order rule). */
-  private lazy val simBitextLshSql = {
+    * run over candidates only, the operator's documented contract. */
+  private val simBitextLshSql = {
     val k = 4
     val dotTS =
       "list_sum(list_transform(range(1, len(tv) + 1), i -> tv[i] * sv[i]))"
@@ -5330,30 +5454,6 @@ object ExtQueries {
        |SELECT stratum, doc_id, CAST(q4 AS DOUBLE) / 10000.0 AS quality,
        |  CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= 2""".stripMargin
-
-  /** Test-corpus embedding dimensionality. The Spark operator handles any
-    * dim ≤ Similarity.maxDim (dot truncates); the oracle unrolls the plane
-    * dot products to flat ±v[j] sums, so it pins the dim of the shared
-    * parquet tables. */
-  private val oracleDim = 64
-
-  /** Plane dot as a flat signed sum: 0.0 ± v[1] ± v[2] … — multiplication
-    * by ±1.0 is exact and addition is left-assoc in both engines, so this
-    * is bit-identical to Spark's sequential-fold DotProduct against the
-    * ±1 plane literal. */
-  private def planeDotSql(e: String, p: Int): String =
-    "0.0 " + (0 until oracleDim).map { j =>
-      val sign = if (Similarity.planeSignValue(p, j) > 0) "+" else "-"
-      s"$sign $e[${j + 1}]"
-    }.mkString(" ")
-
-  /** Band bucket of embedding list `e` — replicates Similarity.bandBucket:
-    * bit j of band b set iff dot(e, plane_{b·r+j}) > 0. */
-  private def bandBucketSql(e: String, band: Int, planesPerBand: Int): String =
-    (0 until planesPerBand).map { j =>
-      s"(CASE WHEN (${planeDotSql(e, band * planesPerBand + j)}) > 0" +
-        s" THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
 
   /** Bucketed near-dup oracle: same banded sign-LSH candidate chain +
     * exact rounded-cosine verify as Similarity.cosineNearDupPairsBucketed. */
@@ -6356,6 +6456,9 @@ object ExtQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_text_chunks" -> textChunksSql,
     "q_text_bpe" -> textBpeSql,
+    "q_text_bpe_bytes" -> textBpeBytesSql,
+    "q_bpe_bytes_parity" -> bpeBytesParitySql,
+    "q_curation_funnel5" -> curationFunnel5Sql,
     "q_tok_fertility" -> tokFertilitySql,
     "q_quality_drift" -> qualityDriftSql,
     "q_bpe_train" -> bpeTrainSql,

@@ -198,4 +198,61 @@ class BpeSpec extends SparkSpec {
       Seq("it", "co", "st", "s", "$", "1", "2", ".", "5", "0", ",",
         "re", "ally", "!"))
   }
+
+  // ------------------------------------------------- byte-level face
+
+  test("byteAliases is exactly GPT-2 bytes_to_unicode") {
+    assert(Bpe.byteAliases.size === 256)
+    assert(Bpe.byteAliases.distinct.size === 256) // a bijection
+    // printable latin-1 bytes alias to themselves
+    assert(Bpe.byteAliases('a'.toInt) === 'a')
+    assert(Bpe.byteAliases('!'.toInt) === '!')
+    assert(Bpe.byteAliases(0xfe) === 0xfe.toChar)
+    // the famous GPT-2 aliases: NUL→Ā (256+0), space→Ġ (256+32)
+    assert(Bpe.byteAliases(0) === 'Ā')
+    assert(Bpe.byteAliases(32) === 'Ġ')
+    // every alias is printable (≥ 33, never a control char or space)
+    assert(Bpe.byteAliases.forall(c => c >= 33 && !c.isControl))
+  }
+
+  test("byteAlias column form matches the driver-side table on any bytes") {
+    val texts = Seq("hello", "café", "naïve £5", " tabs\there")
+    val got = texts.toDF("t")
+      .select($"t", Bpe.byteAlias($"t").as("a")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    texts.foreach(t => assert(got(t) === Bpe.aliasOf(t), s"for '$t'"))
+  }
+
+  test("byte face ≡ char face on ASCII; byte-splits non-ASCII, no [UNK]") {
+    val ascii = "It costs $12.50, really!"
+    val accented = "café"
+    val rows = Seq(ascii, accented).toDF("t")
+      .select($"t", Bpe.tokens($"t").as("ct"), Bpe.tokensBytes($"t").as("bt"),
+        Bpe.tokenCountBytes($"t").as("bn"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2), r.getLong(3)))).toMap
+    // ASCII: identical token sequences (aliases are the chars themselves)
+    val (ct, bt, bn) = rows(ascii)
+    assert(bt === ct)
+    assert(bn === ct.size.toLong)
+    // non-ASCII: 'é' (2 UTF-8 bytes) byte-splits into its two aliases —
+    // Ã (0xC3, printable-latin self-alias) + © (0xA9) — where the char
+    // face holds one opaque char; nothing ever maps to an [UNK]
+    val (cAcc, bAcc, _) = rows(accented)
+    assert(cAcc === Seq("c", "a", "f", "é"))
+    assert(bAcc === Seq("c", "a", "f", "Ã", "©"))
+  }
+
+  test("byte-face count/digest agree with the token array") {
+    val texts = Seq("the theory of things", "", "a1!")
+    val got = texts.toDF("t")
+      .select($"t", Bpe.tokensBytes($"t").as("toks"),
+        Bpe.tokenCountBytes($"t").as("n"), Bpe.tokenDigestBytes($"t").as("d"))
+      .collect()
+    got.foreach { r =>
+      val toks = r.getSeq[String](1).filter(_.nonEmpty)
+      assert(r.getLong(2) === toks.size.toLong, s"for '${r.getString(0)}'")
+      assert(r.getString(3) != null)
+    }
+  }
 }

@@ -532,4 +532,32 @@ class CurationSpec extends SparkSpec {
     val moved = m1.keys.filter(s => m3(s) != m1(s)._3)
     assert(moved.size === 1, s"exactly one shard digest must move: $moved")
   }
+
+  test("headMiddleTail: value-closed terciles, ties share a bucket") {
+    import org.apache.spark.sql.functions._
+    // 9 distinct scores → exact thirds
+    val df = (1L to 9L).map(i => ("g", i, 10L - i)).toDF("grp", "id", "s")
+    val b = Curation.headMiddleTail(df, "grp", "s")
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert((1L to 3L).forall(b(_) == "head"))     // scores 9,8,7
+    assert((4L to 6L).forall(b(_) == "middle"))   // scores 6,5,4
+    assert((7L to 9L).forall(b(_) == "tail"))     // scores 3,2,1
+    // a tie mass straddling the cutoff lands in ONE bucket (value-closed):
+    // scores 5,5,5,1 → c_head = 5 (first value with 3·cum ≥ 4), so all
+    // three 5s are head; no row_number coin flip splits them
+    val tied = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 1L))
+      .toDF("grp", "id", "s")
+    val tb = Curation.headMiddleTail(tied, "grp", "s")
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(Seq(1L, 2L, 3L).forall(tb(_) == "head"))
+    assert(tb(4L) === "tail")
+    // groups bucket independently
+    val two = ((1L to 6L).map(i => ("a", i, i)) ++ Seq(("b", 7L, 100L)))
+      .toDF("grp", "id", "s")
+    val t2 = Curation.headMiddleTail(two, "grp", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(t2(("b", 7L)) === "head") // singleton group: its one value is head
+    assert(t2(("a", 6L)) === "head")
+    assert(t2(("a", 1L)) === "tail")
+  }
 }
