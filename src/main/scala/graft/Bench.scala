@@ -68,6 +68,21 @@ object Bench {
           "case when x.c > acc.c then x else acc end).l as best")
       .groupBy("best").count()
       .write.format("noop").mode("overwrite").save()
+    // minhash-sketch leg (r17): the dedup family's own shapes — the
+    // MinHashSketch imperative aggregate, the banded md5 digests, the
+    // bucket self-join — JIT separately from everything above. Measured
+    // this round: the FIRST dedup query after a (re)start paid ~1.8s of
+    // cold cost (q_dedup_clusters 5.5s as a single query vs 3.7s
+    // in-sequence on the same data, 2 propagation rounds either way).
+    locally {
+      val d = spark.range(512).selectExpr("id",
+        "concat('w', id % 97, ' w', (id + 1) % 89, ' w', (id + 2) % 83," +
+          " ' w', id % 7) as text")
+      val sh = graft.ext.Dedup.shingles(d, 3, "id", "text")
+      graft.ext.Dedup.lshCandidates(graft.ext.Dedup.lshBands(
+          graft.ext.Dedup.minhashSignatures(sh)))
+        .write.format("noop").mode("overwrite").save()
+    }
     // decimal-lattice + null-key + range-sort leg (VERDICT r15 #1/#2):
     // the first query compiling a decimal(38,0) arithmetic tree, hashing
     // a NULL join key through a null-safe equi-join, or planning a

@@ -102,7 +102,9 @@ object ScaleCheck {
     // band-candidate volume is the scale claim), its graded eval
     // (deliberately runs the exact quadratic side too), and the
     // one-pass per-lang fertility table
-    "q_sim_bitext_lsh", "q_sim_bitext_lsh_eval", "q_tok_fertility")
+    "q_sim_bitext_lsh", "q_sim_bitext_lsh_eval", "q_tok_fertility",
+    // r17 additions: byte-level BPE face + parity, CCNet KN funnel
+    "q_text_bpe_bytes", "q_bpe_bytes_parity", "q_curation_funnel5")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

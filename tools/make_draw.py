@@ -31,9 +31,23 @@ Distribution model (verified against the 2026-08-16 sf0.1 draw):
   embeddings N(0,1,64) float32 L2-normalized; label U{0..9}
   region/nation copied from the live draw (fixed dimensions)
 
-Usage: tools/make_draw.py <outDir> [seed] [sf] [srcDir]
+Usage: tools/make_draw.py <outDir> [seed] [sf] [srcDir] [flags]
   seed default 20260816, sf default 0.1,
   srcDir default /root/testdata/sf0.1 (region/nation source only).
+
+Flags (measurement draws; VERDICT r16 #5/#6):
+  --plant-parallel   plant TRUE cross-language parallel structure in the
+      embeddings: every non-en doc with a vector is paired one-to-one
+      with an en doc and its embedding becomes the en doc's plus N(0,
+      0.05²) noise (cos ≈ 0.98 vs ≈ 0 background at dim 64) — the
+      sharp-margin shape a real bitext corpus has and the synthetic
+      default lacks. The planted truth is written to
+      planted_pairs.parquet (src_id, tgt_id) for graded readouts.
+  --vocab-mult=N     multiply the document vocabulary N× (each of the 30
+      base words gets N numbered variants) — the vocabulary-heavy draw
+      that prices type-bounded incremental operators (IncrementalTokens
+      / IncrementalLm): per-increment cost should go ~flat as types
+      saturate, not track corpus volume.
 """
 import json
 import os
@@ -65,10 +79,23 @@ def main():
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    out_dir = sys.argv[1]
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
-    sf = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
-    src = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    plant_parallel = "--plant-parallel" in flags
+    vocab_mult = next((int(f.split("=", 1)[1]) for f in flags
+                       if f.startswith("--vocab-mult=")), 1)
+    out_dir = pos[0]
+    seed = int(pos[1]) if len(pos) > 1 else 20260816
+    sf = float(pos[2]) if len(pos) > 2 else 0.1
+    src = pos[3] if len(pos) > 3 else "/root/testdata/sf0.1"
+    # letter suffixes, not digits: the tokenizer faces segment per
+    # LETTER-RUN type (Bpe.pieces), so "key17" would pre-tokenize back to
+    # the base vocab + digits and multiply nothing — "keyab" is one run
+    def sfx(j):
+        return "" if vocab_mult <= 1 else \
+            chr(97 + j // 26 % 26) + chr(97 + j % 26)
+    vocab = (VOCAB if vocab_mult <= 1 else
+             [f"{w}{sfx(j)}" for w in VOCAB for j in range(vocab_mult)])
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -156,16 +183,33 @@ def main():
             texts.append(texts[int(rng.integers(0, i))] + " dup")
         else:
             nw = int(rng.integers(10, 101))
-            texts.append(" ".join(rng.choice(VOCAB, nw)))
+            texts.append(" ".join(rng.choice(vocab, nw)))
+    langs = rng.choice(LANGS, n_doc, p=LANG_P)
     write(out_dir, "documents", pd.DataFrame({
         "doc_id": np.arange(n_doc),
         "text": texts,
-        "lang": rng.choice(LANGS, n_doc, p=LANG_P),
+        "lang": langs,
         "source": [f"src{i % 20}" for i in range(n_doc)],
         "n_chars": [len(t) for t in texts]}))
 
     m = rng.standard_normal((n_emb, 64)).astype(np.float32)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
+    if plant_parallel:
+        # one-to-one en↔non-en pairing inside the vector range: the tgt
+        # vector becomes its src's + small noise, renormalized — every
+        # planted pair has cos ≈ 0.98 against a ≈ N(0, 1/64) background,
+        # the sharp-margin structure bitext mining exists to find
+        vec_langs = langs[:n_emb]
+        en_ids = np.flatnonzero(vec_langs == "en")
+        tgt_ids = np.flatnonzero(vec_langs != "en")
+        n_pair = min(len(en_ids), len(tgt_ids))
+        src_ids, tgt_ids = en_ids[:n_pair], tgt_ids[:n_pair]
+        noise = 0.05 * rng.standard_normal((n_pair, 64)).astype(np.float32)
+        m[tgt_ids] = m[src_ids] + noise
+        m[tgt_ids] /= np.linalg.norm(m[tgt_ids], axis=1, keepdims=True)
+        write(out_dir, "planted_pairs", pd.DataFrame({
+            "src_id": src_ids.astype(np.int64),
+            "tgt_id": tgt_ids.astype(np.int64)}))
     write(out_dir, "embeddings", pd.DataFrame({
         "vec_id": np.arange(n_emb),
         "embedding": list(m),
