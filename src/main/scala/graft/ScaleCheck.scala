@@ -103,8 +103,10 @@ object ScaleCheck {
     // (deliberately runs the exact quadratic side too), and the
     // one-pass per-lang fertility table
     "q_sim_bitext_lsh", "q_sim_bitext_lsh_eval", "q_tok_fertility",
-    // r17 additions: byte-level BPE face + parity, CCNet KN funnel
-    "q_text_bpe_bytes", "q_bpe_bytes_parity", "q_curation_funnel5")
+    // r17 additions: byte-level BPE face + parity, CCNet KN funnel,
+    // Heaps curve + duplication exposure (both corpus-postings-shaped)
+    "q_text_bpe_bytes", "q_bpe_bytes_parity", "q_curation_funnel5",
+    "q_text_heaps", "q_text_dup_exposure")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

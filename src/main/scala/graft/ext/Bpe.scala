@@ -443,7 +443,7 @@ object Bpe {
     }
   }
 
-  private[ext] def piecesSql(textExpr: String): String =
+  def piecesSql(textExpr: String): String =
     s"regexp_extract_all(lower($textExpr), '[a-z]+|[0-9]|[^a-z0-9\\s]')"
 
   /** list<varchar> of subword tokens. */

@@ -398,6 +398,39 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Duplication-exposure score (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — duplicated text is
+    * memorized disproportionately): per document, the share of its
+    * distinct word n-gram shingles that also occur in ANY other
+    * document. A doc at exposure 1 is wholly assembled from shared
+    * text (boilerplate, quotes, near-dups the pair miners may have
+    * missed below their thresholds); the score ranks what to audit or
+    * down-weight even when no pair fires.
+    *
+    *   dup_exposure_q4 = ⌊10⁴ · #(shingles with df ≥ 2) / #shingles⌋
+    *
+    * Scale shape: the [[shingles]] pass (distinct per doc built in),
+    * one shingle-keyed df aggregate, one co-partitioned postings⋈df
+    * join (same key — no extra shuffle), one per-doc count. Docs too
+    * short to shingle report 0 over 0. */
+  def dupExposure(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol).localCheckpoint(true)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = sh.join(df, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol)).join(per, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        // shingle-less docs report 0, not the 0/0 null
+        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
+          jaccard4(col("n_shared"), col("n_shingles")))
+          .otherwise(lit(0.0)).as("dup_exposure_q4"))
+  }
+
   /** SimHash bits (32): per-token ±1 votes per bit position — a pure
     * projection, no explode/shuffle. The word-hash array is materialized
     * once and folded by the codegen'd [[graft.functions.SimHash32]] (one

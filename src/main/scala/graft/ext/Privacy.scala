@@ -97,4 +97,55 @@ object Privacy {
       .select(quasiIds.map(col) :+ col("class_size") :+ col("l_distinct") :+
         (col("l_distinct") < l).cast("int").cast("long")
           .as("is_violation"): _*)
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-gate ladder: k-anonymity bounds class SIZE,
+    * l-diversity bounds distinct sensitive values, but a size-1000
+    * class that is 99% one diagnosis still leaks it probabilistically.
+    * A class is t-close when the distance between its sensitive-value
+    * distribution and the GLOBAL distribution is ≤ t; for categorical
+    * sensitive attributes with unit ground distance the paper's EMD
+    * reduces to total variation, which reduces to ONE exact integer
+    * floor division on the q4 lattice (the [[Stats.histogramDrift]]
+    * move — no `ln`, no float sums):
+    *
+    *   tvd_q4 = ⌊10⁴ · Σ_v |cnt_c(v)·N − cnt(v)·n_c| / (2·n_c·N)⌋
+    *
+    * with the Σ over the FULL value universe folded in closed form:
+    * values absent from the class contribute cnt(v)·n_c, so their sum
+    * is n_c·(N − Σ_{v∈class} cnt(v)) — no outer join against the
+    * universe is ever built.
+    *
+    * Scale shape: ONE corpus aggregate to (class, value) counts; class
+    * totals, global value counts and N all derive from that frame
+    * (facet-sized, map-side combined); the value totals broadcast back.
+    * Output is one row per class. */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, tQ4: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = quasiIds.map(col)
+    val cv = df.groupBy(q :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint(true) // feeds class totals, value totals, N, join
+    val classTot = cv.groupBy(q: _*).agg(sum(col("a")).as("n_c"))
+    val valTot = cv.groupBy(col(sensitiveCol)).agg(sum(col("a")).as("g"))
+    val nAll = cv.agg(sum(col("a")).as("nn"))
+    val present = cv
+      .join(broadcast(classTot), quasiIds)
+      .join(broadcast(valTot), Seq(sensitiveCol))
+      .crossJoin(broadcast(nAll))
+      .groupBy(q: _*)
+      .agg(max(col("n_c")).as("n_c"), max(col("nn")).as("nn"),
+        sum(abs(col("a").cast(dec) * col("nn").cast(dec) -
+          col("g").cast(dec) * col("n_c").cast(dec))).as("present_term"),
+        sum(col("g")).as("g_present"))
+    val num = (col("present_term") +
+      col("n_c").cast(dec) * (col("nn") - col("g_present")).cast(dec)) *
+      lit(10000L).cast(dec)
+    val den = lit(2L).cast(dec) * col("n_c").cast(dec) * col("nn").cast(dec)
+    val tvd = ((num - pmod(num, den)) / den).cast("long")
+    present.select(q :+ col("n_c").as("class_size") :+
+      tvd.as("tvd_q4") :+
+      (tvd > tQ4).cast("int").cast("long").as("is_violation"): _*)
+  }
 }

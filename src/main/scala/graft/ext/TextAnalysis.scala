@@ -613,6 +613,46 @@ object TextAnalysis {
       (nf > 0L).cast("int").cast("long").as("is_blocked"))
   }
 
+  /** Heaps-law type-accumulation curve (Heaps 1978): split the corpus
+    * into `buckets` equal doc-id prefix ranges and report, per bucket,
+    * the token volume and the NEW word types first seen there, plus
+    * both cumulative columns — the curve behind every type-bounded
+    * claim in this engine (the tokenizer memo, the KN model state, the
+    * distinct_words work counter all grow with cum_types, and Heaps'
+    * law says that is ~O(cum_tokensᵝ), β<1). A flattening new_types
+    * column IS the saturation the incremental faces bank on.
+    *
+    * Scale shape: one corpus tokenize to (bucket, word) pairs, ONE
+    * type-keyed aggregate for first-seen bucket (map-side combined —
+    * min is algebraic), one bucket-keyed count; the cumulative sums run
+    * on the buckets-sized frame via a broadcast triangular join (no
+    * global window, no corpus sort). Types are [[Bpe.pieces]] units —
+    * the same alphabet the tokenizer memo and distinct_words counter
+    * speak. */
+  def heapsCurve(docs: DataFrame, buckets: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"need positive buckets, got $buckets")
+    val mx = docs.agg((max(col(idCol)) + 1).as("mx"))
+    val toks = docs.crossJoin(broadcast(mx))
+      .select(floor(col(idCol) * buckets / col("mx")).cast("long").as("b"),
+        explode(Bpe.pieces(col(textCol))).as("w"))
+      .localCheckpoint(true) // feeds first-seen AND per-bucket volume
+    val newTypes = toks.groupBy(col("w")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("new_types"))
+    val vol = toks.groupBy(col("b")).agg(count(lit(1)).as("n_tokens"))
+    val curve = vol.join(newTypes, Seq("b"), "left")
+      .select(col("b"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint(true) // buckets-sized; read 3× by the cum join
+    curve.as("l")
+      .join(broadcast(curve.as("r")), col("r.b") <= col("l.b"))
+      .groupBy(col("l.b").as("bucket"))
+      .agg(max(col("l.n_tokens")).as("n_tokens"),
+        max(col("l.new_types")).as("new_types"),
+        sum(col("r.n_tokens")).as("cum_tokens"),
+        sum(col("r.new_types")).as("cum_types"))
+  }
+
   /** Type-token ratio per stratum — the classic lexical-diversity
     * readout (a low TTR stratum is template/boilerplate-heavy; TTR
     * collapse after dedup is the signal the dedup over-fired): distinct

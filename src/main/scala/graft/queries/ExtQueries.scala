@@ -1367,6 +1367,32 @@ object ExtQueries {
         col("source")),
       Seq("lang", "len_bucket"), "source", l = 3)
 
+  /** t-closeness audit over the same release-gate fixture as
+    * q_privacy_kanon/q_privacy_ldiv — the ladder's third rung: per
+    * (lang, len_bucket) class, the TVD between the class's source
+    * distribution and the global one, flagged above t = 0.30. */
+  def qPrivacyTclose(s: SparkSession, dir: String): DataFrame =
+    Privacy.tCloseness(
+      docs(s, dir).select(col("lang"),
+        ((col("n_chars") - pmod(col("n_chars"), lit(100L))) / lit(100L))
+          .cast("long").as("len_bucket"),
+        col("source")),
+      Seq("lang", "len_bucket"), "source", tQ4 = 3000L)
+
+  /** Heaps-law type-accumulation curve: 20 doc-id prefix buckets,
+    * per-bucket token volume + NEW types + both cumulatives — the
+    * measured curve behind every type-bounded cost claim (tokenizer
+    * memo, KN model state, distinct_words counter). */
+  def qTextHeaps(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsCurve(docs(s, dir), buckets = 20)
+
+  /** Duplication-exposure score: per doc, the share of its distinct
+    * word-5-gram shingles that occur in ≥2 documents (Lee et al. 2022
+    * memorization-risk ranking — catches shared text below every pair
+    * miner's threshold). */
+  def qTextDupExposure(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupExposure(docs(s, dir), n = 5)
+
   /** Deterministic candidate cap for the pair-graded eval queries
     * (VERDICT r13 #1): the driver re-rolls the corpus every round, and a
     * dup-heavy draw multiplies the near-dup pair count — twice running,
@@ -2357,6 +2383,9 @@ object ExtQueries {
     "q_sim_bitext_lsh_eval" -> (qSimBitextLshEval _),
     "q_privacy_redact" -> (qPrivacyRedact _),
     "q_privacy_ldiv" -> (qPrivacyLdiv _),
+    "q_privacy_tclose" -> (qPrivacyTclose _),
+    "q_text_heaps" -> (qTextHeaps _),
+    "q_text_dup_exposure" -> (qTextDupExposure _),
     "q_eval_ngram_overlap" -> (qEvalNgramOverlap _),
     "q_eval_rouge_l" -> (qEvalRougeL _),
     "q_eval_fleiss" -> (qEvalFleiss _),
@@ -5082,6 +5111,79 @@ object ExtQueries {
       |    AS BIGINT) AS is_violation
       |FROM q GROUP BY 1, 2""".stripMargin
 
+  /** t-closeness oracle: (class, value) counts, class/value/global
+    * totals all derived from them, per-class present-term sum with the
+    * absent-value complement folded in closed form; HUGEINT products,
+    * q4 floor division. Same fixture as privacyLdivSql. */
+  private val privacyTcloseSql =
+    """WITH q AS (SELECT lang,
+      |    CAST(n_chars // 100 AS BIGINT) AS len_bucket, source
+      |  FROM documents),
+      |cv AS (SELECT lang, len_bucket, source,
+      |    CAST(count(*) AS BIGINT) AS a FROM q GROUP BY 1, 2, 3),
+      |ct AS (SELECT lang, len_bucket, CAST(sum(a) AS BIGINT) AS n_c
+      |  FROM cv GROUP BY 1, 2),
+      |vt AS (SELECT source, CAST(sum(a) AS BIGINT) AS g FROM cv GROUP BY 1),
+      |nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM cv),
+      |pr AS (SELECT cv.lang, cv.len_bucket,
+      |    max(n_c) AS n_c, max(nn) AS nn,
+      |    sum(abs(CAST(a AS HUGEINT) * nn - CAST(g AS HUGEINT) * n_c))
+      |      AS present_term,
+      |    CAST(sum(g) AS BIGINT) AS g_present
+      |  FROM cv JOIN ct USING (lang, len_bucket) JOIN vt USING (source), nt
+      |  GROUP BY 1, 2),
+      |b AS (SELECT lang, len_bucket, n_c,
+      |    CAST((present_term + CAST(n_c AS HUGEINT) * (nn - g_present))
+      |      * 10000 // (2 * CAST(n_c AS HUGEINT) * nn) AS BIGINT) AS tvd_q4
+      |  FROM pr)
+      |SELECT lang, len_bucket, n_c AS class_size, tvd_q4,
+      |  CAST(CASE WHEN tvd_q4 > 3000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_violation
+      |FROM b""".stripMargin
+
+  /** Heaps-curve oracle: prefix buckets by integer doc-id division,
+    * first-seen bucket per type, per-bucket volumes, cumulatives via
+    * the triangular self-join over the buckets-sized frame. */
+  private val textHeapsSql =
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+       |t AS (SELECT CAST(doc_id * 20 // mx AS BIGINT) AS b,
+       |    unnest(${graft.ext.Bpe.piecesSql("text")}) AS w
+       |  FROM documents, mx),
+       |fs AS (SELECT w, min(b) AS fb FROM t GROUP BY 1),
+       |nt AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_types
+       |  FROM fs GROUP BY 1),
+       |tk AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY 1),
+       |c AS (SELECT tk.b AS bucket, tk.n_tokens,
+       |    coalesce(nt.new_types, 0) AS new_types
+       |  FROM tk LEFT JOIN nt ON tk.b = nt.b)
+       |SELECT l.bucket, l.n_tokens, l.new_types,
+       |  CAST(sum(r.n_tokens) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(r.new_types) AS BIGINT) AS cum_types
+       |FROM c l JOIN c r ON r.bucket <= l.bucket
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Duplication-exposure oracle: distinct word-5-gram postings, df,
+    * per-doc shared share on the q4 lattice. */
+  private val textDupExposureSql =
+    s"""WITH ws AS (SELECT doc_id AS id, ${wordsSqlOf("text")} AS w
+       |  FROM documents),
+       |sh AS (SELECT id,
+       |    unnest(list_distinct(${Hashing.ngramsSql("w", 5)})) AS shingle
+       |  FROM ws),
+       |dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+       |  FROM sh GROUP BY 1),
+       |per AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM sh JOIN dfc USING (shingle) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_shingles, 0) AS n_shingles,
+       |  coalesce(n_shared, 0) AS n_shared,
+       |  CASE WHEN coalesce(n_shingles, 0) > 0
+       |    THEN CAST((n_shared * 10000) // n_shingles AS DOUBLE) / 10000.0
+       |    ELSE 0.0 END AS dup_exposure_q4
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.id""".stripMargin
+
   /** Shared clipped n-gram precision CTE chain over a pair CTE named
     * `p` (id_a, id_b): per-doc gram-count indexes (unigrams = the word
     * list itself, bigrams via the shared ngramsSql), LEAST-clipped
@@ -6606,6 +6708,9 @@ object ExtQueries {
     "q_sim_bitext_lsh_eval" -> simBitextLshEvalSql,
     "q_privacy_redact" -> privacyRedactSql,
     "q_privacy_ldiv" -> privacyLdivSql,
+    "q_privacy_tclose" -> privacyTcloseSql,
+    "q_text_heaps" -> textHeapsSql,
+    "q_text_dup_exposure" -> textDupExposureSql,
     "q_eval_ngram_overlap" -> evalNgramOverlapSql,
     "q_eval_rouge_l" -> evalRougeLSql,
     "q_eval_fleiss" -> evalFleissSql,

@@ -472,4 +472,19 @@ class DedupSpec extends SparkSpec {
     // counts in n_docs but never as a dup
     assert(got("code") === ((2L, 1L, 9L, 9L, 0.5)))
   }
+
+  test("dupExposure: shared-shingle share on the q4 lattice; short docs 0") {
+    // d0's single 5-gram also lives in d1 (df 2) -> exposure 1.0; d1 has
+    // one shared of two -> 0.5; d2 all unique -> 0.0; d3 too short -> 0/0/0
+    val docs = Seq(
+      (0L, "v w x y z"), (1L, "v w x y z q"),
+      (2L, "q r s t u"), (3L, "hi")).toDF("doc_id", "text")
+    val got = Dedup.dupExposure(docs, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((1L, 1L, 1.0)))
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
 }

@@ -89,4 +89,24 @@ class PrivacySpec extends SparkSpec {
     assert(bad.getLong(2) === 1L, "doc 5 is still in storage and must be flagged")
     store.destroy()
   }
+
+  test("t-closeness: hand-traced TVD vs the global distribution, exact q4") {
+    import spark.implicits._
+    // class A holds {x, x, y}, class B holds {y}; global x:2 y:2 (N=4)
+    //   A: TVD = ((2/3 - 1/2) + (1/2 - 1/3)) / 2 = 1/6  -> 1666 on q4
+    //   B: TVD = ((1 - 1/2) + (1/2 - 0)) / 2     = 1/2  -> 5000
+    // B's absent value x exercises the closed-form complement term
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"))
+      .toDF("cls", "v")
+    val got = Privacy.tCloseness(df, Seq("cls"), "v", tQ4 = 3000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") === ((3L, 1666L, 0L)))
+    assert(got("B") === ((1L, 5000L, 1L)))
+    // a class distributed exactly like the global is 0-distant
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("cls", "v")
+    Privacy.tCloseness(uniform, Seq("cls"), "v", tQ4 = 0L).collect()
+      .foreach(r => assert(r.getLong(2) === 0L, r.toString))
+  }
 }

@@ -449,4 +449,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) === ((0L, 0L, 0L, 0.0)))
     assert(r(4L) === ((0L, 0L, 0L, 0.0)))
   }
+
+  test("heapsCurve: hand-traced buckets, first-seen types, cumulatives") {
+    import org.apache.spark.sql.functions.col
+    // ids 0..3, 2 buckets -> {0,1} and {2,3}; types a,b,c first seen in
+    // bucket 0, d first in bucket 1
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsCurve(docs, buckets = 2)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0L, 4L, 3L, 4L, 3L), (1L, 4L, 1L, 8L, 4L)))
+  }
 }
