@@ -409,4 +409,38 @@ class SimilaritySpec extends SparkSpec {
     assert(a4.getLong(3) === 2L && math.abs(a4.getDouble(4) - 0.110432) < 1e-9)
     assert(a4.getLong(5) === -1L && a4.getDouble(6) === -2.0)
   }
+
+  test("planted-parallel recovery: both faces mine every planted pair") {
+    import spark.implicits._
+    // 8 one-to-one planted pairs on orthogonal unit vectors (the
+    // make_draw --plant-parallel shape, deterministic): en doc i and de
+    // doc 100+i share basis vector e_i, so cos(pair) = 1.0 against a
+    // 0.0 background — the sharp-margin structure bitext mining exists
+    // to find. Doc 8/en is planted WITHOUT a partner.
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(16)(j => if (j == i) 1.0f else 0.0f)
+    val docs = ((0 until 9).map(i => (i.toLong, "en")) ++
+      (0 until 8).map(i => (100L + i, "de"))).toDF("doc_id", "lang")
+    val emb = ((0 until 9).map(i => (i.toLong, basis(i))) ++
+      (0 until 8).map(i => (100L + i, basis(i)))).toDF("vec_id", "embedding")
+    def mined(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(r.length - 1)))).toMap
+    val exact = mined(Similarity.bitextMine(docs, emb, "en"))
+    (0 until 8).foreach { i =>
+      assert(exact(i.toLong) === ((100L + i, 1L)), s"exact pair $i")
+    }
+    // the partnerless source's best candidate is cos-0 flat: margin
+    // cannot clear the 1.0 bar, so it must NOT mine as parallel
+    assert(exact(8L)._2 === 0L)
+    val lsh = mined(Similarity.bitextMineLsh(docs, emb, "en"))
+    (0 until 8).foreach { i =>
+      assert(lsh.get(i.toLong).forall(_ == ((100L + i, 1L))), s"lsh pair $i")
+    }
+    // identical vectors collide in EVERY band, so all 8 pairs surface
+    assert((0 until 8).forall(i => lsh.contains(i.toLong)))
+    // the partnerless source may have no band collision at all (emits
+    // nothing) or only flat-cosine candidates (not parallel)
+    assert(lsh.get(8L).forall(_._2 == 0L))
+  }
 }
