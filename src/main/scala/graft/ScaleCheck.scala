@@ -106,7 +106,7 @@ object ScaleCheck {
     // r17 additions: byte-level BPE face + parity, CCNet KN funnel,
     // Heaps curve + duplication exposure (both corpus-postings-shaped)
     "q_text_bpe_bytes", "q_bpe_bytes_parity", "q_curation_funnel5",
-    "q_text_heaps", "q_text_dup_exposure")
+    "q_text_heaps", "q_text_dup_exposure", "q_tok_oov")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -355,11 +355,12 @@ object WordPiece {
       .map(p => s"('$p', ${init(p)}, ${cont(p)})").mkString(", ")
   }
 
-  /** One-statement oracle for [[tokenizeBert]] under the committed
-    * [[bertPieces]]: (id, n_tokens, n_unk_words, tok_digest). */
+  /** One-statement oracle for [[tokenizeBert]] under `vocab` (default
+    * the committed [[bertPieces]]): (id, n_tokens, n_unk_words,
+    * tok_digest). */
   def tokenizeBertSqlOf(docsTable: String, idCol: String,
-      textExpr: String): String =
-    s"""WITH wbv AS (SELECT * FROM (VALUES ${bertVocabValues(bertPieces)})
+      textExpr: String, vocab: Seq[(String, Long)] = bertPieces): String =
+    s"""WITH wbv AS (SELECT * FROM (VALUES ${bertVocabValues(vocab)})
        |  AS t(piece, ini, con)),
        |${bertCtes("wb", docsTable, idCol, textExpr, "wbv")},
        |${Unigram.docCte("wb")}

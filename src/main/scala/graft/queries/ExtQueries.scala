@@ -186,6 +186,41 @@ object ExtQueries {
         frac4Col(col("n_chars"), col("n_tokens")).as("chars_per_token"))
   }
 
+  /** Per-language OOV / [UNK] datasheet under a FROZEN BERT-style
+    * WordPiece vocabulary — the tokenizer-drift readout a multilingual
+    * crawl pipeline watches (the BPE faces cannot produce it: char BPE
+    * keeps every char, byte BPE has no [UNK] by construction — only
+    * the whole-word-[UNK] convention makes OOV a real number). The
+    * frozen vocab is the committed one MINUS its rare-letter pieces
+    * (q/j/k/x/z) — the deployment scenario the readout exists for: a
+    * tokenizer trained on yesterday's distribution meets today's
+    * crawl, and whole words fall out (the committed vocab's single-
+    * char fallback otherwise covers everything and the column is a
+    * constant 0). oov_rate = [UNK] words / pre-token words; fertility
+    * rides the same per-lang sums. One tokenize pass (per-distinct-
+    * word walk over the broadcast vocabulary) + one lang aggregate. */
+  private[queries] val oovVocab: Seq[(String, Long)] =
+    graft.ext.WordPiece.bertPieces
+      .filterNot { case (p, _) => p.exists("qjkxz".contains(_)) }
+
+  def qTokOov(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.WordPiece
+    val d = docs(s, dir)
+    val tb = WordPiece.tokenizeBert(d, oovVocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_unk_words"))
+    d.select(col("doc_id"), col("lang"),
+        TextAnalysis.bpeTokenCount(col("text")).as("nw"))
+      .join(tb, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_unk_words")).as("n_unk_words"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_unk_words"),
+        frac4Col(col("n_unk_words"), col("n_words")).as("oov_rate"),
+        frac4Col(col("n_tokens"), col("n_words")).as("fertility"))
+  }
+
   /** BPE vocabulary induction: learn 12 merges from the corpus (one
     * corpus-wide word-count shuffle, then cheap iterations over the
     * cached weighted vocab). The result is the ranked merges table a
@@ -2191,6 +2226,7 @@ object ExtQueries {
     "q_text_wordpiece_trained" -> "distinct_words",
     "q_text_wordpiece_bert" -> "distinct_words",
     "q_tokenizer_bert_parity" -> "distinct_words",
+    "q_tok_oov" -> "distinct_words",
     "q_text_tokenizer_parity" -> "distinct_words",
     "q_tokenizer_greedy_gap" -> "distinct_words",
     "q_bpe_train" -> "distinct_words",
@@ -2249,6 +2285,7 @@ object ExtQueries {
     "q_bpe_bytes_parity" -> (qBpeBytesParity _),
     "q_curation_funnel5" -> (qCurationFunnel5 _),
     "q_tok_fertility" -> (qTokFertility _),
+    "q_tok_oov" -> (qTokOov _),
     "q_quality_drift" -> (qQualityDrift _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_bpe_trained" -> (qTextBpeTrained _),
@@ -3259,6 +3296,27 @@ object ExtQueries {
        |SELECT lang, n_docs, n_words, n_tokens, n_chars,
        |  ${frac4Sql("n_tokens", "n_words")} AS fertility,
        |  ${frac4Sql("n_chars", "n_tokens")} AS chars_per_token
+       |FROM t""".stripMargin
+  }
+
+  /** OOV datasheet oracle: the one-statement tokenizeBert chain as a
+    * derived table, pre-token counts from the shared pieces regex,
+    * per-lang sums + frac4 rates. */
+  private val tokOovSql = {
+    import graft.ext.{Bpe, WordPiece}
+    s"""WITH tb AS (${WordPiece.tokenizeBertSqlOf("documents", "doc_id", "text", oovVocab)}),
+       |j AS (SELECT d.lang,
+       |    CAST(len(${Bpe.piecesSql("text")}) AS BIGINT) AS nw,
+       |    tb.n_tokens, tb.n_unk_words
+       |  FROM documents d JOIN tb ON tb.doc_id = d.doc_id),
+       |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nw) AS BIGINT) AS n_words,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_unk_words) AS BIGINT) AS n_unk_words
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_tokens, n_unk_words,
+       |  ${frac4Sql("n_unk_words", "n_words")} AS oov_rate,
+       |  ${frac4Sql("n_tokens", "n_words")} AS fertility
        |FROM t""".stripMargin
   }
 
@@ -6562,6 +6620,7 @@ object ExtQueries {
     "q_bpe_bytes_parity" -> bpeBytesParitySql,
     "q_curation_funnel5" -> curationFunnel5Sql,
     "q_tok_fertility" -> tokFertilitySql,
+    "q_tok_oov" -> tokOovSql,
     "q_quality_drift" -> qualityDriftSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_text_bpe_trained" -> textBpeTrainedSql,

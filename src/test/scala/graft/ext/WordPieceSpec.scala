@@ -125,4 +125,25 @@ class WordPieceSpec extends SparkSpec {
     // null text: 0 tokens, null digest (the shared contract)
     assert(got(5L) === ((0L, 0L, None)))
   }
+
+  test("restricted-vocab OOV: rare-letter words fall to whole-word [UNK]") {
+    import org.apache.spark.sql.functions.col
+    // the q_tok_oov scenario: a frozen vocab missing q/j/k/x/z pieces
+    val restricted = WordPiece.bertPieces
+      .filterNot { case (p, _) => p.exists("qjkxz".contains(_)) }
+    val docs = Seq((0L, "the data join"), (1L, "query key value"))
+      .toDF("doc_id", "text")
+    val got = WordPiece.tokenizeBert(docs, restricted)
+      .select(col("doc_id"), col("n_tokens"), col("n_unk_words"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 0: "join" -> [UNK]; "the"/"data" segment normally
+    assert(got(0L)._2 === 1L)
+    // doc 1: "query" and "key" both fail; "value" segments
+    assert(got(1L)._2 === 2L)
+    // the committed (unrestricted) vocab covers everything: 0 [UNK]
+    val full = WordPiece.tokenizeBert(docs, WordPiece.bertPieces)
+      .agg(org.apache.spark.sql.functions.sum(col("n_unk_words")))
+      .collect()(0).getLong(0)
+    assert(full === 0L)
+  }
 }
