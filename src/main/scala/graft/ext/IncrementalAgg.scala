@@ -65,4 +65,75 @@ object IncrementalAgg {
         (col("sum_cents").cast("double") / 100.0).as("sum_v"),
         (col("sum_cents").cast("double") / col("cnt") / 100.0).as("avg_v"),
         col("min_v"), col("max_v")): _*)
+
+  // ---------------------------- incremental quality-drift monitor (r17)
+
+  private def histName(name: String) = s"${name}_hist"
+  private def docsName(name: String) = s"${name}_docs"
+
+  /** Fold one increment into the standing per-group quality histogram
+    * and return the ACCUMULATED histogram's TVD against a FROZEN
+    * reference — the incremental face of
+    * [[Stats.histogramDrift]]/q_quality_drift, i.e. the filter-health
+    * monitor run continuously instead of per-snapshot. `ref` is a
+    * (group, bin, n) count frame (the curated corpus's histogram,
+    * frozen when the filter shipped).
+    *
+    * State: `<name>_hist` (group, bin, n) per-increment count slices
+    * (model-sized: groups × 10 bins × increments, compactable like the
+    * LM state) + `<name>_docs` first-write-wins ledger (re-delivered
+    * docs count NOTHING — a replayed increment cannot shift the
+    * histogram). Per-increment cost: one scan of the increment + a
+    * facet-sized merge; the corpus is never rescanned.
+    *
+    * Crash ordering (the [[IncrementalLm]] contract): drift rows are
+    * computed from state ∪ increment and emitted BEFORE any state
+    * mutates — a retry after a crash recomputes bit-identical rows
+    * against the unchanged state (batch-stamped sinks dedup the
+    * re-emission); a crash between the ledger and hist appends
+    * UNDER-counts the histogram (documented bias), never double-counts. */
+  def qualityDriftIncrement(newDocs: DataFrame,
+      store: graft.store.TableStore, name: String, ref: DataFrame,
+      groupCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text",
+      emit: DataFrame => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val histSchema = StructType(Seq(StructField(groupCol, StringType),
+      StructField("bin", LongType), StructField("n", LongType)))
+    val ledger = store.readOrEmpty(docsName(name),
+      StructType(Seq(StructField(idCol, LongType))))
+    // first-write-wins: increment ids broadcast, the ledger streams
+    // map-side (the IncrementalDedup shape — the ledger never shuffles)
+    val incIds = newDocs.select(col(idCol)).distinct().localCheckpoint(true)
+    val seen = ledger.join(broadcast(incIds), Seq(idCol), "left_semi")
+    val fresh = newDocs.join(broadcast(seen), Seq(idCol), "left_anti")
+      .select(col(idCol), col(groupCol), col(textCol))
+      .localCheckpoint(true) // feeds the histogram AND the ledger append
+    val q4 = TextAnalysis.qualityScoreQ4(col(textCol))
+    val bCounts = fresh.select(col(groupCol),
+        ((q4 - pmod(q4, lit(1000L))) / 1000L).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the accumulated view AND the append
+    val acc = store.readOrEmpty(histName(name), histSchema)
+      .unionByName(bCounts)
+      .groupBy(col(groupCol), col("bin")).agg(sum(col("n")).as("n"))
+    val drift = Stats
+      .histogramDriftFromCounts(acc, ref, groupCol, "bin", "n")
+      .localCheckpoint(true) // pin the output BEFORE the state mutates
+    emit(drift)
+    store.appendStaged(docsName(name), fresh.select(col(idCol)))
+    store.appendStaged(histName(name), bCounts)
+    drift
+  }
+
+  /** The standing histogram (group, bin, n), re-reduced — equals the
+    * batch histogram over everything ingested, under any slicing. */
+  def driftState(store: graft.store.TableStore, name: String,
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    store.readOrEmpty(histName(name),
+        StructType(Seq(StructField(groupCol, StringType),
+          StructField("bin", LongType), StructField("n", LongType))))
+      .groupBy(col(groupCol), col("bin")).agg(sum(col("n")).as("n"))
+  }
 }

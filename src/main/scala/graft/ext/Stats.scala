@@ -225,10 +225,30 @@ object Stats {
     * everything after is facet-sized, per-group totals broadcast. A
     * group present in only one slice reports the maximal drift 1. */
   def histogramDrift(df: DataFrame, groupCol: String, sliceCol: String,
-      binCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol), col(binCol))
+      binCol: String): DataFrame =
+    driftTail(df.groupBy(col(groupCol), col(binCol))
       .agg(sum(when(col(sliceCol) === 0L, 1L).otherwise(0L)).as("a"),
-        sum(when(col(sliceCol) === 1L, 1L).otherwise(0L)).as("b"))
+        sum(when(col(sliceCol) === 1L, 1L).otherwise(0L)).as("b")),
+      groupCol)
+
+  /** [[histogramDrift]] over two PRE-AGGREGATED count frames
+    * (groupCol, binCol, nCol) — the form a standing monitor holds:
+    * slice a = the stream's accumulated histogram, slice b = the frozen
+    * reference. Same exact q4 lattice and output contract; a group
+    * present in only one frame reports the maximal drift 1. */
+  def histogramDriftFromCounts(a: DataFrame, b: DataFrame,
+      groupCol: String, binCol: String, nCol: String): DataFrame =
+    driftTail(
+      a.select(col(groupCol), col(binCol), col(nCol).as("a"),
+          lit(0L).as("b"))
+        .unionByName(b.select(col(groupCol), col(binCol),
+          lit(0L).as("a"), col(nCol).as("b")))
+        .groupBy(col(groupCol), col(binCol))
+        .agg(sum(col("a")).as("a"), sum(col("b")).as("b")),
+      groupCol)
+
+  /** Shared TVD tail over a (group, bin, a, b) count frame. */
+  private def driftTail(counts: DataFrame, groupCol: String): DataFrame = {
     val totals = counts.groupBy(col(groupCol))
       .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     val num = abs(col("a").cast(dec) * col("nb").cast(dec) -

@@ -117,4 +117,23 @@ class StatsSpec extends SparkSpec {
     assert(out("g_half") === ((4L, 4L, 0.25)))
     assert(out("g_only") === ((1L, 0L, 1.0)))
   }
+
+  test("histogramDriftFromCounts equals histogramDrift on the same data") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("s1", 0L, 1L), ("s1", 0L, 2L), ("s1", 1L, 2L),
+      ("s2", 0L, 1L), ("s2", 1L, 3L), ("s3", 0L, 1L))
+      .toDF("g", "slice", "bin")
+    val want = Stats.histogramDrift(df, "g", "slice", "bin").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val a = df.filter(col("slice") === 0L).groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val b = df.filter(col("slice") === 1L).groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val got = Stats.histogramDriftFromCounts(a, b, "g", "bin", "n")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    assert(got("s3") === ((1L, 0L, 1.0))) // one-sided group: maximal drift
+  }
 }

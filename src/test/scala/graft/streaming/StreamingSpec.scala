@@ -297,6 +297,71 @@ class StreamingSpec extends SparkSpec {
     assert((4L to 5L).forall(i => got(i) === whole(i)))
   }
 
+
+  test("streaming quality-drift sink: state equals batch histogram; replay counts nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{IncrementalAgg, Stats, TextAnalysis}
+    def histOf(df: org.apache.spark.sql.DataFrame) = {
+      val q4 = TextAnalysis.qualityScoreQ4(col("text"))
+      df.select(col("source"),
+          ((q4 - pmod(q4, lit(1000L))) / 1000L).cast("long").as("bin"))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+    }
+    val rows = Seq(
+      (1L, "a", "the quick brown fox jumps over the lazy dog near the gate"),
+      (2L, "a", "x"), (3L, "b", "a perfectly ordinary sentence, with words."),
+      (4L, "b", "zz zz zz zz zz"), (5L, "a", "another plain enough line of text"))
+    // frozen reference: the first three docs' histogram (the curated
+    // corpus the filter shipped against)
+    val ref = histOf(rows.take(3).toDF("doc_id", "source", "text"))
+      .localCheckpoint(true)
+    val docs = MemoryStream[(Long, String, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("drift-sink-store").toString)
+    val ckpt = Files.createTempDirectory("drift-sink-ckpt").toString
+    val q = EventStreams.qualityDriftSink(
+      docs.toDF().toDF("doc_id", "source", "text"), store, "qd", "drift",
+      ckpt, ref, trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1 alongside new docs — ledgered away
+      docs.addData(rows.drop(3) :+ rows.head: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // replay invariance: the standing histogram equals the batch
+    // histogram over the 5 UNIQUE docs (doc 1 counted once)
+    val all = rows.toDF("doc_id", "source", "text")
+    val wantHist = histOf(all).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotHist = IncrementalAgg.driftState(store, "qd").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotHist === wantHist)
+    // the LAST batch's emitted drift equals the batch computation over
+    // everything the stream carried
+    val lastBatch = store.read("drift")
+      .agg(org.apache.spark.sql.functions.max(col("__batch")))
+      .collect()(0).getLong(0)
+    val gotDrift = store.read("drift")
+      .filter(col("__batch") === lastBatch)
+      .select(col("source"), col("n_a"), col("n_b"), col("tvd")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val wantDrift = Stats
+      .histogramDriftFromCounts(histOf(all), ref, "source", "bin", "n")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotDrift === wantDrift)
+    // a stream distributed exactly like the reference drifts to 0:
+    // source "a"'s reference is docs 1-2, its stream total is docs 1,2,5
+    // — nonzero; but self-reference sanity runs on the increment face
+    val store2 = new TableStore(spark,
+      Files.createTempDirectory("drift-self-store").toString)
+    val self = IncrementalAgg.qualityDriftIncrement(all, store2, "qd2",
+      ref = histOf(all))
+    self.collect().foreach(r => assert(r.getDouble(3) === 0.0, r.toString))
+  }
+
   test("streaming tokenize sink: memoized output equals the batch tokenizer on any slicing") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq((1L, "the theater is near"), (2L, "near the gate"),
