@@ -91,6 +91,15 @@ object Bpe {
   private[ext] def pieces(text: Column): Column =
     regexp_extract_all(lower(text), lit(TextAnalysis.bpeTokenRegex), lit(0))
 
+  /** Pre-token (word) count — `size([[pieces]])`: the word denominator
+    * the OOV/fertility datasheets share with the DuckDB twin's
+    * `len(piecesSql(..))`. This, not a raw-text regexp_count, is the
+    * correct Spark face (ADVICE r17: `[A-Za-z]` counting over RAW text
+    * agrees with the lowercased `[a-z]` pre-tokenizer on ASCII but
+    * diverges on Unicode where lowercasing changes string length or
+    * letter class, e.g. 'İ' → "i̇"). */
+  def pieceCount(text: Column): Column = size(pieces(text)).cast("long")
+
   /** Distinct pre-token (word-TYPE) count of a corpus — the unit every
     * per-distinct-word segmenter/trainer pays per ([[Unigram]] DP,
     * [[WordPiece]] greedy walk, both vocab inductions). graft.Bench

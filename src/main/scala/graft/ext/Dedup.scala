@@ -640,9 +640,21 @@ object Dedup {
   def repeatedSpans(docs: DataFrame, k: Int = 20, stride: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0 && stride > 0, s"need positive k/stride, got $k/$stride")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val g = docs.select(col(idCol), col(textCol).as("t"))
+    val g = gramPositions(docs, k, stride, idCol, textCol)
+    val rep = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val marked = g.join(rep, Seq("h"), "left_semi")
+    spansFromMarked(marked, k, stride, idCol)
+  }
+
+  /** The gram-position index shared by [[repeatedSpans]] and
+    * [[crossRepeatedSpans]]: one (id, pos, 60-bit hash) row per k-gram
+    * position — O(chars) corpus cost, the relational stand-in for the
+    * suffix array (a `stride` > 1 winnows positions for a cheaper
+    * approximation). */
+  private def gramPositions(docs: DataFrame, k: Int, stride: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol).as("t"))
       .filter(length(col("t")) >= k)
       .select(col(idCol), col("t"),
         explode(sequence(lit(1), length(col("t")) - (k - 1), lit(stride)))
@@ -651,9 +663,14 @@ object Dedup {
         // 60-bit hash: at 10⁹+ gram positions a 32-bit key space would
         // mark ~20% of unique grams as spuriously repeated
         hexLong(col("t").substr(col("p"), lit(k))).as("h"))
-    val rep = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("h"))
-    val marked = g.join(rep, Seq("h"), "left_semi")
+
+  /** Merge marked gram positions (id, pos) into maximal spans — the
+    * per-document gaps-and-islands window (partitioned by doc, never a
+    * global sort) shared by both span faces. */
+  private def spansFromMarked(marked: DataFrame, k: Int, stride: Int,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
     marked
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("ni",
@@ -713,6 +730,19 @@ object Dedup {
         col("span_start") === col("keep").getField("span_start")))
       .select(col(idCol), col("span_start").cast("int").as("s"),
         col("span_end").cast("int").as("e"))
+    rebuildExcised(d, drops, idCol)
+  }
+
+  /** The excision rewrite shared by [[exciseSpans]] and
+    * [[exciseCrossSpans]]: given `d` = (id, t) and the (id, s, e) drop
+    * spans, rebuild each document with the spans' UNION cut out — a
+    * single `aggregate` higher-order fold over the doc's sorted drop
+    * list (pure codegen projection, one pass over the text, no
+    * per-character explode; the clamped-monotone cursor removes
+    * char-overlapping spans once). Docs with no drops pass through
+    * byte-identical. */
+  private def rebuildExcised(d: DataFrame, drops: DataFrame,
+      idCol: String): DataFrame = {
     val perDoc = drops.groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"),
         count(lit(1)).as("n_dropped_spans"))
@@ -733,6 +763,65 @@ object Dedup {
       .select(col(idCol), col("clean_text"), col("n_dropped_spans"),
         (length(col("t")) - length(col("clean_text"))).cast("long")
           .as("dropped_chars"))
+  }
+
+  /** The frozen corpus's whole state for cross-corpus span work: its
+    * DISTINCT k-gram hashes (always stride 1 — a winnowed reference
+    * would miss grams and under-mark). For an eval/benchmark reference
+    * this is metadata-sized and broadcasts; persist it (the
+    * [[graft.ext.Decontamination.indexEval]] pattern) to amortize
+    * across increments. */
+  def spanGrams(ref: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"need positive k, got $k")
+    ref.select(col(textCol).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("p"))
+      .select(hexLong(col("t").substr(col("p"), lit(k))).as("h"))
+      .distinct()
+  }
+
+  /** Cross-corpus span marking (VERDICT r17 #5) — the two-corpus face
+    * of [[repeatedSpans]]: maximal char spans of `docs` whose every
+    * k-gram occurs ANYWHERE in the frozen corpus behind `refGrams`
+    * ([[spanGrams]]). This is the span-level train-vs-eval /
+    * train-vs-frozen-train split of Lee et al. (2022): the spans worth
+    * excising repeat against a DIFFERENT corpus (a benchmark, an
+    * earlier crawl already trained on), where [[repeatedSpans]] only
+    * sees repetition within this one.
+    *
+    * Scale shape: the [[Decontamination.evalGrams]] broadcast
+    * discipline — the reference's distinct 8-byte gram hashes broadcast
+    * into a semi-join, the train corpus is touched ONCE (gram index +
+    * per-doc islands window, no corpus shuffle of text); a reference
+    * past broadcast size degrades to the same plan minus the hint (a
+    * shuffled hash semi-join), never all-pairs. */
+  def crossRepeatedSpans(docs: DataFrame, refGrams: DataFrame,
+      k: Int = 20, stride: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0 && stride > 0, s"need positive k/stride, got $k/$stride")
+    val g = gramPositions(docs, k, stride, idCol, textCol)
+    val marked = g.join(broadcast(refGrams.select(col("h"))),
+      Seq("h"), "left_semi")
+    spansFromMarked(marked, k, stride, idCol)
+  }
+
+  /** Cross-corpus span EXCISION — decontamination-by-excision at span
+    * level (VERDICT r17 #5; q_decontam_excise is its doc/word-lattice
+    * sibling): cut every char span of `docs` whose k-grams all occur in
+    * the frozen corpus. ALL marked instances drop — there is no
+    * keep-first here, because the canonical copy lives in the reference
+    * corpus, not in `docs`. Output contract identical to
+    * [[exciseSpans]]: (id, clean_text, n_dropped_spans, dropped_chars),
+    * clean docs pass through byte-identical. */
+  def exciseCrossSpans(docs: DataFrame, refGrams: DataFrame, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol).as("t"))
+    val drops = crossRepeatedSpans(docs, refGrams, k, 1, idCol, textCol)
+      .select(col(idCol), col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e"))
+    rebuildExcised(d, drops, idCol)
   }
 
   /** Paragraph-level dedup — the Gopher/MassiveText middle ground

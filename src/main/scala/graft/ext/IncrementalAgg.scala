@@ -106,7 +106,12 @@ object IncrementalAgg {
     // map-side (the IncrementalDedup shape — the ledger never shuffles)
     val incIds = newDocs.select(col(idCol)).distinct().localCheckpoint(true)
     val seen = ledger.join(broadcast(incIds), Seq(idCol), "left_semi")
+    // dropDuplicates WITHIN the increment too (ADVICE r17): the ledger
+    // only dedups against PRIOR increments, but an at-least-once source
+    // can re-deliver a doc inside one micro-batch — without this, those
+    // copies all bin and permanently shift the standing histogram
     val fresh = newDocs.join(broadcast(seen), Seq(idCol), "left_anti")
+      .dropDuplicates(idCol)
       .select(col(idCol), col(groupCol), col(textCol))
       .localCheckpoint(true) // feeds the histogram AND the ledger append
     val q4 = TextAnalysis.qualityScoreQ4(col(textCol))

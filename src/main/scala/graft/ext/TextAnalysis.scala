@@ -634,7 +634,11 @@ object TextAnalysis {
     require(buckets > 0, s"need positive buckets, got $buckets")
     val mx = docs.agg((max(col(idCol)) + 1).as("mx"))
     val toks = docs.crossJoin(broadcast(mx))
-      .select(floor(col(idCol) * buckets / col("mx")).cast("long").as("b"),
+      // integer `div`, not floor(double /): the oracle buckets with exact
+      // integer division (doc_id * 20 // mx), and a double quotient of
+      // id·buckets past 2^53 can round across a bucket boundary
+      // (ADVICE r17) — `div` keeps the whole lattice in long arithmetic
+      .select(expr(s"(`$idCol` * $buckets) div mx").as("b"),
         explode(Bpe.pieces(col(textCol))).as("w"))
       .localCheckpoint(true) // feeds first-seen AND per-bucket volume
     val newTypes = toks.groupBy(col("w")).agg(min(col("b")).as("b"))

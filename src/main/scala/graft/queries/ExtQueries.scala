@@ -137,11 +137,26 @@ object ExtQueries {
     * its multi-byte chars, never by emitting [UNK]). */
   def qBpeBytesParity(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.Bpe
-    docs(s, dir).select(col("doc_id"),
-      Bpe.tokenCount(col("text")).as("n_tokens_char"),
-      Bpe.tokenCountBytes(col("text")).as("n_tokens_bytes"),
-      (Bpe.tokenDigest(col("text")) === Bpe.tokenDigestBytes(col("text")))
-        .cast("int").cast("long").as("tokens_match"))
+    // each face's token array materializes ONCE in the inner projection
+    // and count + digest derive from the materialized slot (VERDICT r17
+    // #4: the old form ran tokenCount AND tokenDigest per face — FOUR
+    // 64-replace folds per row in one expression tree; CollapseProject
+    // keeps the split because the array is referenced twice, so this is
+    // two folds per row, still one scan, zero shuffle). Null contract
+    // unchanged: null text → n_tokens 0, digest NULL, match NULL.
+    docs(s, dir)
+      .select(col("doc_id"), Bpe.tokens(col("text")).as("tc"),
+        Bpe.tokensBytes(col("text")).as("tb"))
+      .select(col("doc_id"),
+        when(col("tc").isNull, lit(0L))
+          .otherwise(size(col("tc")).cast("long")).as("n_tokens_char"),
+        when(col("tb").isNull, lit(0L))
+          .otherwise(size(col("tb")).cast("long")).as("n_tokens_bytes"),
+        (when(col("tc").isNull, lit(null).cast("string"))
+            .otherwise(md5(concat_ws(Bpe.sep, col("tc")))) ===
+          when(col("tb").isNull, lit(null).cast("string"))
+            .otherwise(md5(concat_ws(Bpe.sep, col("tb")))))
+          .cast("int").cast("long").as("tokens_match"))
   }
 
   /** Quality-score drift between two corpus slices — the number a
@@ -208,8 +223,11 @@ object ExtQueries {
     val d = docs(s, dir)
     val tb = WordPiece.tokenizeBert(d, oovVocab)
       .select(col("doc_id"), col("n_tokens"), col("n_unk_words"))
+    // pieceCount, not bpeTokenCount: the oracle's denominator is
+    // len(piecesSql(text)) — the two must be the IDENTICAL pre-tokenizer
+    // expression or a non-ASCII draw diverges (ADVICE r17)
     d.select(col("doc_id"), col("lang"),
-        TextAnalysis.bpeTokenCount(col("text")).as("nw"))
+        graft.ext.Bpe.pieceCount(col("text")).as("nw"))
       .join(tb, Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
@@ -380,6 +398,20 @@ object ExtQueries {
     Decontamination.exciseOverlaps(
       d.filter(col("doc_id") % 97 =!= 0),
       Decontamination.evalGrams(d.filter(col("doc_id") % 97 === 0)))
+  }
+
+  /** Span-level decontamination-by-excision (VERDICT r17 #5): same
+    * train/eval carve, but at CHAR k-gram granularity — every maximal
+    * char span of a train doc whose 20-grams all occur in the frozen
+    * eval slice is cut (all instances: the canonical copy lives in the
+    * eval corpus). The Lee et al. (2022) split q_dedup_excise runs
+    * within-corpus, run across the corpus boundary — the form real
+    * pipelines use against benchmarks and already-trained-on crawls. */
+  def qDecontamSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.exciseCrossSpans(
+      d.filter(col("doc_id") % 97 =!= 0),
+      Dedup.spanGrams(d.filter(col("doc_id") % 97 === 0)))
   }
 
   /** Semantic decontamination vs the same simulated eval slice
@@ -2305,6 +2337,7 @@ object ExtQueries {
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_excise" -> (qDecontamExcise _),
+    "q_decontam_spans" -> (qDecontamSpans _),
     "q_decontam_profile" -> (qDecontamProfile _),
     "q_decontam_incr" -> (qDecontamIncr _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
@@ -3245,12 +3278,16 @@ object ExtQueries {
        |FROM documents""".stripMargin
   }
 
+  /** NULL text → NULL tokens_match, mirroring the engine's digest ===
+    * digest null contract (ADVICE r17: the bare CASE's else-branch would
+    * report 0 where Spark yields NULL — latent only, make_draw never
+    * emits null text). */
   private val bpeBytesParitySql = {
     import graft.ext.Bpe
     s"""SELECT doc_id,
        |  ${Bpe.tokenCountSqlOf("text")} AS n_tokens_char,
        |  ${Bpe.tokenCountBytesSqlOf("text")} AS n_tokens_bytes,
-       |  CAST(CASE WHEN
+       |  CAST(CASE WHEN text IS NULL THEN NULL WHEN
        |    md5(array_to_string(${Bpe.tokensSqlOf("text")}, '${Bpe.sep}')) =
        |    md5(array_to_string(${Bpe.tokensBytesSqlOf("text")}, '${Bpe.sep}'))
        |  THEN 1 ELSE 0 END AS BIGINT) AS tokens_match
@@ -6166,6 +6203,50 @@ object ExtQueries {
        |LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
   }
 
+  /** Cross-corpus span-excision oracle mirroring Dedup.exciseCrossSpans:
+    * the q_dedup_spans gram/island chain on the TRAIN carve, but
+    * "repeated" = the gram hash occurs in the EVAL carve's distinct gram
+    * set; every marked span drops (no keep-first rank — the canonical
+    * copy lives in the eval corpus), per-character rebuild as in the
+    * excise oracle. */
+  private val decontamSpansSql = {
+    val h = Hashing.hexLongSql("substr(text, CAST(p AS INT), 20)")
+    s"""WITH px AS (SELECT doc_id, unnest(range(1, length(text) - 18)) AS p, text
+       |  FROM documents WHERE doc_id % 97 <> 0 AND length(text) >= 20),
+       |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, $h AS h FROM px),
+       |rpx AS (SELECT unnest(range(1, length(text) - 18)) AS p, text
+       |  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 20),
+       |eg AS (SELECT DISTINCT $h AS h FROM rpx),
+       |m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM eg)),
+       |i AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+       |       THEN 1 ELSE 0 END AS ni FROM m),
+       |sl AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS UNBOUNDED PRECEDING) AS isl FROM i),
+       |dr AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+       |  FROM sl GROUP BY doc_id, isl),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped_spans
+       |  FROM dr GROUP BY 1),
+       |chars AS (SELECT d.doc_id, unnest(range(1, length(d.text) + 1)) AS p,
+       |    d.text FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM dr)),
+       |keepc AS (SELECT c.doc_id, c.p, c.text FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM dr
+       |    WHERE dr.doc_id = c.doc_id AND c.p BETWEEN dr.s AND dr.e)),
+       |rebuilt AS (SELECT doc_id,
+       |    string_agg(substr(text, CAST(p AS INT), 1), '' ORDER BY p) AS ct
+       |  FROM keepc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(r.ct, '') END
+       |    AS clean_text,
+       |  coalesce(a.n_dropped_spans, 0) AS n_dropped_spans,
+       |  CAST(length(d.text) - length(CASE WHEN a.doc_id IS NULL THEN d.text
+       |    ELSE coalesce(r.ct, '') END) AS BIGINT) AS dropped_chars
+       |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+  }
+
   /** Paragraph-dedup oracle mirroring Dedup.paragraphDedup over the
     * 5-doc page view: keep-first by (page_id, pos) per paragraph md5,
     * ordered reassembly with chr(10). */
@@ -6642,6 +6723,7 @@ object ExtQueries {
     "q_sample_per_group" -> samplePerGroupSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontam_excise" -> decontamExciseSql,
+    "q_decontam_spans" -> decontamSpansSql,
     "q_decontam_profile" -> decontamProfileSql,
     // the incremental path must reproduce the one-shot recompute exactly
     "q_decontam_incr" -> decontaminateSql,

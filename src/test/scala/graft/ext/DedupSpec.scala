@@ -378,6 +378,35 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("n_dropped_spans") === 0L).count() === 1L)
   }
 
+  test("cross-corpus spans: mark against the frozen corpus only, excise ALL instances") {
+    val block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars — in the frozen corpus
+    val twice = "qrstuvwxyz-0987654321-QWERTY"   // repeats WITHIN train only
+    val ref = docs(100L -> s"frozen head ${block} frozen tail")
+    val train = docs(
+      1L -> s"xxxx${block}yyyy",
+      2L -> s"zz${block}ww and also ${twice}",
+      3L -> s"pp${twice}qq",
+      4L -> "entirely novel text matching nothing anywhere at all")
+    val rg = Dedup.spanGrams(ref, k = 10)
+    val spans = Dedup.crossRepeatedSpans(train, rg, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // only the frozen-corpus block marks; the within-train-only repeat
+    // (the repeatedSpans face's job) must NOT
+    assert(spans.keySet === Set(1L, 2L))
+    assert(spans(1L) === ((5L, 34L, 30L, 21L))) // block at 1-based 5..34
+    assert(spans(2L) === ((3L, 32L, 30L, 21L))) // block at 3..32
+    // excision drops EVERY instance — the canonical copy lives in the
+    // reference corpus, so there is no keep-first survivor here
+    val out = Dedup.exciseCrossSpans(train, rg, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("xxxxyyyy", 1L, 30L)), out(1L))
+    assert(out(2L) === ((s"zzww and also ${twice}", 1L, 30L)), out(2L))
+    assert(out(3L) === ((s"pp${twice}qq", 0L, 0L)), out(3L))
+    assert(out(4L)._2 === 0L)
+  }
+
   test("span excision: a full-document duplicate collapses to empty text") {
     val t1 = "alpha 0123456789ABCDEFGHIJKLMNOPQRS omega"
     val docs = Seq((1L, t1), (5L, t1)).toDF("doc_id", "text")

@@ -325,12 +325,14 @@ class StreamingSpec extends SparkSpec {
     try {
       docs.addData(rows.take(3): _*)
       q.processAllAvailable()
-      // batch 2 re-delivers doc 1 alongside new docs — ledgered away
-      docs.addData(rows.drop(3) :+ rows.head: _*)
+      // batch 2 re-delivers doc 1 alongside new docs, AND carries doc 4
+      // twice WITHIN the batch (ADVICE r17: an at-least-once source can
+      // duplicate inside one micro-batch; the ledger alone can't see it)
+      docs.addData(rows.drop(3) ++ Seq(rows.head, rows(3)): _*)
       q.processAllAvailable()
     } finally q.stop()
     // replay invariance: the standing histogram equals the batch
-    // histogram over the 5 UNIQUE docs (doc 1 counted once)
+    // histogram over the 5 UNIQUE docs (doc 1 and doc 4 counted once)
     val all = rows.toDF("doc_id", "source", "text")
     val wantHist = histOf(all).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -91,6 +91,14 @@ def main():
     # letter suffixes, not digits: the tokenizer faces segment per
     # LETTER-RUN type (Bpe.pieces), so "key17" would pre-tokenize back to
     # the base vocab + digits and multiply nothing — "keyab" is one run
+    # two letters = 676 distinct suffixes; REFUSE anything past that
+    # (ADVICE r17: the generator silently wrapped for N > 676, producing
+    # duplicate words so the draw multiplied the vocab less than claimed;
+    # asserting — rather than widening to 3 letters — keeps the committed
+    # --vocab-mult=100 measurement draws byte-reproducible)
+    assert vocab_mult <= 676, \
+        f"--vocab-mult={vocab_mult} > 676: 2-letter suffixes would wrap"
+
     def sfx(j):
         return "" if vocab_mult <= 1 else \
             chr(97 + j // 26 % 26) + chr(97 + j % 26)
