@@ -90,6 +90,25 @@ object Bench {
     // committed quiet samples showed q_j_nullsafe 2.64s cold vs 1.16s
     // warm and q_eval_rankcorr 5.56s cold vs 2.0s warm on the SAME data.
     // Those shapes are this leg, on 2048 rows.
+    // embedded-Derby JDBC leg (VERDICT r17 #3): q_jdbc_roundtrip read
+    // 1.9×/2.6× on UNTOUCHED code across two rounds — the Derby engine
+    // boot, JDBC driver classload and JDBCRelation write/read codepaths
+    // were all landing inside its timed sample whenever its 25-query
+    // segment started on a fresh session. A throwaway 64-row roundtrip
+    // here pays that once, untimed, per (re)start.
+    locally {
+      val db = s"${System.getProperty("java.io.tmpdir")}/graft_warmup_" +
+        s"derby_${ProcessHandle.current().pid()}"
+      System.setProperty("derby.stream.error.file", s"$db.log")
+      val url = s"jdbc:derby:$db;create=true"
+      graft.ingest.JdbcTables.write(
+        spark.range(64).selectExpr("id", "cast(id % 7 as int) as k"),
+        url, "warmup", org.apache.spark.sql.SaveMode.Overwrite)
+      graft.ingest.JdbcTables.readPartitioned(spark, url, "warmup",
+          "id", 0L, 64L, 4)
+        .where("k < 5")
+        .write.format("noop").mode("overwrite").save()
+    }
     val lat = spark.range(2048)
       .selectExpr("id", "nullif(cast(id % 5 as string), '3') as k",
         "cast(id * 1000003 as decimal(38,0)) as d")
@@ -122,6 +141,26 @@ object Bench {
       .orderBy("k")
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The most recent FULL-run Verify digest, written by [[Verify]] to
+    * the repo root — carried verbatim as the `"verify"` object in both
+    * bench artifact lines (VERDICT r17 #1: CORRECTNESS_r{16,17}.json
+    * arrived empty while BENCH_r*.json landed every round, so the
+    * correctness evidence rides the channel that lands; the digest's
+    * `ts` tells a same-round run from a committed prior-round one). */
+  private def verifyDigest(): String = {
+    val f = new java.io.File("VERIFY_LOCAL.json")
+    if (!f.exists()) return "null"
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      // sanity: one JSON object, no newlines — anything else would
+      // corrupt the artifact line it is spliced into
+      if (txt.startsWith("{") && txt.endsWith("}") && !txt.contains("\n"))
+        txt
+      else "null"
+    } catch { case scala.util.control.NonFatal(_) => "null" }
   }
 
   /** The committed probe envelope, if the baseline records one. */
@@ -201,7 +240,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sfj = setupFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"n_pairs":$np,"pair_bounded":$pb,"setup_failed":$sfj,"probe":$probe,"env":"$env","diag":$diag,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun":$rr,"n_pairs":$np,"pair_bounded":$pb,"setup_failed":$sfj,"probe":$probe,"env":"$env","diag":$diag,"verify":${verifyDigest()},"sf":"$sfDir"}"""
   }
 
   /** Feed a bench line to tools/benchgate.py; returns (verdict, names that
@@ -265,6 +304,31 @@ object Bench {
     def envOf(p: Double): String = probeEnvelope() match {
       case None => "unknown"
       case Some(e) => if (p > math.max(2.0 * e, e + 0.5)) "contended" else "ok"
+    }
+    // bounded quiet-window wait (VERDICT r17 #2): 2 of the last 3 driver
+    // artifacts were stamped contended — the post-hoc re-probe
+    // adjudication keeps the GATE honest on such windows, but the
+    // per-query numbers themselves lose diagnostic power. So when the
+    // startup probe is already out of envelope, wait for the machine to
+    // quiet BEFORE the timed sweep begins: up to 6 re-probes ~20 s apart
+    // (~2 min), proceeding with the last stamp if it never quiets.
+    // Wait-phase probes REPLACE probeMax rather than max into it — they
+    // describe windows the sweep rejected, not the one it measured.
+    locally {
+      var waited = 0
+      while (envOf(probeMax) == "contended" && waited < 6) {
+        waited += 1
+        println(f"[bench] startup probe $probeMax%.2fs out of envelope " +
+          f"${probeEnvelope().getOrElse(-1.0)}%.2fs — waiting for a " +
+          s"quiet window ($waited/6)")
+        Thread.sleep(20000)
+        probeMax = calibrationProbe(spark)
+      }
+      if (waited > 0)
+        println(f"[bench] startup wait: $waited re-probe(s), final " +
+          f"$probeMax%.2fs -> ${envOf(probeMax)}" +
+          (if (envOf(probeMax) == "contended") " (wait exhausted — " +
+            "proceeding; the artifact stamps contended)" else ""))
     }
     val setupFailed = scala.collection.mutable.Set.empty[String]
     var results = names.zipWithIndex.map { case (name, i) =>
@@ -447,7 +511,7 @@ object Bench {
     // carrying the gate verdict so it reaches the round artifact even if
     // the [benchgate] lines scroll out of the window
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"gate":"$gate","gate_fail":$gateFail,"probe":$probeMax,"env":"$env","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"gate":"$gate","gate_fail":$gateFail,"probe":$probeMax,"env":"$env","verify":${verifyDigest()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,6 +120,22 @@ object Verify {
          |"rows": ${ok.map { case (n, r) => s"${q(n)}: $r" }.mkString("{", ", ", "}")},
          |"errors": ${failed.map { case (n, e) => s"${q(n)}: ${q(e)}" }.mkString("{", ", ", "}")}}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/_MANIFEST.json"), manifest)
+    // repo-root digest (VERDICT r17 #1): the driver's CORRECTNESS
+    // artifact arrived EMPTY two rounds running while BENCH_r*.json
+    // landed every round — so the verify outcome also drops here, where
+    // graft.Bench picks it up and carries it in the bench tail line
+    // (the artifact channel that demonstrably lands). Full runs only: a
+    // subset dump must not masquerade as the registry digest. `ts`
+    // tells a same-round digest from a committed prior-round one.
+    if (only.isEmpty) {
+      val digest = s"""{"ok": ${ok.size}, "failed": ${failed.size}, """ +
+        s""""queries": ${selected.size}, """ +
+        s""""ts": "${java.time.Instant.now()}", "sf": ${q(sfDir)}}"""
+      try Files.writeString(Paths.get("VERIFY_LOCAL.json"), digest + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] VERIFY_LOCAL.json write failed: $e")
+      }
+    }
     spark.stop()
     // Bench-style tail-line + rc discipline: the LAST stdout line states
     // the outcome, and the exit code is non-zero on any failure or an

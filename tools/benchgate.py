@@ -71,6 +71,20 @@ def gate() -> int:
         print("benchgate: no bench JSON line with a queries map found")
         return 2
 
+    # correctness digest riding the bench channel (VERDICT r17 #1: the
+    # driver's CORRECTNESS artifact landed empty two rounds running
+    # while BENCH_r*.json landed fine — graft.Bench splices the latest
+    # full-run Verify digest into its lines; surface it here so the
+    # gate output carries it too)
+    v = cur_doc.get("verify")
+    if v:
+        print(f"verify: ok={v.get('ok')} failed={v.get('failed')} of "
+              f"{v.get('queries')} queries, ts={v.get('ts')} "
+              f"(sf {v.get('sf')})")
+    else:
+        print("verify: no digest (VERIFY_LOCAL.json absent — run "
+              "graft.Verify for the full registry)")
+
     # pair-count normalization (VERDICT r13 #1b): for queries declared
     # pair-bounded, scale the baseline by the draw's candidate-pair ratio
     # vs the baseline draw's — a dup-heavy re-roll is "more work", not a
