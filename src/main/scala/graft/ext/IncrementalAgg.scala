@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental rollup via mergeable aggregate state — the pattern that
@@ -129,6 +129,104 @@ object IncrementalAgg {
     store.appendStaged(docsName(name), fresh.select(col(idCol)))
     store.appendStaged(histName(name), bCounts)
     drift
+  }
+
+  // ------------------- incremental tokenizer-fertility/OOV monitor (r18)
+
+  private def fertName(name: String) = s"${name}_fert"
+
+  /** Fold one increment into the standing per-language token/word/[UNK]
+    * sums under a FROZEN WordPiece vocabulary and return the ACCUMULATED
+    * fertility/OOV datasheet — the incremental face of q_tok_oov
+    * (VERDICT r17 #6): pipelines watch tokenizer fertility and OOV drift
+    * ON THE INGEST STREAM, because a vocabulary frozen against
+    * yesterday's distribution degrades quietly as today's crawl shifts.
+    *
+    * State: `<name>_fert` (lang, n_docs, n_words, n_tokens, n_unk_words)
+    * per-increment count slices (model-sized: langs × increments,
+    * compactable) + `<name>_docs` first-write-wins ledger shared in
+    * shape with [[qualityDriftIncrement]] — re-delivery counts nothing,
+    * within-batch duplicates count once. Per-increment cost: one
+    * tokenize pass over the increment (per-distinct-word greedy walk
+    * against the broadcast vocab — type-bounded, the q_text_heaps
+    * saturation argument) + a facet-sized merge; the corpus is never
+    * rescanned.
+    *
+    * Crash ordering (the [[IncrementalLm]] contract): the datasheet is
+    * computed from state ∪ increment and emitted BEFORE any state
+    * mutates — a retry recomputes bit-identical rows; a crash between
+    * the ledger and slice appends UNDER-counts, never double-counts.
+    * Output columns exactly match the batch twin q_tok_oov:
+    * (lang, n_docs, n_words, n_tokens, n_unk_words, oov_rate,
+    * fertility), rates on the frac4 lattice over the EXACT accumulated
+    * integer sums — so the stream's datasheet after any slicing equals
+    * the batch datasheet over everything ingested. */
+  def tokFertilityIncrement(newDocs: DataFrame,
+      store: graft.store.TableStore, name: String,
+      vocab: Seq[(String, Long)], langCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text",
+      emit: DataFrame => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fertSchema = StructType(Seq(StructField(langCol, StringType),
+      StructField("n_docs", LongType), StructField("n_words", LongType),
+      StructField("n_tokens", LongType), StructField("n_unk_words", LongType)))
+    val ledger = store.readOrEmpty(docsName(name),
+      StructType(Seq(StructField(idCol, LongType))))
+    val incIds = newDocs.select(col(idCol)).distinct().localCheckpoint(true)
+    val seen = ledger.join(broadcast(incIds), Seq(idCol), "left_semi")
+    val fresh = newDocs.join(broadcast(seen), Seq(idCol), "left_anti")
+      .dropDuplicates(idCol)
+      .select(col(idCol), col(langCol), col(textCol))
+      .localCheckpoint(true) // feeds the slice AND the ledger append
+    val tb = WordPiece.tokenizeBert(fresh, vocab, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("n_unk_words"))
+    val slice = fresh
+      .select(col(idCol), col(langCol), Bpe.pieceCount(col(textCol)).as("nw"))
+      .join(tb, Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_unk_words")).as("n_unk_words"))
+      .localCheckpoint(true) // feeds the accumulated view AND the append
+    val acc = store.readOrEmpty(fertName(name), fertSchema)
+      .unionByName(slice)
+      .groupBy(col(langCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_unk_words")).as("n_unk_words"))
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0,
+        ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    val sheet = acc.select(col(langCol), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_unk_words"),
+        frac4(col("n_unk_words"), col("n_words")).as("oov_rate"),
+        frac4(col("n_tokens"), col("n_words")).as("fertility"))
+      .localCheckpoint(true) // pin the output BEFORE the state mutates
+    emit(sheet)
+    store.appendStaged(docsName(name), fresh.select(col(idCol)))
+    store.appendStaged(fertName(name), slice)
+    sheet
+  }
+
+  /** The standing per-language sums (re-reduced) — equals the batch
+    * sums over everything ingested, under any slicing. */
+  def fertilityState(store: graft.store.TableStore, name: String,
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    store.readOrEmpty(fertName(name),
+        StructType(Seq(StructField(langCol, StringType),
+          StructField("n_docs", LongType), StructField("n_words", LongType),
+          StructField("n_tokens", LongType),
+          StructField("n_unk_words", LongType))))
+      .groupBy(col(langCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_unk_words")).as("n_unk_words"))
   }
 
   /** The standing histogram (group, bin, n), re-reduced — equals the

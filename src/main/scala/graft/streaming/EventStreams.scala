@@ -550,6 +550,38 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous tokenizer-fertility/OOV drift monitor — the streaming
+    * twin of q_tok_oov (VERDICT r17 #6): each micro-batch tokenizes
+    * under the FROZEN WordPiece vocabulary, its per-language word /
+    * token / [UNK] sums fold into the standing state (doc-ledger
+    * first-write-wins, within-batch dups count once), and the
+    * ACCUMULATED per-language datasheet (oov_rate, fertility) appends
+    * batch-stamped — an alerting consumer reads the latest __batch and
+    * pages when oov_rate drifts past threshold, the signal that the
+    * frozen vocab no longer fits the crawl. Crash safety inherited from
+    * [[graft.ext.IncrementalAgg.tokFertilityIncrement]] (datasheet
+    * emits from state ∪ batch BEFORE the ledger/slice commit — a retry
+    * re-emits bit-identical rows, dedup on (__batch, lang) absorbs
+    * them; a torn state commit under-counts, never double-counts). */
+  def tokFertilitySink(docs: DataFrame, store: graft.store.TableStore,
+      name: String, outName: String, checkpointDir: String,
+      vocab: Seq[(String, Long)], langCol: String = "lang",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.IncrementalAgg.tokFertilityIncrement(batch, store, name,
+          vocab, langCol,
+          emit = sheet =>
+            if (!sheet.isEmpty)
+              store.append(outName,
+                sheet.withColumn("__batch", lit(batchId))))
+        ()
+      }
+      .start()
+
   /** Streaming memoized tokenization (VERDICT r14 #3): each micro-batch
     * of documents tokenizes against the standing word→tokens memo
     * ([[graft.ext.IncrementalTokens.tokenizeIncrement]]) — only word

@@ -364,6 +364,72 @@ class StreamingSpec extends SparkSpec {
     self.collect().foreach(r => assert(r.getDouble(3) === 0.0, r.toString))
   }
 
+  test("streaming fertility sink: accumulated datasheet equals the batch twin; replay counts nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Bpe, IncrementalAgg, WordPiece}
+    // the q_tok_oov frozen vocab: committed pieces minus the rare-letter
+    // ones, so OOV is a real nonzero number
+    val vocab = WordPiece.bertPieces
+      .filterNot { case (p, _) => p.exists("qjkxz".contains(_)) }
+    val rows = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "zebra quartz jackal box"), // OOV-heavy (q/j/x/z words)
+      (3L, "de", "der ozean und die berge"),
+      (4L, "de", "quix jazz"),
+      (5L, "en", "plain words only here"))
+    val docs = MemoryStream[(Long, String, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("fert-sink-store").toString)
+    val ckpt = Files.createTempDirectory("fert-sink-ckpt").toString
+    val q = EventStreams.tokFertilitySink(
+      docs.toDF().toDF("doc_id", "lang", "text"), store, "fert", "sheet",
+      ckpt, vocab, trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1 (ledgered away) AND carries doc 4
+      // twice within the batch (within-increment dedup)
+      docs.addData(rows.drop(3) ++ Seq(rows.head, rows(3)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch twin over the 5 UNIQUE docs — q_tok_oov's exact shape
+    val all = rows.toDF("doc_id", "lang", "text")
+    val tb = WordPiece.tokenizeBert(all, vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_unk_words"))
+    val want = all
+      .select(col("doc_id"), col("lang"),
+        Bpe.pieceCount(col("text")).as("nw"))
+      .join(tb, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_unk_words")).as("n_unk_words"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val lastBatch = store.read("sheet")
+      .agg(max(col("__batch"))).collect()(0).getLong(0)
+    val got = store.read("sheet").filter(col("__batch") === lastBatch)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (lang, (nd, nw, nt, nu, oov, fert)) =>
+      val (wd, ww, wt, wu) = want(lang)
+      assert((nd, nw, nt, nu) === ((wd, ww, wt, wu)), s"lang $lang")
+      // rates are frac4 floors of the exact accumulated sums
+      assert(oov === (wu * 10000L / ww).toDouble / 10000.0, s"oov $lang")
+      assert(fert === (wt * 10000L / ww).toDouble / 10000.0, s"fert $lang")
+    }
+    // the OOV mechanism is live: the rare-letter words really fall out
+    assert(got("en")._4 > 0L && got("de")._4 > 0L)
+    // standing state equals the accumulated sums too (replay-safe)
+    val st = IncrementalAgg.fertilityState(store, "fert").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(st === want)
+  }
+
   test("streaming tokenize sink: memoized output equals the batch tokenizer on any slicing") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq((1L, "the theater is near"), (2L, "near the gate"),
