@@ -106,7 +106,11 @@ object ScaleCheck {
     // r17 additions: byte-level BPE face + parity, CCNet KN funnel,
     // Heaps curve + duplication exposure (both corpus-postings-shaped)
     "q_text_bpe_bytes", "q_bpe_bytes_parity", "q_curation_funnel5",
-    "q_text_heaps", "q_text_dup_exposure", "q_tok_oov")
+    "q_text_heaps", "q_text_dup_exposure", "q_tok_oov",
+    // r18 additions: cross-corpus span excision (train-side gram index +
+    // broadcast ref-gram semi-join — the linear term is the train scan)
+    // and its per-source release-gate rollup
+    "q_decontam_spans", "q_decontam_span_matrix")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

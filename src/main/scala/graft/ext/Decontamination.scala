@@ -402,6 +402,119 @@ object Decontamination {
       idCol: String = "doc_id"): DataFrame =
     store.readOrEmpty(verdictsName(name), verdictsSchema(idCol))
 
+  // --------------------------------------- span-level incremental state
+  // The cross-RUN form of [[Dedup.exciseCrossSpans]] (r18, completing
+  // VERDICT r17 #5's operator family): a standing frozen-corpus
+  // span-gram state plus an append-only rewrite table make
+  // per-increment span excision O(increment) — the frozen corpus is
+  // never re-gram'd and earlier increments are never re-cut. A rewrite
+  // is a pure function of (doc, frozen gram state), so
+  // increment ∪ base ≡ full recompute exactly (the oracle for
+  // q_decontam_spans_incr IS the batch q_decontam_spans SQL).
+
+  private def spanGramsName(name: String) = s"${name}_span_grams"
+  private def spanCleanName(name: String) = s"${name}_span_clean"
+
+  private def spanCleanSchema(idCol: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("clean_text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_dropped_spans",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dropped_chars",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Persist the frozen corpus's distinct span-gram hashes
+    * ([[Dedup.spanGrams]]) — re-indexing REPLACES the state; standing
+    * rewrites keyed to an older state should be dropped with it. */
+  def indexEvalSpans(store: graft.store.TableStore, name: String,
+      eval: DataFrame, k: Int = 20, textCol: String = "text"): Unit =
+    store.overwrite(spanGramsName(name), Dedup.spanGrams(eval, k, textCol))
+
+  /** Excise one increment of new docs against the standing span-gram
+    * state and append the rewrites. Re-ingested ids are first-write-wins
+    * (anti-join on the rewrite table's pruned id column) and
+    * within-increment duplicates rewrite once, so replaying an increment
+    * is a no-op. Cost: O(increment) — one gram-index pass over the new
+    * docs, the frozen gram set broadcast.
+    *
+    * Crash ordering (the [[IncrementalLm]] contract): `emit` fires on
+    * the pinned output BEFORE the rewrite table commits — a retry after
+    * a crash re-cuts the batch against the unchanged state
+    * (bit-identical rows; batch-stamped sinks dedup the re-emission);
+    * the old order (state first) would lose a batch's output forever
+    * under at-least-once delivery. */
+  def exciseSpansIncrement(store: graft.store.TableStore, name: String,
+      newDocs: DataFrame, k: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text",
+      emit: DataFrame => Unit = _ => ()): DataFrame = {
+    val grams = store.read(spanGramsName(name))
+    val existing = store.readOrEmpty(spanCleanName(name), spanCleanSchema(idCol))
+    // NOT checkpointed, deliberately: exciseCrossSpans reads its input
+    // three times (gram index, rebuild side, pass-through join), but
+    // each re-evaluation is a columnar scan + anti-join on pruned id
+    // columns — measured CHEAPER (10.8-11.6 s for the two-increment
+    // query) than pinning the increment's text through memory blocks
+    // first (11.4-12.8 s): the text column only decompresses on the one
+    // path that needs it
+    val fresh = newDocs
+      .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+      .dropDuplicates(idCol)
+    val out = Dedup.exciseCrossSpans(fresh, grams, k, idCol, textCol)
+      // materialize BEFORE the emit/append: the plan reads the rewrite
+      // table (the anti-join) that the append mutates
+      .localCheckpoint(true)
+    emit(out)
+    store.appendStaged(spanCleanName(name), out)
+    out
+  }
+
+  /** The standing rewrite table (empty-safe). */
+  def spanExcisionState(store: graft.store.TableStore, name: String,
+      idCol: String = "doc_id"): DataFrame =
+    store.readOrEmpty(spanCleanName(name), spanCleanSchema(idCol))
+
+  /** Span-contamination release gate — the [[contaminationMatrix]]
+    * sibling at char-span granularity: per stratum (source, shard, …),
+    * how many docs carry frozen-corpus spans and what fraction of the
+    * stratum's CHARS those spans cover — the number that decides
+    * whether a source ships, gets span-cut, or gets dropped. Doc-level
+    * flags overstate: one shared license header flags a whole doc;
+    * char_frac says how much text actually leaves.
+    *
+    * Scale shape: the dominant term is [[Dedup.exciseCrossSpans]]'
+    * gram index (O(chars), ref grams broadcast); the stratum/length
+    * pass rides a second scan of the same parquet, the join is id-keyed
+    * on span-audit rows (ints, never text), and the rollup is
+    * map-side-combined to |strata| rows. */
+  def spanContaminationMatrix(docs: DataFrame, refGrams: DataFrame,
+      stratum: Column, k: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cut = Dedup.exciseCrossSpans(docs, refGrams, k, idCol, textCol)
+      .select(col(idCol), col("n_dropped_spans"), col("dropped_chars"))
+    val base = docs.select(col(idCol), stratum.as("stratum"),
+      length(col(textCol)).cast("long").as("__nc"))
+    def frac4(num: Column, den: Column): Column = {
+      val scaled = num * lit(10000L)
+      when(den > 0,
+        ((scaled - pmod(scaled, den)) / den).cast("double") / 10000.0)
+        .otherwise(lit(0.0))
+    }
+    base.join(cut, Seq(idCol))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dropped_spans") > 0, 1L).otherwise(0L))
+          .as("n_docs_hit"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("dropped_chars")).as("dropped_chars"))
+      .select(col("stratum"), col("n_docs"), col("n_docs_hit"),
+        col("n_chars"), col("dropped_chars"),
+        frac4(col("n_docs_hit"), col("n_docs")).as("doc_frac"),
+        frac4(col("dropped_chars"), col("n_chars")).as("char_frac"))
+  }
+
   /** The gate itself: training docs that survive decontamination at
     * `maxFrac` (strictly-greater rejects; 0.0 = any shared gram rejects).
     * Gated on the EXACT rational `n_contaminated ≤ maxFrac · n_grams` —

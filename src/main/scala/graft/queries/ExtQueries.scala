@@ -414,6 +414,39 @@ object ExtQueries {
       Dedup.spanGrams(d.filter(col("doc_id") % 97 === 0)))
   }
 
+  /** Incremental span excision: the frozen eval slice's span grams are
+    * indexed ONCE, then the train carve arrives in two increments (with
+    * the second re-delivering the first — first-write-wins absorbs it).
+    * Because a rewrite is a pure function of (doc, frozen gram state),
+    * the standing table equals the batch q_decontam_spans result
+    * exactly — the oracle IS the batch SQL. */
+  def qDecontamSpansIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.TableStore(s,
+      CoreQueries.scratch(dir, "decontam_spans_incr"))
+    store.drop("dsp_span_grams")
+    store.drop("dsp_span_clean")
+    Decontamination.indexEvalSpans(store, "dsp",
+      d.filter(col("doc_id") % 97 === 0))
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    Decontamination.exciseSpansIncrement(store, "dsp",
+      train.filter(col("doc_id") < 250))
+    Decontamination.exciseSpansIncrement(store, "dsp", train)
+    Decontamination.spanExcisionState(store, "dsp")
+  }
+
+  /** Span-contamination release gate: per SOURCE, docs carrying
+    * frozen-corpus spans and the char fraction those spans cover —
+    * contaminationMatrix's sibling at span granularity (doc flags
+    * overstate; char_frac says how much text actually leaves). */
+  def qDecontamSpanMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontamination.spanContaminationMatrix(
+      d.filter(col("doc_id") % 97 =!= 0),
+      Dedup.spanGrams(d.filter(col("doc_id") % 97 === 0)),
+      col("source"))
+  }
+
   /** Semantic decontamination vs the same simulated eval slice
     * (vec_id % 97 ≡ doc_id % 97): embedding-cosine flags the paraphrase
     * proximity lexical n-gram overlap can't see. */
@@ -2338,6 +2371,8 @@ object ExtQueries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_excise" -> (qDecontamExcise _),
     "q_decontam_spans" -> (qDecontamSpans _),
+    "q_decontam_spans_incr" -> (qDecontamSpansIncr _),
+    "q_decontam_span_matrix" -> (qDecontamSpanMatrix _),
     "q_decontam_profile" -> (qDecontamProfile _),
     "q_decontam_incr" -> (qDecontamIncr _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
@@ -6247,6 +6282,25 @@ object ExtQueries {
        |LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
   }
 
+  /** Span-matrix oracle: the span-excision chain as a scoped CTE (the
+    * tokenizerParitySql nesting pattern), joined back to documents for
+    * the stratum/length pass, rolled up per source with frac4 rates. */
+  private lazy val decontamSpanMatrixSql =
+    s"""WITH sp AS MATERIALIZED ($decontamSpansSql)
+       |SELECT d.source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN sp.n_dropped_spans > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_hit,
+       |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(sp.dropped_chars) AS BIGINT) AS dropped_chars,
+       |  ${frac4Sql(
+             "sum(CASE WHEN sp.n_dropped_spans > 0 THEN 1 ELSE 0 END)",
+             "count(*)")} AS doc_frac,
+       |  ${frac4Sql("sum(sp.dropped_chars)", "sum(length(d.text))")}
+       |    AS char_frac
+       |FROM documents d JOIN sp USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |GROUP BY 1""".stripMargin
+
   /** Paragraph-dedup oracle mirroring Dedup.paragraphDedup over the
     * 5-doc page view: keep-first by (page_id, pos) per paragraph md5,
     * ordered reassembly with chr(10). */
@@ -6724,6 +6778,10 @@ object ExtQueries {
     "q_decontaminate" -> decontaminateSql,
     "q_decontam_excise" -> decontamExciseSql,
     "q_decontam_spans" -> decontamSpansSql,
+    // the incremental face's oracle IS the batch SQL: rewrites are pure
+    // functions of the frozen gram state, so increment ∪ base ≡ full
+    "q_decontam_spans_incr" -> decontamSpansSql,
+    "q_decontam_span_matrix" -> decontamSpanMatrixSql,
     "q_decontam_profile" -> decontamProfileSql,
     // the incremental path must reproduce the one-shot recompute exactly
     "q_decontam_incr" -> decontaminateSql,

@@ -550,6 +550,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming span-level decontamination — the continuous face of
+    * q_decontam_spans (r18): each micro-batch of ingest docs is cut
+    * against the standing FROZEN corpus span-gram state
+    * ([[graft.ext.Decontamination.indexEvalSpans]]), and the rewritten
+    * docs (clean_text + audit counts) append batch-stamped — the gate a
+    * pipeline runs on the crawl stream so benchmark/already-trained-on
+    * passages never reach a training shard intact. A rewrite is a pure
+    * function of (doc, frozen state), so a doc's clean_text is
+    * identical whether it arrived by stream or backfill (spec-asserted
+    * against the batch [[graft.ext.Dedup.exciseCrossSpans]]). Replay
+    * safety: first-write-wins rewrite ledger + within-batch dedup;
+    * crash safety: emit-first (a retry re-cuts against unchanged state
+    * and re-emits bit-identical batch-stamped rows). */
+  def spanExciseSink(docs: DataFrame, store: graft.store.TableStore,
+      name: String, outName: String, checkpointDir: String, k: Int = 20,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Decontamination.exciseSpansIncrement(store, name, batch,
+          k, emit = out =>
+            if (!out.isEmpty)
+              store.append(outName, out.withColumn("__batch", lit(batchId))))
+        ()
+      }
+      .start()
+
   /** Continuous tokenizer-fertility/OOV drift monitor — the streaming
     * twin of q_tok_oov (VERDICT r17 #6): each micro-batch tokenizes
     * under the FROZEN WordPiece vocabulary, its per-language word /

@@ -364,6 +364,56 @@ class StreamingSpec extends SparkSpec {
     self.collect().foreach(r => assert(r.getDouble(3) === 0.0, r.toString))
   }
 
+  test("streaming span-excise sink: stream rewrites equal the batch cut; replay cuts nothing twice") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Decontamination, Dedup}
+    val block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars, frozen-corpus passage
+    val ref = Seq((100L, s"frozen head ${block} frozen tail"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, s"xxxx${block}yyyy"),
+      (2L, "entirely novel text matching nothing anywhere at all"),
+      (3L, s"zz${block}ww plus a unique tail of its own"))
+    val docs = MemoryStream[(Long, String)]
+    val store = new TableStore(spark,
+      Files.createTempDirectory("span-sink-store").toString)
+    val ckpt = Files.createTempDirectory("span-sink-ckpt").toString
+    Decontamination.indexEvalSpans(store, "sp", ref, k = 10)
+    val q = EventStreams.spanExciseSink(
+      docs.toDF().toDF("doc_id", "text"), store, "sp", "cuts", ckpt, k = 10,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      docs.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1 (ledgered away) and carries doc 3 twice
+      docs.addData(Seq(rows(2), rows.head, rows(2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-doc output (latest batch per id) equals the batch cut over the
+    // unique docs — stream-or-backfill identical
+    val got = store.read("cuts")
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("__batch"), col("clean_text"),
+        col("n_dropped_spans"), col("dropped_chars"))).as("s"))
+      .select(col("doc_id"), col("s.clean_text"),
+        col("s.n_dropped_spans"), col("s.dropped_chars"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = Dedup.exciseCrossSpans(rows.toDF("doc_id", "text"),
+        Dedup.spanGrams(ref, k = 10), k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    assert(got(1L)._1 === "xxxxyyyy") // the frozen passage really cut
+    assert(got(2L)._2 === 0L)
+    // the ledger carries each doc exactly once despite the re-delivery
+    // and the within-batch duplicate
+    val state = Decontamination.spanExcisionState(store, "sp")
+    assert(state.count() === 3L)
+    assert(state.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Seq(1L, 2L, 3L))
+  }
+
   test("streaming fertility sink: accumulated datasheet equals the batch twin; replay counts nothing") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.{Bpe, IncrementalAgg, WordPiece}
