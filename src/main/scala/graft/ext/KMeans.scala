@@ -225,6 +225,78 @@ object KMeans {
     * never a per-subspace corpus sort. Same integer lattice as [[fit]];
     * dims beyond subspaces·subDim are ignored (65..∞ of a 64-dim table:
     * none). */
+  /** Centroid-based simplified silhouette (Rousseeuw 1987's silhouette
+    * with centroid distances standing in for mean member distances —
+    * the O(n·K) form large-scale cluster audits run; the exact pairwise
+    * form is O(n²) and never survives 100 TB): per vector, a² = squared
+    * distance to its own (nearest) centroid, b² = squared distance to
+    * the second-nearest, and the separation score
+    *   sil_q6 = ⌊10⁶·(b²−a²)/b²⌋ ∈ [0, 10⁶]
+    * (0 when b² = 0 — duplicate centroids). Post-Lloyd assignment is
+    * argmin, so b² ≥ a² always and the score reads as boundary-ness:
+    * ~0 = the vector sits between two cells (SemDeDup/topic routing is
+    * arbitrary there), ~10⁶ = deep inside its cell. DOCUMENTED variant:
+    * squared distances on the exact lattice instead of the classic
+    * euclidean — same ordering of a,b per point, no sqrt to flake
+    * cross-engine.
+    *
+    * Output per cluster: n_members, mean_sil_q6 (floor mean), and
+    * n_boundary (sil_q6 < 250 000 — the quarter-separation band). The
+    * fit is [[fit]]; the scoring pass is one zero-shuffle literal
+    * projection (K structs sorted per row) + a map-side-combined
+    * groupBy(K) — one corpus scan beyond the fit at any scale. */
+  def silhouetteCentroid(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 centroids, got $k")
+    val dec = "decimal(38,0)"
+    val cents = collectCents(fit(emb, k, iters, 1, idCol, embCol))
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    // (d2, cent_id) structs for all K centroids, sorted lexicographically
+    // — elem 1 is the argmin (same tie rule as argminLiteral), elem 2 the
+    // runner-up. K literal dist2 folds + one K-element sort per row.
+    val ranked = sort_array(array(cents.map { case (cid, cq) =>
+      struct(dist2(col("q"), typedlit(cq)).as("d2"), lit(cid).as("cent_id"))
+    }: _*))
+    val a2 = element_at(ranked, 1).getField("d2")
+    val b2 = element_at(ranked, 2).getField("d2")
+    val num = (b2 - a2).cast(dec) * lit(1000000L).cast(dec)
+    val sil = when(b2 === 0L, lit(0L)).otherwise(
+      ((num - pmod(num, b2.cast(dec))) / b2.cast(dec)).cast("long"))
+    e.select(element_at(ranked, 1).getField("cent_id").as("cent_id"),
+        sil.as("s"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("s")).as("ssum"),
+        sum(when(col("s") < 250000L, 1L).otherwise(0L)).as("n_boundary"))
+      .select(col("cent_id"), col("n_members"),
+        ((col("ssum") - pmod(col("ssum"), col("n_members"))) /
+          col("n_members")).cast("long").as("mean_sil_q6"),
+        col("n_boundary"))
+  }
+
+  /** Distortion (elbow) sweep: [[fit]] + total exact inertia for each
+    * candidate k — the curve whose knee picks K for the IVF coarse
+    * quantizer, SemDeDup cells, and topic routing. Each k is an
+    * independent fit (iters sweeps of literal assignment + a K·dim-row
+    * mean update); the sweep costs |ks| fits, nothing more — there is
+    * no shared-state trick that survives different K, so the honest
+    * shape is sequential fits over the same cached quantized corpus.
+    * Output: (k, n_vectors, inertia, mean_d2) — mean_d2 floor-exact. */
+  def distortionSweep(emb: DataFrame, ks: Seq[Int], iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(ks.nonEmpty, "distortionSweep needs at least one k")
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .localCheckpoint(true)
+    ks.map { k =>
+      val cents = collectCents(fit(emb, k, iters, 1, idCol, embCol))
+      val best = argminLiteral(col("q"), cents)
+      e.select(best.getField("d2").as("d2"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("inertia"))
+        .select(lit(k.toLong).as("k"), col("n_vectors"), col("inertia"),
+          ((col("inertia") - pmod(col("inertia"), col("n_vectors"))) /
+            col("n_vectors")).cast("long").as("mean_d2"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Assignment-drift report: fit on a BASE corpus, assign a fresh
     * INCREMENT to the same (frozen) cells, and compare per-cell mean
     * squared distances — the monitoring number that says whether

@@ -2035,6 +2035,17 @@ object ExtQueries {
   def qClusterTopics(s: SparkSession, dir: String): DataFrame =
     Classifier.clusterTopics(docs(s, dir), emb(s, dir), k = 8, iters = 2, topN = 5)
 
+  /** Cluster-separation audit: centroid-based simplified silhouette per
+    * cell (k = 8, the q_sim_kmeans codebook) — mean separation and the
+    * boundary-vector count that says whether cell routing is stable. */
+  def qClusterSilhouette(s: SparkSession, dir: String): DataFrame =
+    graft.ext.KMeans.silhouetteCentroid(emb(s, dir), k = 8, iters = 2)
+
+  /** Distortion (elbow) sweep over k ∈ {2,4,8}: the exact-inertia curve
+    * whose knee picks K for IVF cells and topic routing. */
+  def qClusterElbow(s: SparkSession, dir: String): DataFrame =
+    graft.ext.KMeans.distortionSweep(emb(s, dir), Seq(2, 4, 8), iters = 2)
+
   def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       .select(Seq(col("media_id"), col("kind")) ++
@@ -2508,6 +2519,8 @@ object ExtQueries {
     "q_mm_features" -> (qMmFeatures _),
     "q_classify_source" -> (qClassifySource _),
     "q_cluster_topics" -> (qClusterTopics _),
+    "q_cluster_silhouette" -> (qClusterSilhouette _),
+    "q_cluster_elbow" -> (qClusterElbow _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_phash" -> (qMmPhash _),
     "q_mm_phash_dups" -> (qMmPhashDups _),
@@ -3841,6 +3854,43 @@ object ExtQueries {
        |SELECT st.cent_id, st.n_members, st.inertia,
        |  CAST(list_sum(list_transform(c2.cq, x -> abs(x))) AS BIGINT) AS cent_l1
        |FROM st JOIN c2 USING (cent_id)""".stripMargin
+
+  /** Silhouette oracle: same kmeans chain, then ALL K distances per
+    * vector ranked — rn=1 is the home cell (a²), rn=2 the runner-up
+    * (b²); sil_q6 = ⌊10⁶(b²−a²)/b²⌋. All terms non-negative, so `//`
+    * truncation is floor. */
+  private val clusterSilhouetteSql =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |all2 AS (SELECT e.id, c.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+       |    i -> (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+       |       * (e.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS d2
+       |  FROM e CROSS JOIN c2 c),
+       |rk AS (SELECT id, cent_id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cent_id) AS rn
+       |  FROM all2),
+       |sil AS (SELECT a.id, a.cent_id,
+       |  CASE WHEN b.d2 = 0 THEN 0
+       |       ELSE ((b.d2 - a.d2) * 1000000) // b.d2 END AS s
+       |  FROM rk a JOIN rk b ON a.id = b.id
+       |  WHERE a.rn = 1 AND b.rn = 2)
+       |SELECT cent_id, count(*) AS n_members,
+       |  CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_q6,
+       |  CAST(sum(CASE WHEN s < 250000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boundary
+       |FROM sil GROUP BY cent_id""".stripMargin
+
+  /** Elbow oracle: three independent kmeans chains (k = 2, 4, 8; prefix
+    * per k), each reporting total exact inertia of the final
+    * assignment. */
+  private val clusterElbowSql = Seq(2, 4, 8).map { k =>
+    s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n_vectors,
+       |  CAST(sum(d2) AS BIGINT) AS inertia,
+       |  CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+       |FROM (WITH ${kmeansCtes(k, 2, "", s"k$k")},
+       |  ${kmeansAssignSql(s"k${k}af", s"k${k}c2", s"k${k}e")}
+       |  SELECT d2 FROM k${k}af) t""".stripMargin
+  }.mkString("\nUNION ALL\n")
 
   /** Cluster-topics oracle: full kmeans chain (same CTEs as
     * q_sim_kmeans), then cluster-vs-global q6 relative-frequency
@@ -6927,6 +6977,8 @@ object ExtQueries {
     "q_mm_features" -> mmFeaturesSql,
     "q_classify_source" -> Classifier.trainPredictSqlOf("source"),
     "q_cluster_topics" -> clusterTopicsSql,
+    "q_cluster_silhouette" -> clusterSilhouetteSql,
+    "q_cluster_elbow" -> clusterElbowSql,
     "q_mm_resize" -> mmResizeSql,
     "q_mm_phash" -> mmPhashSql,
     "q_mm_phash_dups" -> mmPhashDupsSql,

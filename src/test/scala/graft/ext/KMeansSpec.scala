@@ -35,6 +35,34 @@ class KMeansSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("silhouetteCentroid: separated blobs score deep, midpoint flags boundary") {
+    val t = embTable(
+      1L -> Seq(10f, 0f), 2L -> Seq(10.1f, 0f), 3L -> Seq(9.9f, 0f),
+      4L -> Seq(-10f, 0f), 5L -> Seq(-10.1f, 0f), 6L -> Seq(-9.9f, 0f))
+    val s = KMeans.silhouetteCentroid(t, k = 2, iters = 3).collect()
+    assert(s.length === 2)
+    s.foreach(r => assert(r.getLong(2) > 900000L,
+      s"blob cell should be deep, got ${r.getLong(2)}"))
+    assert(s.map(_.getLong(3)).sum === 0L)
+    // a vector midway between two 10-point blobs: its own-centroid pull
+    // is 1/11 of the blob, so a² ≈ 9.09², b² = 10² → sil ≈ 0.17 < 0.25
+    val t2 = embTable((1L to 20L).map(i =>
+      i -> Seq(if (i <= 10) 10f else -10f, 0f)) :+ (21L -> Seq(0f, 0f)): _*)
+    val s2 = KMeans.silhouetteCentroid(t2, k = 2, iters = 3)
+    assert(s2.agg(sum(col("n_boundary"))).head().getLong(0) === 1L)
+  }
+
+  test("distortionSweep: nested hash seeds make inertia non-increasing in k") {
+    val e = graft.Tables.load(spark, sf(), "embeddings").cache()
+    val rows = KMeans.distortionSweep(e, Seq(2, 4, 8), iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set(2L, 4L, 8L))
+    assert(rows.values.map(_._1).toSet.size === 1, "n_vectors must agree")
+    assert(rows(8L)._2 <= rows(4L)._2 && rows(4L)._2 <= rows(2L)._2,
+      s"inertia should fall with k: $rows")
+    e.unpersist()
+  }
+
   test("trained-IVF results carry exact cosines and usable recall") {
     val e = graft.Tables.load(spark, sf(), "embeddings").cache()
     val q = e.filter(col("vec_id") < 8)
