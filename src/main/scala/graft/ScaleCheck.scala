@@ -111,9 +111,10 @@ object ScaleCheck {
     // broadcast ref-gram semi-join — the linear term is the train scan)
     // and its per-source release-gate rollup
     "q_decontam_spans", "q_decontam_span_matrix",
-    // r18 batch 2: the cluster-quality battery — both are |fits| corpus
-    // scans with literal-projection assignment (elbow = 3 fits)
-    "q_cluster_silhouette", "q_cluster_elbow")
+    // r18 batch 2: the cluster-quality battery — |fits| corpus scans
+    // with literal-projection assignment (elbow = 3 fits; ARI adds one
+    // K·L-row contingency aggregate)
+    "q_cluster_silhouette", "q_cluster_elbow", "q_cluster_ari")
 
   private val lowerAz = "abcdefghijklmnopqrstuvwxyz"
   private val upperAz = lowerAz.toUpperCase

@@ -297,6 +297,71 @@ object KMeans {
     }.reduce(_.unionByName(_))
   }
 
+  /** External cluster validation against a reference labeling (Hubert &
+    * Arabie 1985's Adjusted Rand Index + purity): fit, assign, cross-
+    * tabulate (cluster × label), and reduce the contingency table to
+    *   ARI = (Σij C(nij,2) − Σa·Σb/C(n,2)) /
+    *         (½(Σa+Σb) − Σa·Σb/C(n,2))
+    * with Σa/Σb the row/column C(·,2) sums — pure integer combinatorics,
+    * no logs, so the whole metric is exact on the lattice:
+    *   ari_q6 = ⌊10⁶·(C(n,2)·2Σij − 2ΣaΣb) / (C(n,2)·(Σa+Σb) − 2ΣaΣb)⌋
+    * (both sides multiplied by 2·C(n,2) to clear the fractions; the
+    * denominator is 0 only in the degenerate one-cluster-one-label case,
+    * reported as 0). Purity = Σ_cluster max_label / n on the same q6
+    * lattice. DOCUMENTED bound: the cleared products reach ~n⁴·10⁶, so
+    * decimal(38,0) holds to n ≈ 10⁸ rows per evaluation — external
+    * validation is an audit over a labeled SLICE, not a corpus sweep;
+    * shard or sample beyond that (the labeled data never is that big).
+    *
+    * Scale shape: assignment is the zero-shuffle literal projection; the
+    * contingency table is one map-side-combined groupBy of at most K·L
+    * rows, and everything after is arithmetic over that K·L-row frame.
+    * Output: 1 row (n, k_clusters, n_labels, purity_q6, ari_q6). */
+  def ariAgainstLabels(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def c2(x: Column): Column = {
+      val xd = x.cast(dec)
+      val p = xd * (xd - lit(1).cast(dec))
+      ((p - pmod(p, lit(2).cast(dec))) / lit(2).cast(dec))
+    }
+    val cents = collectCents(fit(emb, k, iters, 1, idCol, embCol))
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"),
+      col(labelCol).cast("long").as("lbl"))
+    val best = argminLiteral(col("q"), cents)
+    val ct = e.select(col("lbl"), best.getField("cent_id").as("cent_id"))
+      .groupBy(col("cent_id"), col("lbl")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val rows = ct.groupBy(col("cent_id")).agg(sum(col("nij")).as("ai"),
+      max(col("nij")).as("maxl"))
+    val cols = ct.groupBy(col("lbl")).agg(sum(col("nij")).as("bj"))
+    val parts = ct.agg(sum(c2(col("nij"))).as("sij"),
+        count(lit(1)).as("ncells"))
+      .crossJoin(broadcast(rows.agg(sum(c2(col("ai"))).as("sa"),
+        sum(col("maxl")).as("pur"), sum(col("ai")).as("n"),
+        count(lit(1)).as("kc"))))
+      .crossJoin(broadcast(cols.agg(sum(c2(col("bj"))).as("sb"),
+        count(lit(1)).as("nl"))))
+    val outCols = {
+      val cn2 = c2(col("n"))
+      val num = (cn2 * col("sij").cast(dec) * lit(2).cast(dec) -
+        lit(2).cast(dec) * col("sa").cast(dec) * col("sb").cast(dec)) *
+        lit(1000000L).cast(dec)
+      val den = cn2 * (col("sa") + col("sb")).cast(dec) -
+        lit(2).cast(dec) * col("sa").cast(dec) * col("sb").cast(dec)
+      val purN = col("pur").cast(dec) * lit(1000000L).cast(dec)
+      val purD = col("n").cast(dec)
+      Seq(col("n").cast("long").as("n"),
+        col("kc").cast("long").as("k_clusters"),
+        col("nl").cast("long").as("n_labels"),
+        ((purN - pmod(purN, purD)) / purD).cast("long").as("purity_q6"),
+        when(den === 0, lit(0L)).otherwise(
+          ((num - pmod(num, den)) / den).cast("long")).as("ari_q6"))
+    }
+    parts.select(outCols: _*)
+  }
+
   /** Assignment-drift report: fit on a BASE corpus, assign a fresh
     * INCREMENT to the same (frozen) cells, and compare per-cell mean
     * squared distances — the monitoring number that says whether

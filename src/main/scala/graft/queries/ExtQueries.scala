@@ -2046,6 +2046,12 @@ object ExtQueries {
   def qClusterElbow(s: SparkSession, dir: String): DataFrame =
     graft.ext.KMeans.distortionSweep(emb(s, dir), Seq(2, 4, 8), iters = 2)
 
+  /** External cluster validation: Adjusted Rand Index + purity of the
+    * k = 8 assignment against the embeddings' label column — does the
+    * unsupervised cell structure recover the labeled structure? */
+  def qClusterAri(s: SparkSession, dir: String): DataFrame =
+    graft.ext.KMeans.ariAgainstLabels(emb(s, dir), k = 8, iters = 2)
+
   def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       .select(Seq(col("media_id"), col("kind")) ++
@@ -2521,6 +2527,7 @@ object ExtQueries {
     "q_cluster_topics" -> (qClusterTopics _),
     "q_cluster_silhouette" -> (qClusterSilhouette _),
     "q_cluster_elbow" -> (qClusterElbow _),
+    "q_cluster_ari" -> (qClusterAri _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_phash" -> (qMmPhash _),
     "q_mm_phash_dups" -> (qMmPhashDups _),
@@ -3891,6 +3898,40 @@ object ExtQueries {
        |  ${kmeansAssignSql(s"k${k}af", s"k${k}c2", s"k${k}e")}
        |  SELECT d2 FROM k${k}af) t""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** ARI oracle: kmeans chain → (cluster × label) contingency table →
+    * Hubert–Arabie adjusted Rand on cleared-fraction integers. The ARI
+    * numerator can be NEGATIVE, and DuckDB's `//` truncates toward zero
+    * (-7 // 2 = -3), so the floor uses the explicit pmod form the engine
+    * evaluates. C(x,2) terms are non-negative — plain `//` there. */
+  private val clusterAriSql =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |${kmeansAssignSql("af", "c2", "e")},
+       |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl
+       |  FROM embeddings),
+       |ctab AS (SELECT a.cent_id, l.lbl, count(*) AS nij
+       |  FROM af a JOIN lab l USING (id) GROUP BY 1, 2),
+       |sagg AS (SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1) // 2)
+       |    AS HUGEINT) AS sij FROM ctab),
+       |ra AS (SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1) // 2)
+       |    AS HUGEINT) AS sa, CAST(sum(maxl) AS HUGEINT) AS pur,
+       |    CAST(sum(ai) AS HUGEINT) AS n, count(*) AS kc
+       |  FROM (SELECT cent_id, sum(nij) AS ai, max(nij) AS maxl
+       |        FROM ctab GROUP BY 1)),
+       |cb AS (SELECT CAST(sum(CAST(bj AS HUGEINT) * (bj - 1) // 2)
+       |    AS HUGEINT) AS sb, count(*) AS nl
+       |  FROM (SELECT lbl, sum(nij) AS bj FROM ctab GROUP BY 1)),
+       |nd AS (SELECT n, kc, nl, pur,
+       |    ((n * (n - 1)) // 2 * sij * 2 - 2 * sa * sb) * 1000000 AS num,
+       |    (n * (n - 1)) // 2 * (sa + sb) - 2 * sa * sb AS den
+       |  FROM sagg CROSS JOIN ra CROSS JOIN cb)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(kc AS BIGINT) AS k_clusters,
+       |  CAST(nl AS BIGINT) AS n_labels,
+       |  CAST((pur * 1000000) // n AS BIGINT) AS purity_q6,
+       |  CAST(CASE WHEN den = 0 THEN 0 ELSE
+       |    (num - (((num % den) + den) % den)) / den END AS BIGINT)
+       |    AS ari_q6
+       |FROM nd""".stripMargin
 
   /** Cluster-topics oracle: full kmeans chain (same CTEs as
     * q_sim_kmeans), then cluster-vs-global q6 relative-frequency
@@ -6979,6 +7020,7 @@ object ExtQueries {
     "q_cluster_topics" -> clusterTopicsSql,
     "q_cluster_silhouette" -> clusterSilhouetteSql,
     "q_cluster_elbow" -> clusterElbowSql,
+    "q_cluster_ari" -> clusterAriSql,
     "q_mm_resize" -> mmResizeSql,
     "q_mm_phash" -> mmPhashSql,
     "q_mm_phash_dups" -> mmPhashDupsSql,

@@ -63,6 +63,23 @@ class KMeansSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("ariAgainstLabels: aligned labels read 1.0, independent labels go negative") {
+    val blobs = (1L to 10L).map(i => (i, Seq(10f, 0.01f * i), 0)) ++
+      (11L to 20L).map(i => (i, Seq(-10f, 0.01f * i), 1))
+    val t = blobs.toDF("vec_id", "embedding", "label")
+    val r = KMeans.ariAgainstLabels(t, k = 2, iters = 3).head()
+    assert(r.getAs[Long]("purity_q6") === 1000000L)
+    assert(r.getAs[Long]("ari_q6") === 1000000L)
+    // labels alternating WITHIN each blob: every cell splits 5/5, the
+    // exact ARI is -1000/18000 → floor(-55555.6) = -55556 (pins the
+    // negative-numerator floor both engines must share)
+    val t2 = blobs.map { case (id, e, _) => (id, e, (id % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val r2 = KMeans.ariAgainstLabels(t2, k = 2, iters = 3).head()
+    assert(r2.getAs[Long]("purity_q6") === 500000L)
+    assert(r2.getAs[Long]("ari_q6") === -55556L)
+  }
+
   test("trained-IVF results carry exact cosines and usable recall") {
     val e = graft.Tables.load(spark, sf(), "embeddings").cache()
     val q = e.filter(col("vec_id") < 8)
