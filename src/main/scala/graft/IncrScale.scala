@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ext.{IncrementalLm, IncrementalTokens}
+import graft.ext.{Decontamination, IncrementalLm, IncrementalTokens}
 import graft.store.TableStore
 
 /** Per-increment cost curve for the incremental faces (VERDICT r15 #6):
@@ -20,8 +20,12 @@ import graft.store.TableStore
   *
   * Measured faces: IncrementalTokens.tokenizeIncrement (unigram memo),
   * IncrementalLm.scoreIncrement (bigram KN), scoreIncrement3 (trigram
-  * KN). The untimed Bench warmup runs first so increment 1 is not
-  * flattered by JIT landing on it.
+  * KN), and Decontamination.exciseSpansIncrement (cross-corpus span
+  * excision against a frozen eval-gram index built once, untimed — its
+  * per-increment term is increment chars + the pruned-id-column
+  * anti-join against the accumulated rewrite ledger). The untimed Bench
+  * warmup runs first so increment 1 is not flattered by JIT landing on
+  * it.
   *
   * Usage: tools/run.sh graft.IncrScale [sfDir] [k]
   */
@@ -46,6 +50,11 @@ object IncrScale {
     val tokStore = new TableStore(spark, s"$tmp/tok")
     val lmStore = new TableStore(spark, s"$tmp/lm")
     val lm3Store = new TableStore(spark, s"$tmp/lm3")
+    val spanStore = new TableStore(spark, s"$tmp/spans")
+    // frozen reference corpus: the eval slice, indexed once up front —
+    // increments are cut against it, they never touch it
+    Decontamination.indexEvalSpans(spanStore, "s",
+      docs.filter(col("doc_id") % 97 === 0))
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -64,9 +73,14 @@ object IncrScale {
       val tLm3 = timed(IncrementalLm.scoreIncrement3(inc, lm3Store, "m3")
         .write.format("noop").mode("overwrite").save())
       val ngrams = IncrementalLm.modelState(lmStore, "m").count()
+      val tSpan = timed(Decontamination.exciseSpansIncrement(spanStore, "s",
+        inc.filter(col("doc_id") % 97 =!= 0))
+        .write.format("noop").mode("overwrite").save())
+      val ledger = Decontamination.spanExcisionState(spanStore, "s").count()
       println(s"""{"increment":${i + 1},"docs":$n,"tok_sec":$tTok,""" +
         s""""memo_types":$memo,"lm_sec":$tLm,"lm3_sec":$tLm3,""" +
-        s""""model_bigram_types":$ngrams,"sf":"$sfDir"}""")
+        s""""model_bigram_types":$ngrams,"span_sec":$tSpan,""" +
+        s""""span_ledger":$ledger,"sf":"$sfDir"}""")
     }
     spark.stop()
   }
