@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def makeSession(cpus: String): SparkSession = {
+  private def makeSession(cpus: String, sfDir: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +34,26 @@ object Bench {
     // of each 25-query segment paying ~0.5-1s of JIT that reads as a
     // regression in the per-query gate.
     warmup(spark)
+    warmupParquet(spark, sfDir)
     spark
+  }
+
+  /** Parquet-scan warmup leg (r18): every leg above is spark.range-based,
+    * so the vectorized parquet reader (classload + codegen + footer
+    * machinery) stayed COLD until the first real query of each
+    * restartEvery-query segment — measured: q1_agg (alphabetically first,
+    * so first after every full-run session start) benched 3.7 s against
+    * 0.9 s warm on identical code and data. One untimed scan of the
+    * smallest table in the bench's own data dir pays that per (re)start,
+    * same contract as the JDBC/Derby leg. Kept OUT of [[warmup]] so
+    * ScaleCheck/IncrScale (which pass no data dir) are unchanged. */
+  private[graft] def warmupParquet(spark: SparkSession, sfDir: String): Unit = {
+    val f = new java.io.File(sfDir, "region.parquet")
+    if (f.exists()) {
+      spark.read.parquet(f.getPath)
+        .groupBy().count()
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   /** The untimed warmup job set — shared with [[ScaleCheck]] so both
@@ -286,13 +305,13 @@ object Bench {
     // cost lands in an untimed warmup job.
     val restartEvery =
       sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "25").toInt
-    var spark = makeSession(cpus)
+    var spark = makeSession(cpus, sfDir)
     def restart(): Unit = {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       System.gc()
-      spark = makeSession(cpus)
+      spark = makeSession(cpus, sfDir)
     }
     val names =
       if (args.nonEmpty) args.toSeq

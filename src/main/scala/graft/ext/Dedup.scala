@@ -86,10 +86,26 @@ object Dedup {
   /** Candidate pairs from shared LSH buckets (a < b, distinct). The join
     * key (band, 32-hex digest) is short and uniformly distributed — skew
     * only appears for degenerate corpora (e.g. empty docs), which an
-    * upstream length filter removes. */
+    * upstream length filter removes.
+    *
+    * The self-join is pinned to SHUFFLE_HASH (r18, guide §2.4/§3.1):
+    * left to the planner, one side becomes a BroadcastExchange, physical
+    * exchange reuse never fires, and the whole upstream chain — the
+    * per-doc signature AGGREGATE (a corpus shuffle when the caller
+    * didn't checkpoint it) plus 16 band md5s per doc — executed TWICE
+    * for byte-identical rows (measured on the committed plan: the
+    * ObjectHashAggregate appeared twice). Under a shuffled hash join
+    * both sides want the same Exchange(hashpartitioning(band, bh)) over
+    * the same subtree, so the second side plans as a ReusedExchange:
+    * the signature chain runs once at any corpus size, with no
+    * materialization barrier (an eager checkpoint here measured ~1 s
+    * SLOWER per query at sf0.1 — the extra job outweighs the saved
+    * recompute at bench scale, while the reused exchange wins at both).
+    * Join semantics are unchanged — same equi-keys, same id_a < id_b
+    * filter; a hint never changes rows. */
   def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.as("l")
-    val r = bandsDf.as("r")
+    val l = bandsDf.hint("SHUFFLE_HASH").as("l")
+    val r = bandsDf.hint("SHUFFLE_HASH").as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -453,11 +469,18 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       postings: Option[DataFrame] = None): DataFrame = {
     import graft.functions.GramOps
+    // materialized before the self-join (r18, guide §2.4): fp is a pure
+    // projection — no exchange for physical reuse to latch onto — so
+    // both join sides re-ran the full text scan + per-char-gram hashing
+    // for byte-identical (id, mn, mn2, mx) rows (measured: 2.11 s →
+    // 0.46 s for the candidate leg at sf0.1). 32 B/doc, never text —
+    // exactly the "decide with small rows" shape at 100 TB.
     val fp = docs
       .select(col(idCol).as("id"),
         GramOps.gramExtremes(col(textCol), TextAnalysis.fpGram).as("e"))
       .select(col("id"), col("e.mn").as("mn"), col("e.mn2").as("mn2"),
         col("e.mx").as("mx"))
+      .localCheckpoint(true)
     val cands = fp.as("l").join(fp.as("r"),
         col("l.mn") === col("r.mn") && col("l.mn2") === col("r.mn2") &&
         col("l.mx") === col("r.mx") && col("l.id") < col("r.id"))

@@ -124,21 +124,29 @@ object KMeans {
       .select(col("id"), col("sub"), col("q"),
         col("dc.cent_id").as("cent_id"), col("dc.d2").as("d2"))
 
-  /** Floor-div mean per (subspace, centroid, dimension), reassembled in
-    * dimension order. A cell that loses every member drops out (k
-    * shrinks) — both engines agree, and a production fit re-seeds from
-    * the next hash rank instead. */
-  private def step(assigned: DataFrame): DataFrame = {
-    val byDim = assigned
-      .select(col("sub"), col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy(col("sub"), col("cent_id"), col("pos"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .select(col("sub"), col("cent_id"), col("pos"),
-        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long").as("cv"))
-    byDim.groupBy(col("sub"), col("cent_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
-      .select(col("sub"), col("cent_id"), transform(col("ps"), p => p("cv")).as("cq"))
-  }
+  /** Floor-div mean per (subspace, centroid, dimension), computed as ONE
+    * map-side-combined aggregate per sweep (r18, guide §2.3/§2.4): the
+    * elementwise [[graft.functions.ArraySumLong]] buffer replaces the
+    * old posexplode → per-(sub, cent, pos) sum → collect_list/array_sort
+    * reassembly, which fanned every vector out to dim rows and paid a
+    * SECOND exchange to rebuild the array. Exactness is unchanged: the
+    * per-dimension sums are the same commutative long additions, n is
+    * the group row count (every fixed-length member contributes one
+    * value per dimension), and the floor-div mean expression is
+    * identical. Empty lattice slices are filtered first, preserving the
+    * old explode semantics (a member with no elements contributed no
+    * rows, so its (sub, cent) group never formed). A cell that loses
+    * every member drops out (k shrinks) — both engines agree, and a
+    * production fit re-seeds from the next hash rank instead. */
+  private def step(assigned: DataFrame): DataFrame =
+    assigned
+      .filter(size(col("q")) > 0)
+      .groupBy(col("sub"), col("cent_id"))
+      .agg(graft.functions.ArraySumLong.arraySumLong(col("q")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("sub"), col("cent_id"),
+        transform(col("s"), sv =>
+          ((sv - pmod(sv, col("n"))) / col("n")).cast("long")).as("cq"))
 
   /** `iters` Lloyd sweeps over sub-keyed frames, centroids pinned per
     * sweep: the centroid table is K·|subs| rows, but as a lazy plan sweep

@@ -468,10 +468,20 @@ object Similarity {
       planesPerBand: Int = neardupPlanesPerBand): DataFrame = {
     val v = emb.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
-    val banded = v.select(col("id"), explode(array((0 until bands).map { b =>
+    // self-join pinned to SHUFFLE_HASH (r18, guide §2.4/§3.1): the band
+    // frame is a pure projection costing bands·planesPerBand dot
+    // products per vector, and with one side planned as a
+    // BroadcastExchange physical reuse never fires — both sides re-ran
+    // the 64 dot products per vector for byte-identical rows. Under a
+    // shuffled hash join both sides want the identical
+    // Exchange(hashpartitioning(band, bh)), so the second side plans as
+    // a ReusedExchange and the banding runs ONCE — no materialization
+    // barrier, same rows (a hint never changes join semantics).
+    val banded0 = v.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), bandBucket(col("v"), b, planesPerBand).as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
+    val banded = banded0.hint("SHUFFLE_HASH")
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
