@@ -49,15 +49,25 @@ object Decontamination {
       textCol: String = "text"): DataFrame = {
     val docGrams = docs.select(col(idCol),
       explode(array_distinct(ngrams(words(col(textCol)), n))).as("gram"))
-    val totals = docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val hits = docGrams.join(broadcast(evalGrams), Seq("gram"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    // ONE pass over the exploded gram stream (r18, guide §2.4 — the
+    // boilerplateStats/overlapProfile lesson applied to the original
+    // operator): the old separate totals/hits branches each re-ran the
+    // corpus tokenize+explode; a broadcast LEFT join marks hits and a
+    // single per-doc aggregate counts grams and hits together. Counts
+    // are identical — doc grams are array_distinct'd and evalGrams is
+    // distinct, so the inner-join multiplicity the old hits branch
+    // counted was exactly the number of marked rows here.
+    val per = docGrams
+      .join(broadcast(evalGrams.select(col("gram"))
+        .withColumn("__hit", lit(1L))), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
     val c = coalesce(col("n_contaminated"), lit(0L))
     val g = coalesce(col("n_grams"), lit(0L))
     val scaled = c * lit(10000L)
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
-      .join(hits, Seq(idCol), "left")
+      .join(per, Seq(idCol), "left")
       .select(col(idCol), g.as("n_grams"), c.as("n_contaminated"),
         when(g > 0, ((scaled - pmod(scaled, g)) / g).cast("double") / 10000.0)
           .otherwise(lit(0.0)).as("contaminated_frac"),

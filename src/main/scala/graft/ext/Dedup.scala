@@ -88,24 +88,21 @@ object Dedup {
     * only appears for degenerate corpora (e.g. empty docs), which an
     * upstream length filter removes.
     *
-    * The self-join is pinned to SHUFFLE_HASH (r18, guide §2.4/§3.1):
-    * left to the planner, one side becomes a BroadcastExchange, physical
-    * exchange reuse never fires, and the whole upstream chain — the
-    * per-doc signature AGGREGATE (a corpus shuffle when the caller
-    * didn't checkpoint it) plus 16 band md5s per doc — executed TWICE
-    * for byte-identical rows (measured on the committed plan: the
-    * ObjectHashAggregate appeared twice). Under a shuffled hash join
-    * both sides want the same Exchange(hashpartitioning(band, bh)) over
-    * the same subtree, so the second side plans as a ReusedExchange:
-    * the signature chain runs once at any corpus size, with no
-    * materialization barrier (an eager checkpoint here measured ~1 s
-    * SLOWER per query at sf0.1 — the extra job outweighs the saved
-    * recompute at bench scale, while the reused exchange wins at both).
-    * Join semantics are unchanged — same equi-keys, same id_a < id_b
-    * filter; a hint never changes rows. */
+    * Self-join strategy, measured r18 (left AS the planner chooses, on
+    * purpose): at bench scale one side broadcasts, so the upstream
+    * signature chain executes twice — but both alternatives measured
+    * SLOWER at sf0.1 (eager band checkpoint: ~+1 s/query, the
+    * materialization barrier outweighs the saved recompute; SHUFFLE_HASH
+    * hint pinning both sides to one reusable exchange: +6-9% on the
+    * 20-query LSH family across repeated same-window runs — two shuffle
+    * stages beat by the pipelined broadcast at this size). At corpus
+    * scale the band frame is far past broadcast size, the planner picks
+    * a sort-merge join whose two IDENTICAL shuffles plan as one
+    * ReusedExchange — the signature chain runs once there without any
+    * help. So the naive form is the right one at BOTH scales. */
   def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.hint("SHUFFLE_HASH").as("l")
-    val r = bandsDf.hint("SHUFFLE_HASH").as("r")
+    val l = bandsDf.as("l")
+    val r = bandsDf.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

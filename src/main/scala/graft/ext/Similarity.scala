@@ -468,20 +468,17 @@ object Similarity {
       planesPerBand: Int = neardupPlanesPerBand): DataFrame = {
     val v = emb.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
-    // self-join pinned to SHUFFLE_HASH (r18, guide §2.4/§3.1): the band
-    // frame is a pure projection costing bands·planesPerBand dot
-    // products per vector, and with one side planned as a
-    // BroadcastExchange physical reuse never fires — both sides re-ran
-    // the 64 dot products per vector for byte-identical rows. Under a
-    // shuffled hash join both sides want the identical
-    // Exchange(hashpartitioning(band, bh)), so the second side plans as
-    // a ReusedExchange and the banding runs ONCE — no materialization
-    // barrier, same rows (a hint never changes join semantics).
-    val banded0 = v.select(col("id"), explode(array((0 until bands).map { b =>
+    // self-join left AS the planner chooses (measured r18, same verdict
+    // as Dedup.lshCandidates): at bench scale the broadcast plan
+    // recomputes the banding on both sides but still beat both a
+    // checkpoint (materialization barrier) and a SHUFFLE_HASH pin (two
+    // shuffle stages vs one pipelined broadcast); at corpus scale the
+    // band frame exceeds broadcast size and the planner's sort-merge
+    // join reuses the two identical exchanges, computing banding once.
+    val banded = v.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), bandBucket(col("v"), b, planesPerBand).as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
-    val banded = banded0.hint("SHUFFLE_HASH")
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
@@ -634,16 +631,17 @@ object Similarity {
     val scored = tgt.crossJoin(broadcast(src))
       .select(col("src_id"), col("tgt_id"),
         round(c * lit(1000000.0)).cast("long").as("cos6"))
-    val wS = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos6").desc, col("tgt_id"))
-    val wT = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("cos6").desc, col("src_id"))
-    val ax = scored.withColumn("rn", row_number().over(wS))
-      .filter(col("rn") <= k).groupBy(col("src_id"))
-      .agg(sum(col("cos6")).as("sx"))
-    val ay = scored.withColumn("rn", row_number().over(wT))
-      .filter(col("rn") <= k).groupBy(col("tgt_id"))
-      .agg(sum(col("cos6")).as("sy"))
+    // k-NN sums as bounded top-k-sum AGGREGATES (r18, guide §2.3/§2.4):
+    // the row_number windows this replaces each paid an exchange + full
+    // per-partition sort of the |src|·|tgt| candidate stream; the sum of
+    // a top-k-by-(cos6 desc, id) selection depends only on the multiset
+    // of the k largest cos6 values (boundary ties sum identically
+    // whichever id wins the rank), so the k-slot buffer is bit-identical
+    // and partial-aggregates map-side.
+    val ax = scored.groupBy(col("src_id"))
+      .agg(graft.functions.TopKSumLong.topKSumLong(col("cos6"), k).as("sx"))
+    val ay = scored.groupBy(col("tgt_id"))
+      .agg(graft.functions.TopKSumLong.topKSumLong(col("cos6"), k).as("sy"))
     val den = col("sx") + col("sy")
     val num = lit(2L * k) * col("cos6") * lit(1000000L)
     val margins = scored
@@ -652,10 +650,16 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cos6"),
         when(den > 0L, ((num - pmod(num, den)) / den).cast("long"))
           .otherwise(lit(0L)).as("margin_ppm"))
-    val wBest = Window.partitionBy(col("src_id"))
-      .orderBy(col("margin_ppm").desc, col("tgt_id"))
-    margins.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1).drop("rn")
+    // per-src argmax as a struct-min aggregate, not a window (the
+    // repo-wide argmax discipline): (−margin, tgt_id) lexicographic min
+    // IS (margin desc, tgt_id asc), and tgt_id is unique per src so the
+    // pick matches the old row_number rule exactly — one map-side
+    // combined aggregate instead of a third sort of the stream.
+    margins.groupBy(col("src_id"))
+      .agg(min(struct((-col("margin_ppm")).as("nm"), col("tgt_id"),
+        col("cos6"))).as("b"))
+      .select(col("src_id"), col("b.tgt_id").as("tgt_id"),
+        col("b.cos6").as("cos6"), (-col("b.nm")).as("margin_ppm"))
       .withColumn("is_parallel",
         (col("margin_ppm") > lit(1000000L)).cast("int").cast("long"))
   }
@@ -717,17 +721,15 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         round(c * lit(1000000.0)).cast("long").as("cos6"))
       .localCheckpoint(true) // candidate-sized (not |src|·|tgt|): safe to
-                             // pin, read by both windows + the argmax
-    val wS = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos6").desc, col("tgt_id"))
-    val wT = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("cos6").desc, col("src_id"))
-    val ax = scored.withColumn("rn", row_number().over(wS))
-      .filter(col("rn") <= k).groupBy(col("src_id"))
-      .agg(sum(col("cos6")).as("sx"))
-    val ay = scored.withColumn("rn", row_number().over(wT))
-      .filter(col("rn") <= k).groupBy(col("tgt_id"))
-      .agg(sum(col("cos6")).as("sy"))
+                             // pin, read by both k-NN sums + the argmax
+    // same top-k-sum aggregate + struct-min argmax rewrite as
+    // [[bitextMine]] (r18): the three row_number windows this replaces
+    // each sorted the candidate stream; the aggregates are bit-identical
+    // (see bitextMine) and partial-aggregate map-side.
+    val ax = scored.groupBy(col("src_id"))
+      .agg(graft.functions.TopKSumLong.topKSumLong(col("cos6"), k).as("sx"))
+    val ay = scored.groupBy(col("tgt_id"))
+      .agg(graft.functions.TopKSumLong.topKSumLong(col("cos6"), k).as("sy"))
     val den = col("sx") + col("sy")
     val num = lit(2L * k) * col("cos6") * lit(1000000L)
     val margins = scored
@@ -736,10 +738,11 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cos6"),
         when(den > 0L, ((num - pmod(num, den)) / den).cast("long"))
           .otherwise(lit(0L)).as("margin_ppm"))
-    val wBest = Window.partitionBy(col("src_id"))
-      .orderBy(col("margin_ppm").desc, col("tgt_id"))
-    margins.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1).drop("rn")
+    margins.groupBy(col("src_id"))
+      .agg(min(struct((-col("margin_ppm")).as("nm"), col("tgt_id"),
+        col("cos6"))).as("b"))
+      .select(col("src_id"), col("b.tgt_id").as("tgt_id"),
+        col("b.cos6").as("cos6"), (-col("b.nm")).as("margin_ppm"))
       .withColumn("is_parallel",
         (col("margin_ppm") > lit(1000000L)).cast("int").cast("long"))
   }

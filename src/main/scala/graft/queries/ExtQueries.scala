@@ -319,9 +319,16 @@ object ExtQueries {
   def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
     val normalized = docs(s, dir).select(col("doc_id"),
       Curation.normalizeText(col("text")).as("text"))
+    // materialize the gate survivors (r18, guide §2.4): `gated` feeds
+    // BOTH the canonical-digest aggregate and the semi-join left side,
+    // so the normalize + quality + langId regex battery ran twice per
+    // doc (measured: 2.27 s → ~1.4 s at sf0.1). Persisting the filtered
+    // survivors is the standard funnel materialization point at any
+    // scale — every later stage reads the (much smaller) gated slice.
     val gated = normalized.filter(
       TextAnalysis.qualityScore(col("text")) >= 0.5 &&
       TextAnalysis.langId(col("text")) === "en")
+      .localCheckpoint(true)
     val canon = Dedup.exact(gated, "doc_id", "text")
       .select(col("canonical_id").as("doc_id"))
     gated.join(canon, Seq("doc_id"), "left_semi")
